@@ -1,0 +1,562 @@
+"""P1-P14 profiling checks (SURVEY.md §2.A) — Spark fn + DuckDB oracle pairs.
+
+Both sides are generated from the same column lists and the same scalar
+formula strings, so semantics cannot drift. All means/stddevs derive from
+exact DECIMAL sums (cross-engine float-order determinism, SURVEY §7.1-2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparvi_spark.operators.profile import bucket_columns, top_values, type_bucket
+from sparvi_spark.testdata import SCHEMAS, TABLES, load_table
+
+# Fixed reference instant for freshness/future-date checks so Spark and the
+# oracle (run at different wall-clock moments) agree. The engine API uses
+# current_timestamp by default; checks pin it (reference semantics use
+# CURRENT_DATE — backend/core/anomalies/metrics.py:83).
+AS_OF = "2026-01-01 00:00:00"
+
+LINEITEM_NUM = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+LINEITEM_ALL = SCHEMAS["lineitem"].column_names
+PCTL_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+DATE_COLS = [("orders", "o_orderdate"), ("lineitem", "l_shipdate"), ("events", "ts")]
+STR_COLS = [("part", "p_name"), ("part", "p_brand"), ("part", "p_type"),
+            ("customer", "c_name"), ("customer", "c_mktsegment")]
+TOPV_COLS = [("orders", "o_orderstatus"), ("orders", "o_orderpriority"),
+             ("lineitem", "l_returnflag"), ("lineitem", "l_linestatus")]
+DUP_TABLES = ["lineitem", "orders", "documents", "nation"]
+
+
+# -- shared scalar formula strings (valid in BOTH Spark SQL and DuckDB) -----
+
+def _avg_formula(sum_alias: str, cnt_alias: str) -> str:
+    return f"round(cast({sum_alias} as double)/{cnt_alias}, 6)"
+
+
+def _std_formula(sum_alias: str, ssq_alias: str, cnt_alias: str) -> str:
+    sx = f"cast({sum_alias} as double)"
+    sxx = f"cast({ssq_alias} as double)"
+    n = cnt_alias
+    return (
+        f"case when {n} > 1 then "
+        f"round(sqrt(greatest(({sxx} - ({sx}*{sx})/{n})/({n} - 1), 0.0)), 4) end"
+    )
+
+
+def _num_agg_exprs(c: str) -> list[str]:
+    """Aggregate expressions for one numeric column (both dialects)."""
+    return [
+        f"count({c}) as {c}__cnt",
+        f"cast(min({c}) as double) as {c}__min",
+        f"cast(max({c}) as double) as {c}__max",
+        f"sum(cast({c} as decimal(28,8))) as {c}__sum",
+        # Squares via decimal(19,4)×decimal(12,4): one operand ≥19 digits
+        # forces DuckDB onto int128 multiply (it does not widen int64×int64);
+        # lossless for ≤4-decimal test data.
+        f"sum(cast(cast({c} as decimal(12,4)) as decimal(19,4)) "
+        f"* cast({c} as decimal(12,4))) as {c}__ssq",
+        f"count(case when {c} = 0 then 1 end) as {c}__zeros",
+        f"count(case when {c} < 0 then 1 end) as {c}__negs",
+        f"count(case when {c} > 0 then 1 end) as {c}__pos",
+    ]
+
+
+def _num_agg_sql(c: str) -> str:
+    return ", ".join(_num_agg_exprs(c))
+
+
+# ---------------------------------------------------------------------------
+# P1 row counts (all tables)
+# ---------------------------------------------------------------------------
+
+def q_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t in TABLES:
+        d = load_table(spark, t, sf_dir).agg(F.count(F.lit(1)).alias("row_count")) \
+            .select(F.lit(t).alias("table_name"), "row_count")
+        out = d if out is None else out.unionAll(d)
+    return out
+
+
+SQL_ROW_COUNTS = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, count(*) AS row_count FROM {t}" for t in TABLES
+)
+
+# ---------------------------------------------------------------------------
+# P2 null counts (lineitem, one scan for all columns)
+# ---------------------------------------------------------------------------
+
+def q_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "lineitem", sf_dir)
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls") for c in LINEITEM_ALL
+    ]
+    wide = df.agg(*aggs)
+    tuples = ", ".join(
+        f"'{c}', {c}__nulls, round({c}__nulls * cast(100 as double) / __n, 6)" for c in LINEITEM_ALL
+    )
+    return wide.select(F.expr(
+        f"stack({len(LINEITEM_ALL)}, {tuples}) as (column_name, null_cnt, null_pct)"
+    ))
+
+
+SQL_NULL_COUNTS = (
+    "WITH w AS (SELECT count(*) AS __n, "
+    + ", ".join(
+        f"sum(case when {c} is null then 1 else 0 end) as {c}__nulls" for c in LINEITEM_ALL
+    )
+    + " FROM lineitem) "
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, {c}__nulls AS null_cnt, "
+        f"round({c}__nulls * cast(100 as double) / __n, 6) AS null_pct FROM w"
+        for c in LINEITEM_ALL
+    )
+)
+
+# ---------------------------------------------------------------------------
+# P3 distinct counts / uniqueness (lineitem)
+# ---------------------------------------------------------------------------
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "lineitem", sf_dir)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in LINEITEM_ALL:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__d"))
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+    wide = df.agg(*aggs)
+    tuples = ", ".join(
+        f"'{c}', {c}__d, round({c}__d * cast(100 as double) / {c}__nn, 6), {c}__d = {c}__nn"
+        for c in LINEITEM_ALL
+    )
+    return wide.select(F.expr(
+        f"stack({len(LINEITEM_ALL)}, {tuples}) as "
+        "(column_name, distinct_cnt, distinct_pct, is_unique)"
+    ))
+
+
+SQL_DISTINCT_COUNTS = (
+    "WITH w AS (SELECT count(*) AS __n, "
+    + ", ".join(
+        f"count(distinct {c}) as {c}__d, count({c}) as {c}__nn" for c in LINEITEM_ALL
+    )
+    + " FROM lineitem) "
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, {c}__d AS distinct_cnt, "
+        f"round({c}__d * cast(100 as double) / {c}__nn, 6) AS distinct_pct, "
+        f"{c}__d = {c}__nn AS is_unique FROM w"
+        for c in LINEITEM_ALL
+    )
+)
+
+# ---------------------------------------------------------------------------
+# P4 numeric stats (lineitem, one scan, decimal-exact sums)
+# ---------------------------------------------------------------------------
+
+def q_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "lineitem", sf_dir)
+    wide = df.selectExpr([e for c in LINEITEM_NUM for e in _num_agg_exprs(c)])
+    tuples = ", ".join(
+        f"'{c}', {c}__cnt, {c}__min, {c}__max, round(cast({c}__sum as double), 4), "
+        f"{_avg_formula(f'{c}__sum', f'{c}__cnt')}, "
+        f"{_std_formula(f'{c}__sum', f'{c}__ssq', f'{c}__cnt')}, "
+        f"{c}__zeros, {c}__negs, {c}__pos"
+        for c in LINEITEM_NUM
+    )
+    return wide.select(F.expr(
+        f"stack({len(LINEITEM_NUM)}, {tuples}) as (column_name, cnt, min_val, "
+        "max_val, sum_val, avg_val, stddev_val, zero_cnt, negative_cnt, positive_cnt)"
+    ))
+
+
+SQL_NUMERIC_STATS = (
+    "WITH w AS (SELECT "
+    + ", ".join(_num_agg_sql(c) for c in LINEITEM_NUM)
+    + " FROM lineitem) "
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, {c}__cnt AS cnt, {c}__min AS min_val, "
+        f"{c}__max AS max_val, round(cast({c}__sum as double), 4) AS sum_val, "
+        f"{_avg_formula(f'{c}__sum', f'{c}__cnt')} AS avg_val, "
+        f"{_std_formula(f'{c}__sum', f'{c}__ssq', f'{c}__cnt')} AS stddev_val, "
+        f"{c}__zeros AS zero_cnt, {c}__negs AS negative_cnt, {c}__pos AS positive_cnt "
+        f"FROM w"
+        for c in LINEITEM_NUM
+    )
+)
+
+# ---------------------------------------------------------------------------
+# P5 exact percentiles / quartiles (linear interpolation — SURVEY §7.2)
+# ---------------------------------------------------------------------------
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "lineitem", sf_dir)
+    aggs = []
+    for c in PCTL_COLS:
+        for p, tag in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            aggs.append(F.expr(f"round(percentile({c}, {p}), 6)").alias(f"{c}__{tag}"))
+    wide = df.agg(*aggs)
+    tuples = ", ".join(f"'{c}', {c}__p25, {c}__p50, {c}__p75" for c in PCTL_COLS)
+    return wide.select(F.expr(
+        f"stack({len(PCTL_COLS)}, {tuples}) as (column_name, p25, p50, p75)"
+    ))
+
+
+SQL_PERCENTILES = (
+    "WITH w AS (SELECT "
+    + ", ".join(
+        f"round(quantile_cont({c}, {p}), 6) as {c}__{tag}"
+        for c in PCTL_COLS
+        for p, tag in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"))
+    )
+    + " FROM lineitem) "
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, {c}__p25 AS p25, {c}__p50 AS p50, "
+        f"{c}__p75 AS p75 FROM w"
+        for c in PCTL_COLS
+    )
+)
+
+# ---------------------------------------------------------------------------
+# P6 date stats (min/max/future/past vs pinned AS_OF)
+# ---------------------------------------------------------------------------
+
+def q_date_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, c in DATE_COLS:
+        df = load_table(spark, t, sf_dir)
+        d = df.agg(
+            F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+            F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+            F.count(F.when(F.col(c) > F.lit(AS_OF).cast("timestamp"), 1)).alias("future_cnt"),
+            F.count(F.when(F.col(c) <= F.lit(AS_OF).cast("timestamp"), 1)).alias("past_cnt"),
+        ).select(F.lit(t).alias("table_name"), F.lit(c).alias("column_name"),
+                 "min_ts", "max_ts", "future_cnt", "past_cnt")
+        out = d if out is None else out.unionAll(d)
+    return out
+
+
+SQL_DATE_STATS = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+    f"strftime(min({c}), '%Y-%m-%d %H:%M:%S') AS min_ts, "
+    f"strftime(max({c}), '%Y-%m-%d %H:%M:%S') AS max_ts, "
+    f"count(case when {c} > TIMESTAMP '{AS_OF}' then 1 end) AS future_cnt, "
+    f"count(case when {c} <= TIMESTAMP '{AS_OF}' then 1 end) AS past_cnt "
+    f"FROM {t}"
+    for t, c in DATE_COLS
+)
+
+# ---------------------------------------------------------------------------
+# P7 string length stats
+# ---------------------------------------------------------------------------
+
+def q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    by_table: dict[str, list[str]] = {}
+    for t, c in STR_COLS:
+        by_table.setdefault(t, []).append(c)
+    out = None
+    for t, cols in by_table.items():
+        df = load_table(spark, t, sf_dir)
+        aggs = []
+        for c in cols:
+            ln = F.length(F.col(c))
+            aggs += [
+                F.count(F.col(c)).alias(f"{c}__cnt"),
+                F.min(ln).cast("long").alias(f"{c}__minl"),
+                F.max(ln).cast("long").alias(f"{c}__maxl"),
+                F.sum(ln.cast("long")).alias(f"{c}__suml"),
+                F.count(F.when(F.col(c) == "", 1)).alias(f"{c}__empty"),
+            ]
+        wide = df.agg(*aggs)
+        tuples = ", ".join(
+            f"'{c}', {c}__cnt, {c}__minl, {c}__maxl, "
+            f"round({c}__suml * cast(1 as double) / {c}__cnt, 4), {c}__empty"
+            for c in cols
+        )
+        d = wide.select(
+            F.lit(t).alias("table_name"),
+            F.expr(f"stack({len(cols)}, {tuples}) as "
+                   "(column_name, cnt, min_len, max_len, avg_len, empty_cnt)"),
+        )
+        out = d if out is None else out.unionAll(d)
+    return out
+
+
+def _sql_string_stats() -> str:
+    by_table: dict[str, list[str]] = {}
+    for t, c in STR_COLS:
+        by_table.setdefault(t, []).append(c)
+    parts = []
+    for t, cols in by_table.items():
+        agg = ", ".join(
+            f"count({c}) as {c}__cnt, cast(min(length({c})) as bigint) as {c}__minl, "
+            f"cast(max(length({c})) as bigint) as {c}__maxl, "
+            f"sum(cast(length({c}) as bigint)) as {c}__suml, "
+            f"count(case when {c} = '' then 1 end) as {c}__empty"
+            for c in cols
+        )
+        for c in cols:
+            parts.append(
+                f"SELECT '{t}' AS table_name, '{c}' AS column_name, {c}__cnt AS cnt, "
+                f"{c}__minl AS min_len, {c}__maxl AS max_len, "
+                f"round({c}__suml * cast(1 as double) / {c}__cnt, 4) AS avg_len, "
+                f"{c}__empty AS empty_cnt FROM (SELECT {agg} FROM {t}) w_{t}"
+            )
+    return " UNION ALL ".join(parts)
+
+
+SQL_STRING_STATS = _sql_string_stats()
+
+# ---------------------------------------------------------------------------
+# P8 top-K frequent values (melt + one window; deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+def q_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    by_table: dict[str, list[str]] = {}
+    for t, c in TOPV_COLS:
+        by_table.setdefault(t, []).append(c)
+    out = None
+    for t, cols in by_table.items():
+        df = load_table(spark, t, sf_dir)
+        d = top_values(df, cols, k=10).select(
+            F.lit(t).alias("table_name"), "column_name", "value", "cnt", "pct"
+        )
+        out = d if out is None else out.unionAll(d)
+    return out
+
+
+def _sql_top_values() -> str:
+    by_table: dict[str, list[str]] = {}
+    for t, c in TOPV_COLS:
+        by_table.setdefault(t, []).append(c)
+    parts = []
+    for t, cols in by_table.items():
+        melt = " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, cast({c} as varchar) AS value FROM {t} "
+            f"WHERE {c} IS NOT NULL"
+            for c in cols
+        )
+        parts.append(
+            f"SELECT '{t}' AS table_name, column_name, value, cnt, "
+            f"round(cnt * cast(100 as double) / (SELECT count(*) FROM {t}), 4) AS pct "
+            f"FROM (SELECT column_name, value, count(*) AS cnt FROM ({melt}) m "
+            f"GROUP BY column_name, value "
+            f"QUALIFY row_number() OVER (PARTITION BY column_name "
+            f"ORDER BY cnt DESC, value ASC) <= 10) ranked_{t}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+SQL_TOP_VALUES = _sql_top_values()
+
+# ---------------------------------------------------------------------------
+# P9 exact full-row duplicate counts
+# ---------------------------------------------------------------------------
+
+def q_duplicate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t in DUP_TABLES:
+        df = load_table(spark, t, sf_dir)
+        dup = (
+            df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("__c"))
+            .agg((F.sum("__c") - F.count(F.lit(1))).alias("duplicate_cnt"))
+            .select(F.lit(t).alias("table_name"),
+                    F.col("duplicate_cnt").cast("bigint").alias("duplicate_cnt"))
+        )
+        out = dup if out is None else out.unionAll(dup)
+    return out
+
+
+SQL_DUPLICATE_COUNTS = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, cast(count(*) - "
+    f"(SELECT count(*) FROM (SELECT DISTINCT * FROM {t}) d_{t}) as bigint) "
+    f"AS duplicate_cnt FROM {t}"
+    for t in DUP_TABLES
+)
+
+# ---------------------------------------------------------------------------
+# P10 freshness (hours behind a pinned as-of instant)
+# ---------------------------------------------------------------------------
+
+def q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "events", sf_dir)
+    return df.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.floor(
+            (F.lit(AS_OF).cast("timestamp").cast("double")
+             - F.max("ts").cast("double")) / 3600.0
+        ).cast("bigint").alias("hours_behind"),
+    )
+
+
+SQL_FRESHNESS = (
+    f"SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts, "
+    f"cast(floor((epoch(TIMESTAMP '{AS_OF}') - epoch(max(ts))) / 3600.0) as bigint) "
+    f"AS hours_behind FROM events"
+)
+
+# ---------------------------------------------------------------------------
+# P11 regex pattern match rates
+# ---------------------------------------------------------------------------
+
+PATTERNS = [
+    ("customer", "c_name", "^Customer#[0-9]{9}$"),
+    ("documents", "text", "spark"),
+    ("events", "props", '^\\{"k": [0-9]+\\}$'),
+]
+
+
+def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, c, pat in PATTERNS:
+        df = load_table(spark, t, sf_dir)
+        d = df.agg(
+            F.count(F.col(c)).alias("total_nonnull"),
+            F.count(F.when(F.col(c).rlike(pat), 1)).alias("matching"),
+        ).select(
+            F.lit(t).alias("table_name"), F.lit(c).alias("column_name"),
+            "total_nonnull", "matching",
+            (F.col("total_nonnull") - F.col("matching")).alias("non_matching"),
+            F.round(F.col("matching") * 100.0 / F.col("total_nonnull"), 4).alias("match_pct"),
+        )
+        out = d if out is None else out.unionAll(d)
+    return out
+
+
+def _sql_pattern_match() -> str:
+    parts = []
+    for t, c, pat in PATTERNS:
+        # DuckDB string literals are not backslash-escaped; only quote-escape.
+        p = pat.replace("'", "''")
+        parts.append(
+            f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+            f"count({c}) AS total_nonnull, "
+            f"count(case when regexp_matches({c}, '{p}') then 1 end) AS matching, "
+            f"count({c}) - count(case when regexp_matches({c}, '{p}') then 1 end) "
+            f"AS non_matching, "
+            f"round(count(case when regexp_matches({c}, '{p}') then 1 end) * 100.0 "
+            f"/ count({c}), 4) AS match_pct FROM {t}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+SQL_PATTERN_MATCH = _sql_pattern_match()
+
+# ---------------------------------------------------------------------------
+# P12 column type distribution (schema walk; oracle uses typeof())
+# ---------------------------------------------------------------------------
+
+def q_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = []
+    for t in TABLES:
+        df = load_table(spark, t, sf_dir)
+        counts: dict[str, int] = {}
+        for f in df.schema.fields:
+            b = type_bucket(f.dataType)
+            counts[b] = counts.get(b, 0) + 1
+        for b, n in counts.items():
+            rows.append((t, b, n))
+    return spark.createDataFrame(rows, "table_name string, bucket string, n_cols long")
+
+
+_DUCK_BUCKET_CASE = (
+    "CASE WHEN ty LIKE '%[]' THEN 'other' "
+    "WHEN ty IN ('TINYINT','SMALLINT','INTEGER','BIGINT','HUGEINT','FLOAT','DOUBLE') "
+    "OR ty LIKE 'DECIMAL%' THEN 'numeric' "
+    "WHEN ty = 'VARCHAR' THEN 'text' "
+    "WHEN ty LIKE 'TIMESTAMP%' OR ty = 'DATE' THEN 'datetime' "
+    "WHEN ty = 'BOOLEAN' THEN 'boolean' ELSE 'other' END"
+)
+
+
+def _sql_type_distribution() -> str:
+    parts = []
+    for t in TABLES:
+        cols = SCHEMAS[t].column_names
+        lst = ", ".join(f"typeof({c})" for c in cols)
+        parts.append(
+            f"SELECT '{t}' AS table_name, bucket, cast(count(*) as bigint) AS n_cols "
+            f"FROM (SELECT {_DUCK_BUCKET_CASE} AS bucket FROM "
+            f"(SELECT unnest([{lst}]) AS ty FROM (SELECT * FROM {t} LIMIT 1) r_{t}) "
+            f"u_{t}) b_{t} GROUP BY bucket"
+        )
+    return " UNION ALL ".join(parts)
+
+
+SQL_TYPE_DISTRIBUTION = _sql_type_distribution()
+
+# ---------------------------------------------------------------------------
+# P13 table health score (collector.py:661-687 heuristic; schema facts from
+# the shared TableSpec on both sides, row count from data)
+# ---------------------------------------------------------------------------
+
+def q_health_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t in TABLES:
+        spec = SCHEMAS[t]
+        pk_pen = 0 if spec.primary_keys else 20
+        n_cols = len(spec.columns)
+        nullable_pen = 15 if n_cols and sum(c.nullable for c in spec.columns) / n_cols > 0.8 else 0
+        width_pen = 10 if n_cols > 50 else 0
+        df = load_table(spark, t, sf_dir)
+        d = df.agg(F.count(F.lit(1)).alias("__n")).select(
+            F.lit(t).alias("table_name"),
+            F.greatest(
+                F.lit(100 - pk_pen - nullable_pen - width_pen)
+                - F.when(F.col("__n") == 0, 30).otherwise(0),
+                F.lit(0),
+            ).cast("bigint").alias("health_score"),
+        )
+        out = d if out is None else out.unionAll(d)
+    return out
+
+
+def _sql_health_scores() -> str:
+    parts = []
+    for t in TABLES:
+        spec = SCHEMAS[t]
+        pk_pen = 0 if spec.primary_keys else 20
+        n_cols = len(spec.columns)
+        nullable_pen = 15 if n_cols and sum(c.nullable for c in spec.columns) / n_cols > 0.8 else 0
+        width_pen = 10 if n_cols > 50 else 0
+        base = 100 - pk_pen - nullable_pen - width_pen
+        parts.append(
+            f"SELECT '{t}' AS table_name, cast(greatest({base} - "
+            f"case when count(*) = 0 then 30 else 0 end, 0) as bigint) "
+            f"AS health_score FROM {t}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+SQL_HEALTH_SCORES = _sql_health_scores()
+
+# ---------------------------------------------------------------------------
+# P14 data preview (deterministic: ordered by key, capped at 50)
+# ---------------------------------------------------------------------------
+
+def q_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, "customer", sf_dir)
+    return df.orderBy("c_custkey").limit(50)
+
+
+SQL_PREVIEW = "SELECT * FROM customer ORDER BY c_custkey LIMIT 50"
+
+
+CHECKS = {
+    "p01_row_counts": (q_row_counts, SQL_ROW_COUNTS),
+    "p02_null_counts": (q_null_counts, SQL_NULL_COUNTS),
+    "p03_distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
+    "p04_numeric_stats": (q_numeric_stats, SQL_NUMERIC_STATS),
+    "p05_percentiles": (q_percentiles, SQL_PERCENTILES),
+    "p06_date_stats": (q_date_stats, SQL_DATE_STATS),
+    "p07_string_stats": (q_string_stats, SQL_STRING_STATS),
+    "p08_top_values": (q_top_values, SQL_TOP_VALUES),
+    "p09_duplicate_counts": (q_duplicate_counts, SQL_DUPLICATE_COUNTS),
+    "p10_freshness": (q_freshness, SQL_FRESHNESS),
+    "p11_pattern_match": (q_pattern_match, SQL_PATTERN_MATCH),
+    "p12_type_distribution": (q_type_distribution, SQL_TYPE_DISTRIBUTION),
+    "p13_health_scores": (q_health_scores, SQL_HEALTH_SCORES),
+    "p14_preview": (q_preview, SQL_PREVIEW),
+}

@@ -1,0 +1,304 @@
+"""Profiling operators P1-P14 (SURVEY.md §2.A), Spark-first.
+
+The reference batches all per-column aggregates of a type class into one
+SELECT per class (reference: backend/app.py:3291-3857). We go further and
+fuse ALL type classes into ONE ``df.agg`` pass — a single scan, no shuffle
+(partial aggregation map-side, final merge on one reducer row). Top-K (P8)
+and exact duplicate count (P9) each need a shuffle and run as separate jobs.
+
+Scale notes (100 TB):
+- ``exact=False`` switches COUNT(DISTINCT) -> approx_count_distinct and
+  exact percentiles -> percentile_approx, turning the multi-expand exact
+  distinct plan into a single-pass sketch plan.
+- No driver-side collect until the final one-row aggregate / top-K rows
+  (bounded by k * n_columns).
+- All heavy expressions are built-in Column functions => whole-stage codegen.
+
+Oracle-determinism notes: sums feeding averages/stddev go through DECIMAL so
+cross-engine (Spark vs DuckDB) float summation order cannot change results;
+stddev is computed from exact decimal Σx / Σx² then a deterministic double
+formula (see SURVEY.md §7 "hard parts" 1-2).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# type bucketing (reference: backend/core/metadata/collector.py:610-625)
+# ---------------------------------------------------------------------------
+
+def type_bucket(dt: T.DataType) -> str:
+    if isinstance(dt, T.NumericType):
+        return "numeric"
+    if isinstance(dt, T.StringType):
+        return "text"
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "datetime"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    return "other"
+
+
+def bucket_columns(df: DataFrame) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {"numeric": [], "text": [], "datetime": [], "boolean": [], "other": []}
+    for f in df.schema.fields:
+        out[type_bucket(f.dataType)].append(f.name)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# expression builders (shared by the one-pass profiler and the paired checks)
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(28,8)"
+
+
+def null_count(c: str) -> Column:
+    # SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END)  (app.py:3379-3404)
+    return F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls")
+
+
+def distinct_count(c: str, exact: bool = True) -> Column:
+    expr = F.countDistinct(F.col(c)) if exact else F.approx_count_distinct(F.col(c))
+    return expr.alias(f"{c}__distinct")
+
+
+def numeric_exprs(c: str) -> list[Column]:
+    col = F.col(c)
+    dec = col.cast(DEC)
+    return [
+        F.count(col).alias(f"{c}__cnt"),
+        F.min(col).cast("double").alias(f"{c}__min"),
+        F.max(col).cast("double").alias(f"{c}__max"),
+        F.sum(dec).alias(f"{c}__sum_dec"),
+        F.sum(dec * dec).alias(f"{c}__sumsq_dec"),
+        F.count(F.when(col == 0, 1)).alias(f"{c}__zeros"),
+        F.count(F.when(col < 0, 1)).alias(f"{c}__negatives"),
+        F.count(F.when(col > 0, 1)).alias(f"{c}__positives"),
+    ]
+
+
+def datetime_exprs(c: str, as_of: str) -> list[Column]:
+    col = F.col(c)
+    ref = F.lit(as_of).cast("timestamp")
+    return [
+        F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss").alias(f"{c}__min_ts"),
+        F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss").alias(f"{c}__max_ts"),
+        F.count(F.when(col > ref, 1)).alias(f"{c}__future"),
+        F.count(F.when(col <= ref, 1)).alias(f"{c}__past"),
+    ]
+
+
+def text_exprs(c: str) -> list[Column]:
+    ln = F.length(F.col(c))
+    return [
+        F.count(F.col(c)).alias(f"{c}__cnt"),
+        F.min(ln).cast("long").alias(f"{c}__min_len"),
+        F.max(ln).cast("long").alias(f"{c}__max_len"),
+        F.sum(ln.cast("long")).alias(f"{c}__sum_len"),
+        F.count(F.when(F.col(c) == "", 1)).alias(f"{c}__empties"),
+    ]
+
+
+def _safe_div(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num / den)
+
+
+def derived_avg(sum_dec: Column, cnt: Column) -> Column:
+    """Deterministic cross-engine mean: exact decimal sum -> double -> divide."""
+    return F.round(_safe_div(sum_dec.cast("double"), cnt), 6)
+
+
+def derived_stddev_samp(sum_dec: Column, sumsq_dec: Column, cnt: Column) -> Column:
+    """Sample stddev from exact decimal Σx, Σx² (deterministic cross-engine).
+
+    stddev² = (Σx² − (Σx)²/n) / (n−1); guard n>1 and clamp negatives from
+    float cancellation. SQL STDDEV in the reference is *sample* stddev
+    (SURVEY §7.1).
+    """
+    sx = sum_dec.cast("double")
+    sxx = sumsq_dec.cast("double")
+    var = (sxx - (sx * sx) / cnt) / (cnt - F.lit(1))
+    return F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4)
+
+
+# ---------------------------------------------------------------------------
+# P8 top-K frequent values — melt + single window (one shuffle for all cols)
+# ---------------------------------------------------------------------------
+
+def top_values(df: DataFrame, columns: Iterable[str], k: int = 10) -> DataFrame:
+    """Top-k most frequent values per column with deterministic tie-break.
+
+    Reference runs one GROUP BY query per column (app.py:3620-3677); we melt
+    all requested columns via ``stack`` and use ONE groupBy + ONE window —
+    a single shuffle regardless of column count. Ties break by value ASC
+    (SURVEY §7.5: ORDER BY count DESC alone is nondeterministic).
+
+    Output: (column_name, value: string, cnt, pct) with pct of table rows.
+    """
+    cols = list(columns)
+    total = df.count()
+    stack_expr = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    melted = df.select(
+        F.expr(f"stack({len(cols)}, {stack_expr}) as (column_name, value)")
+    ).where(F.col("value").isNotNull())
+    counted = melted.groupBy("column_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("column_name").orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .withColumn("pct", F.round(F.col("cnt") * 100.0 / F.lit(total), 4))
+        .select("column_name", "value", "cnt", "pct")
+    )
+
+
+def duplicate_count(df: DataFrame) -> int:
+    """P9 exact full-row duplicate count: COUNT(*) − COUNT(DISTINCT *)."""
+    return df.count() - df.dropDuplicates().count()
+
+
+# ---------------------------------------------------------------------------
+# the one-pass profiler -> profile document (SURVEY §1.3 contract)
+# ---------------------------------------------------------------------------
+
+def profile_table(
+    df: DataFrame,
+    table_name: str,
+    previous_profile: dict | None = None,
+    exact: bool = True,
+    top_k: int = 10,
+    top_k_max_columns: int = 10,
+    top_k_distinct_cap: int = 1000,
+    as_of: str | _dt.datetime | None = None,
+) -> dict:
+    """Compute the full profile document in 3 jobs (1 scan + top-K + dupes).
+
+    Mirrors the output contract of the reference's ``profile_table``
+    (consumption sites: backend/routes/profiles.py:75-78,
+    backend/core/storage/supabase_manager.py:249-257,
+    sparvi-frontend TableProfile.js:58-70). ``exact=False`` is the 100 TB
+    mode (sketch distinct counts).
+    """
+    if as_of is None:
+        as_of = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+    buckets = bucket_columns(df)
+    all_cols = [f.name for f in df.schema.fields]
+    simple_cols = [c for c in all_cols if type_bucket(df.schema[c].dataType) != "other"]
+
+    exprs: list[Column] = [F.count(F.lit(1)).alias("__row_count")]
+    for c in simple_cols:
+        exprs.append(null_count(c))
+        exprs.append(distinct_count(c, exact=exact))
+    for c in buckets["numeric"]:
+        exprs.extend(numeric_exprs(c))
+    for c in buckets["datetime"]:
+        exprs.extend(datetime_exprs(c, str(as_of)))
+    for c in buckets["text"]:
+        exprs.extend(text_exprs(c))
+
+    row = df.agg(*exprs).collect()[0].asDict()
+    n = row["__row_count"]
+
+    completeness, null_fractions, distinct_counts, summary = {}, {}, {}, {}
+    for c in simple_cols:
+        nulls = row[f"{c}__nulls"]
+        dist = row[f"{c}__distinct"]
+        nonnull = n - nulls
+        completeness[c] = {
+            "nulls": nulls,
+            "null_percentage": round(nulls * 100.0 / n, 4) if n else 0.0,
+            "distinct_count": dist,
+            "distinct_percentage": round(dist * 100.0 / nonnull, 4) if nonnull else 0.0,
+        }
+        null_fractions[c] = (nulls / n) if n else 0.0
+        distinct_counts[c] = dist
+
+    for c in buckets["numeric"]:
+        cnt, sd, ssd = row[f"{c}__cnt"], row[f"{c}__sum_dec"], row[f"{c}__sumsq_dec"]
+        avg = None
+        std = None
+        if cnt and sd is not None:
+            avg = round(float(sd) / cnt, 6)
+            if cnt > 1:
+                var = (float(ssd) - float(sd) ** 2 / cnt) / (cnt - 1)
+                std = round(max(var, 0.0) ** 0.5, 4)
+        summary[c] = {
+            "min": row[f"{c}__min"], "max": row[f"{c}__max"],
+            "avg": avg, "sum": float(sd) if sd is not None else None, "stddev": std,
+            "zero_count": row[f"{c}__zeros"], "negative_count": row[f"{c}__negatives"],
+            "positive_count": row[f"{c}__positives"],
+        }
+    for c in buckets["datetime"]:
+        summary[c] = {
+            "min": row[f"{c}__min_ts"], "max": row[f"{c}__max_ts"],
+            "future_count": row[f"{c}__future"], "past_count": row[f"{c}__past"],
+        }
+    for c in buckets["text"]:
+        cnt = row[f"{c}__cnt"]
+        summary[c] = {
+            "min_length": row[f"{c}__min_len"], "max_length": row[f"{c}__max_len"],
+            "avg_length": round(row[f"{c}__sum_len"] / cnt, 4) if cnt else None,
+            "empty_count": row[f"{c}__empties"],
+        }
+
+    # P8: only low-cardinality columns, capped (app.py:3636-3645 policy).
+    tv_cols = [
+        c for c in simple_cols
+        if distinct_counts.get(c, 0) < top_k_distinct_cap
+        and type_bucket(df.schema[c].dataType) in ("text", "numeric")
+    ][:top_k_max_columns]
+    top_vals: dict[str, list[dict]] = {c: [] for c in tv_cols}
+    if tv_cols and n:
+        for r in top_values(df, tv_cols, k=top_k).collect():
+            top_vals[r["column_name"]].append(
+                {"value": r["value"][:100], "count": r["cnt"], "percentage": r["pct"]}
+            )
+
+    dup = duplicate_count(df) if exact else 0
+
+    profile = {
+        "table": table_name,
+        "table_name": table_name,
+        "timestamp": str(as_of),
+        "row_count": n,
+        "duplicate_count": dup,
+        "column_count": len(all_cols),
+        "columns": all_cols,
+        "column_types": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+        "completeness": completeness,
+        "null_fractions": null_fractions,
+        "distinct_counts": distinct_counts,
+        "summary_statistics": summary,
+        "distribution_data": top_vals,
+        "top_values": top_vals,
+        "validation_results": [],
+    }
+    if previous_profile is not None:
+        prev_n = previous_profile.get("row_count") or 0
+        profile["row_count_change"] = n - prev_n
+    return profile
+
+
+# ---------------------------------------------------------------------------
+# P13 table health score (collector.py:661-687)
+# ---------------------------------------------------------------------------
+
+def health_score(
+    row_count: int, n_columns: int, n_nullable: int, has_primary_key: bool
+) -> int:
+    score = 100
+    if not has_primary_key:
+        score -= 20
+    if row_count == 0:
+        score -= 30
+    if n_columns and n_nullable / n_columns > 0.8:
+        score -= 15
+    if n_columns > 50:
+        score -= 10
+    return max(score, 0)

@@ -1,0 +1,99 @@
+"""Profiler tests (P1-P14) at sf0.001."""
+
+import pytest
+
+from sparvi_spark.operators.profile import (
+    duplicate_count,
+    health_score,
+    profile_table,
+    top_values,
+    type_bucket,
+)
+from sparvi_spark.testdata import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def lineitem_profile(spark):
+    df = load_table(spark, "lineitem", SF_DIR)
+    return profile_table(df, "lineitem", as_of="2026-01-01 00:00:00")
+
+
+def test_row_and_column_counts(lineitem_profile):
+    p = lineitem_profile
+    assert p["row_count"] == 6000
+    assert p["column_count"] == 11
+    assert p["table"] == "lineitem"
+    assert set(p["columns"]) == set(p["column_types"])
+
+
+def test_completeness_contract(lineitem_profile):
+    c = lineitem_profile["completeness"]["l_quantity"]
+    assert set(c) == {"nulls", "null_percentage", "distinct_count", "distinct_percentage"}
+    assert c["nulls"] >= 0
+    assert lineitem_profile["null_fractions"]["l_orderkey"] == 0.0
+
+
+def test_numeric_summary(lineitem_profile):
+    s = lineitem_profile["summary_statistics"]["l_quantity"]
+    assert s["min"] == 1.0 and s["max"] == 50.0
+    assert s["negative_count"] == 0
+    assert s["avg"] == pytest.approx(s["sum"] / 6000, abs=1e-6)
+    assert s["stddev"] is not None and s["stddev"] > 0
+
+
+def test_string_and_date_summary(lineitem_profile):
+    s = lineitem_profile["summary_statistics"]["l_returnflag"]
+    assert s["min_length"] == 1 and s["max_length"] == 1 and s["empty_count"] == 0
+    d = lineitem_profile["summary_statistics"]["l_shipdate"]
+    assert d["min"].startswith("19") or d["min"].startswith("20")
+    assert d["future_count"] == 0
+
+
+def test_top_values_present_and_bounded(lineitem_profile):
+    tv = lineitem_profile["top_values"]
+    assert "l_returnflag" in tv
+    assert 0 < len(tv["l_returnflag"]) <= 10
+    counts = [v["count"] for v in tv["l_returnflag"]]
+    assert counts == sorted(counts, reverse=True)
+    # high-cardinality numeric keys must be excluded by the distinct cap
+    assert "l_orderkey" not in tv
+
+
+def test_duplicate_count_zero_on_keyed_table(spark):
+    df = load_table(spark, "nation", SF_DIR)
+    assert duplicate_count(df) == 0
+
+
+def test_duplicate_count_detects_dupes(spark):
+    df = load_table(spark, "nation", SF_DIR)
+    assert duplicate_count(df.unionAll(df.limit(3))) == 3
+
+
+def test_health_score_heuristic():
+    assert health_score(100, 5, 1, True) == 100
+    assert health_score(0, 5, 1, True) == 70
+    assert health_score(100, 5, 5, False) == 65  # no PK, all nullable
+    assert health_score(100, 60, 0, True) == 90  # wide table
+    assert health_score(0, 60, 60, False) == 25
+
+
+def test_top_values_tie_break_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("a",), ("b",), ("c",)], "v string"
+    )
+    rows = top_values(df, ["v"], k=2).collect()
+    assert [(r["value"], r["cnt"]) for r in rows] == [("a", 2), ("b", 2)]
+
+
+def test_profile_row_count_change(spark):
+    df = load_table(spark, "nation", SF_DIR)
+    prev = {"row_count": 20}
+    p = profile_table(df, "nation", previous_profile=prev)
+    assert p["row_count_change"] == 5
+
+
+def test_type_buckets(spark):
+    df = load_table(spark, "embeddings", SF_DIR)
+    assert type_bucket(df.schema["embedding"].dataType) == "other"
+    assert type_bucket(df.schema["vec_id"].dataType) == "numeric"
