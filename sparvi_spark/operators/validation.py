@@ -1,0 +1,541 @@
+"""Validation engine V1-V24 (SURVEY.md §2.B), Spark-first.
+
+A rule is ``{name, description, query, operator, expected_value}``
+(reference: backend/routes/validations.py:228,756-762). The reference runs
+one warehouse scan per rule (ThreadPool of 10); we compile all scalar
+aggregate rules for a table into ONE ``df.agg`` pass, batch all categorical-
+dominance rules through one melted groupBy, share a single stats pass for
+every 3σ-outlier rule, and run referential checks as broadcast anti-joins —
+per table: 1 scan + 1 outlier pass + a few key-level shuffles, regardless of
+rule count.
+
+Heuristic rule generation ports the exact name-pattern lists of
+backend/core/validations/default_validations.py:101,147-150,166-169,
+184-187,311,328-331,347-350 (V1-V20). Evaluation semantics port
+backend/core/validations/supabase_validation_manager.py:342-373, accepting
+both word and symbolic operator spellings (frontend ValidationRuleEditor.js).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparvi_spark.testdata import TableSpec
+
+DEFAULT_AS_OF = "2026-01-01 00:00:00"
+
+# Name-pattern lists (default_validations.py — cited per family above).
+UNIQUE_NAME_PATTERNS = ["id", "code", "number", "uuid", "guid", "key", "hash", "identifier"]
+NEGATIVE_ALLOWED_PATTERNS = ["balance", "difference", "delta", "change", "temperature",
+                             "coordinate", "adjustment", "net", "profit_loss", "margin"]
+NON_ZERO_PATTERNS = ["price", "amount", "total", "cost", "rate", "fee", "tax",
+                     "revenue", "salary", "income", "expense"]
+PAST_DATE_PATTERNS = ["birth", "created", "start", "registered", "joined", "purchase",
+                      "transaction", "order", "payment", "issued", "shipped", "received"]
+END_DATE_PATTERNS = ["end", "finish", "completed", "closed", "expiry", "expiration"]
+IMPORTANT_COLUMN_PATTERNS = ["name", "description", "address", "city", "state", "country",
+                             "postal", "zip", "email", "phone", "status", "type",
+                             "category", "price", "cost", "amount"]
+CATEGORICAL_COLUMN_PATTERNS = ["status", "type", "category", "level", "tier", "class",
+                               "grade", "priority", "severity", "state", "region",
+                               "stage", "gender"]
+REF_TABLE_PATTERNS = ["ref", "type", "status", "category", "lookup"]
+LARGE_TABLE_PATTERNS = ["fact", "transaction", "event", "log", "history", "audit", "detail"]
+MEDIUM_TABLE_PATTERNS = ["order", "customer", "user", "account", "product", "item"]
+
+
+def outlier_threshold(table_name: str) -> int:
+    """default_validations.py:428-444."""
+    t = table_name.lower()
+    if any(p in t for p in LARGE_TABLE_PATTERNS):
+        return 50
+    if any(p in t for p in MEDIUM_TABLE_PATTERNS):
+        return 20
+    return 5
+
+
+@dataclass
+class Rule:
+    """One validation rule with a kind tag driving batched compilation."""
+
+    name: str
+    description: str
+    operator: str
+    expected_value: Any
+    kind: str  # agg | group_dup | dominance | outlier | ref_integrity | sql
+    agg_expr: str | None = None     # dialect-common aggregate fragment (kind=agg)
+    keys: tuple[str, ...] = ()      # kind=group_dup
+    not_null_key: bool = False      # kind=group_dup: pre-filter NULL keys
+    column: str | None = None       # kind=dominance / outlier
+    ref_table: str | None = None    # kind=ref_integrity
+    ref_column: str | None = None
+    sql: str | None = None          # kind=sql (V24 custom scalar SQL)
+
+
+# ---------------------------------------------------------------------------
+# operator normalization + scalar evaluation (manager:342-373 + symbolic)
+# ---------------------------------------------------------------------------
+
+_SYMBOLIC = {"=": "equals", "==": "equals", "!=": "not_equals", "<>": "not_equals",
+             ">": "greater_than", "<": "less_than",
+             ">=": "greater_or_equal", "<=": "less_or_equal"}
+
+
+def normalize_operator(op: str) -> str:
+    return _SYMBOLIC.get(op.strip(), op.strip())
+
+
+def evaluate_rule(operator: str, actual_value: Any, expected_value: Any) -> bool:
+    """Scalar evaluation with the reference's coercion semantics.
+
+    None -> False; equals compares numerically when both numeric else by
+    string; ordering operators coerce with float(); between is inclusive
+    [min,max]; any coercion error -> False.
+    """
+    if actual_value is None:
+        return False
+    op = normalize_operator(operator)
+    try:
+        if op == "equals":
+            if isinstance(actual_value, (int, float)) and isinstance(expected_value, (int, float)):
+                return actual_value == expected_value
+            return str(actual_value) == str(expected_value)
+        if op == "not_equals":
+            if isinstance(actual_value, (int, float)) and isinstance(expected_value, (int, float)):
+                return actual_value != expected_value
+            return str(actual_value) != str(expected_value)
+        if op == "greater_than":
+            return float(actual_value) > float(expected_value)
+        if op == "less_than":
+            return float(actual_value) < float(expected_value)
+        if op == "greater_or_equal":
+            return float(actual_value) >= float(expected_value)
+        if op == "less_or_equal":
+            return float(actual_value) <= float(expected_value)
+        if op == "between":
+            if isinstance(expected_value, (list, tuple)) and len(expected_value) == 2:
+                return float(expected_value[0]) <= float(actual_value) <= float(expected_value[1])
+            return False
+        return False
+    except (ValueError, TypeError):
+        return False
+
+
+def _expected_bounds(rule: Rule) -> tuple[float, float]:
+    if normalize_operator(rule.operator) == "between":
+        return float(rule.expected_value[0]), float(rule.expected_value[1])
+    v = float(rule.expected_value)
+    return v, v
+
+
+# SQL CASE mirroring evaluate_rule for numeric actuals — dialect-common text.
+IS_VALID_CASE = (
+    "case when actual_value is null then false "
+    "when operator = 'equals' then actual_value = expected_lo "
+    "when operator = 'not_equals' then actual_value <> expected_lo "
+    "when operator = 'greater_than' then actual_value > expected_lo "
+    "when operator = 'less_than' then actual_value < expected_lo "
+    "when operator = 'greater_or_equal' then actual_value >= expected_lo "
+    "when operator = 'less_or_equal' then actual_value <= expected_lo "
+    "when operator = 'between' then actual_value >= expected_lo "
+    "and actual_value <= expected_hi else false end"
+)
+
+
+# ---------------------------------------------------------------------------
+# V1-V20 default rule generation from a TableSpec
+# ---------------------------------------------------------------------------
+
+def _is_numeric(bucket: str) -> bool:
+    return bucket == "numeric"
+
+
+def guess_start_date_column(end_col: str, spec: TableSpec) -> str | None:
+    """default_validations.py:391-425 heuristic."""
+    term_map = {"end": "start", "finish": "start", "completed": "created",
+                "closed": "opened", "expiry": "issue", "expiration": "issue"}
+    low = end_col.lower()
+    found = next((t for t in term_map if t in low), None)
+    if found:
+        candidate = low.replace(found, term_map[found])
+        for c in spec.columns:
+            if c.name.lower() == candidate:
+                return c.name
+    start_ind = ["start", "created", "opened", "issue", "begin"]
+    date_ind = ["date", "time", "timestamp", "dt"]
+    for c in spec.columns:
+        n = c.name.lower()
+        if any(s in n for s in start_ind) and any(d in n for d in date_ind):
+            return c.name
+    return None
+
+
+def generate_default_rules(spec: TableSpec, as_of: str = DEFAULT_AS_OF) -> list[Rule]:
+    t = spec.name
+    pks = set(spec.primary_keys)
+    fks = {c for c, _rt, _rc in spec.foreign_keys}
+    rules: list[Rule] = []
+
+    # V1 table not empty
+    rules.append(Rule(f"check_{t}_not_empty", f"Ensure {t} has at least one row",
+                      "greater_than", 0, "agg", agg_expr="count(*)"))
+    # V2 PK uniqueness
+    if spec.primary_keys:
+        rules.append(Rule(f"check_{t}_pk_unique",
+                          f"Ensure primary key ({', '.join(spec.primary_keys)}) has no duplicates",
+                          "equals", 0, "group_dup", keys=tuple(spec.primary_keys)))
+    # V4 name-pattern uniqueness (non-PK, non-FK)
+    for c in spec.columns:
+        if c.name in pks or c.name in fks:
+            continue
+        if any(p in c.name.lower() for p in UNIQUE_NAME_PATTERNS):
+            rules.append(Rule(f"check_{c.name}_unique", f"Check that {c.name} values are unique",
+                              "equals", 0, "group_dup", keys=(c.name,), not_null_key=True))
+    # V5 not-null for non-nullable non-PK columns
+    for c in spec.columns:
+        if not c.nullable and c.name not in pks:
+            rules.append(Rule(f"check_{c.name}_not_null", f"Ensure {c.name} has no NULLs",
+                              "equals", 0, "agg",
+                              agg_expr=f"count(case when {c.name} is null then 1 end)"))
+    # V6 no negatives unless name allows
+    for c in spec.columns:
+        if _is_numeric(c.bucket) and not any(p in c.name.lower() for p in NEGATIVE_ALLOWED_PATTERNS):
+            rules.append(Rule(f"check_{c.name}_positive", f"Ensure {c.name} has no negatives",
+                              "equals", 0, "agg",
+                              agg_expr=f"count(case when {c.name} < 0 then 1 end)"))
+    # V7 no zeros for money-like names
+    for c in spec.columns:
+        if _is_numeric(c.bucket) and any(p in c.name.lower() for p in NON_ZERO_PATTERNS):
+            rules.append(Rule(f"check_{c.name}_not_zero", f"Ensure {c.name} has no zeros",
+                              "equals", 0, "agg",
+                              agg_expr=f"count(case when {c.name} = 0 then 1 end)"))
+    # V8/V9/V10 date rules
+    for c in spec.columns:
+        if c.bucket != "datetime":
+            continue
+        if any(p in c.name.lower() for p in PAST_DATE_PATTERNS):
+            rules.append(Rule(f"check_{c.name}_not_future", f"Ensure {c.name} has no future dates",
+                              "equals", 0, "agg",
+                              agg_expr=f"count(case when {c.name} > timestamp '{as_of}' then 1 end)"))
+        rules.append(Rule(f"check_{c.name}_reasonable_past",
+                          f"Ensure {c.name} has no pre-1970 dates", "equals", 0, "agg",
+                          agg_expr=f"count(case when {c.name} < timestamp '1970-01-01 00:00:00' then 1 end)"))
+        if any(p in c.name.lower() for p in END_DATE_PATTERNS):
+            start = guess_start_date_column(c.name, spec)
+            if start and start != c.name:
+                rules.append(Rule(f"check_{c.name}_end_date_order",
+                                  f"Ensure {c.name} occurs after {start}", "equals", 0, "agg",
+                                  agg_expr=(f"count(case when {c.name} is not null and {start} "
+                                            f"is not null and {c.name} < {start} then 1 end)")))
+    # V11/V12/V13/V14/V15 string rules
+    for c in spec.columns:
+        if c.bucket != "text":
+            continue
+        if c.max_length is not None:
+            rules.append(Rule(f"check_{c.name}_max_length",
+                              f"Ensure {c.name} fits declared length {c.max_length}",
+                              "equals", 0, "agg",
+                              agg_expr=f"count(case when length({c.name}) > {c.max_length} then 1 end)"))
+        if not c.nullable:
+            rules.append(Rule(f"check_{c.name}_not_empty_string",
+                              f"Ensure {c.name} has no empty strings", "equals", 0, "agg",
+                              agg_expr=f"count(case when {c.name} = '' then 1 end)"))
+        low = c.name.lower()
+        if "email" in low:
+            rules.append(Rule(f"check_{c.name}_valid_email", f"Ensure {c.name} looks like email",
+                              "equals", 0, "agg",
+                              agg_expr=(f"count(case when {c.name} is not null and "
+                                        f"{c.name} not like '%@%.%' then 1 end)")))
+        if "phone" in low or "mobile" in low:
+            # SIMILAR TO '(\+)?[0-9][0-9 ()-]+' is implicitly anchored ->
+            # anchored rlike translation (SURVEY §7.7). `[+]` instead of `\+`
+            # because Spark SQL literals eat backslashes and DuckDB doesn't.
+            rules.append(Rule(f"check_{c.name}_valid_phone", f"Ensure {c.name} looks like phone",
+                              "equals", 0, "agg",
+                              agg_expr=(f"count(case when {c.name} is not null and not "
+                                        f"regexp_like({c.name}, '^([+])?[0-9][0-9 ()-]+$') "
+                                        f"then 1 end)")))
+        if "zip" in low or "postal" in low:
+            rules.append(Rule(f"check_{c.name}_valid_postal", f"Ensure {c.name} length >= 3",
+                              "equals", 0, "agg",
+                              agg_expr=(f"count(case when {c.name} is not null and "
+                                        f"length(trim({c.name})) < 3 then 1 end)")))
+    # V16 3σ outliers per numeric column
+    for c in spec.columns:
+        if _is_numeric(c.bucket):
+            rules.append(Rule(f"check_{c.name}_outliers",
+                              f"Extreme outliers in {c.name} (>3 sample stddev)",
+                              "less_than", outlier_threshold(t), "outlier", column=c.name))
+    # V17 reference-table size
+    if any(p in t.lower() for p in REF_TABLE_PATTERNS):
+        rules.append(Rule(f"check_{t}_ref_table_size", f"Reference table {t} is small",
+                          "less_than", 1000, "agg", agg_expr="count(*)"))
+    # V18 null-rate threshold for important nullable columns
+    for c in spec.columns:
+        if c.name in pks or not c.nullable:
+            continue
+        if any(p in c.name.lower() for p in IMPORTANT_COLUMN_PATTERNS):
+            rules.append(Rule(f"check_{c.name}_null_rate", f"{c.name} null rate below 25%",
+                              "less_than", 25.0, "agg",
+                              agg_expr=(f"count(case when {c.name} is null then 1 end) "
+                                        f"* cast(100 as double) / nullif(count(*), 0)")))
+    # V19 categorical dominance
+    for c in spec.columns:
+        if c.bucket == "text" and any(p in c.name.lower() for p in CATEGORICAL_COLUMN_PATTERNS):
+            rules.append(Rule(f"check_{c.name}_distribution",
+                              f"No value of {c.name} exceeds 95% share",
+                              "equals", 0, "dominance", column=c.name))
+    # V20 FK distinct breadth
+    for c, _rt, _rc in spec.foreign_keys:
+        rules.append(Rule(f"check_{c}_ref_distribution", f"{c} references >1 distinct value",
+                          "equals", 0, "agg",
+                          agg_expr=(f"case when count(distinct case when {c} is not null "
+                                    f"then {c} end) = 1 then 1 else 0 end")))
+    # V21 referential integrity per declared FK
+    for c, rt, rc in spec.foreign_keys:
+        rules.append(Rule(f"check_{c}_ref_integrity", f"{t}.{c} -> {rt}.{rc} has no orphans",
+                          "equals", 0, "ref_integrity", column=c, ref_table=rt, ref_column=rc))
+    return rules
+
+
+def row_growth_rule(table_name: str) -> Rule:
+    """V3 row growth >20% vs previous count (evaluated against metrics store)."""
+    return Rule(f"check_{table_name}_row_growth",
+                f"Detect >20% change in {table_name} row count", "equals", 0, "agg",
+                agg_expr="count(*)")
+
+
+def evaluate_row_growth(current: int, previous: int | None) -> int:
+    """default_validations.py:71-97 CASE semantics -> 0 ok / 1 anomalous."""
+    if previous is None:
+        return 0
+    return 1 if abs(current - previous) > previous * 0.2 else 0
+
+
+# ---------------------------------------------------------------------------
+# compilation: rules -> batched Spark jobs -> long results DataFrame
+# ---------------------------------------------------------------------------
+
+_STATS_SX = ("cast(sum(cast({c} as decimal(28,8))) as double)")
+_STATS_SXX = ("cast(sum(cast(cast({c} as decimal(12,4)) as decimal(19,4)) "
+              "* cast({c} as decimal(12,4))) as double)")
+
+
+def _outlier_bound_exprs(c: str) -> tuple[str, str]:
+    """avg/std formulas over stat aliases (dialect-common, decimal-exact)."""
+    n, sx, sxx = f"__{c}_n", f"__{c}_sx", f"__{c}_sxx"
+    avg = f"({sx} / {n})"
+    std = (f"(case when {n} > 1 then sqrt(greatest(({sxx} - ({sx}*{sx})/{n})"
+           f"/({n} - 1), 0.0)) end)")
+    return avg, std
+
+
+def run_rules(
+    df: DataFrame,
+    rules: list[Rule],
+    ref_tables: dict[str, DataFrame] | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Execute rules against ``df`` -> DataFrame
+    (rule_name, operator, expected_lo, expected_hi, actual_value, is_valid).
+
+    Batched: all agg rules in one pass; dominance rules via one melted
+    groupBy; outlier rules share one stats pass + one count pass;
+    ref-integrity rules are anti-joins against (auto-broadcast) dim tables.
+    """
+    spark = spark or df.sparkSession
+    ref_tables = ref_tables or {}
+    pieces: list[DataFrame] = []
+
+    agg_rules = [r for r in rules if r.kind == "agg"]
+    if agg_rules:
+        wide = df.agg(*[
+            F.expr(r.agg_expr).cast("double").alias(f"a{i}")
+            for i, r in enumerate(agg_rules)
+        ])
+        tuples = ", ".join(f"'{_q(r.name)}', a{i}" for i, r in enumerate(agg_rules))
+        pieces.append(wide.select(F.expr(
+            f"stack({len(agg_rules)}, {tuples}) as (rule_name, actual_value)"
+        )))
+
+    for r in [r for r in rules if r.kind == "group_dup"]:
+        d = df
+        if r.not_null_key:
+            d = d.na.drop(subset=list(r.keys))
+        dup = (d.groupBy(*r.keys).agg(F.count(F.lit(1)).alias("__c"))
+               .where(F.col("__c") > 1)
+               .agg(F.count(F.lit(1)).cast("double").alias("actual_value"))
+               .select(F.lit(r.name).alias("rule_name"), "actual_value"))
+        pieces.append(dup)
+
+    dom_rules = [r for r in rules if r.kind == "dominance"]
+    if dom_rules:
+        total = df.count()
+        cols = [r.column for r in dom_rules]
+        stack_expr = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+        melted = df.select(F.expr(
+            f"stack({len(cols)}, {stack_expr}) as (column_name, value)"
+        )).where(F.col("value").isNotNull())
+        dominant = (melted.groupBy("column_name", "value")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .where(F.col("cnt") * 100.0 / F.lit(total) > 95.0)
+                    .groupBy("column_name").agg(F.count(F.lit(1)).alias("n_dominant")))
+        name_map = {r.column: r.name for r in dom_rules}
+        base = spark.createDataFrame([(c, name_map[c]) for c in cols],
+                                     "column_name string, rule_name string")
+        pieces.append(
+            base.join(dominant, "column_name", "left")
+            .select("rule_name",
+                    F.coalesce(F.col("n_dominant"), F.lit(0)).cast("double").alias("actual_value"))
+        )
+
+    out_rules = [r for r in rules if r.kind == "outlier"]
+    if out_rules:
+        stat_exprs = []
+        for r in out_rules:
+            c = r.column
+            stat_exprs += [
+                F.expr(f"count({c})").alias(f"__{c}_n"),
+                F.expr(_STATS_SX.format(c=c)).alias(f"__{c}_sx"),
+                F.expr(_STATS_SXX.format(c=c)).alias(f"__{c}_sxx"),
+            ]
+        stats = df.agg(*stat_exprs)
+        counted = df.crossJoin(F.broadcast(stats)).agg(*[
+            F.expr(
+                "count(case when {c} > {avg} + 3 * {std} or {c} < {avg} - 3 * {std} "
+                "then 1 end)".format(c=r.column, avg=_outlier_bound_exprs(r.column)[0],
+                                     std=_outlier_bound_exprs(r.column)[1])
+            ).cast("double").alias(f"o{i}")
+            for i, r in enumerate(out_rules)
+        ])
+        tuples = ", ".join(f"'{_q(r.name)}', o{i}" for i, r in enumerate(out_rules))
+        pieces.append(counted.select(F.expr(
+            f"stack({len(out_rules)}, {tuples}) as (rule_name, actual_value)"
+        )))
+
+    for r in [r for r in rules if r.kind == "ref_integrity"]:
+        ref = ref_tables[r.ref_table].select(F.col(r.ref_column).alias("__ref_key")).distinct()
+        orphans = (df.select(F.col(r.column).alias("__key"))
+                   .where(F.col("__key").isNotNull())
+                   .join(ref, F.col("__key") == F.col("__ref_key"), "left_anti")
+                   .agg(F.count(F.lit(1)).cast("double").alias("actual_value"))
+                   .select(F.lit(r.name).alias("rule_name"), "actual_value"))
+        pieces.append(orphans)
+
+    for r in [r for r in rules if r.kind == "sql"]:
+        res = spark.sql(r.sql)
+        first_col = res.columns[0]
+        pieces.append(res.limit(1).select(
+            F.lit(r.name).alias("rule_name"),
+            F.col(first_col).cast("double").alias("actual_value")))
+
+    result = pieces[0]
+    for p in pieces[1:]:
+        result = result.unionAll(p)
+
+    meta_rows = []
+    for r in rules:
+        lo, hi = _expected_bounds(r)
+        meta_rows.append((r.name, normalize_operator(r.operator), lo, hi))
+    meta = spark.createDataFrame(
+        meta_rows, "rule_name string, operator string, expected_lo double, expected_hi double")
+    return (result.join(F.broadcast(meta), "rule_name")
+            .withColumn("is_valid", F.expr(IS_VALID_CASE))
+            .select("rule_name", "operator", "expected_lo", "expected_hi",
+                    "actual_value", "is_valid"))
+
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def run_validations(
+    df: DataFrame,
+    rules: list[Rule],
+    ref_tables: dict[str, DataFrame] | None = None,
+    run_at: str | None = None,
+) -> list[dict]:
+    """Materialize rule results as the reference's result records
+    (supabase_validation_manager.py:442-483 shape)."""
+    ts = run_at or _dt.datetime.now(_dt.timezone.utc).isoformat()
+    by_name = {r.name: r for r in rules}
+    out = []
+    for row in run_rules(df, rules, ref_tables).collect():
+        r = by_name[row["rule_name"]]
+        out.append({
+            "rule_name": r.name,
+            "description": r.description,
+            "operator": r.operator,
+            "expected_value": r.expected_value,
+            "actual_value": row["actual_value"],
+            "is_valid": bool(row["is_valid"]) if row["is_valid"] is not None else False,
+            "run_at": ts,
+        })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL generation from the same Rule objects
+# ---------------------------------------------------------------------------
+
+def rule_oracle_scalar(rule: Rule, table: str) -> str:
+    """Scalar SELECT computing the rule's actual value in DuckDB."""
+    if rule.kind == "agg":
+        # regexp_like (Spark) -> regexp_matches (DuckDB); fragments are
+        # otherwise dialect-common.
+        frag = rule.agg_expr.replace("regexp_like(", "regexp_matches(")
+        return f"SELECT cast({frag} as double) FROM {table}"
+    if rule.kind == "group_dup":
+        keys = ", ".join(rule.keys)
+        where = ""
+        if rule.not_null_key:
+            where = "WHERE " + " AND ".join(f"{k} IS NOT NULL" for k in rule.keys)
+        return (f"SELECT cast(count(*) as double) FROM (SELECT {keys} FROM {table} "
+                f"{where} GROUP BY {keys} HAVING count(*) > 1) g")
+    if rule.kind == "dominance":
+        c = rule.column
+        return (f"SELECT cast(count(*) as double) FROM ("
+                f"SELECT {c}, count(*) * cast(100 as double) / "
+                f"nullif((SELECT count(*) FROM {table}), 0) AS pct "
+                f"FROM {table} WHERE {c} IS NOT NULL GROUP BY {c}) v WHERE pct > 95.0")
+    if rule.kind == "outlier":
+        c = rule.column
+        sx = _STATS_SX.format(c=c)
+        sxx = _STATS_SXX.format(c=c)
+        return (
+            f"SELECT cast(count(case when {c} > __avg + 3 * __std or "
+            f"{c} < __avg - 3 * __std then 1 end) as double) FROM {table}, "
+            f"(SELECT __sx / __n AS __avg, case when __n > 1 then "
+            f"sqrt(greatest((__sxx - (__sx*__sx)/__n)/(__n - 1), 0.0)) end AS __std "
+            f"FROM (SELECT count({c}) AS __n, {sx} AS __sx, {sxx} AS __sxx "
+            f"FROM {table}) s) b"
+        )
+    if rule.kind == "ref_integrity":
+        return (f"SELECT cast(count(*) as double) FROM {table} t LEFT JOIN "
+                f"(SELECT DISTINCT {rule.ref_column} AS __rk FROM {rule.ref_table}) r "
+                f"ON t.{rule.column} = r.__rk "
+                f"WHERE t.{rule.column} IS NOT NULL AND r.__rk IS NULL")
+    if rule.kind == "sql":
+        return rule.sql
+    raise ValueError(rule.kind)
+
+
+def rules_oracle_sql(rules: list[Rule], table: str) -> str:
+    """Full oracle: (rule_name, operator, expected_lo/hi, actual, is_valid)."""
+    parts = []
+    for r in rules:
+        lo, hi = _expected_bounds(r)
+        parts.append(
+            f"SELECT '{_q(r.name)}' AS rule_name, "
+            f"'{normalize_operator(r.operator)}' AS operator, "
+            f"cast({lo} as double) AS expected_lo, cast({hi} as double) AS expected_hi, "
+            f"({rule_oracle_scalar(r, table)}) AS actual_value"
+        )
+    inner = " UNION ALL ".join(parts)
+    return (f"SELECT rule_name, operator, expected_lo, expected_hi, actual_value, "
+            f"{IS_VALID_CASE} AS is_valid FROM ({inner}) rules_eval")

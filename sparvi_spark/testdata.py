@@ -104,36 +104,36 @@ def _d(name: str, nullable: bool = False) -> ColumnSpec:
 SCHEMAS: dict[str, TableSpec] = {
     "region": TableSpec(
         "region",
-        ( _n("r_regionkey"), _t("r_name") ),
+        ( _n("r_regionkey"), _t("r_name", nullable=True) ),
         primary_keys=("r_regionkey",),
     ),
     "nation": TableSpec(
         "nation",
-        ( _n("n_nationkey"), _t("n_name"), _n("n_regionkey") ),
+        ( _n("n_nationkey"), _t("n_name", nullable=True), _n("n_regionkey") ),
         primary_keys=("n_nationkey",),
         foreign_keys=(("n_regionkey", "region", "r_regionkey"),),
     ),
     "customer": TableSpec(
         "customer",
-        ( _n("c_custkey"), _t("c_name"), _n("c_nationkey"), _n("c_acctbal"), _t("c_mktsegment") ),
+        ( _n("c_custkey"), _t("c_name", nullable=True), _n("c_nationkey"), _n("c_acctbal"), _t("c_mktsegment", nullable=True) ),
         primary_keys=("c_custkey",),
         foreign_keys=(("c_nationkey", "nation", "n_nationkey"),),
     ),
     "supplier": TableSpec(
         "supplier",
-        ( _n("s_suppkey"), _t("s_name"), _n("s_nationkey"), _n("s_acctbal") ),
+        ( _n("s_suppkey"), _t("s_name", nullable=True), _n("s_nationkey"), _n("s_acctbal") ),
         primary_keys=("s_suppkey",),
         foreign_keys=(("s_nationkey", "nation", "n_nationkey"),),
     ),
     "part": TableSpec(
         "part",
-        ( _n("p_partkey"), _t("p_name"), _t("p_brand"), _t("p_type"), _n("p_size"), _n("p_retailprice") ),
+        ( _n("p_partkey"), _t("p_name", nullable=True), _t("p_brand", nullable=True), _t("p_type", nullable=True), _n("p_size"), _n("p_retailprice") ),
         primary_keys=("p_partkey",),
     ),
     "orders": TableSpec(
         "orders",
-        ( _n("o_orderkey"), _n("o_custkey"), _t("o_orderstatus"), _n("o_totalprice"),
-          _d("o_orderdate"), _t("o_orderpriority") ),
+        ( _n("o_orderkey"), _n("o_custkey"), _t("o_orderstatus", nullable=True), _n("o_totalprice"),
+          _d("o_orderdate"), _t("o_orderpriority", nullable=True) ),
         primary_keys=("o_orderkey",),
         foreign_keys=(("o_custkey", "customer", "c_custkey"),),
     ),
@@ -141,7 +141,7 @@ SCHEMAS: dict[str, TableSpec] = {
         "lineitem",
         ( _n("l_orderkey"), _n("l_partkey"), _n("l_suppkey"), _n("l_linenumber"),
           _n("l_quantity"), _n("l_extendedprice"), _n("l_discount"), _n("l_tax"),
-          _t("l_returnflag"), _t("l_linestatus"), _d("l_shipdate") ),
+          _t("l_returnflag", nullable=True), _t("l_linestatus", nullable=True), _d("l_shipdate") ),
         primary_keys=("l_orderkey", "l_linenumber"),
         foreign_keys=(
             ("l_orderkey", "orders", "o_orderkey"),
@@ -151,12 +151,12 @@ SCHEMAS: dict[str, TableSpec] = {
     ),
     "events": TableSpec(
         "events",
-        ( _n("event_id"), _d("ts"), _n("user_id"), _t("event_type"), _n("value"), _t("props") ),
+        ( _n("event_id"), _d("ts"), _n("user_id"), _t("event_type", nullable=True), _n("value"), _t("props", nullable=True) ),
         primary_keys=("event_id",),
     ),
     "documents": TableSpec(
         "documents",
-        ( _n("doc_id"), _t("text"), _t("lang"), _t("source"), _n("n_chars") ),
+        ( _n("doc_id"), _t("text", nullable=True), _t("lang", nullable=True), _t("source", nullable=True), _n("n_chars") ),
         primary_keys=("doc_id",),
     ),
     "embeddings": TableSpec(
