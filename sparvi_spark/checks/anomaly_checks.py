@@ -1,1 +1,217 @@
-CHECKS: dict = {}
+"""A1-A7 anomaly checks (SURVEY.md §2.C) paired with DuckDB oracles.
+
+Metric series = daily sum(value) per event_type from the events table,
+decimal-rounded so the series itself is bit-identical across engines
+(float summation order cannot drift). Scores rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparvi_spark.operators.anomalies import (
+    format_anomalies,
+    iqr_anomalies,
+    moving_average_anomalies,
+    zscore_anomalies,
+)
+from sparvi_spark.testdata import load_table
+
+# Shared series builder (Spark + DuckDB CTE must stay in lockstep).
+
+def metric_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(
+        F.col("event_type").alias("metric_name"),
+        F.date_trunc("day", F.col("ts")).alias("ts"),
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double").alias("value")
+    )
+
+
+SERIES_CTE = (
+    "WITH series AS (SELECT event_type AS metric_name, "
+    "date_trunc('day', ts) AS ts, "
+    "cast(round(sum(cast(value as decimal(18,2))), 2) as double) AS value "
+    "FROM events GROUP BY 1, 2)"
+)
+
+_OUT_COLS = ["metric_name", "ts_day", "value", "score", "is_anomaly", "threshold"]
+
+
+def _finalize(df: DataFrame) -> DataFrame:
+    return df.select(
+        "metric_name",
+        F.date_format("ts", "yyyy-MM-dd").alias("ts_day"),
+        "value",
+        F.round("score", 4).alias("score"),
+        "is_anomaly",
+        "threshold",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 global z-score (population stddev, std==0 -> score 0)
+# ---------------------------------------------------------------------------
+
+def q_zscore_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _finalize(zscore_anomalies(metric_series(spark, sf_dir), ["metric_name"]))
+
+
+SQL_ZSCORE_GLOBAL = f"""
+{SERIES_CTE},
+stats AS (SELECT metric_name, ts, value,
+  avg(value) OVER (PARTITION BY metric_name) AS m,
+  stddev_pop(value) OVER (PARTITION BY metric_name) AS s,
+  count(value) OVER (PARTITION BY metric_name) AS n
+ FROM series)
+SELECT metric_name, strftime(ts, '%Y-%m-%d') AS ts_day, value,
+  round(case when s = 0 then 0.0 else abs((value - m)/s) end, 4) AS score,
+  case when s = 0 then false else abs((value - m)/s) > 3.0 end AS is_anomaly,
+  cast(3.0 as double) AS threshold
+FROM stats WHERE n >= 2
+""".strip()
+
+# ---------------------------------------------------------------------------
+# A2 rolling z-score (trailing window EXCLUDING current; emit only full windows)
+# ---------------------------------------------------------------------------
+
+ROLL_W = 7
+
+
+def q_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _finalize(
+        zscore_anomalies(metric_series(spark, sf_dir), ["metric_name"], window=ROLL_W)
+    )
+
+
+SQL_ZSCORE_ROLLING = f"""
+{SERIES_CTE},
+stats AS (SELECT metric_name, ts, value,
+  row_number() OVER (PARTITION BY metric_name ORDER BY ts) AS rn,
+  avg(value) OVER (PARTITION BY metric_name ORDER BY ts
+                   ROWS BETWEEN {ROLL_W} PRECEDING AND 1 PRECEDING) AS m,
+  stddev_pop(value) OVER (PARTITION BY metric_name ORDER BY ts
+                          ROWS BETWEEN {ROLL_W} PRECEDING AND 1 PRECEDING) AS s
+ FROM series)
+SELECT metric_name, strftime(ts, '%Y-%m-%d') AS ts_day, value,
+  round(case when s = 0 then 0.0 else abs((value - m)/s) end, 4) AS score,
+  case when s = 0 then false else abs((value - m)/s) > 3.0 end AS is_anomaly,
+  cast(3.0 as double) AS threshold
+FROM stats WHERE rn > {ROLL_W}
+""".strip()
+
+# ---------------------------------------------------------------------------
+# A3 global IQR (exact linear-interpolation percentiles; score past bound/iqr)
+# ---------------------------------------------------------------------------
+
+def q_iqr_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _finalize(iqr_anomalies(metric_series(spark, sf_dir), ["metric_name"]))
+
+
+SQL_IQR_GLOBAL = f"""
+{SERIES_CTE},
+qs AS (SELECT metric_name, quantile_cont(value, 0.25) AS q1,
+        quantile_cont(value, 0.75) AS q3, count(value) AS cnt
+       FROM series GROUP BY metric_name),
+j AS (SELECT s.metric_name, s.ts, s.value, q.q1, q.q3, q.q3 - q.q1 AS iqr,
+        q.q1 - (q.q3 - q.q1) * 1.5 AS lower_b, q.q3 + (q.q3 - q.q1) * 1.5 AS upper_b
+      FROM series s JOIN qs q ON s.metric_name = q.metric_name WHERE q.cnt >= 4)
+SELECT metric_name, strftime(ts, '%Y-%m-%d') AS ts_day, value,
+  round(case when value < lower_b then
+          (case when iqr > 0 then abs((lower_b - value)/iqr)
+                else cast('Infinity' as double) end)
+        when value > upper_b then
+          (case when iqr > 0 then abs((value - upper_b)/iqr)
+                else cast('Infinity' as double) end)
+        else 0.0 end, 4) AS score,
+  (value < lower_b OR value > upper_b) AS is_anomaly,
+  cast(1.5 as double) AS threshold
+FROM j
+""".strip()
+
+# ---------------------------------------------------------------------------
+# A4 moving average (std over the MAs; forward std window with tail fill)
+# ---------------------------------------------------------------------------
+
+MA_W = 7
+
+
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _finalize(
+        moving_average_anomalies(metric_series(spark, sf_dir), ["metric_name"], window=MA_W)
+    )
+
+
+SQL_MOVING_AVERAGE = f"""
+{SERIES_CTE},
+base AS (SELECT metric_name, ts, value,
+  row_number() OVER (PARTITION BY metric_name ORDER BY ts) AS rn,
+  avg(value) OVER (PARTITION BY metric_name ORDER BY ts
+                   ROWS BETWEEN {MA_W} PRECEDING AND 1 PRECEDING) AS ma
+ FROM series),
+mas AS (SELECT *, row_number() OVER (PARTITION BY metric_name ORDER BY ts) AS mi,
+  count(*) OVER (PARTITION BY metric_name) AS n_ma,
+  stddev_pop(ma) OVER (PARTITION BY metric_name ORDER BY ts
+                       ROWS BETWEEN CURRENT ROW AND {MA_W - 1} FOLLOWING) AS fwd_std,
+  stddev_pop(ma) OVER (PARTITION BY metric_name) AS global_std
+ FROM base WHERE rn > {MA_W}),
+wstd AS (SELECT *,
+  max(case when mi = n_ma - {MA_W} + 1 then fwd_std end)
+    OVER (PARTITION BY metric_name) AS tail_std FROM mas),
+scored AS (SELECT *,
+  case when n_ma < {MA_W} then global_std
+       when mi <= n_ma - {MA_W} + 1 then fwd_std
+       else tail_std end AS std FROM wstd)
+SELECT metric_name, strftime(ts, '%Y-%m-%d') AS ts_day, value,
+  round(case when std = 0 then 0.0 else abs((value - ma)/std) end, 4) AS score,
+  case when std = 0 then false else abs((value - ma)/std) > 2.0 end AS is_anomaly,
+  cast(2.0 as double) AS threshold
+FROM scored
+""".strip()
+
+# ---------------------------------------------------------------------------
+# A5/A6 severity + anomaly-only formatting (zscore @ sensitivity 2.0 so the
+# clean synthetic series still yields anomalies to grade)
+# ---------------------------------------------------------------------------
+
+def q_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = zscore_anomalies(metric_series(spark, sf_dir), ["metric_name"], sensitivity=2.0)
+    out = format_anomalies(res, "zscore", ["metric_name"])
+    return out.select(
+        "metric_name",
+        F.date_format("ts", "yyyy-MM-dd").alias("ts_day"),
+        "value",
+        F.round("score", 4).alias("score"),
+        "threshold", "method", "severity",
+    )
+
+
+SQL_SEVERITY = f"""
+{SERIES_CTE},
+stats AS (SELECT metric_name, ts, value,
+  avg(value) OVER (PARTITION BY metric_name) AS m,
+  stddev_pop(value) OVER (PARTITION BY metric_name) AS s,
+  count(value) OVER (PARTITION BY metric_name) AS n
+ FROM series),
+scored AS (SELECT metric_name, ts, value,
+  case when s = 0 then 0.0 else abs((value - m)/s) end AS raw_score
+ FROM stats WHERE n >= 2)
+SELECT metric_name, strftime(ts, '%Y-%m-%d') AS ts_day, value,
+  round(raw_score, 4) AS score, cast(1.5 as double) AS threshold,
+  'zscore' AS method,
+  case when raw_score > 5.0 then 'high' when raw_score > 3.5 then 'medium'
+       else 'low' end AS severity
+FROM scored WHERE raw_score > 1.5
+""".strip()
+
+
+CHECKS = {
+    "a01_zscore_global": (q_zscore_global, SQL_ZSCORE_GLOBAL),
+    "a02_zscore_rolling": (q_zscore_rolling, SQL_ZSCORE_ROLLING),
+    "a03_iqr_global": (q_iqr_global, SQL_IQR_GLOBAL),
+    "a04_moving_average": (q_moving_average, SQL_MOVING_AVERAGE),
+    "a05_severity": (q_severity, SQL_SEVERITY),
+}

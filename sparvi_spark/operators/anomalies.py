@@ -1,0 +1,277 @@
+"""Anomaly-detection operators A1-A7 (SURVEY.md §2.C), Spark-first.
+
+The reference pulls each metric series to the driver and runs numpy
+(backend/core/anomalies/algorithms.py); we express the same math as window
+functions over a long metrics DataFrame partitioned by series key — one
+shuffle fans out every configured series at once (scheduler.py's ThreadPool
+becomes a single Spark job, SURVEY §3.4).
+
+Exact semantic ports (SURVEY §7 hard parts):
+- np.std is POPULATION stddev -> stddev_pop (not stddev_samp).
+- Rolling windows are values[i-w:i] — trailing, EXCLUDING the current point,
+  emitted only for i >= w -> rowsBetween(-w, -1) + row_number guard.
+- np.percentile uses linear interpolation -> exact ``percentile`` /
+  sorted-array interpolation for rolling IQR (never percentile_approx).
+- Guards: zscore needs >=2 points, IQR >=4, moving-average >= window+1;
+  std == 0 -> score 0 (not anomaly); iqr == 0 -> score = +inf (anomaly).
+- Moving-average: std is computed over the MOVING AVERAGES, not raw values
+  (algorithms.py:165-173), with a forward-looking std window and
+  last-window fill for the tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ZSCORE_BASE_THRESHOLD = 3.0
+IQR_BASE_THRESHOLD = 1.5
+MA_BASE_THRESHOLD = 2.0
+
+def _inf() -> Column:
+    # built lazily — Column construction needs an active SparkContext
+    return F.expr("cast('Infinity' as double)")
+
+
+def _w(keys: list[str]):
+    return Window.partitionBy(*keys)
+
+
+def _w_ord(keys: list[str], order_col: str):
+    return Window.partitionBy(*keys).orderBy(order_col)
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "ts",
+    value_col: str = "value",
+    sensitivity: float = 1.0,
+    window: int | None = None,
+) -> DataFrame:
+    """A1 global / A2 rolling z-score (algorithms.py:10-61)."""
+    threshold = ZSCORE_BASE_THRESHOLD / sensitivity
+    v = F.col(value_col)
+    if window is None:
+        w = _w(keys)
+        out = (
+            df.withColumn("__mean", F.avg(v).over(w))
+            .withColumn("__std", F.stddev_pop(v).over(w))
+            .withColumn("__cnt", F.count(v).over(w))
+            .where(F.col("__cnt") >= 2)
+        )
+        score = F.when(F.col("__std") == 0, F.lit(0.0)).otherwise(
+            F.abs((v - F.col("__mean")) / F.col("__std"))
+        )
+        return (
+            out.withColumn("score", score)
+            .withColumn("is_anomaly", F.col("score") > threshold)
+            .withColumn("threshold", F.lit(float(threshold)))
+            .drop("__mean", "__std", "__cnt")
+        )
+    else:
+        # stats computed over the trailing frame BEFORE the row_number filter
+        # (filtering first would shrink early windows).
+        wf = _w_ord(keys, order_col).rowsBetween(-window, -1)
+        mean, std = F.avg(v).over(wf), F.stddev_pop(v).over(wf)
+        out = (
+            df.withColumn("__rn", F.row_number().over(_w_ord(keys, order_col)))
+            .withColumn("__mean", mean)
+            .withColumn("__std", std)
+            .where(F.col("__rn") > window)
+        )
+        score = F.when(F.col("__std") == 0, F.lit(0.0)).otherwise(
+            F.abs((v - F.col("__mean")) / F.col("__std"))
+        )
+        return (
+            out.withColumn("score", score)
+            .withColumn("is_anomaly", F.col("score") > threshold)
+            .withColumn("threshold", F.lit(float(threshold)))
+            .drop("__rn", "__mean", "__std")
+        )
+
+
+def _interp_sorted(arr: Column, n: int, p: float) -> Column:
+    """np.percentile linear interpolation over a sorted array of length n."""
+    q = (n - 1) * p
+    lo = int(q)
+    frac = q - lo
+    lo_val = F.element_at(arr, lo + 1)
+    if frac == 0.0:
+        return lo_val
+    hi_val = F.element_at(arr, lo + 2)
+    return lo_val + F.lit(frac) * (hi_val - lo_val)
+
+
+def iqr_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "ts",
+    value_col: str = "value",
+    sensitivity: float = 1.0,
+    window: int | None = None,
+) -> DataFrame:
+    """A3 IQR (algorithms.py:64-132): global via exact percentile, rolling
+    via sorted-array interpolation (JVM-side, no UDF)."""
+    threshold = IQR_BASE_THRESHOLD / sensitivity
+    v = F.col(value_col)
+    if window is None:
+        qs = (
+            df.groupBy(*keys).agg(
+                F.expr(f"percentile({value_col}, 0.25)").alias("__q1"),
+                F.expr(f"percentile({value_col}, 0.75)").alias("__q3"),
+                F.count(value_col).alias("__cnt"),
+            ).where(F.col("__cnt") >= 4)
+        )
+        out = df.join(F.broadcast(qs), keys)
+    else:
+        wf = _w_ord(keys, order_col).rowsBetween(-window, -1)
+        arr = F.sort_array(F.collect_list(v).over(wf))
+        out = (
+            df.withColumn("__rn", F.row_number().over(_w_ord(keys, order_col)))
+            .withColumn("__q1", _interp_sorted(arr, window, 0.25))
+            .withColumn("__q3", _interp_sorted(arr, window, 0.75))
+            .where(F.col("__rn") > window)
+            .drop("__rn")
+        )
+        # reference guard: series shorter than 4 points yields nothing —
+        # rolling windows require window full anyway (rn > window).
+    iqr = F.col("__q3") - F.col("__q1")
+    lower = F.col("__q1") - iqr * threshold
+    upper = F.col("__q3") + iqr * threshold
+    past_low = F.when(iqr > 0, F.abs((lower - v) / iqr)).otherwise(_inf())
+    past_high = F.when(iqr > 0, F.abs((v - upper) / iqr)).otherwise(_inf())
+    score = F.when(v < lower, past_low).when(v > upper, past_high).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("score", score)
+        .withColumn("is_anomaly", (v < lower) | (v > upper))
+        .withColumn("threshold", F.lit(float(threshold)))
+        .drop("__q1", "__q3", "__cnt")
+    )
+
+
+def moving_average_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "ts",
+    value_col: str = "value",
+    sensitivity: float = 1.0,
+    window: int = 7,
+    std_window: int | None = None,
+) -> DataFrame:
+    """A4 moving average (algorithms.py:135-198).
+
+    MA over trailing ``window`` raw values (excluding current); std over the
+    MAs themselves: global when fewer MAs than ``std_window``, else a
+    forward-looking rolling std (stds[k] covers MAs[k..k+sw-1]) whose last
+    full value fills the tail.
+    """
+    sw = std_window or window
+    threshold = MA_BASE_THRESHOLD / sensitivity
+    v = F.col(value_col)
+    ma = F.avg(v).over(_w_ord(keys, order_col).rowsBetween(-window, -1))
+    base = (
+        df.withColumn("__rn", F.row_number().over(_w_ord(keys, order_col)))
+        .withColumn("__ma", ma)
+        .where(F.col("__rn") > window)
+    )
+    w_ma = _w_ord(keys, order_col)
+    n_ma = F.count(F.lit(1)).over(_w(keys))
+    mi = F.row_number().over(w_ma)
+    fwd_std = F.stddev_pop(F.col("__ma")).over(w_ma.rowsBetween(0, sw - 1))
+    global_std = F.stddev_pop(F.col("__ma")).over(_w(keys))
+    base = (
+        base.withColumn("__n_ma", n_ma)
+        .withColumn("__mi", mi)
+        .withColumn("__fwd_std", fwd_std)
+        .withColumn("__global_std", global_std)
+    )
+    # last full forward window std (covers MAs[n-sw+1..n], 1-based)
+    tail_std = F.max(
+        F.when(F.col("__mi") == F.col("__n_ma") - sw + 1, F.col("__fwd_std"))
+    ).over(_w(keys))
+    base = base.withColumn(
+        "__std",
+        F.when(F.col("__n_ma") < sw, F.col("__global_std")).otherwise(
+            F.when(F.col("__mi") <= F.col("__n_ma") - sw + 1, F.col("__fwd_std"))
+            .otherwise(tail_std)
+        ),
+    )
+    score = F.when(F.col("__std") == 0, F.lit(0.0)).otherwise(
+        F.abs((v - F.col("__ma")) / F.col("__std"))
+    )
+    return (
+        base.withColumn("score", score)
+        .withColumn(
+            "is_anomaly", F.when(F.col("__std") == 0, F.lit(False)).otherwise(F.col("score") > threshold)
+        )
+        .withColumn("threshold", F.lit(float(threshold)))
+        .withColumn("moving_avg", F.col("__ma"))
+        .drop("__rn", "__ma", "__n_ma", "__mi", "__fwd_std", "__global_std", "__std")
+    )
+
+
+def severity(score_col: Column, method: str) -> Column:
+    """A5 severity mapping (algorithms.py:201-240)."""
+    if method == "zscore":
+        hi, med = 5.0, 3.5
+    elif method == "iqr":
+        hi, med = 3.0, 1.5
+    elif method == "moving_average":
+        hi, med = 4.0, 2.5
+    else:
+        hi, med = 5.0, 2.5
+    return (
+        F.when(score_col > hi, "high").when(score_col > med, "medium").otherwise("low")
+    )
+
+
+def format_anomalies(
+    df: DataFrame,
+    method: str,
+    keys: list[str],
+    order_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """A6: keep anomalies only, attach severity + method (algorithms.py:243-279)."""
+    return (
+        df.where(F.col("is_anomaly"))
+        .withColumn("method", F.lit(method))
+        .withColumn("severity", severity(F.col("score"), method))
+        .select(*keys, order_col, F.col(value_col).alias("value"),
+                "score", "is_anomaly", "threshold", "method", "severity")
+    )
+
+
+def detect_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    config: dict | None = None,
+    order_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """A7 dispatcher mirroring detector.py:92-126 defaults: method zscore,
+    sensitivity 1.0, min_data_points 7. Series below min_data_points are
+    dropped wholesale."""
+    cfg = {"detection_method": "zscore", "sensitivity": 1.0, "min_data_points": 7,
+           "config_params": {}, **(config or {})}
+    method = cfg["detection_method"]
+    sens = float(cfg["sensitivity"])
+    params = cfg.get("config_params") or {}
+
+    eligible = df.withColumn("__npts", F.count(value_col).over(_w(keys))).where(
+        F.col("__npts") >= int(cfg["min_data_points"])
+    ).drop("__npts")
+
+    if method == "zscore":
+        res = zscore_anomalies(eligible, keys, order_col, value_col, sens,
+                               params.get("window"))
+    elif method == "iqr":
+        res = iqr_anomalies(eligible, keys, order_col, value_col, sens,
+                            params.get("window"))
+    elif method == "moving_average":
+        res = moving_average_anomalies(eligible, keys, order_col, value_col, sens,
+                                       params.get("window", 7), params.get("std_window"))
+    else:
+        raise ValueError(f"unknown detection method: {method}")
+    return format_anomalies(res, method, keys, order_col, value_col)
