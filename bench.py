@@ -1,0 +1,101 @@
+"""Headline benchmark (driver contract).
+
+Runs representative queries from every operator family at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Unlike the oracle checks (which cap pair-wise operators for O(n^2)
+comparability), the bench runs dedup/similarity at FULL table scale so the
+numbers reflect the scale path (LSH banding, bucketed ANN), not the
+correctness path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sparvi_spark.session import get_spark  # noqa: E402
+from sparvi_spark.testdata import load_table  # noqa: E402
+
+
+def headline_queries():
+    """name -> fn(spark, sf_dir) -> DataFrame. Family coverage:
+    profiling, validation, custom SQL, anomalies, trends, dedup,
+    similarity, text."""
+    from sparvi_spark.checks.anomaly_checks import CHECKS as A
+    from sparvi_spark.checks.profile_checks import CHECKS as P
+    from sparvi_spark.checks.trend_checks import CHECKS as T
+    from sparvi_spark.checks.validation_checks import CHECKS as V
+    from sparvi_spark.operators.dedup import minhash_lsh_pairs
+    from sparvi_spark.operators.similarity import cosine_topk
+    from sparvi_spark.operators.text import quality_features
+
+    def dedup_minhash_full(spark, sf_dir):
+        docs = load_table(spark, "documents", sf_dir)
+        return minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=64,
+                                 bands=16, threshold=0.8)
+
+    def similarity_topk_full(spark, sf_dir):
+        emb = load_table(spark, "embeddings", sf_dir)
+        queries = emb.where(F.col("vec_id") < 20)
+        return cosine_topk(emb, queries, k=10)
+
+    def text_quality_full(spark, sf_dir):
+        return quality_features(load_table(spark, "documents", sf_dir))
+
+    return {
+        "profile_numeric": P["p04_numeric_stats"][0],
+        "profile_distinct": P["p03_distinct_counts"][0],
+        "profile_topk": P["p08_top_values"][0],
+        "profile_duplicates": P["p09_duplicate_counts"][0],
+        "validation_lineitem": V["v00_rules_lineitem"][0],
+        "custom_sql_q1": V["v06_custom_sql"][0],
+        "anomaly_zscore_rolling": A["a02_zscore_rolling"][0],
+        "trend_daily_rollup": T["t02_daily_rollup"][0],
+        "dedup_minhash_full": dedup_minhash_full,
+        "similarity_topk_full": similarity_topk_full,
+        "text_quality_full": text_quality_full,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("sparvi_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm up the JVM/session so q1 doesn't pay session-start cost.
+    load_table(spark, "region", sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in headline_queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,403 @@
-CHECKS: dict = {}
+"""T1-T14 trend/rollup checks (SURVEY.md §2.E) paired with DuckDB oracles.
+
+State-table inputs are emulated deterministically from the events table:
+each event acts as a validation result (rule = user_id, outcome = event_type
+!= 'error'), and the anomaly metric series doubles as historical metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparvi_spark.checks.anomaly_checks import SERIES_CTE, metric_series
+from sparvi_spark.operators.anomalies import format_anomalies, zscore_anomalies
+from sparvi_spark.operators.trends import (
+    anomaly_daily_trend,
+    anomaly_summary,
+    anomaly_top_tables,
+    change_frequency,
+    high_impact_objects,
+    latest_per_key,
+    retain_latest,
+    validation_daily_rollup,
+)
+from sparvi_spark.testdata import load_table
+
+SPINE_START, SPINE_END = "2024-01-01", "2024-01-30"
+
+RESULTS_CTE = (
+    "results AS (SELECT user_id AS rule_id, event_id, ts AS run_at, "
+    "cast(ts as date) AS day, event_type <> 'error' AS is_valid FROM events)"
+)
+
+
+def _results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        F.col("user_id").alias("rule_id"),
+        F.col("event_id"),
+        F.col("ts").alias("run_at"),
+        (F.col("event_type") != "error").alias("is_valid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2 metric trends pivot
+# ---------------------------------------------------------------------------
+
+def q_metric_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = metric_series(spark, sf_dir)
+    return s.groupBy("metric_name").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.expr("min_by(value, ts)").alias("first_value"),
+        F.expr("max_by(value, ts)").alias("current_value"),
+        F.round(F.expr("max_by(value, ts) - min_by(value, ts)"), 2).alias("absolute_change"),
+        F.expr(
+            "case when min_by(value, ts) <> 0 then "
+            "round((max_by(value, ts) - min_by(value, ts)) * cast(100 as double) "
+            "/ min_by(value, ts), 4) end"
+        ).alias("percent_change"),
+    )
+
+
+SQL_METRIC_TRENDS = f"""
+{SERIES_CTE}
+SELECT metric_name, count(*) AS n_points, min(value) AS min_value,
+  max(value) AS max_value, min_by(value, ts) AS first_value,
+  max_by(value, ts) AS current_value,
+  round(max_by(value, ts) - min_by(value, ts), 2) AS absolute_change,
+  case when min_by(value, ts) <> 0 then
+    round((max_by(value, ts) - min_by(value, ts)) * cast(100 as double)
+          / min_by(value, ts), 4) end AS percent_change
+FROM series GROUP BY metric_name
+""".strip()
+
+# ---------------------------------------------------------------------------
+# T3 validation daily rollup (latest-per-rule-per-day + date spine densify)
+# ---------------------------------------------------------------------------
+
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _results(spark, sf_dir)
+    daily = latest_per_key(
+        res.withColumn("day", F.to_date("run_at")),
+        ["rule_id", "day"], "run_at", tiebreak=["event_id"],
+    )
+    per_day = daily.groupBy("day").agg(
+        F.count(F.when(F.col("is_valid"), 1)).alias("passed"),
+        F.count(F.when(~F.col("is_valid"), 1)).alias("failed"),
+        F.count(F.lit(1)).alias("seen"),
+    )
+    spine = spark.sql(
+        f"SELECT explode(sequence(date '{SPINE_START}', date '{SPINE_END}', "
+        f"interval 1 day)) AS day"
+    )
+    return (
+        spine.join(per_day, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("passed", F.lit(0)).alias("passed"),
+            F.coalesce("failed", F.lit(0)).alias("failed"),
+            F.coalesce("seen", F.lit(0)).alias("seen"),
+            F.when(
+                (F.coalesce(F.col("passed"), F.lit(0))
+                 + F.coalesce(F.col("failed"), F.lit(0))) > 0,
+                F.round(F.col("passed") * F.lit(100.0)
+                        / (F.col("passed") + F.col("failed")), 2),
+            ).alias("health_score"),
+        )
+    )
+
+
+SQL_DAILY_ROLLUP = f"""
+WITH {RESULTS_CTE},
+latest AS (SELECT * FROM results
+  QUALIFY row_number() OVER (PARTITION BY rule_id, day
+                             ORDER BY run_at DESC, event_id DESC) = 1),
+per_day AS (SELECT day, count(case when is_valid then 1 end) AS passed,
+  count(case when not is_valid then 1 end) AS failed, count(*) AS seen
+ FROM latest GROUP BY day),
+spine AS (SELECT unnest(generate_series(DATE '{SPINE_START}',
+  DATE '{SPINE_END}', INTERVAL 1 DAY))::DATE AS day)
+SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+  coalesce(passed, 0) AS passed, coalesce(failed, 0) AS failed,
+  coalesce(seen, 0) AS seen,
+  case when coalesce(passed, 0) + coalesce(failed, 0) > 0 then
+    round(passed * cast(100 as double) / (passed + failed), 2) end AS health_score
+FROM spine LEFT JOIN per_day ON spine.day = per_day.day
+""".strip()
+
+# ---------------------------------------------------------------------------
+# T4 current health score (latest per rule)
+# ---------------------------------------------------------------------------
+
+def q_current_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _results(spark, sf_dir)
+    latest = latest_per_key(res, ["rule_id"], "run_at", tiebreak=["event_id"])
+    return latest.agg(
+        F.count(F.when(F.col("is_valid"), 1)).alias("passed"),
+        F.count(F.when(~F.col("is_valid"), 1)).alias("failed"),
+    ).select(
+        "passed", "failed",
+        F.when((F.col("passed") + F.col("failed")) > 0,
+               F.round(F.col("passed") * F.lit(100.0)
+                       / (F.col("passed") + F.col("failed")), 2)).alias("health_score"),
+    )
+
+
+SQL_CURRENT_HEALTH = f"""
+WITH {RESULTS_CTE},
+latest AS (SELECT * FROM results
+  QUALIFY row_number() OVER (PARTITION BY rule_id
+                             ORDER BY run_at DESC, event_id DESC) = 1),
+agg AS (SELECT count(case when is_valid then 1 end) AS passed,
+  count(case when not is_valid then 1 end) AS failed FROM latest)
+SELECT passed, failed,
+  case when passed + failed > 0 then
+    round(passed * cast(100 as double) / (passed + failed), 2) end AS health_score
+FROM agg
+""".strip()
+
+# ---------------------------------------------------------------------------
+# T5 per-group validation summary
+# ---------------------------------------------------------------------------
+
+def q_group_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    res = ev.select(
+        F.col("event_type").alias("grp"), F.col("user_id").alias("rule_id"),
+        F.col("event_id"), F.col("ts").alias("run_at"),
+        (F.col("value") > 100).alias("is_valid"),
+    )
+    latest = latest_per_key(res, ["grp", "rule_id"], "run_at", tiebreak=["event_id"])
+    return latest.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("total_rules"),
+        F.count(F.when(F.col("is_valid"), 1)).alias("passing"),
+        F.count(F.when(~F.col("is_valid"), 1)).alias("failing"),
+        F.date_format(F.max("run_at"), "yyyy-MM-dd HH:mm:ss").alias("last_run"),
+    ).withColumn(
+        "health_score",
+        F.when((F.col("passing") + F.col("failing")) > 0,
+               F.round(F.col("passing") * F.lit(100.0)
+                       / (F.col("passing") + F.col("failing")), 2)),
+    )
+
+
+SQL_GROUP_SUMMARY = """
+WITH res AS (SELECT event_type AS grp, user_id AS rule_id, event_id,
+  ts AS run_at, value > 100 AS is_valid FROM events),
+latest AS (SELECT * FROM res
+  QUALIFY row_number() OVER (PARTITION BY grp, rule_id
+                             ORDER BY run_at DESC, event_id DESC) = 1),
+agg AS (SELECT grp, count(*) AS total_rules,
+  count(case when is_valid then 1 end) AS passing,
+  count(case when not is_valid then 1 end) AS failing,
+  strftime(max(run_at), '%Y-%m-%d %H:%M:%S') AS last_run
+ FROM latest GROUP BY grp)
+SELECT grp, total_rules, passing, failing, last_run,
+  case when passing + failing > 0 then
+    round(passing * cast(100 as double) / (passing + failing), 2) end AS health_score
+FROM agg
+""".strip()
+
+# ---------------------------------------------------------------------------
+# T6 dashboard daily metrics (decimal-exact mean)
+# ---------------------------------------------------------------------------
+
+def q_dashboard_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count("value"), 4
+        ).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_entities"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_DASHBOARD_DAILY = """
+SELECT strftime(cast(ts as date), '%Y-%m-%d') AS day,
+  round(cast(sum(cast(value as decimal(18,2))) as double) / count(value), 4)
+    AS avg_value,
+  count(distinct user_id) AS n_entities, count(*) AS n_rows
+FROM events GROUP BY 1
+""".strip()
+
+# ---------------------------------------------------------------------------
+# T7 anomaly summary + top tables (from zscore anomalies @ sensitivity 2)
+# ---------------------------------------------------------------------------
+
+def _anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = zscore_anomalies(metric_series(spark, sf_dir), ["metric_name"], sensitivity=2.0)
+    return format_anomalies(res, "zscore", ["metric_name"])
+
+
+_ANOM_CTE = f"""
+{SERIES_CTE},
+stats AS (SELECT metric_name, ts, value,
+  avg(value) OVER (PARTITION BY metric_name) AS m,
+  stddev_pop(value) OVER (PARTITION BY metric_name) AS s,
+  count(value) OVER (PARTITION BY metric_name) AS n FROM series),
+anom AS (SELECT metric_name, ts, value,
+  case when s = 0 then 0.0 else abs((value - m)/s) end AS score
+ FROM stats WHERE n >= 2
+   AND (case when s = 0 then 0.0 else abs((value - m)/s) end) > 1.5)
+""".strip()
+
+
+def q_anomaly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    an = _anomalies(spark, sf_dir)
+    return anomaly_summary(an)
+
+
+SQL_ANOMALY_SUMMARY = f"""
+{_ANOM_CTE}
+SELECT case when score > 5.0 then 'high' when score > 3.5 then 'medium'
+  else 'low' end AS severity, count(*) AS cnt
+FROM anom GROUP BY 1
+""".strip()
+
+
+def q_anomaly_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    an = _anomalies(spark, sf_dir)
+    return anomaly_top_tables(an, "metric_name", k=3)
+
+
+SQL_ANOMALY_TOP = f"""
+{_ANOM_CTE}
+SELECT metric_name, count(*) AS cnt FROM anom GROUP BY metric_name
+QUALIFY row_number() OVER (ORDER BY count(*) DESC, metric_name ASC) <= 3
+""".strip()
+
+# ---------------------------------------------------------------------------
+# T8 anomaly daily trend (spine + severity-filtered counts)
+# ---------------------------------------------------------------------------
+
+def q_anomaly_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    an = _anomalies(spark, sf_dir)
+    out = anomaly_daily_trend(an, spark, SPINE_START, SPINE_END, ts_col="ts")
+    return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+SQL_ANOMALY_DAILY_TREND = f"""
+{_ANOM_CTE},
+sev AS (SELECT cast(ts as date) AS day,
+  case when score > 5.0 then 'high' when score > 3.5 then 'medium'
+       else 'low' end AS severity FROM anom),
+daily AS (SELECT day, count(*) AS total,
+  count(case when severity = 'high' then 1 end) AS high,
+  count(case when severity = 'medium' then 1 end) AS medium,
+  count(case when severity = 'low' then 1 end) AS low
+ FROM sev GROUP BY day),
+spine AS (SELECT unnest(generate_series(DATE '{SPINE_START}',
+  DATE '{SPINE_END}', INTERVAL 1 DAY))::DATE AS day)
+SELECT strftime(spine.day, '%Y-%m-%d') AS day, coalesce(total, 0) AS total,
+  coalesce(high, 0) AS high, coalesce(medium, 0) AS medium,
+  coalesce(low, 0) AS low
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+""".strip()
+
+# ---------------------------------------------------------------------------
+# T9 change frequency + T10 high-impact objects (lag-gap windows)
+# ---------------------------------------------------------------------------
+
+def q_change_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    freq = change_frequency(
+        ev.withColumn("changed", F.col("value") > 100),
+        ["event_type"], "ts", "changed",
+    )
+    return freq.select(
+        "event_type", "total_checks", "changes", "change_ratio", "frequency",
+        F.round("avg_hours_between_changes", 2).alias("avg_hours_between_changes"),
+        F.date_format("last_change", "yyyy-MM-dd HH:mm:ss").alias("last_change"),
+    )
+
+
+SQL_CHANGE_FREQUENCY = """
+WITH flagged AS (SELECT event_type, ts, value > 100 AS changed FROM events),
+gaps AS (SELECT event_type, ts,
+  (epoch(ts) - epoch(lag(ts) OVER (PARTITION BY event_type ORDER BY ts)))
+    / 3600.0 AS gap_h
+ FROM flagged WHERE changed),
+gap_stats AS (SELECT event_type,
+  round(avg(gap_h), 4) AS avg_raw, strftime(max(ts), '%Y-%m-%d %H:%M:%S')
+    AS last_change FROM gaps GROUP BY event_type),
+totals AS (SELECT event_type, count(*) AS total_checks,
+  count(case when changed then 1 end) AS changes FROM flagged GROUP BY event_type)
+SELECT t.event_type, t.total_checks, t.changes,
+  round(t.changes * cast(1 as double) / t.total_checks, 4) AS change_ratio,
+  case when t.changes * cast(1 as double) / t.total_checks >= 0.5 then 'high'
+       when t.changes * cast(1 as double) / t.total_checks >= 0.1 then 'medium'
+       else 'low' end AS frequency,
+  round(g.avg_raw, 2) AS avg_hours_between_changes, g.last_change
+FROM totals t LEFT JOIN gap_stats g ON t.event_type = g.event_type
+""".strip()
+
+
+def q_high_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    freq = change_frequency(
+        ev.withColumn("changed", F.col("event_type") == "error"),
+        ["user_id"], "ts", "changed",
+    )
+    return high_impact_objects(freq, ["user_id"], min_changes=5, k=10).select(
+        "user_id", "total_checks", "changes", "change_ratio", "frequency",
+    )
+
+
+SQL_HIGH_IMPACT = """
+WITH flagged AS (SELECT user_id, ts, event_type = 'error' AS changed FROM events),
+totals AS (SELECT user_id, count(*) AS total_checks,
+  count(case when changed then 1 end) AS changes FROM flagged GROUP BY user_id),
+freq AS (SELECT user_id, total_checks, changes,
+  round(changes * cast(1 as double) / total_checks, 4) AS change_ratio,
+  case when changes * cast(1 as double) / total_checks >= 0.5 then 'high'
+       when changes * cast(1 as double) / total_checks >= 0.1 then 'medium'
+       else 'low' end AS frequency
+ FROM totals WHERE changes >= 5)
+SELECT user_id, total_checks, changes, change_ratio, frequency FROM freq
+QUALIFY row_number() OVER (ORDER BY change_ratio DESC, user_id ASC) <= 10
+""".strip()
+
+# ---------------------------------------------------------------------------
+# T14 retention (keep newest N per key)
+# ---------------------------------------------------------------------------
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    # deterministic tiebreak on event_id for ts collisions
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    kept = (ev.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= 10).drop("__rn"))
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("event_id").alias("id_checksum"),
+    )
+
+
+SQL_RETENTION = """
+WITH kept AS (SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) <= 10)
+SELECT user_id, count(*) AS kept, sum(event_id) AS id_checksum
+FROM kept GROUP BY user_id
+""".strip()
+
+
+CHECKS = {
+    "t01_metric_trends": (q_metric_trends, SQL_METRIC_TRENDS),
+    "t02_daily_rollup": (q_daily_rollup, SQL_DAILY_ROLLUP),
+    "t03_current_health": (q_current_health, SQL_CURRENT_HEALTH),
+    "t04_group_summary": (q_group_summary, SQL_GROUP_SUMMARY),
+    "t05_dashboard_daily": (q_dashboard_daily, SQL_DASHBOARD_DAILY),
+    "t06_anomaly_summary": (q_anomaly_summary, SQL_ANOMALY_SUMMARY),
+    "t07_anomaly_top": (q_anomaly_top, SQL_ANOMALY_TOP),
+    "t08_anomaly_daily_trend": (q_anomaly_daily_trend, SQL_ANOMALY_DAILY_TREND),
+    "t09_change_frequency": (q_change_frequency, SQL_CHANGE_FREQUENCY),
+    "t10_high_impact": (q_high_impact, SQL_HIGH_IMPACT),
+    "t14_retention": (q_retention, SQL_RETENTION),
+}

@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json extension mandate): exact
+dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, and embedding-cosine
+near-dup — all as declarative DataFrame programs designed for 100 TB:
+
+- Shingling/token ops stay JVM-side (higher-order array functions, no UDFs).
+- The Jaccard self-join joins on shingle (not doc×doc), so cost is
+  Σ df(shingle)² — cap hot shingles with ``max_shingle_df`` at scale.
+- MinHash uses xxhash64(shingle, seed) signatures; LSH bands shrink the
+  candidate space from O(n²) to near-linear before exact verification.
+- SimHash packs a 64-bit fingerprint via bit-position majority votes and
+  finds Hamming-near pairs by pigeonhole banding (4×16-bit chunks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens_expr(text_col: str) -> str:
+    """Lowercased whitespace tokens (dialect-common building block)."""
+    return f"split(lower(trim({text_col})), '\\\\s+')"
+
+
+def word_shingles(text_col: str, n: int) -> Column:
+    """n-gram word shingles as an array<string> (JVM-side, no UDF)."""
+    toks = tokens_expr(text_col)
+    if n == 1:
+        return F.expr(toks)
+    return F.expr(
+        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n})))"
+    )
+
+
+def exact_duplicates(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup groups: value tuple -> count (count>1 == duplicates)."""
+    return (
+        df.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct value tuple (hash-shuffle dedup)."""
+    return df.dropDuplicates(cols)
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct (id, shingle) pairs."""
+    return (
+        df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__sh"))
+        .select("__id", F.explode("__sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """N-gram Jaccard near-duplicate pairs (exact, oracle-checkable).
+
+    shared/(|A|+|B|-shared) >= threshold over distinct shingle sets; join on
+    shingle so only docs sharing a shingle are compared. ``max_shingle_df``
+    drops shingles appearing in more than N docs (stop-shingles) — the
+    standard skew guard at scale (changes semantics; off by default).
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+               .where(F.col("__df") <= max_shingle_df).select("shingle"))
+        sh = sh.join(hot, "shingle")
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col("__id").alias("id_a"), "shingle")
+    b = sh.select(F.col("__id").alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared
+        .join(sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") * F.lit(1.0)
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min(xxhash64(shingle, seed=i)).
+
+    One explode + one groupBy; all hashing JVM-side. Returns
+    (id, sig: array<bigint>).
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy("__id").agg(*mins)
+    return wide.select(
+        F.col("__id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with exact Jaccard.
+
+    Band hashes bucket-join candidate pairs (near-linear vs O(n²)); the
+    verification join recomputes exact Jaccard so output quality matches the
+    exact operator on whatever candidates banding surfaces.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b as band, xxhash64(slice(sig, b * {rows_per_band} + 1, "
+                f"{rows_per_band})) as bh))"
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    cands = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    exact = jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    return (
+        cands.join(exact, ["id_a", "id_b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (JVM-side bit votes).
+
+    For each bit position, majority vote of token-hash bits; packed into one
+    bigint. Returns (id, simhash: bigint).
+    """
+    toks = tokens_expr(text_col)
+    hashes = f"transform({toks}, t -> xxhash64(t))"
+    votes = (
+        f"transform(sequence(0, 63), b -> "
+        f"aggregate({hashes}, 0L, (acc, h) -> acc + "
+        f"case when shiftright(h, b) & 1 = 1 then 1 else -1 end))"
+    )
+    packed = (
+        f"aggregate(zip_with({votes}, sequence(0, 63), "
+        f"(v, b) -> case when v > 0 then shiftleft(1L, b) else 0L end), "
+        f"0L, (acc, x) -> acc | x)"
+    )
+    return df.select(F.col(id_col), F.expr(packed).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-near SimHash pairs via pigeonhole banding (4×16-bit chunks):
+    any pair within Hamming distance 3 shares at least one exact chunk."""
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        id_col, "simhash",
+        F.explode(F.expr(
+            "transform(sequence(0, 3), c -> struct(c as chunk, "
+            "shiftright(simhash, c * 16) & 65535 as ch))"
+        )).alias("cc"),
+    ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ch").alias("ch"))
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+                      "chunk", "ch")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+                      "chunk", "ch")
+    return (
+        a.join(b, ["chunk", "ch"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Brute self-join (optionally restricted to a coarse bucket column — the
+    IVF pattern) with a fold-based dot product (deterministic summation
+    order). At 100 TB, pre-bucket by an ANN index column.
+    """
+    from sparvi_spark.operators.similarity import cosine_expr
+
+    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")]
+    if bucket_col:
+        cols.append(F.col(bucket_col).alias("__b"))
+    v = df.select(*cols)
+    a = v.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"),
+                 *([F.col("__b").alias("ba")] if bucket_col else []))
+    b = v.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"),
+                 *([F.col("__b").alias("bb")] if bucket_col else []))
+    joined = a.crossJoin(b) if not bucket_col else a.join(b, F.col("ba") == F.col("bb"))
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("va", "vb"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

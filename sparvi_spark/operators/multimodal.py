@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct; the
+Spark-side plumbing (schemas, Arrow-batched mapInPandas, partition-sized
+batching) is real and tested. The actual codec work is STUBBED — decode
+libraries are not available in this container — behind deterministic fakes
+(``fake=True``) or ``NotImplementedError`` (``fake=False``), with real UDF
+signatures so swapping in Pillow/torchaudio later changes one function body.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row Python overhead);
+payload columns should be pruned before any wide shuffle — decode early,
+project metadata, drop bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("media_type", T.StringType(), True),  # image|audio|video
+    T.StructField("format", T.StringType(), True),      # png|jpg|wav|mp4...
+])
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("mean_intensity", T.DoubleType(), True),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_payload", T.BinaryType(), True),
+])
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Adapter: synthesize a binary media table from text payloads so the
+    plumbing is exercisable on the driver testdata."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.lit("fake").alias("format"),
+    )
+
+
+def _fake_decode(payload: bytes | None) -> tuple[int | None, int | None, float | None]:
+    """Deterministic stand-in for an image decoder: dimensions and mean
+    intensity derived from the byte content (stable across runs/engines)."""
+    if payload is None:
+        return None, None, None
+    n = len(payload)
+    width = (n % 640) + 1
+    height = (n % 480) + 1
+    mean_intensity = round(sum(payload[:256]) / max(min(n, 256), 1), 4)
+    return width, height, mean_intensity
+
+
+def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode + feature-extract via Arrow-batched mapInPandas.
+
+    ``fake=False`` raises NotImplementedError inside the UDF — the marked
+    stub where a real decoder (PIL.Image.open etc.) plugs in.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires Pillow; not available in this env"
+                )
+            feats = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": [f[0] for f in feats],
+                "height": [f[1] for f in feats],
+                "n_bytes": [len(p) if p is not None else None for p in pdf["payload"]],
+                "mean_intensity": [f[2] for f in feats],
+            })
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  fake: bool = True) -> DataFrame:
+    """Resize stub with the real batch plumbing (payload in, payload out)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real resize requires an image library")
+            # deterministic fake: truncate/pad payload to width*height bytes
+            target = width * height
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                None if p is None else (bytes(p)[:target]).ljust(target, b"\0")
+                for p in pdf["payload"]
+            ]
+            yield pdf[["media_id", "payload", "media_type", "format"]]
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 3,
+                  fake: bool = True) -> DataFrame:
+    """Video frame-sampling stub: one row per sampled frame (explode shape)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real frame sampling requires a video codec")
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_payload": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                chunk = max(len(p) // max(every_n * max_frames, 1), 1)
+                for i in range(max_frames):
+                    start = i * every_n * chunk
+                    if start >= len(p):
+                        break
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_payload"].append(bytes(p)[start:start + chunk])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -1,0 +1,92 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a bucket-restricted
+(IVF-style) variant as the scale path. Dot products use a fold
+(``aggregate``) so summation order is deterministic — identical results
+across engines and across runs, unlike a shuffle-order-dependent sum.
+
+At 100 TB: broadcast the (small) query set, keep the corpus partitioned;
+the IVF variant prunes the self-join to same-bucket pairs, turning O(n·q)
+into O(n·q/buckets) — the bucket column generalizes to a trained coarse
+quantizer's assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Deterministic fold-based dot product of two float arrays."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries × corpus, one window.
+
+    Returns (query_id, neighbor_id, rank, cosine) with deterministic
+    tie-break (cosine DESC, neighbor_id ASC).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = c.crossJoin(F.broadcast(q)).withColumn("cosine", cosine_expr("cv", "qv"))
+    if exclude_self:
+        scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    bucket_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-style ANN: search only the query's coarse bucket.
+
+    ``bucket_col`` is the inverted-file assignment (here the label column;
+    in production a trained coarse quantizer / LSH bucket). The join on
+    bucket replaces the cross join — this is the 100 TB plan shape.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       F.col(bucket_col).alias("qb"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                      F.col(bucket_col).alias("cb"))
+    scored = (
+        c.join(F.broadcast(q), F.col("cb") == F.col("qb"))
+        .withColumn("cosine", cosine_expr("cv", "qv"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,146 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and rolling-hash document fingerprinting —
+all with built-in column functions (JVM-side, codegen'd); the formulas are
+dialect-common so the DuckDB oracle can mirror them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparvi_spark.operators.dedup import tokens_expr
+
+# Tiny per-language function-word lists for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "est", "une"],
+    "es": ["el", "la", "y", "los", "es", "una"],
+    "zh": ["的", "是", "了", "在", "和", "有"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# BPE-ish word/number/punctuation splitter (portable RE2/Java subset).
+BPE_TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count_expr(text_col: str) -> Column:
+    """Whitespace token count."""
+    return F.expr(f"size({tokens_expr(text_col)})")
+
+
+def bpe_token_count_expr(text_col: str) -> Column:
+    """BPE-ish token count: words, numbers, and single punctuation marks."""
+    return F.expr(
+        f"size(regexp_extract_all({text_col}, '{BPE_TOKEN_REGEX}', 0))"
+    )
+
+
+def _hit_count(tokens: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({tokens}, t -> array_contains(array({lst}), t)))"
+
+
+def lang_id_expr(text_col: str) -> Column:
+    """Pick the language whose marker words hit most tokens.
+
+    Deterministic tie-break: language code ascending (en < de alphabetical
+    order is by the iteration list below). Zero hits -> 'und' (undetermined).
+    """
+    toks = tokens_expr(text_col)
+    langs = sorted(LANG_MARKERS)  # de, en, es, fr, zh — fixed order
+    pairs = ", ".join(
+        f"struct({_hit_count(toks, LANG_MARKERS[lang])} as hits, '{lang}' as lang)"
+        for lang in langs
+    )
+    # array_max on struct array: max by (hits, lang) — lang DESC breaks ties;
+    # invert by ordering on (hits, negated position) is messy, so sort and
+    # take: greatest hits, ties -> lexicographically LAST lang. Make the
+    # tie-break explicit and portable: order by hits desc, lang asc via
+    # filter-on-max instead.
+    best_hits = f"array_max(transform(array({pairs}), p -> p.hits))"
+    first_best = (
+        f"filter(array({pairs}), p -> p.hits = {best_hits})[0].lang"
+    )
+    return F.expr(
+        f"case when {best_hits} > 0 then {first_best} else 'und' end"
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features + composite score.
+
+    Features: char/token counts, mean token length, punctuation ratio,
+    stopword ratio, uppercase ratio. Score: starts at 1.0, penalized for
+    degenerate length, punctuation floods, and stopword-free (unnatural)
+    text — the standard cheap pre-filter ahead of model-based scoring.
+    """
+    toks = tokens_expr(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.expr(f"size({toks})")
+    avg_tok = F.expr(
+        f"round(aggregate({toks}, 0L, (a, t) -> a + length(t)) * cast(1 as double) "
+        f"/ greatest(size({toks}), 1), 4)"
+    )
+    punct = F.expr(
+        f"size(regexp_extract_all({text_col}, '[^A-Za-z0-9\\\\s]', 0))"
+    )
+    stop_hits = F.expr(_hit_count(toks, STOPWORDS_EN))
+    out = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        F.round(punct * F.lit(1.0) / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(stop_hits * F.lit(1.0) / F.greatest(n_tokens, F.lit(1)), 4)
+        .alias("stopword_ratio"),
+    )
+    score = (
+        F.lit(1.0)
+        - F.when(F.col("n_tokens") < 5, 0.4).otherwise(0.0)
+        - F.when(F.col("punct_ratio") > 0.3, 0.3).otherwise(0.0)
+        - F.when(F.col("stopword_ratio") == 0.0, 0.2).otherwise(0.0)
+        - F.when((F.col("avg_token_len") < 2) | (F.col("avg_token_len") > 12), 0.2)
+        .otherwise(0.0)
+    )
+    return out.withColumn("quality_score", F.round(F.greatest(score, F.lit(0.0)), 4))
+
+
+FP_MOD = 1_000_000_007
+
+
+def fingerprint_expr(text_col: str) -> Column:
+    """Rolling polynomial hash over tokens (dialect-common arithmetic).
+
+    token value = ascii(first char) * 1000 + token length; rolling:
+    acc = (acc * 31 + v) mod 1e9+7. Pure bigint arithmetic — identical in
+    Spark and DuckDB, unlike engine hash builtins.
+    """
+    toks = tokens_expr(text_col)
+    return F.expr(
+        f"aggregate({toks}, 0L, (acc, t) -> "
+        f"(acc * 31 + ascii(substring(t, 1, 1)) * 1000 + length(t)) % {FP_MOD})"
+    )
+
+
+def top_tokens(df: DataFrame, text_col: str = "text", k: int = 10) -> DataFrame:
+    """Corpus-level token frequencies, top-k with deterministic tie-break."""
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(F.explode(F.expr(tokens_expr(text_col))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("token", "cnt", "rank")
+    )
