@@ -155,9 +155,28 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    exact = jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    # Exact-Jaccard verification driven by the candidate pairs only: expand
+    # each pair by side-A's shingles, probe side-B on (id, shingle). Cost is
+    # O(candidates × shingles/doc) — near-linear — instead of the
+    # O(Σ df(shingle)²) all-pairs shingle self-join of jaccard_pairs.
+    sh = _doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    shared = (
+        cands
+        .join(sh.select(F.col("__id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
     return (
-        cands.join(exact, ["id_a", "id_b"])
+        shared
+        .join(sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") * F.lit(1.0)
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -19,6 +19,7 @@ both word and symbolic operator spellings (frontend ValidationRuleEditor.js).
 from __future__ import annotations
 
 import datetime as _dt
+import math as _math
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -290,12 +291,16 @@ def generate_default_rules(spec: TableSpec, as_of: str = DEFAULT_AS_OF) -> list[
             rules.append(Rule(f"check_{c.name}_distribution",
                               f"No value of {c.name} exceeds 95% share",
                               "equals", 0, "dominance", column=c.name))
-    # V20 FK distinct breadth
+    # V20 FK distinct breadth. The reference emits COUNT(DISTINCT fk)=1
+    # (default_validations.py:373-386); we compile the equivalent
+    # `count>0 AND min=max` (true iff exactly one distinct non-null value):
+    # a COUNT(DISTINCT) here forces Spark's expand+gid plan, replicating the
+    # whole fact table once per distinct aggregate before the shuffle.
     for c, _rt, _rc in spec.foreign_keys:
         rules.append(Rule(f"check_{c}_ref_distribution", f"{c} references >1 distinct value",
                           "equals", 0, "agg",
-                          agg_expr=(f"case when count(distinct case when {c} is not null "
-                                    f"then {c} end) = 1 then 1 else 0 end")))
+                          agg_expr=(f"case when count({c}) > 0 and min({c}) = max({c}) "
+                                    f"then 1 else 0 end")))
     # V21 referential integrity per declared FK
     for c, rt, rc in spec.foreign_keys:
         rules.append(Rule(f"check_{c}_ref_integrity", f"{t}.{c} -> {rt}.{rc} has no orphans",
@@ -344,26 +349,85 @@ def run_rules(
     """Execute rules against ``df`` -> DataFrame
     (rule_name, operator, expected_lo, expected_hi, actual_value, is_valid).
 
-    Batched: all agg rules in one pass; dominance rules via one melted
-    groupBy; outlier rules share one stats pass + one count pass;
-    ref-integrity rules are anti-joins against (auto-broadcast) dim tables.
+    Exactly TWO full-table passes regardless of rule count (plus one keyed
+    shuffle per uniqueness rule and one melted groupBy for dominance rules):
+
+    - pass A (one scan): every scalar-aggregate rule, the sum/sumsq/count
+      stats feeding each 3σ-outlier rule, and the total row count — one wide
+      ``df.agg``. Its single row is collected and outlier bounds are computed
+      driver-side with the same IEEE double ops as the oracle SQL.
+    - pass B (one scan): every outlier count (literal bounds from pass A)
+      and every FK orphan count, the dims attached as broadcast left joins —
+      so N referential checks cost one probe pass, not N anti-join scans.
     """
     spark = spark or df.sparkSession
     ref_tables = ref_tables or {}
     pieces: list[DataFrame] = []
+    scalar_rows: list[tuple[str, float | None]] = []
 
     agg_rules = [r for r in rules if r.kind == "agg"]
-    if agg_rules:
-        wide = df.agg(*[
-            F.expr(r.agg_expr).cast("double").alias(f"a{i}")
-            for i, r in enumerate(agg_rules)
-        ])
-        tuples = ", ".join(f"'{_q(r.name)}', a{i}" for i, r in enumerate(agg_rules))
-        pieces.append(wide.select(F.expr(
-            f"stack({len(agg_rules)}, {tuples}) as (rule_name, actual_value)"
-        )))
+    out_rules = [r for r in rules if r.kind == "outlier"]
+    ref_rules = [r for r in rules if r.kind == "ref_integrity"]
+    dup_rules = [r for r in rules if r.kind == "group_dup"]
+    dom_rules = [r for r in rules if r.kind == "dominance"]
+    sql_rules = [r for r in rules if r.kind == "sql"]
 
-    for r in [r for r in rules if r.kind == "group_dup"]:
+    # ---- pass A: fused scalar aggregates + outlier stats + total ----------
+    row_a = None
+    exprs_a = [
+        F.expr(r.agg_expr).cast("double").alias(f"a{i}")
+        for i, r in enumerate(agg_rules)
+    ]
+    for r in out_rules:
+        c = r.column
+        exprs_a += [
+            F.expr(f"count({c})").alias(f"__{c}_n"),
+            F.expr(_STATS_SX.format(c=c)).alias(f"__{c}_sx"),
+            F.expr(_STATS_SXX.format(c=c)).alias(f"__{c}_sxx"),
+        ]
+    if dom_rules:
+        exprs_a.append(F.count(F.lit(1)).alias("__total"))
+    if exprs_a:
+        row_a = df.agg(*exprs_a).collect()[0]
+    for i, r in enumerate(agg_rules):
+        scalar_rows.append((r.name, row_a[f"a{i}"]))
+
+    # ---- pass B: fused outlier counts + FK orphan counts ------------------
+    if out_rules or ref_rules:
+        d = df
+        exprs_b = []
+        for j, r in enumerate(ref_rules):
+            ref = (ref_tables[r.ref_table]
+                   .select(F.col(r.ref_column).alias(f"__rk{j}")).distinct())
+            d = d.join(F.broadcast(ref), F.col(r.column) == F.col(f"__rk{j}"), "left")
+            exprs_b.append(
+                F.count(F.when(F.col(r.column).isNotNull()
+                               & F.col(f"__rk{j}").isNull(), 1))
+                .cast("double").alias(f"r{j}"))
+        for i, r in enumerate(out_rules):
+            c = r.column
+            n = row_a[f"__{c}_n"]
+            sx, sxx = row_a[f"__{c}_sx"], row_a[f"__{c}_sxx"]
+            if n is not None and n > 1 and sx is not None:
+                # Same op order as the oracle SQL: avg = sx/n;
+                # std = sqrt(greatest((sxx - sx*sx/n)/(n-1), 0)); bound ±3σ.
+                avg = sx / n
+                std = _math.sqrt(max((sxx - (sx * sx) / n) / (n - 1), 0.0))
+                cond = (F.col(c) > F.lit(avg + 3 * std)) | (F.col(c) < F.lit(avg - 3 * std))
+            else:
+                cond = F.lit(False)
+            exprs_b.append(F.count(F.when(cond, 1)).cast("double").alias(f"o{i}"))
+        row_b = d.agg(*exprs_b).collect()[0]
+        for j, r in enumerate(ref_rules):
+            scalar_rows.append((r.name, row_b[f"r{j}"]))
+        for i, r in enumerate(out_rules):
+            scalar_rows.append((r.name, row_b[f"o{i}"]))
+
+    if scalar_rows:
+        pieces.append(spark.createDataFrame(
+            scalar_rows, "rule_name string, actual_value double"))
+
+    for r in dup_rules:
         d = df
         if r.not_null_key:
             d = d.na.drop(subset=list(r.keys))
@@ -373,9 +437,8 @@ def run_rules(
                .select(F.lit(r.name).alias("rule_name"), "actual_value"))
         pieces.append(dup)
 
-    dom_rules = [r for r in rules if r.kind == "dominance"]
     if dom_rules:
-        total = df.count()
+        total = row_a["__total"]
         cols = [r.column for r in dom_rules]
         stack_expr = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
         melted = df.select(F.expr(
@@ -394,40 +457,7 @@ def run_rules(
                     F.coalesce(F.col("n_dominant"), F.lit(0)).cast("double").alias("actual_value"))
         )
 
-    out_rules = [r for r in rules if r.kind == "outlier"]
-    if out_rules:
-        stat_exprs = []
-        for r in out_rules:
-            c = r.column
-            stat_exprs += [
-                F.expr(f"count({c})").alias(f"__{c}_n"),
-                F.expr(_STATS_SX.format(c=c)).alias(f"__{c}_sx"),
-                F.expr(_STATS_SXX.format(c=c)).alias(f"__{c}_sxx"),
-            ]
-        stats = df.agg(*stat_exprs)
-        counted = df.crossJoin(F.broadcast(stats)).agg(*[
-            F.expr(
-                "count(case when {c} > {avg} + 3 * {std} or {c} < {avg} - 3 * {std} "
-                "then 1 end)".format(c=r.column, avg=_outlier_bound_exprs(r.column)[0],
-                                     std=_outlier_bound_exprs(r.column)[1])
-            ).cast("double").alias(f"o{i}")
-            for i, r in enumerate(out_rules)
-        ])
-        tuples = ", ".join(f"'{_q(r.name)}', o{i}" for i, r in enumerate(out_rules))
-        pieces.append(counted.select(F.expr(
-            f"stack({len(out_rules)}, {tuples}) as (rule_name, actual_value)"
-        )))
-
-    for r in [r for r in rules if r.kind == "ref_integrity"]:
-        ref = ref_tables[r.ref_table].select(F.col(r.ref_column).alias("__ref_key")).distinct()
-        orphans = (df.select(F.col(r.column).alias("__key"))
-                   .where(F.col("__key").isNotNull())
-                   .join(ref, F.col("__key") == F.col("__ref_key"), "left_anti")
-                   .agg(F.count(F.lit(1)).cast("double").alias("actual_value"))
-                   .select(F.lit(r.name).alias("rule_name"), "actual_value"))
-        pieces.append(orphans)
-
-    for r in [r for r in rules if r.kind == "sql"]:
+    for r in sql_rules:
         res = spark.sql(r.sql)
         first_col = res.columns[0]
         pieces.append(res.limit(1).select(

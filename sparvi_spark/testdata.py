@@ -43,12 +43,40 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # timestamps on load (truncation, matching DuckDB's nanos->micros read).
 _NANOS_TS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
+# The testdata files are single-row-group parquet, so a scan is 1 task no
+# matter the core count, and every query touching lineitem pays a ~1s
+# single-threaded decode. Engine policy for hot small inputs (SURVEY §4
+# caching row): tables under _CACHE_MAX_BYTES are repartitioned to the
+# session's parallelism and persisted once per process, so repeated queries
+# (the driver runs ~50 per session) read memory at full parallelism. At
+# cluster scale a 100 TB fact never hits the size gate; scans there already
+# produce >= parallelism splits, making both rewrites no-ops.
+_REPARTITION_MIN_BYTES = 64 << 10
+_CACHE_MAX_BYTES = 256 << 20
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    cache_on = os.environ.get("SPARK_GRAFT_NO_CACHE") != "1"
+    key = (id(spark._jsparkSession), sf_dir, name)
+    if cache_on and key in _CACHE:
+        return _CACHE[key]
+    df = spark.read.parquet(path)
     for c in _NANOS_TS.get(name, ()):
         if isinstance(df.schema[c].dataType, LongType):
             df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        size = 0
+    par = spark.sparkContext.defaultParallelism
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b"))
+    if size >= _REPARTITION_MIN_BYTES and size // max_split < par:
+        df = df.repartition(par)
+    if cache_on and size < _CACHE_MAX_BYTES:
+        df = df.persist()
+        _CACHE[key] = df
     return df
 
 
