@@ -1,0 +1,169 @@
+"""Engine lifecycle API (SURVEY.md §3): the top-level flows a user of the
+reference drives over HTTP, as library calls over DataFrames + a StateStore.
+
+Flow parity:
+- run_profile       = GET /api/profile      (routes/profiles.py:24-102)
+- run_validations   = POST /api/run-validations
+                      (routes/validations.py:326-390, 696-856)
+- track_schema      = schema-change detection path (app.py:5169-5271)
+- run_anomaly_detection = POST .../anomalies/detect
+                      (core/anomalies/scheduler.py:30-91)
+
+Where the reference fans out with thread pools (5 tables / 10 rules /
+5 configs), every fan-out here is a single Spark job over a keyed
+DataFrame — the parallelism is the cluster's, not a driver thread pool.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparvi_spark.operators.anomalies import detect_anomalies
+from sparvi_spark.operators.profile import profile_table
+from sparvi_spark.operators.schema_diff import (
+    detect_changes,
+    snapshot_from_dataframe,
+)
+from sparvi_spark.operators.trends import profile_trends, retain_latest
+from sparvi_spark.operators.validation import Rule, run_rules
+from sparvi_spark.sources.state import StateStore
+
+
+def _utcnow() -> str:
+    return _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.state = StateStore(spark, warehouse)
+
+    # ------------------------------------------------------------------ §3.1
+    def run_profile(self, df: DataFrame, table_name: str,
+                    as_of: str | None = None, exact: bool = True,
+                    attach_trends: bool = True) -> dict[str, Any]:
+        """Profile run: previous profile -> profile document -> store ->
+        metric tracking -> trends attach. Returns the profile document."""
+        as_of = as_of or _utcnow()
+        previous = self.state.latest_profile(table_name)
+        profile = profile_table(df, table_name, previous_profile=previous,
+                                exact=exact, as_of=as_of)
+        self.state.save_profile(table_name, profile, as_of)
+        self._track_profile_metrics(profile, as_of)
+        if attach_trends:
+            import json as _json
+
+            history = profile_trends(self.state.read("profiles"), table_name)
+            docs = [_json.loads(r["data"]) for r in history.collect()]
+            profile["trends"] = {
+                "timestamps": [d["timestamp"] for d in docs],
+                "row_counts": [d["row_count"] for d in docs],
+                "duplicate_counts": [d["duplicate_count"] for d in docs],
+            }
+        return profile
+
+    def _track_profile_metrics(self, profile: dict[str, Any], as_of: str) -> None:
+        """T12: append the profile's scalar metrics to historical_metrics
+        (the input series of anomaly detection)."""
+        t = profile["table_name"]
+        rows = [
+            {"metric_name": "row_count", "metric_value": float(profile["row_count"]),
+             "metric_type": "profile", "table_name": t, "source": "profiler",
+             "ts": as_of},
+            {"metric_name": "duplicate_count",
+             "metric_value": float(profile["duplicate_count"]),
+             "metric_type": "profile", "table_name": t, "source": "profiler",
+             "ts": as_of},
+        ]
+        for c, comp in profile["completeness"].items():
+            rows.append({"metric_name": "null_percentage",
+                         "metric_value": float(comp["null_percentage"]),
+                         "metric_type": "profile", "table_name": t,
+                         "column_name": c, "source": "profiler", "ts": as_of})
+        self.state.append_rows("historical_metrics", rows)
+
+    # ------------------------------------------------------------------ §3.2
+    def run_validations(self, df: DataFrame, table_name: str,
+                        rules: list[Rule],
+                        ref_tables: dict[str, DataFrame] | None = None,
+                        run_at: str | None = None) -> DataFrame:
+        """Validation run: batched rule execution -> store results."""
+        run_at = run_at or _utcnow()
+        results = run_rules(df, rules, ref_tables=ref_tables)
+        stored = results.select(
+            F.lit(table_name).alias("table_name"), "rule_name", "operator",
+            "expected_lo", "expected_hi", "actual_value", "is_valid",
+            F.lit(run_at).cast("timestamp").alias("run_at"))
+        self.state.append("validation_results", stored)
+        return results
+
+    # ------------------------------------------------------------------ §3.3
+    def track_schema(self, df: DataFrame, table_name: str,
+                     primary_keys: tuple[str, ...] = (),
+                     as_of: str | None = None) -> DataFrame | None:
+        """Schema tracking: snapshot current schema, diff against the stored
+        baseline (S1-S8), store snapshot + changes. Returns the change rows
+        (None on baseline bootstrap)."""
+        as_of = as_of or _utcnow()
+        current = snapshot_from_dataframe(self.spark, df, table_name, primary_keys)
+        prev_all = self.state.read("schema_snapshots").where(
+            F.col("table_name") == table_name)
+        previous = None
+        if prev_all.limit(1).count() > 0:
+            latest_ts = prev_all.agg(F.max("collected_at")).collect()[0][0]
+            previous = prev_all.where(F.col("collected_at") == latest_ts) \
+                .select("table_name", "column_name", "col_type", "nullable",
+                        "pk_ordinal")
+        self.state.append("schema_snapshots", current.withColumn(
+            "collected_at", F.lit(as_of).cast("timestamp")))
+        changes = detect_changes(previous, current)
+        if changes is not None:
+            stored = changes.withColumn(
+                "detected_at", F.lit(as_of).cast("timestamp"))
+            self.state.append("schema_changes", stored)
+        return changes
+
+    # ------------------------------------------------------------------ §3.4
+    def run_anomaly_detection(self, configs: list[dict[str, Any]],
+                              history_days: int = 30,
+                              limit_per_series: int = 1000,
+                              as_of: str | None = None) -> DataFrame | None:
+        """Anomaly run over all active configs as one job per method group
+        (the reference threads over configs one at a time,
+        scheduler.py:57-66; here a method group is a single keyed window
+        job over every matching series)."""
+        as_of = as_of or _utcnow()
+        metrics = self.state.read("historical_metrics").where(
+            F.col("ts") >= F.lit(as_of).cast("timestamp")
+            - F.expr(f"interval {history_days} days"))
+        keys = ["metric_name", "table_name", "column_name"]
+        outs: list[DataFrame] = []
+        for cfg in configs:
+            if not cfg.get("is_active", True):
+                continue
+            series = metrics.where(
+                (F.col("metric_name") == cfg["metric_name"])
+                & (F.col("table_name") == cfg.get("table_name", ""))
+            )
+            if cfg.get("column_name"):
+                series = series.where(F.col("column_name") == cfg["column_name"])
+            series = retain_latest(series, keys, "ts", limit_per_series) \
+                .select(*keys, "ts", F.col("metric_value").alias("value"))
+            det = detect_anomalies(series, keys, config=cfg,
+                                   order_col="ts", value_col="value")
+            outs.append(det.where(F.col("is_anomaly")).select(
+                *keys, F.col("method"),
+                "ts", "value", "score", "threshold", "severity"))
+        if not outs:
+            return None
+        result = outs[0]
+        for o in outs[1:]:
+            result = result.unionAll(o)
+        self.state.append(
+            "anomaly_results",
+            result.withColumn("run_date", F.to_date(F.lit(as_of))))
+        return result

@@ -1,0 +1,70 @@
+"""Scalar-function surface (SURVEY.md §2.H).
+
+Every scalar the reference's generated SQL uses maps directly to Spark SQL
+except the four below, which need translation. Everything else
+(COUNT/SUM/AVG/MIN/MAX/STDDEV/COUNT DISTINCT, LENGTH, TRIM, LIKE, NULLIF,
+CASE WHEN, CURRENT_DATE/TIMESTAMP, date_trunc) is available verbatim via
+``spark.sql`` / ``pyspark.sql.functions`` — the V24 passthrough
+(operators.validation) is the engine's SQL surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "similar_to",
+    "not_regexp",
+    "count_filter",
+    "datediff_hours",
+    "generate_series_days",
+]
+
+
+def similar_to(col: Column | str, pattern: str) -> Column:
+    """SQL ``SIMILAR TO`` (reference default_validations.py:267).
+
+    SIMILAR TO is implicitly anchored at both ends; Spark's ``rlike`` is
+    not (SURVEY §7.7) — anchor explicitly. The SQL-regex dialect subset the
+    reference uses (char classes, ?, +) is valid POSIX regex as-is.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    anchored = pattern
+    if not anchored.startswith("^"):
+        anchored = "^" + anchored
+    if not anchored.endswith("$"):
+        anchored = anchored + "$"
+    return c.rlike(anchored)
+
+
+def not_regexp(col: Column | str, pattern: str) -> Column:
+    """MySQL-style ``NOT REGEXP`` (ValidationRuleEditor.js:253) —
+    unanchored, so plain negated rlike."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ~c.rlike(pattern)
+
+
+def count_filter(cond: Column) -> Column:
+    """``COUNT(*) FILTER (WHERE cond)`` (default_validations.py:337) —
+    Spark has no FILTER clause on aggregates; ``count(when(cond, 1))``."""
+    return F.count(F.when(cond, F.lit(1)))
+
+
+def datediff_hours(start: Column | str, end: Column | str) -> Column:
+    """DuckDB/Snowflake ``DATEDIFF('hour', start, end)``
+    (core/anomalies/metrics.py:83). Spark's equivalent is
+    ``timestampdiff(HOUR, start, end)`` — note the argument order matches
+    (start, end) in both, but Spark's own ``datediff`` counts days only."""
+    s = F.col(start) if isinstance(start, str) else start
+    e = F.col(end) if isinstance(end, str) else end
+    return (e.cast("long") - s.cast("long")) / F.lit(3600)
+
+
+def generate_series_days(start: str, end: str) -> Column:
+    """Postgres ``generate_series(date, date, interval '1 day')``
+    (core/anomalies/api.py:590-594) — explode upstream of this column."""
+    return F.sequence(
+        F.lit(start).cast("date"), F.lit(end).cast("date"),
+        F.expr("interval 1 day"),
+    )

@@ -1,0 +1,73 @@
+"""Input connectors (SURVEY.md §2.F).
+
+The reference's only implemented connector is SQLAlchemy-over-Snowflake
+(core/metadata/connectors.py:31-126) with a factory that rejects everything
+else (connector_factory.py:45-66). In Spark the connector surface is the
+DataSource API: every warehouse the reference targets (Snowflake, Postgres,
+Redshift, DuckDB files) is reachable through ``jdbc``, and file lakes
+through native parquet/csv/json readers — all with predicate pushdown and
+column pruning handled by the source.
+
+``read_table`` is the uniform entry point: a connection dict + table name ->
+DataFrame. Partitioned JDBC reads (partition_column/num_partitions) are the
+scale path — without them a JDBC read is a single task.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _jdbc_url(conn: dict[str, Any]) -> str:
+    """Build a JDBC URL from the reference's connection-detail shape
+    (core/connections/builders.py:26-64: type + account/host/db/schema)."""
+    ctype = conn["type"].lower()
+    if ctype == "postgresql":
+        return (f"jdbc:postgresql://{conn['host']}:{conn.get('port', 5432)}/"
+                f"{conn['database']}")
+    if ctype == "snowflake":
+        return f"jdbc:snowflake://{conn['account']}.snowflakecomputing.com/"
+    if ctype == "duckdb":
+        return f"jdbc:duckdb:{conn.get('path', ':memory:')}"
+    raise NotImplementedError(f"connection type {ctype!r}")
+
+
+def read_table(
+    spark: SparkSession,
+    conn: dict[str, Any],
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """Read one monitored table as a DataFrame.
+
+    conn["type"]: ``parquet`` | ``csv`` | ``json`` (path-based lakes; conn
+    ["path"] is the directory) or ``postgresql`` | ``snowflake`` | ``duckdb``
+    (JDBC). For JDBC, pass partition_column + bounds to parallelize the read
+    across executors; defaults would funnel the whole table through one task.
+    """
+    ctype = conn["type"].lower()
+    if ctype in ("parquet", "csv", "json"):
+        path = f"{conn['path']}/{table}.{ctype}"
+        reader = spark.read
+        if ctype == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        return getattr(reader, ctype)(path)
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", _jdbc_url(conn))
+        .option("dbtable", table)
+    )
+    for k in ("user", "password", "driver"):
+        if k in conn:
+            reader = reader.option(k, conn[k])
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("numPartitions", num_partitions or 8)
+                  .option("lowerBound", lower_bound or 0)
+                  .option("upperBound", upper_bound or 1_000_000))
+    return reader.load()

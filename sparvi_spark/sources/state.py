@@ -1,0 +1,129 @@
+"""State store: the engine-side equivalent of the reference's Supabase
+tables (SURVEY.md §1.2).
+
+Each state entity is an append-only parquet table under a warehouse
+directory; readers get plain DataFrames. Writes append (the reference's
+inserts, storage_service.py / historical_metrics.py); retention and
+latest-per-key compaction are batch jobs over the same tables
+(supabase_manager.py:275-305 keep-latest-30).
+
+Scale notes: appends are partitioned by ``run_date`` so both retention and
+time-ranged reads prune partitions; each append coalesces to a few files to
+avoid small-file explosion from frequent runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# entity -> schema DDL (profile documents are stored as a JSON string in
+# `data`, mirroring profiling_history.data — SURVEY §1.2 row 1).
+ENTITIES: dict[str, str] = {
+    "profiles": ("table_name string, collected_at timestamp, data string, "
+                 "run_date date"),
+    "validation_results": (
+        "table_name string, rule_name string, operator string, "
+        "expected_lo double, expected_hi double, actual_value double, "
+        "is_valid boolean, run_at timestamp, run_date date"),
+    "historical_metrics": (
+        "metric_name string, metric_value double, metric_text string, "
+        "metric_type string, table_name string, column_name string, "
+        "source string, ts timestamp, run_date date"),
+    "schema_snapshots": (
+        "table_name string, column_name string, col_type string, "
+        "nullable boolean, pk_ordinal int, collected_at timestamp, "
+        "run_date date"),
+    "schema_changes": (
+        "change_type string, table_name string, column_name string, "
+        "details string, important boolean, detected_at timestamp, "
+        "run_date date"),
+    "anomaly_results": (
+        "metric_name string, table_name string, column_name string, "
+        "method string, ts timestamp, value double, score double, "
+        "threshold double, severity string, run_date date"),
+}
+
+
+class StateStore:
+    """Parquet-backed state tables under ``root`` (one dir per entity)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _path(self, entity: str) -> str:
+        if entity not in ENTITIES:
+            raise KeyError(f"unknown state entity {entity!r}")
+        return os.path.join(self.root, entity)
+
+    def append(self, entity: str, df: DataFrame) -> None:
+        """Append rows (stamping run_date for partition pruning)."""
+        if "run_date" not in df.columns:
+            ts_col = next(
+                (c for c in ("collected_at", "run_at", "detected_at", "ts")
+                 if c in df.columns), None)
+            stamp = F.to_date(ts_col) if ts_col else F.current_date()
+            df = df.withColumn("run_date", stamp)
+        (df.coalesce(4).write.mode("append")
+         .partitionBy("run_date").parquet(self._path(entity)))
+
+    def append_rows(self, entity: str, rows: list[dict[str, Any]]) -> None:
+        """Append plain dicts (values may be strings; cast per the entity
+        DDL — ISO timestamps etc. — so callers don't build typed Rows)."""
+        fields = [
+            (f.strip().split(" ")[0], f.strip().split(" ", 1)[1])
+            for f in ENTITIES[entity].split(",")
+            if f.strip().split(" ")[0] != "run_date"
+        ]
+        str_schema = ", ".join(f"{n} string" for n, _ in fields)
+        df = self.spark.createDataFrame(
+            [tuple(None if r.get(n) is None else str(r.get(n)) for n, _ in fields)
+             for r in rows],
+            str_schema)
+        self.append(entity, df.select(
+            *[F.col(n).cast(t).alias(n) for n, t in fields]))
+
+    def read(self, entity: str) -> DataFrame:
+        path = self._path(entity)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], ENTITIES[entity])
+        return self.spark.read.schema(ENTITIES[entity]).parquet(path)
+
+    # -- profile documents (JSON payloads, profiling_history shape) --------
+
+    def save_profile(self, table_name: str, profile: dict[str, Any],
+                     collected_at: str) -> None:
+        self.append_rows("profiles", [{
+            "table_name": table_name,
+            "collected_at": collected_at,
+            "data": json.dumps(profile, default=str, sort_keys=True),
+        }])
+
+    def latest_profile(self, table_name: str) -> dict[str, Any] | None:
+        """Newest stored profile document (the ``previous_profile`` input of
+        a profile run — routes/profiles.py:71)."""
+        rows = (self.read("profiles")
+                .where(F.col("table_name") == table_name)
+                .orderBy(F.col("collected_at").desc())
+                .limit(1).collect())
+        return json.loads(rows[0]["data"]) if rows else None
+
+    def retain_latest(self, entity: str, keys: list[str], order_col: str,
+                      n: int = 30) -> None:
+        """Keep the newest n rows per key (supabase_manager.py:275-305),
+        rewriting the entity table."""
+        from sparvi_spark.operators.trends import retain_latest as _retain
+
+        kept = _retain(self.read(entity), keys, order_col, n).collect()
+        path = self._path(entity)
+        tmp = self.spark.createDataFrame(kept, ENTITIES[entity])
+        tmp.coalesce(4).write.mode("overwrite").partitionBy("run_date") \
+            .parquet(path + "._tmp")
+        import shutil
+        shutil.rmtree(path)
+        os.rename(path + "._tmp", path)

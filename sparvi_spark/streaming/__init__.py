@@ -1,0 +1,16 @@
+"""Structured Streaming extension (SURVEY.md §7 phase 6).
+
+The reference is batch-only — its "time series" are polled snapshots
+(SURVEY §0). These operators give the same monitoring semantics over a live
+stream: windowed row counts, windowed quality metrics, and freshness, all
+with event-time watermarks so late data is bounded and state is pruned.
+"""
+
+from sparvi_spark.streaming.monitor import (
+    events_stream,
+    freshness,
+    windowed_counts,
+    windowed_quality,
+)
+
+__all__ = ["events_stream", "windowed_counts", "windowed_quality", "freshness"]

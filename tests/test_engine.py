@@ -1,0 +1,110 @@
+"""Engine lifecycle end-to-end (SURVEY §3) + collection plans + sources."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    from sparvi_spark.engine import Engine
+
+    return Engine(spark, str(tmp_path / "warehouse"))
+
+
+def _docs(spark):
+    from sparvi_spark.testdata import load_table
+
+    return load_table(spark, "documents", SF_DIR)
+
+
+def test_profile_run_stores_and_trends(spark, engine):
+    df = _docs(spark)
+    p1 = engine.run_profile(df, "documents", as_of="2026-01-01 00:00:00")
+    assert p1["row_count"] == df.count()
+    assert p1["table_name"] == "documents"
+    assert p1["trends"]["row_counts"] == [p1["row_count"]]
+
+    # second run sees the first as previous_profile
+    p2 = engine.run_profile(df, "documents", as_of="2026-01-02 00:00:00")
+    assert p2["row_count_change"] == 0
+    stored = engine.state.read("profiles")
+    assert stored.where(F.col("table_name") == "documents").count() == 2
+    # metric series accumulated for anomaly detection
+    metrics = engine.state.read("historical_metrics")
+    assert metrics.where(F.col("metric_name") == "row_count").count() == 2
+
+
+def test_validation_run_stores_results(spark, engine):
+    from sparvi_spark.operators.validation import generate_default_rules
+    from sparvi_spark.testdata import SCHEMAS
+
+    df = _docs(spark)
+    rules = generate_default_rules(SCHEMAS["documents"], as_of="2026-01-01 00:00:00")
+    res = engine.run_validations(df, "documents", rules)
+    assert res.count() == len(rules)
+    stored = engine.state.read("validation_results")
+    assert stored.count() == len(rules)
+    assert stored.where(F.col("is_valid").isNull()).count() == 0
+
+
+def test_schema_tracking_bootstrap_then_diff(spark, engine):
+    df = _docs(spark)
+    first = engine.track_schema(df, "documents", primary_keys=("doc_id",),
+                                as_of="2026-01-01 00:00:00")
+    assert first is None  # S8 baseline bootstrap reports nothing
+
+    changed = df.drop("lang").withColumn("extra", F.lit(1)) \
+        .withColumn("n_chars", F.col("n_chars").cast("string"))
+    changes = engine.track_schema(changed, "documents", primary_keys=("doc_id",),
+                                  as_of="2026-01-02 00:00:00")
+    kinds = {r["change_type"] for r in changes.collect()}
+    assert {"column_removed", "column_added", "column_type_changed"} <= kinds
+    stored = engine.state.read("schema_changes")
+    assert stored.where(F.col("important")).count() >= 2  # removed + type change
+
+
+def test_anomaly_detection_run(spark, engine):
+    # seed a metric series with one obvious spike
+    base = dt.datetime(2026, 1, 1)
+    rows = [{"metric_name": "row_count", "metric_value": 100.0 + (i % 3),
+             "metric_type": "profile", "table_name": "documents",
+             "source": "profiler",
+             "ts": (base + dt.timedelta(days=i)).strftime("%Y-%m-%d %H:%M:%S")}
+            for i in range(20)]
+    rows[15]["metric_value"] = 500.0
+    engine.state.append_rows("historical_metrics", rows)
+    res = engine.run_anomaly_detection(
+        [{"metric_name": "row_count", "table_name": "documents",
+          "detection_method": "zscore", "sensitivity": 1.0}],
+        as_of="2026-01-21 00:00:00")
+    found = res.collect()
+    assert len(found) == 1 and found[0]["value"] == 500.0
+    assert engine.state.read("anomaly_results").count() == 1
+
+
+def test_collection_plan_tiers(spark):
+    from sparvi_spark.plans import CollectionPlan, collect_metadata
+    from sparvi_spark.testdata import load_table
+
+    tables = {t: load_table(spark, t, SF_DIR) for t in ["region", "nation"]}
+    meta = collect_metadata(tables, CollectionPlan(depth="high"),
+                            primary_keys={"region": ("r_regionkey",)})
+    assert meta["tables"] == ["region", "nation"]
+    assert meta["row_counts"]["region"] == 5
+    assert meta["keys"]["region"] == ["r_regionkey"]
+    assert "r_regionkey__min" in meta["statistics"]["region"]
+    low = collect_metadata(tables, CollectionPlan(depth="low"))
+    assert low["row_counts"] == {} and low["statistics"] == {}
+
+
+def test_read_table_parquet_source(spark):
+    from sparvi_spark.sources import read_table
+
+    df = read_table(spark, {"type": "parquet", "path": SF_DIR}, "region")
+    assert df.count() == 5
+    with pytest.raises(NotImplementedError):
+        read_table(spark, {"type": "bigquery"}, "x")

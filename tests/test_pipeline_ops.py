@@ -1,0 +1,111 @@
+"""Unit tests for the training-data pipeline operators (dedup, similarity,
+text, multimodal) on constructed micro-corpora with known answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),          # near dup of 1
+        (4, "completely different text about spark engines here"),
+        (5, "completely different text about spark engines here ok"),  # near dup of 4
+        (6, "unrelated short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_duplicates(corpus):
+    from sparvi_spark.operators.dedup import dedup_exact, exact_duplicates
+
+    groups = exact_duplicates(corpus, ["text"]).collect()
+    assert len(groups) == 1 and groups[0]["cnt"] == 2
+    assert dedup_exact(corpus, ["text"]).count() == 5
+
+
+def test_jaccard_pairs_exact_math(corpus):
+    from sparvi_spark.operators.dedup import jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_pairs(corpus, "doc_id", "text", n=1,
+                                    threshold=0.5).collect()}
+    # docs 1/2 identical token sets -> jaccard 1.0
+    assert pairs[(1, 2)] == 1.0
+    # docs 1/3 share 8 of 9 distinct tokens (sets of 8; 'dog' vs 'cat'):
+    # shared=7, union=9 -> 7/9
+    assert pairs[(1, 3)] == round(7 / 9, 6)
+    assert (4, 5) in pairs
+    assert not any(6 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    from sparvi_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(corpus, "doc_id", "text", n=1, num_hashes=32,
+                               bands=16, threshold=0.5).collect()}
+    assert (1, 2) in pairs  # identical docs always collide in every band
+    assert not any(6 in p for p in pairs)
+
+
+def test_simhash_hamming(corpus):
+    from sparvi_spark.operators.dedup import simhash, simhash_pairs
+
+    fp = {r["doc_id"]: r["simhash"] for r in
+          simhash(corpus, "doc_id", "text").collect()}
+    assert fp[1] == fp[2]  # identical text -> identical fingerprint
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_pairs(corpus, "doc_id", "text", max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_cosine_topk_ranks_self_neighbors(spark):
+    from sparvi_spark.operators.similarity import cosine_topk
+
+    rows = [(0, [1.0, 0.0, 0.0], 0), (1, [0.9, 0.1, 0.0], 0),
+            (2, [0.0, 1.0, 0.0], 1), (3, [0.0, 0.95, 0.05], 1)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+    res = cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=2).collect()
+    ranked = [r["neighbor_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert ranked[0] == 1  # nearest is the almost-parallel vector
+
+
+def test_text_quality_and_langid(spark):
+    from sparvi_spark.operators.text import lang_id_expr, quality_features
+
+    rows = [(1, "the cat and the dog are in the house"),
+            (2, "el gato y el perro en la casa"),
+            (3, "!!! ??? ***")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    feats = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert feats[1]["stopword_ratio"] > 0.3
+    assert feats[3]["quality_score"] < feats[1]["quality_score"]
+    langs = {r["doc_id"]: r["g"] for r in
+             docs.select("doc_id", lang_id_expr("text").alias("g")).collect()}
+    assert langs[1] == "en" and langs[2] == "es"
+
+
+def test_multimodal_plumbing_batch_shape(spark):
+    from sparvi_spark.operators.multimodal import (
+        documents_as_media,
+        extract_image_features,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "efghij")], "doc_id int, text string")
+    media = documents_as_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_image_features(media, fake=True)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert got[1]["n_bytes"] == 4 and got[2]["n_bytes"] == 6
+    resized = resize_images(media, 32, 32, fake=True).collect()
+    assert all(len(r["payload"]) == 32 * 32 for r in resized)
+    frames = sample_frames(media, every_n=2, max_frames=2, fake=True)
+    assert frames.count() > 0
+    with pytest.raises(Exception):
+        extract_image_features(media, fake=False).collect()

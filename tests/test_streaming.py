@@ -1,0 +1,73 @@
+"""Streaming monitors: batch parity via memory sink + processAllAvailable."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from sparvi_spark.streaming import (
+    events_stream,
+    freshness,
+    windowed_counts,
+    windowed_quality,
+)
+from sparvi_spark.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Split the events table into several parquet drop files."""
+    d = tmp_path_factory.mktemp("events_stream")
+    events = load_table(spark, "events", SF_DIR)
+    events.repartition(4).write.mode("overwrite").parquet(str(d / "drops"))
+    yield str(d / "drops")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run(stream_df, name, mode="append"):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).start())
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_windowed_counts_match_batch(spark, stream_dir):
+    s = events_stream(spark, stream_dir)
+    _run(windowed_counts(s, window="1 day", watermark="0 seconds"), "wc")
+    got = {(r["window_start"], r["event_type"]): r["row_count"]
+           for r in spark.sql("select * from wc").collect()}
+    batch = load_table(spark, "events", SF_DIR)
+    expect = {(r["d"], r["event_type"]): r["cnt"] for r in
+              batch.groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # watermark closes all but the newest windows; every emitted row must
+    # match its batch counterpart and cover most of the data
+    assert got and all(expect[k] == v for k, v in got.items())
+    assert len(got) >= len(expect) - len({k[1] for k in expect})
+
+
+def test_windowed_quality_match_batch(spark, stream_dir):
+    s = events_stream(spark, stream_dir)
+    _run(windowed_quality(s, window="1 day", watermark="0 seconds"), "wq")
+    rows = spark.sql("select * from wq").collect()
+    assert rows
+    batch = (load_table(spark, "events", SF_DIR)
+             .groupBy(F.date_trunc("day", "ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("row_count"),
+                  F.count(F.when(F.col("value") < 0, 1)).alias("neg")))
+    expect = {r["d"]: (r["row_count"], r["neg"]) for r in batch.collect()}
+    for r in rows:
+        assert expect[r["window_start"]][0] == r["row_count"]
+        assert expect[r["window_start"]][1] == r["negative_count"]
+
+
+def test_freshness_complete_mode(spark, stream_dir):
+    s = events_stream(spark, stream_dir)
+    _run(freshness(s), "fr", mode="complete")
+    got = {r["event_type"]: r["max_ts"] for r in spark.sql("select * from fr").collect()}
+    expect = {r["event_type"]: r["m"] for r in
+              load_table(spark, "events", SF_DIR)
+              .groupBy("event_type").agg(F.max("ts").alias("m")).collect()}
+    assert got == expect
