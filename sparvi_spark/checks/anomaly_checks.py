@@ -208,10 +208,114 @@ FROM scored WHERE raw_score > 1.5
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# A3 rolling IQR (trailing-window exact percentiles, current point excluded —
+# np.percentile linear interpolation == quantile_cont over the same frame)
+# ---------------------------------------------------------------------------
+
+def q_iqr_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _finalize(
+        iqr_anomalies(metric_series(spark, sf_dir), ["metric_name"], window=ROLL_W)
+    )
+
+
+SQL_IQR_ROLLING = f"""
+{SERIES_CTE},
+base AS (SELECT metric_name, ts, value,
+  row_number() OVER (PARTITION BY metric_name ORDER BY ts) AS rn,
+  quantile_cont(value, 0.25) OVER (PARTITION BY metric_name ORDER BY ts
+    ROWS BETWEEN {ROLL_W} PRECEDING AND 1 PRECEDING) AS q1,
+  quantile_cont(value, 0.75) OVER (PARTITION BY metric_name ORDER BY ts
+    ROWS BETWEEN {ROLL_W} PRECEDING AND 1 PRECEDING) AS q3
+ FROM series),
+j AS (SELECT metric_name, ts, value, q3 - q1 AS iqr,
+        q1 - (q3 - q1) * 1.5 AS lower_b, q3 + (q3 - q1) * 1.5 AS upper_b
+      FROM base WHERE rn > {ROLL_W})
+SELECT metric_name, strftime(ts, '%Y-%m-%d') AS ts_day, value,
+  round(case when value < lower_b then
+          (case when iqr > 0 then abs((lower_b - value)/iqr)
+                else cast('Infinity' as double) end)
+        when value > upper_b then
+          (case when iqr > 0 then abs((value - upper_b)/iqr)
+                else cast('Infinity' as double) end)
+        else 0.0 end, 4) AS score,
+  (value < lower_b OR value > upper_b) AS is_anomaly,
+  cast(1.5 as double) AS threshold
+FROM j
+""".strip()
+
+# ---------------------------------------------------------------------------
+# A7 detection run: configs fan out as one unioned job (scheduler.py:30-91 —
+# the reference threads per config; here each config is a branch of one DAG),
+# anomalies-only output with method + severity (A6)
+# ---------------------------------------------------------------------------
+
+def q_detection_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.anomalies import detect_anomalies
+
+    series = metric_series(spark, sf_dir)
+    configs = [
+        ("cfg_z", {"detection_method": "zscore", "sensitivity": 2.0}),
+        ("cfg_i", {"detection_method": "iqr", "sensitivity": 1.0}),
+    ]
+    outs = []
+    for cid, cfg in configs:
+        det = detect_anomalies(series, ["metric_name"], config=cfg)
+        outs.append(det.select(
+            F.lit(cid).alias("config_id"), "metric_name",
+            F.date_format("ts", "yyyy-MM-dd").alias("ts_day"), "value",
+            F.round("score", 4).alias("score"), "method", "severity"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+SQL_DETECTION_RUN = f"""
+{SERIES_CTE},
+zstats AS (SELECT metric_name, ts, value,
+  avg(value) OVER (PARTITION BY metric_name) AS m,
+  stddev_pop(value) OVER (PARTITION BY metric_name) AS s,
+  count(value) OVER (PARTITION BY metric_name) AS n
+ FROM series),
+z AS (SELECT 'cfg_z' AS config_id, metric_name, ts, value,
+  case when s = 0 then 0.0 else abs((value - m)/s) end AS score,
+  'zscore' AS method FROM zstats WHERE n >= 7),
+qs AS (SELECT metric_name, quantile_cont(value, 0.25) AS q1,
+        quantile_cont(value, 0.75) AS q3, count(value) AS cnt
+       FROM series GROUP BY metric_name),
+ij AS (SELECT s.metric_name, s.ts, s.value, q.q3 - q.q1 AS iqr,
+        q.q1 - (q.q3 - q.q1) * 1.5 AS lower_b, q.q3 + (q.q3 - q.q1) * 1.5 AS upper_b
+      FROM series s JOIN qs q ON s.metric_name = q.metric_name
+      WHERE q.cnt >= 7 AND q.cnt >= 4),
+i AS (SELECT 'cfg_i' AS config_id, metric_name, ts, value,
+  case when value < lower_b then
+        (case when iqr > 0 then abs((lower_b - value)/iqr)
+              else cast('Infinity' as double) end)
+       when value > upper_b then
+        (case when iqr > 0 then abs((value - upper_b)/iqr)
+              else cast('Infinity' as double) end)
+       else 0.0 end AS score,
+  'iqr' AS method FROM ij WHERE value < lower_b OR value > upper_b),
+unioned AS (SELECT * FROM z WHERE score > 1.5 UNION ALL SELECT * FROM i)
+SELECT config_id, metric_name, strftime(ts, '%Y-%m-%d') AS ts_day, value,
+  round(score, 4) AS score, method,
+  case when method = 'zscore' then
+        (case when score > 5.0 then 'high' when score > 3.5 then 'medium'
+              else 'low' end)
+       else
+        (case when score > 3.0 then 'high' when score > 1.5 then 'medium'
+              else 'low' end) end AS severity
+FROM unioned
+""".strip()
+
+
 CHECKS = {
     "a01_zscore_global": (q_zscore_global, SQL_ZSCORE_GLOBAL),
     "a02_zscore_rolling": (q_zscore_rolling, SQL_ZSCORE_ROLLING),
     "a03_iqr_global": (q_iqr_global, SQL_IQR_GLOBAL),
     "a04_moving_average": (q_moving_average, SQL_MOVING_AVERAGE),
     "a05_severity": (q_severity, SQL_SEVERITY),
+    "a06_iqr_rolling": (q_iqr_rolling, SQL_IQR_ROLLING),
+    "a07_detection_run": (q_detection_run, SQL_DETECTION_RUN),
 }

@@ -388,6 +388,96 @@ FROM kept GROUP BY user_id
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# T11 refresh-interval suggestion (change_analytics.py:179-271 heuristic over
+# T9 output; current interval 24h; clamp [1, 168])
+# ---------------------------------------------------------------------------
+
+CURRENT_INTERVAL_H = 24.0
+
+
+def q_refresh_suggestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    freq = change_frequency(
+        ev.withColumn("changed", F.col("value") > 100),
+        ["event_type"], "ts", "changed",
+    )
+    cur = F.lit(CURRENT_INTERVAL_H)
+    raw = (
+        F.when(F.col("frequency") == "high",
+               F.coalesce(F.col("avg_hours_between_changes") / 3, cur / 2))
+        .when(F.col("frequency") == "low", cur * 2)
+        .otherwise(cur)
+    )
+    return freq.select(
+        "event_type", "frequency",
+        F.round(F.greatest(F.lit(1.0), F.least(F.lit(168.0), raw)), 4)
+        .alias("suggested_interval_hours"),
+    )
+
+
+SQL_REFRESH_SUGGESTION = """
+WITH flagged AS (SELECT event_type, ts, value > 100 AS changed FROM events),
+gaps AS (SELECT event_type, ts,
+  (epoch(ts) - epoch(lag(ts) OVER (PARTITION BY event_type ORDER BY ts)))
+    / 3600.0 AS gap_h
+ FROM flagged WHERE changed),
+gap_stats AS (SELECT event_type, round(avg(gap_h), 4) AS avg_h
+ FROM gaps GROUP BY event_type),
+totals AS (SELECT event_type, count(*) AS total_checks,
+  count(case when changed then 1 end) AS changes FROM flagged GROUP BY event_type),
+freq AS (SELECT t.event_type,
+  case when t.changes * cast(1 as double) / t.total_checks >= 0.5 then 'high'
+       when t.changes * cast(1 as double) / t.total_checks >= 0.1 then 'medium'
+       else 'low' end AS frequency,
+  g.avg_h FROM totals t LEFT JOIN gap_stats g ON t.event_type = g.event_type)
+SELECT event_type, frequency,
+  round(greatest(1.0, least(168.0,
+    case when frequency = 'high' then coalesce(avg_h / 3, 24.0 / 2)
+         when frequency = 'low' then 24.0 * 2 else 24.0 end)), 4)
+    AS suggested_interval_hours
+FROM freq
+""".strip()
+
+# ---------------------------------------------------------------------------
+# T13 metric history fetch (filter + since + deterministic-order limit)
+# ---------------------------------------------------------------------------
+
+FETCH_SINCE = "2024-01-05 00:00:00"
+FETCH_LIMIT = 200
+
+
+def q_metric_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.trends import fetch_metric_history
+
+    ev = load_table(spark, "events", sf_dir)
+    metrics = ev.select(
+        F.col("event_type").alias("metric_name"),
+        F.col("event_id"),
+        F.col("value").alias("metric_value"),
+        F.col("ts"),
+    )
+    out = fetch_metric_history(
+        metrics, metric_name="click", since=FETCH_SINCE, limit=FETCH_LIMIT,
+        ts_col="ts", tiebreak=("event_id",),
+    )
+    return out.select(
+        "metric_name", "event_id",
+        F.round("metric_value", 4).alias("metric_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+SQL_METRIC_HISTORY = f"""
+SELECT event_type AS metric_name, event_id,
+  round(value, 4) AS metric_value,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events
+WHERE event_type = 'click' AND ts >= timestamp '{FETCH_SINCE}'
+ORDER BY ts DESC, event_id DESC LIMIT {FETCH_LIMIT}
+""".strip()
+
+
 CHECKS = {
     "t01_metric_trends": (q_metric_trends, SQL_METRIC_TRENDS),
     "t02_daily_rollup": (q_daily_rollup, SQL_DAILY_ROLLUP),
@@ -399,5 +489,7 @@ CHECKS = {
     "t08_anomaly_daily_trend": (q_anomaly_daily_trend, SQL_ANOMALY_DAILY_TREND),
     "t09_change_frequency": (q_change_frequency, SQL_CHANGE_FREQUENCY),
     "t10_high_impact": (q_high_impact, SQL_HIGH_IMPACT),
+    "t11_refresh_suggestion": (q_refresh_suggestion, SQL_REFRESH_SUGGESTION),
+    "t13_metric_history": (q_metric_history, SQL_METRIC_HISTORY),
     "t14_retention": (q_retention, SQL_RETENTION),
 }

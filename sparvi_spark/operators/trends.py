@@ -279,8 +279,13 @@ def fetch_metric_history(
     since: str | None = None,
     limit: int | None = None,
     ts_col: str = "timestamp",
+    tiebreak: tuple[str, ...] = (),
 ) -> DataFrame:
-    """T13 (historical_metrics.py:165-217): filter + order + limit."""
+    """T13 (historical_metrics.py:165-217): filter + order + limit.
+
+    ``tiebreak`` columns make the LIMIT cutoff deterministic under equal
+    timestamps (SURVEY §7.9 latest-per-key discipline).
+    """
     out = metrics
     if metric_name is not None:
         out = out.where(F.col("metric_name") == metric_name)
@@ -290,7 +295,7 @@ def fetch_metric_history(
         out = out.where(F.col("column_name") == column_name)
     if since is not None:
         out = out.where(F.col(ts_col) >= F.lit(since).cast("timestamp"))
-    out = out.orderBy(F.col(ts_col).desc())
+    out = out.orderBy(F.col(ts_col).desc(), *[F.col(c).desc() for c in tiebreak])
     if limit is not None:
         out = out.limit(limit)
     return out

@@ -42,6 +42,29 @@ class CollectionPlan:
         return DEPTHS[self.depth]["stat_columns"]
 
 
+def table_size_bytes(df: DataFrame) -> int | None:
+    """P15 table size (app.py:3679-3710 uses warehouse catalogs; the Spark
+    equivalent is the sum of the scan's input file sizes from the plan's
+    FileIndex — no job, metadata only). None for non-file sources."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import os
+    from urllib.parse import urlparse
+
+    total = 0
+    for f in files:
+        p = urlparse(f).path or f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
 def collect_metadata(
     tables: dict[str, DataFrame],
     plan: CollectionPlan = CollectionPlan(),
@@ -69,6 +92,9 @@ def collect_metadata(
             out["keys"][t] = list(primary_keys.get(t, ()))
         if 4 in plan.tiers:
             out["row_counts"][t] = df.count()
+            size = table_size_bytes(df)
+            if size is not None:
+                out.setdefault("sizes", {})[t] = size
         if 5 in plan.tiers and plan.stat_columns:
             cols = [c for cs in bucket_columns(df).values() for c in cs]
             cols = cols[: plan.stat_columns]

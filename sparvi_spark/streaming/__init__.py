@@ -12,5 +12,7 @@ from sparvi_spark.streaming.monitor import (
     windowed_counts,
     windowed_quality,
 )
+from sparvi_spark.streaming.stateful import running_metrics
 
-__all__ = ["events_stream", "windowed_counts", "windowed_quality", "freshness"]
+__all__ = ["events_stream", "windowed_counts", "windowed_quality", "freshness",
+           "running_metrics"]

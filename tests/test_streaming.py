@@ -71,3 +71,26 @@ def test_freshness_complete_mode(spark, stream_dir):
               load_table(spark, "events", SF_DIR)
               .groupBy("event_type").agg(F.max("ts").alias("m")).collect()}
     assert got == expect
+
+
+def test_stateful_running_metrics(spark, stream_dir):
+    from sparvi_spark.streaming.stateful import running_metrics
+
+    s = events_stream(spark, stream_dir, max_files_per_trigger=1)
+    _run(running_metrics(s), "rm", mode="append")
+    rows = spark.sql("select * from rm").collect()
+    assert rows
+    # the last emitted row per key is the converged running state
+    final = {}
+    for r in rows:
+        final[r["event_type"]] = r
+    batch = (load_table(spark, "events", SF_DIR).groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.count(F.when(F.col("value").isNull(), 1)).alias("nulls"),
+                  F.max("value").alias("mx")))
+    expect = {r["event_type"]: r for r in batch.collect()}
+    assert set(final) == set(expect)
+    for k, r in final.items():
+        assert r["row_count"] == expect[k]["n"]
+        assert r["null_count"] == expect[k]["nulls"]
+        assert r["max_value"] == expect[k]["mx"]
