@@ -97,3 +97,18 @@ def test_type_buckets(spark):
     df = load_table(spark, "embeddings", SF_DIR)
     assert type_bucket(df.schema["embedding"].dataType) == "other"
     assert type_bucket(df.schema["vec_id"].dataType) == "numeric"
+
+
+def test_profile_approx_mode(spark):
+    """100 TB mode: sketch distinct counts, skip exact duplicate pass."""
+    from sparvi_spark.operators.profile import profile_table
+    from sparvi_spark.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    df = load_table(spark, "orders", SF_DIR)
+    exact = profile_table(df, "orders", as_of="2026-01-01 00:00:00")
+    approx = profile_table(df, "orders", exact=False, as_of="2026-01-01 00:00:00")
+    assert approx["row_count"] == exact["row_count"]
+    for c, d in exact["distinct_counts"].items():
+        a = approx["distinct_counts"][c]
+        assert a == 0 or abs(a - d) <= max(0.1 * d, 2), (c, a, d)
