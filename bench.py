@@ -34,11 +34,12 @@ def headline_queries():
     similarity, text."""
     from sparvi_spark.checks.anomaly_checks import CHECKS as A
     from sparvi_spark.checks.profile_checks import CHECKS as P
+    from sparvi_spark.checks.schema_checks import CHECKS as S
     from sparvi_spark.checks.trend_checks import CHECKS as T
     from sparvi_spark.checks.validation_checks import CHECKS as V
     from sparvi_spark.operators.dedup import minhash_lsh_pairs
     from sparvi_spark.operators.similarity import cosine_topk
-    from sparvi_spark.operators.text import quality_features
+    from sparvi_spark.operators.text import lang_id_expr, quality_features
 
     def dedup_minhash_full(spark, sf_dir):
         docs = load_table(spark, "documents", sf_dir)
@@ -53,6 +54,11 @@ def headline_queries():
     def text_quality_full(spark, sf_dir):
         return quality_features(load_table(spark, "documents", sf_dir))
 
+    def langid_full(spark, sf_dir):
+        docs = load_table(spark, "documents", sf_dir)
+        return (docs.withColumn("guessed", lang_id_expr("text"))
+                .groupBy("lang", "guessed").count())
+
     return {
         "profile_numeric": P["p04_numeric_stats"][0],
         "profile_distinct": P["p03_distinct_counts"][0],
@@ -61,10 +67,13 @@ def headline_queries():
         "validation_lineitem": V["v00_rules_lineitem"][0],
         "custom_sql_q1": V["v06_custom_sql"][0],
         "anomaly_zscore_rolling": A["a02_zscore_rolling"][0],
+        "anomaly_detection_run": A["a07_detection_run"][0],
         "trend_daily_rollup": T["t02_daily_rollup"][0],
+        "schema_diff": S["s01_schema_diff"][0],
         "dedup_minhash_full": dedup_minhash_full,
         "similarity_topk_full": similarity_topk_full,
         "text_quality_full": text_quality_full,
+        "langid_full": langid_full,
     }
 
 

@@ -17,5 +17,14 @@ Design principles (see SURVEY.md §7):
 
 from sparvi_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "Engine"]
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy: Engine pulls in operator modules; keep bare import light.
+    if name == "Engine":
+        from sparvi_spark.engine import Engine
+
+        return Engine
+    raise AttributeError(name)

@@ -1,0 +1,39 @@
+"""Operator surface (SURVEY.md §2): one module per family.
+
+- profile: P1-P14 one-pass profiling -> profile document
+- validation: V1-V24 rule generation, two-pass batched execution
+- anomalies: A1-A7 window-based detectors
+- schema_diff: S1-S8 snapshot diffs
+- trends: T1-T14 rollups over state tables
+- dedup / similarity / text / multimodal: training-data pipeline operators
+- joins: skew salting + broadcast helpers
+- incremental: per-partition mergeable stats profiling
+"""
+
+from sparvi_spark.operators.anomalies import detect_anomalies
+from sparvi_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from sparvi_spark.operators.incremental import incremental_profile
+from sparvi_spark.operators.joins import salted_join
+from sparvi_spark.operators.profile import profile_table
+from sparvi_spark.operators.schema_diff import compare_schemas, detect_changes
+from sparvi_spark.operators.similarity import cosine_topk, ivf_topk
+from sparvi_spark.operators.text import quality_features, top_tokens
+from sparvi_spark.operators.validation import (
+    generate_default_rules,
+    run_rules,
+    run_validations,
+)
+
+__all__ = [
+    "profile_table", "generate_default_rules", "run_rules", "run_validations",
+    "detect_anomalies", "compare_schemas", "detect_changes",
+    "dedup_exact", "exact_duplicates", "jaccard_pairs", "minhash_lsh_pairs",
+    "simhash_pairs", "cosine_topk", "ivf_topk", "quality_features",
+    "top_tokens", "salted_join", "incremental_profile",
+]

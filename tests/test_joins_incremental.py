@@ -1,0 +1,68 @@
+"""Salted joins and incremental profiling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from sparvi_spark.testdata import load_table
+
+
+def test_salted_join_matches_plain_join(spark):
+    from sparvi_spark.operators.joins import salted_join
+
+    li = load_table(spark, "lineitem", SF_DIR).select("l_orderkey", "l_quantity")
+    orders = load_table(spark, "orders", SF_DIR).select("o_orderkey", "o_totalprice") \
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(orders, "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2).alias("s"),
+    ).collect()[0]
+    salted = salted_join(li, orders, "l_orderkey", salt=8).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2).alias("s"),
+    ).collect()[0]
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+    left = salted_join(li, orders.where(F.col("o_totalprice") > 1e9),
+                       "l_orderkey", salt=4, how="left")
+    assert left.count() == li.count()  # left rows preserved w/o matches
+    with pytest.raises(ValueError):
+        salted_join(li, orders, "l_orderkey", how="full")
+
+
+def test_incremental_profile_matches_full(spark):
+    from sparvi_spark.operators.incremental import (
+        incremental_profile,
+        partition_stats,
+        rollup_profile,
+    )
+
+    ev = load_table(spark, "events", SF_DIR).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))
+    cols = ["value", "user_id"]
+
+    # bootstrap over all partitions
+    state, prof = incremental_profile(ev, "day", cols)
+    full = {r["column_name"]: r for r in prof.collect()}
+
+    # recompute only two partitions; merged state must equal the bootstrap
+    days = [r["day"] for r in ev.select("day").distinct().limit(2).collect()]
+    state2, prof2 = incremental_profile(ev, "day", cols, state=state,
+                                        changed_partitions=days)
+    incr = {r["column_name"]: r for r in prof2.collect()}
+    for c in cols:
+        for k in ("cnt", "nulls", "min_val", "max_val", "avg_val", "stddev_val"):
+            assert full[c][k] == incr[c][k], (c, k)
+
+    # direct-equivalence: rollup over per-partition stats == one-pass stats
+    direct = {r["column_name"]: r for r in
+              rollup_profile(partition_stats(ev, "day", cols)).collect()}
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("nulls"),
+        F.min("value").alias("mn"), F.max("value").alias("mx"),
+    ).collect()[0]
+    assert direct["value"]["cnt"] == agg["cnt"]
+    assert direct["value"]["nulls"] == agg["nulls"]
+    assert direct["value"]["min_val"] == agg["mn"]
+    assert direct["value"]["max_val"] == agg["mx"]
