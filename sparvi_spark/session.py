@@ -37,6 +37,11 @@ def get_spark(app_name: str = "sparvi_spark", shuffle_partitions: int | None = N
         # Driver testdata writes TIMESTAMP(NANOS) parquet (events.ts); Spark
         # reads them as nanosecond longs, converted back in testdata.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The profiler/validator fuse 40-80 aggregates into one pass; the
+        # default maxFields=100 pushes those plans out of whole-stage
+        # codegen into interpreted eval (measured 1.6x on the fused
+        # validation pass A at sf0.1).
+        .config("spark.sql.codegen.maxFields", "500")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -108,3 +108,16 @@ def test_read_table_parquet_source(spark):
     assert df.count() == 5
     with pytest.raises(NotImplementedError):
         read_table(spark, {"type": "bigquery"}, "x")
+
+
+def test_state_retention_rewrite(spark, engine):
+    df = _docs(spark)
+    for day in range(1, 6):
+        engine.run_profile(df, "documents", as_of=f"2026-01-{day:02d} 00:00:00",
+                           attach_trends=False)
+    assert engine.state.read("profiles").count() == 5
+    engine.state.retain_latest("profiles", ["table_name"], "collected_at", n=2)
+    kept = engine.state.read("profiles")
+    assert kept.count() == 2
+    latest = engine.state.latest_profile("documents")
+    assert latest["timestamp"] == "2026-01-05 00:00:00"

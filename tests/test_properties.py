@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for the pure-Python semantic kernels
+whose exactness the oracle parity depends on."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparvi_spark.operators.validation import evaluate_rule, normalize_operator
+
+finite = st.floats(allow_nan=False, allow_infinity=False, width=32)
+
+
+@given(st.sampled_from(["=", "==", "!=", "<>", ">", "<", ">=", "<="]),
+       finite, finite)
+def test_symbolic_operators_match_python(op, actual, expected):
+    """Symbolic spellings must agree with Python's operators under float
+    coercion (manager:342-373 + frontend spellings)."""
+    got = evaluate_rule(op, actual, expected)
+    ref = {
+        "=": actual == expected, "==": actual == expected,
+        "!=": actual != expected, "<>": actual != expected,
+        ">": actual > expected, "<": actual < expected,
+        ">=": actual >= expected, "<=": actual <= expected,
+    }[op]
+    assert got == ref
+
+
+@given(finite, st.tuples(finite, finite))
+def test_between_is_inclusive(actual, bounds):
+    lo, hi = sorted(bounds)
+    assert evaluate_rule("between", actual, [lo, hi]) == (lo <= actual <= hi)
+
+
+@given(st.one_of(st.none(), st.text(max_size=5)), finite)
+def test_none_and_uncoercible_are_invalid(actual, expected):
+    if actual is None:
+        assert evaluate_rule("greater_than", actual, expected) is False
+    else:
+        try:
+            ref = float(actual) > float(expected)
+        except (TypeError, ValueError):
+            ref = False
+        assert evaluate_rule(">", actual, expected) == ref
+
+
+@given(st.text(max_size=10))
+def test_operator_normalization_idempotent(op):
+    assert normalize_operator(normalize_operator(op)) == normalize_operator(op)
+
+
+# --- percentile interpolation: the Spark-side sorted-array interpolation
+# must equal np.percentile (linear), the semantics A3 requires ------------
+
+def _interp(sorted_vals, p):
+    """Python mirror of anomalies._interp_sorted (index = p*(n-1), linear)."""
+    n = len(sorted_vals)
+    idx = p * (n - 1)
+    lo = math.floor(idx)
+    hi = math.ceil(idx)
+    frac = idx - lo
+    return sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * frac
+
+
+@settings(max_examples=200)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+                min_size=2, max_size=40),
+       st.sampled_from([0.25, 0.5, 0.75]))
+def test_interpolation_matches_numpy(vals, p):
+    s = sorted(vals)
+    assert math.isclose(_interp(s, p), float(np.percentile(vals, p * 100)),
+                        rel_tol=1e-9, abs_tol=1e-9)
+
+
+# --- rolling-hash fingerprint: Python mirror of the SQL aggregate ---------
+
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=33,
+                                               max_codepoint=126),
+                        min_size=1, max_size=8), max_size=20))
+def test_fingerprint_fold_is_deterministic_and_bounded(tokens):
+    from sparvi_spark.operators.text import FP_MOD
+
+    acc = 0
+    for t in tokens:
+        acc = (acc * 31 + ord(t[0]) * 1000 + len(t)) % FP_MOD
+    assert 0 <= acc < FP_MOD
