@@ -86,12 +86,21 @@ class Engine:
                          "column_name": c, "source": "profiler", "ts": as_of})
         self.state.append_rows("historical_metrics", rows)
 
+    def publish_event(self, event_type: str, table_name: str,
+                      details: str, at: str | None = None) -> None:
+        """Append to the engine event log (events.py:94-129 publication —
+        the hook notification/automation consumers poll)."""
+        self.state.append_rows("engine_events", [{
+            "event_type": event_type, "table_name": table_name,
+            "details": details, "detected_at": at or _utcnow()}])
+
     # ------------------------------------------------------------------ §3.2
     def run_validations(self, df: DataFrame, table_name: str,
                         rules: list[Rule],
                         ref_tables: dict[str, DataFrame] | None = None,
                         run_at: str | None = None) -> DataFrame:
-        """Validation run: batched rule execution -> store results."""
+        """Validation run: batched rule execution -> store results; failures
+        publish a validation_failure event (routes/validations.py:820-848)."""
         run_at = run_at or _utcnow()
         results = run_rules(df, rules, ref_tables=ref_tables)
         stored = results.select(
@@ -99,6 +108,11 @@ class Engine:
             "expected_lo", "expected_hi", "actual_value", "is_valid",
             F.lit(run_at).cast("timestamp").alias("run_at"))
         self.state.append("validation_results", stored)
+        failed = [r["rule_name"] for r in
+                  results.where(~F.col("is_valid")).select("rule_name").collect()]
+        if failed:
+            self.publish_event("validation_failure", table_name,
+                               ",".join(sorted(failed)), run_at)
         return results
 
     # ------------------------------------------------------------------ §3.3
@@ -125,6 +139,11 @@ class Engine:
             stored = changes.withColumn(
                 "detected_at", F.lit(as_of).cast("timestamp"))
             self.state.append("schema_changes", stored)
+            important = [r["change_type"] for r in
+                         changes.where(F.col("important")).collect()]
+            if important:
+                self.publish_event("schema_change", table_name,
+                                   ",".join(sorted(set(important))), as_of)
         return changes
 
     # ------------------------------------------------------------------ §3.4

@@ -90,3 +90,62 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _hyperplane_bit(vec_col: str, bit: int, seed: int) -> str:
+    """Sign bit of dot(vec, plane_bit): plane components are deterministic
+    pseudo-randoms in [-1, 1) derived from xxhash64(bit, j, seed) — fully
+    JVM-side, identical on every executor, no materialized plane matrix."""
+    comp = (f"(pmod(xxhash64({bit}L, cast(i as long), {seed}L), 2000000) "
+            f"/ cast(1000000 as double) - 1.0)")
+    dot = (f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+           f"(x, i) -> cast(x as double) * {comp}), "
+           f"cast(0 as double), (acc, v) -> acc + v)")
+    return f"case when {dot} >= 0 then shiftleft(1L, {bit}) else 0L end"
+
+
+def lsh_bucket_expr(vec_col: str, n_bits: int = 12, seed: int = 7) -> Column:
+    """Random-hyperplane LSH bucket id (n_bits sign bits packed in a long).
+
+    Cosine-similar vectors agree on most sign bits, so they land in the
+    same bucket with probability (1 - theta/pi)^n_bits — the standard
+    SimHash-for-vectors scheme. Everything is column expressions: at 100 TB
+    the bucket assignment is one projection over the corpus scan.
+    """
+    bits = " | ".join(_hyperplane_bit(vec_col, b, seed) for b in range(n_bits))
+    return F.expr(f"({bits})")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 7,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN top-k probing only the query's LSH bucket.
+
+    Same output contract as cosine_topk, restricted to same-bucket
+    candidates: recall depends on n_bits (fewer bits = bigger buckets =
+    higher recall, more compute). Multi-probe: union over several seeds.
+    """
+    bucket = lambda col: lsh_bucket_expr(col, n_bits=n_bits, seed=seed)  # noqa: E731
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       bucket(vec_col).alias("qb"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                      bucket(vec_col).alias("cb"))
+    scored = (
+        c.join(F.broadcast(q), F.col("cb") == F.col("qb"))
+        .withColumn("cosine", cosine_expr("cv", "qv"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

@@ -46,6 +46,10 @@ ENTITIES: dict[str, str] = {
         "metric_name string, table_name string, column_name string, "
         "method string, ts timestamp, value double, score double, "
         "threshold double, severity string, run_date date"),
+    # engine event log (core/automation/events.py:10-24 event types)
+    "engine_events": (
+        "event_type string, table_name string, details string, "
+        "detected_at timestamp, run_date date"),
 }
 
 
