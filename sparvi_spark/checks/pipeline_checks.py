@@ -75,13 +75,70 @@ WHERE round(shared * cast(1 as double) / (x.sz + y.sz - shared), 6) >= {JACCARD_
 """.strip()
 
 # ---------------------------------------------------------------------------
-# d03/d04 MinHash-LSH + SimHash (engine-hash-dependent -> rows-only checks)
+# d03 MinHash-LSH, portable-hash mode: the ORACLE recomputes the identical
+# polynomial base hash, affine signature slots, band folds, candidate pairs,
+# and exact-Jaccard verification. d04 SimHash stays rows-only (64-bit
+# engine-native hashing has no portable DuckDB twin).
 # ---------------------------------------------------------------------------
+
+MH_HASHES, MH_BANDS = 16, 4
+
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
-    return minhash_lsh_pairs(docs, "doc_id", "text", n=1, num_hashes=32, bands=8,
-                             threshold=JACCARD_T)
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=1, num_hashes=MH_HASHES,
+                             bands=MH_BANDS, threshold=JACCARD_T,
+                             hash_fn="portable")
+
+
+def _sql_minhash_lsh() -> str:
+    from sparvi_spark.operators.dedup import (
+        PORTABLE_BAND_M as M,
+        PORTABLE_P as P,
+        _affine_params,
+    )
+
+    rpb = MH_HASHES // MH_BANDS
+    mins = ", ".join(
+        "min(({a} * x + {b}) % {p}) AS h{i}".format(
+            a=_affine_params(i)[0], b=_affine_params(i)[1], p=P, i=i)
+        for i in range(MH_HASHES)
+    )
+    band_selects = []
+    for bnd in range(MH_BANDS):
+        expr = "0"
+        for k in range(bnd * rpb, (bnd + 1) * rpb):
+            expr = f"(({expr}) * {M} + h{k}) % {P}"
+        band_selects.append(
+            f"SELECT id, {bnd} AS band, {expr} AS bh FROM sig")
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sh AS (SELECT DISTINCT doc_id AS id, unnest({_DUCK_TOKS}) AS shingle
+            FROM documents WHERE doc_id < {DOC_CAP}),
+hx AS (SELECT id, list_reduce(list_prepend(cast(0 as bigint),
+         list_transform(range(1, strlen(shingle) + 1),
+           i -> cast(ascii(substring(shingle, i, 1)) as bigint))),
+         (acc, c) -> (acc * 131 + c) % {P}) AS x FROM sh),
+sig AS (SELECT id, {mins} FROM hx GROUP BY id),
+banded AS ({banded}),
+cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+          WHERE a.id < b.id),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+shared AS (SELECT c.id_a, c.id_b, count(*) AS shared
+           FROM cands c
+           JOIN sh a ON a.id = c.id_a
+           JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+           GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b,
+  round(shared * cast(1 as double) / (x.sz + y.sz - shared), 6) AS jaccard
+FROM shared JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+WHERE round(shared * cast(1 as double) / (x.sz + y.sz - shared), 6)
+      >= {JACCARD_T}
+""".strip()
+
+
+SQL_MINHASH_LSH = _sql_minhash_lsh()
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,7 +358,7 @@ FROM documents WHERE doc_id < {DOC_CAP}
 CHECKS = {
     "d01_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "d02_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
-    "d03_minhash_lsh": (q_minhash_lsh, None),
+    "d03_minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "d04_simhash_pairs": (q_simhash_pairs, None),
     "d05_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "x01_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),

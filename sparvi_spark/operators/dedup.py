@@ -110,19 +110,53 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
-) -> DataFrame:
-    """MinHash signatures: sig[i] = min(xxhash64(shingle, seed=i)).
+# Portable polynomial hashing (identical integer arithmetic in Spark SQL
+# and DuckDB — lets the oracle recompute MinHash bit-for-bit; xxhash64 is
+# the faster engine-native default for production).
+PORTABLE_P = 1_000_000_007
+PORTABLE_BAND_M = 1_000_003
 
-    One explode + one groupBy; all hashing JVM-side. Returns
-    (id, sig: array<bigint>).
+
+def portable_hash_expr(col: str) -> str:
+    """Character-fold polynomial hash of a string column -> [0, P)."""
+    return (
+        f"aggregate(transform(sequence(1, length({col})), "
+        f"i -> ascii(substring({col}, i, 1))), 0L, "
+        f"(acc, c) -> (acc * 131 + c) % {PORTABLE_P})"
+    )
+
+
+def _affine_params(i: int) -> tuple[int, int]:
+    """Deterministic universal-hash params (a odd, both < P)."""
+    a = ((i + 1) * 2654435761) % PORTABLE_P | 1
+    b = ((i + 1) * 40503 * 65537 + 17) % PORTABLE_P
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min(h_i(shingle)).
+
+    ``hash_fn="xxhash64"``: engine-native seeded hashes (production).
+    ``hash_fn="portable"``: one polynomial base hash per shingle + affine
+    (a_i·x+b_i) mod P per signature slot — oracle-reproducible.
+    One explode + one groupBy either way. Returns (id, sig: array<bigint>).
     """
     sh = _doc_shingles(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "portable":
+        sh = sh.select("__id", F.expr(portable_hash_expr("shingle")).alias("__x"))
+        mins = []
+        for i in range(num_hashes):
+            a, b = _affine_params(i)
+            mins.append(F.min((F.col("__x") * F.lit(a) + F.lit(b)) % PORTABLE_P)
+                        .alias(f"h{i}"))
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     wide = sh.groupBy("__id").agg(*mins)
     return wide.select(
         F.col("__id").alias(id_col),
@@ -138,6 +172,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
@@ -146,14 +181,19 @@ def minhash_lsh_pairs(
     exact operator on whatever candidates banding surfaces.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn)
+    if hash_fn == "portable":
+        band_hash = (f"aggregate(slice(sig, b * {rows_per_band} + 1, "
+                     f"{rows_per_band}), 0L, "
+                     f"(acc, v) -> (acc * {PORTABLE_BAND_M} + v) % {PORTABLE_P})")
+    else:
+        band_hash = f"xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band}))"
     banded = sigs.select(
         id_col,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b as band, xxhash64(slice(sig, b * {rows_per_band} + 1, "
-                f"{rows_per_band})) as bh))"
+                f"b -> struct(b as band, {band_hash} as bh))"
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
