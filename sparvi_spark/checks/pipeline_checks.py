@@ -146,6 +146,46 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, "doc_id", "text", max_hamming=10)
 
 
+# d06: portable SimHash fingerprints — the oracle reproduces the token
+# hashes, per-bit majority votes, and bit packing exactly (30-bit portable
+# base hash; the 64-bit xxhash64 variant above stays the production path).
+
+SIMHASH_BITS = 30
+
+
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.dedup import simhash
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    return simhash(docs, "doc_id", "text", hash_fn="portable", bits=SIMHASH_BITS)
+
+
+def _sql_simhash_portable() -> str:
+    from sparvi_spark.operators.dedup import PORTABLE_P as P
+
+    votes = ", ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"(case when v{b} > 0 then cast({1 << b} as bigint) else 0 end)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS id, unnest({_DUCK_TOKS}) AS t
+              FROM documents WHERE doc_id < {DOC_CAP}),
+hx AS (SELECT id, list_reduce(list_prepend(cast(0 as bigint),
+         list_transform(range(1, strlen(t) + 1),
+           i -> cast(ascii(substring(t, i, 1)) as bigint))),
+         (acc, c) -> (acc * 131 + c) % {P}) AS h FROM toks),
+votes AS (SELECT id, {votes} FROM hx GROUP BY id)
+SELECT id AS doc_id, {pack} AS simhash FROM votes
+""".strip()
+
+
+SQL_SIMHASH_PORTABLE = _sql_simhash_portable()
+
+
 # ---------------------------------------------------------------------------
 # d05 embedding-cosine near-dup pairs (fold dot product, oracle-checked)
 # ---------------------------------------------------------------------------
@@ -360,6 +400,7 @@ CHECKS = {
     "d02_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "d03_minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "d04_simhash_pairs": (q_simhash_pairs, None),
+    "d06_simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
     "d05_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "x01_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "x02_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),

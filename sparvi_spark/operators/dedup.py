@@ -232,26 +232,34 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document (JVM-side bit votes).
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            hash_fn: str = "xxhash64", bits: int = 64) -> DataFrame:
+    """SimHash fingerprint per document (JVM-side bit votes).
 
     For each bit position, majority vote of token-hash bits; packed into one
-    bigint. Returns (id, simhash: bigint).
+    bigint. ``hash_fn="portable"`` (with bits<=30) uses the polynomial token
+    hash so a DuckDB oracle reproduces fingerprints exactly. Returns
+    (id, simhash: bigint).
     """
+    if hash_fn == "portable":
+        token_hash = portable_hash_expr("t")
+        bits = min(bits, 30)  # portable base hash has 30 usable bits
+    else:
+        token_hash = "xxhash64(t)"
     # Token hashes materialized once per row (see _doc_shingles note: a
     # lambda-embedded subexpression is re-evaluated per element — here the
-    # votes loop reads the hash array 64 times).
+    # votes loop reads the hash array `bits` times).
     hashed = df.select(
         F.col(id_col),
-        F.expr(f"transform({tokens_expr(text_col)}, t -> xxhash64(t))").alias("__h"),
+        F.expr(f"transform({tokens_expr(text_col)}, t -> {token_hash})").alias("__h"),
     )
     votes = (
-        "transform(sequence(0, 63), b -> "
+        f"transform(sequence(0, {bits - 1}), b -> "
         "aggregate(__h, 0L, (acc, h) -> acc + "
         "case when shiftright(h, b) & 1 = 1 then 1 else -1 end))"
     )
     packed = (
-        f"aggregate(zip_with({votes}, sequence(0, 63), "
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
         f"(v, b) -> case when v > 0 then shiftleft(1L, b) else 0L end), "
         f"0L, (acc, x) -> acc | x)"
     )
