@@ -33,6 +33,7 @@ def headline_queries():
     profiling, validation, custom SQL, anomalies, trends, dedup,
     similarity, text."""
     from sparvi_spark.checks.anomaly_checks import CHECKS as A
+    from sparvi_spark.checks.pipeline_checks import CHECKS as PL
     from sparvi_spark.checks.profile_checks import CHECKS as P
     from sparvi_spark.checks.schema_checks import CHECKS as S
     from sparvi_spark.checks.trend_checks import CHECKS as T
@@ -74,6 +75,7 @@ def headline_queries():
         "similarity_topk_full": similarity_topk_full,
         "text_quality_full": text_quality_full,
         "langid_full": langid_full,
+        "asof_join": PL["x07_asof_join"][0],
     }
 
 

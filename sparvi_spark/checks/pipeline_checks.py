@@ -395,6 +395,41 @@ FROM documents WHERE doc_id < {DOC_CAP}
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# x07 as-of join: each click joined to the user's latest preceding purchase
+# (Spark: union+window forward-fill; oracle: DuckDB's native ASOF JOIN)
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.joins import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.round(F.max("value"), 4).alias("purchase_value")))
+    out = asof_join(clicks, purchases, by="user_id", ts_col="ts",
+                    value_cols=["purchase_value"])
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("right_purchase_value").alias("purchase_value"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH clicks AS (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click'),
+purchases AS (SELECT user_id, ts, round(max(value), 4) AS purchase_value
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.user_id, c.event_id,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts, p.purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""".strip()
+
+
 CHECKS = {
     "d01_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "d02_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
@@ -408,5 +443,6 @@ CHECKS = {
     "x04_langid": (q_langid, SQL_LANGID),
     "x05_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "x06_top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
+    "x07_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "m01_multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

@@ -42,6 +42,64 @@ def salted_join(
     return out.drop("__salt")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` per ``by`` key (inclusive, like DuckDB/kdb ASOF).
+
+    Spark has no native as-of join; the scalable formulation is the
+    union+window trick: tag both sides, union, and forward-fill right
+    values over (by ORDER BY ts) — one shuffle on the key, no range
+    self-join blowup. ``tolerance_seconds`` nulls out matches older than
+    the window (pandas merge_asof semantics).
+
+    Right side must be unique per (by, ts) — pre-aggregate it otherwise
+    (equal-timestamp ties would be nondeterministic).
+    """
+    from pyspark.sql import Window
+
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (by, ts_col)]
+    l_tag = left.withColumn("__src", F.lit(1))
+    for c in value_cols:
+        l_tag = l_tag.withColumn(f"__r_{c}", F.lit(None).cast(
+            dict(right.dtypes)[c]))
+    r_tag = right.select(
+        F.col(by), F.col(ts_col),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    ).withColumn("__src", F.lit(0))
+    for c in l_tag.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(l_tag.dtypes)[c]))
+    u = l_tag.unionByName(r_tag.select(l_tag.columns))
+    # right rows (__src=0) sort before left rows at equal ts -> inclusive <=
+    w = (Window.partitionBy(by).orderBy(F.col(ts_col).asc(), F.col("__src").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = u
+    for c in value_cols:
+        filled = filled.withColumn(
+            f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    filled = filled.withColumn(
+        "__r_ts", F.last(F.when(F.col("__src") == 0, F.col(ts_col)),
+                         ignorenulls=True).over(w))
+    out = filled.where(F.col("__src") == 1)
+    if tolerance_seconds is not None:
+        stale = (F.col(ts_col).cast("double")
+                 - F.col("__r_ts").cast("double")) > tolerance_seconds
+        for c in value_cols:
+            out = out.withColumn(
+                f"__r_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"__r_{c}")))
+    renames = [F.col(c) for c in left.columns] + [
+        F.col(f"__r_{c}").alias(f"right_{c}") for c in value_cols]
+    return out.select(*renames)
+
+
 def broadcast_threshold_join(
     fact: DataFrame, dim: DataFrame, on: str, how: str = "left",
     force_broadcast: bool | None = None,

@@ -66,3 +66,25 @@ def test_incremental_profile_matches_full(spark):
     assert direct["value"]["nulls"] == agg["nulls"]
     assert direct["value"]["min_val"] == agg["mn"]
     assert direct["value"]["max_val"] == agg["mx"]
+
+
+def test_asof_join_semantics(spark):
+    from sparvi_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "k int, ts int, tag string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 50, 300.0)],
+        "k int, ts int, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    got = {r["tag"]: r["right_v"] for r in
+           asof_join(left, right, by="k", ts_col="ts").collect()}
+    assert got == {"a": 100.0, "b": 200.0, "c": None, "d": None}
+
+    # inclusive <= and tolerance
+    got2 = {r["tag"]: r["right_v"] for r in
+            asof_join(left, right, by="k", ts_col="ts",
+                      tolerance_seconds=3).collect()}
+    assert got2 == {"a": 100.0, "b": None, "c": None, "d": None}
