@@ -430,6 +430,46 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# x08 range join: lineitem prices into part price bands — bucketed equi-join
+# prefilter + exact BETWEEN refine vs the oracle's plain theta join
+# ---------------------------------------------------------------------------
+
+RANGE_PART_CAP, RANGE_ORDER_CAP, RANGE_HALF_W = 100, 2000, 100.0
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.joins import range_join
+
+    points = (load_table(spark, "lineitem", sf_dir)
+              .where(F.col("l_orderkey") < RANGE_ORDER_CAP)
+              .select("l_extendedprice"))
+    intervals = (load_table(spark, "part", sf_dir)
+                 .where(F.col("p_partkey") < RANGE_PART_CAP)
+                 .select("p_partkey",
+                         (F.col("p_retailprice") - RANGE_HALF_W).alias("lo"),
+                         (F.col("p_retailprice") + RANGE_HALF_W).alias("hi")))
+    joined = range_join(points, intervals, "l_extendedprice", "lo", "hi",
+                        bucket_width=2 * RANGE_HALF_W)
+    return joined.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double").alias("sum_price"),
+    )
+
+
+SQL_RANGE_JOIN = f"""
+SELECT p_partkey, count(*) AS n_points,
+  cast(round(sum(cast(l_extendedprice as decimal(18,2))), 2) as double)
+    AS sum_price
+FROM part, lineitem
+WHERE p_partkey < {RANGE_PART_CAP} AND l_orderkey < {RANGE_ORDER_CAP}
+  AND l_extendedprice BETWEEN p_retailprice - {RANGE_HALF_W}
+                          AND p_retailprice + {RANGE_HALF_W}
+GROUP BY p_partkey
+""".strip()
+
+
 CHECKS = {
     "d01_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "d02_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
@@ -444,5 +484,6 @@ CHECKS = {
     "x05_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "x06_top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "x07_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "x08_range_join": (q_range_join, SQL_RANGE_JOIN),
     "m01_multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

@@ -440,6 +440,35 @@ FROM freq
 """.strip()
 
 # ---------------------------------------------------------------------------
+# T6-adjacent: hypertable-style continuous aggregate — arbitrary-width
+# epoch-aligned time buckets (6h) per event_type, decimal-exact sums
+# ---------------------------------------------------------------------------
+
+BUCKET_W = 6 * 3600
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.functions import time_bucket
+
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.groupBy(
+        F.date_format(time_bucket("ts", BUCKET_W), "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+             .cast("double").alias("sum_value")))
+
+
+SQL_TIME_ROLLUP = f"""
+SELECT strftime(to_timestamp(floor(epoch(ts) / {BUCKET_W}) * {BUCKET_W}),
+                '%Y-%m-%d %H:%M:%S') AS bucket,
+  event_type, count(*) AS n,
+  cast(round(sum(cast(value as decimal(18,2))), 2) as double) AS sum_value
+FROM events GROUP BY 1, 2
+""".strip()
+
+# ---------------------------------------------------------------------------
 # T13 metric history fetch (filter + since + deterministic-order limit)
 # ---------------------------------------------------------------------------
 
@@ -490,6 +519,7 @@ CHECKS = {
     "t09_change_frequency": (q_change_frequency, SQL_CHANGE_FREQUENCY),
     "t10_high_impact": (q_high_impact, SQL_HIGH_IMPACT),
     "t11_refresh_suggestion": (q_refresh_suggestion, SQL_REFRESH_SUGGESTION),
+    "t12_time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
     "t13_metric_history": (q_metric_history, SQL_METRIC_HISTORY),
     "t14_retention": (q_retention, SQL_RETENTION),
 }

@@ -19,7 +19,19 @@ __all__ = [
     "count_filter",
     "datediff_hours",
     "generate_series_days",
+    "time_bucket",
 ]
+
+
+def time_bucket(ts, width_seconds: int):
+    """Epoch-aligned arbitrary-width time bucket (hypertable-style):
+    floor(epoch/width)*width as a timestamp. Portable: the identical
+    formula runs in DuckDB as to_timestamp(floor(epoch(ts)/w)*w)."""
+    from pyspark.sql import Column, functions as F
+
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.timestamp_seconds(
+        (F.floor(c.cast("long") / width_seconds) * width_seconds).cast("long"))
 
 
 def similar_to(col: Column | str, pattern: str) -> Column:

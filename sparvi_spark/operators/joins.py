@@ -100,6 +100,39 @@ def asof_join(
     return out.select(*renames)
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points into [lo, hi] intervals (inclusive both ends) without a
+    nested-loop cross product.
+
+    Spark plans a bare non-equi join as BroadcastNestedLoopJoin (O(n·m)).
+    The scale path buckets the number line at ``bucket_width``: each
+    interval is exploded to the buckets it overlaps, each point maps to one
+    bucket, and the equi-join on bucket prefilters candidates before the
+    exact BETWEEN refine. Cost: O(points + Σ interval_span/width + matches).
+    Pick width ≈ median interval length so intervals explode to O(1) buckets.
+    """
+    if how != "inner":
+        raise ValueError("range_join currently supports inner joins")
+    p = points.withColumn(
+        "__b", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long"))
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(F.sequence(
+            F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+            F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"))))
+    joined = p.join(iv, "__b").where(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
+    return joined.drop("__b")
+
+
 def broadcast_threshold_join(
     fact: DataFrame, dim: DataFrame, on: str, how: str = "left",
     force_broadcast: bool | None = None,
