@@ -296,19 +296,25 @@ def simhash_pairs(
 
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
-    bucket_col: str | None = None,
+    bucket_col: str | None = None, lsh_bits: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
-    Brute self-join (optionally restricted to a coarse bucket column — the
-    IVF pattern) with a fold-based dot product (deterministic summation
-    order). At 100 TB, pre-bucket by an ANN index column.
+    Brute self-join by default (the oracle-checkable exact path). Scale
+    paths restrict the join to a coarse bucket: ``bucket_col`` (IVF-style
+    pre-assigned) or ``lsh_bits`` (random-hyperplane LSH bucket computed
+    inline — near-identical vectors share all sign bits, so true near-dups
+    collide with prob ≈ (1-θ/π)^bits). Dot products are fold-based for
+    deterministic summation order.
     """
-    from sparvi_spark.operators.similarity import cosine_expr
+    from sparvi_spark.operators.similarity import cosine_expr, lsh_bucket_expr
 
     cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")]
     if bucket_col:
         cols.append(F.col(bucket_col).alias("__b"))
+    elif lsh_bits:
+        cols.append(lsh_bucket_expr(vec_col, n_bits=lsh_bits).alias("__b"))
+        bucket_col = "__b"
     v = df.select(*cols)
     a = v.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"),
                  *([F.col("__b").alias("ba")] if bucket_col else []))

@@ -121,3 +121,37 @@ def test_state_retention_rewrite(spark, engine):
     assert kept.count() == 2
     latest = engine.state.latest_profile("documents")
     assert latest["timestamp"] == "2026-01-05 00:00:00"
+
+
+def test_write_table_and_compact(spark, tmp_path):
+    from sparvi_spark.sources.writers import compact_table, write_table
+
+    df = _docs(spark).withColumn("part", F.col("doc_id") % 3)
+    p = str(tmp_path / "out")
+    write_table(df, p, mode="overwrite", partition_by=("part",), target_files=2)
+    back = spark.read.parquet(p)
+    assert back.count() == df.count()
+    assert sorted(back.columns) == sorted(df.columns)
+
+    p2 = str(tmp_path / "frag")
+    df.repartition(16).write.parquet(p2)
+    rows = compact_table(spark, p2, target_files=2)
+    assert rows == df.count()
+    import glob
+    assert len(glob.glob(p2 + "/*.parquet")) <= 2
+    assert spark.read.parquet(p2).count() == rows
+
+
+def test_embedding_neardup_lsh_bucket_mode(spark):
+    from sparvi_spark.operators.dedup import embedding_neardup_pairs
+    from sparvi_spark.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.95).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.95, lsh_bits=4).collect()}
+    assert lsh <= exact  # bucket restriction never invents pairs
+    if exact:
+        assert len(lsh) >= len(exact) * 0.5  # decent recall at 4 bits
