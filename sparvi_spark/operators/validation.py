@@ -331,15 +331,6 @@ _STATS_SXX = ("cast(sum(cast(cast({c} as decimal(12,4)) as decimal(19,4)) "
               "* cast({c} as decimal(12,4))) as double)")
 
 
-def _outlier_bound_exprs(c: str) -> tuple[str, str]:
-    """avg/std formulas over stat aliases (dialect-common, decimal-exact)."""
-    n, sx, sxx = f"__{c}_n", f"__{c}_sx", f"__{c}_sxx"
-    avg = f"({sx} / {n})"
-    std = (f"(case when {n} > 1 then sqrt(greatest(({sxx} - ({sx}*{sx})/{n})"
-           f"/({n} - 1), 0.0)) end)")
-    return avg, std
-
-
 def run_rules(
     df: DataFrame,
     rules: list[Rule],
