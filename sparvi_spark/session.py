@@ -43,6 +43,9 @@ def get_spark(app_name: str = "sparvi_spark", shuffle_partitions: int | None = N
         # validation pass A at sf0.1).
         .config("spark.sql.codegen.maxFields", "500")
         .config("spark.ui.enabled", "false")
+        # Session-catalog warehouse for bucketed tables (sources/bucketing).
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/sparvi_warehouse"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()

@@ -96,3 +96,30 @@ def test_topk_partial_aggregation(spark):
         .agg(F.count(F.lit(1)).alias("cnt"))
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-located bucketed join: neither side shuffles (SCALING.md)."""
+    from sparvi_spark.sources.bucketing import colocated_join, write_bucketed
+
+    li = _raw(spark, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _raw(spark, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(orders, "b_orders", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+
+    # disable broadcast: on testdata-sized inputs Spark correctly prefers a
+    # BroadcastHashJoin (which bypasses bucketing); the property under test
+    # is the big-big SortMergeJoin path where bucketing kills the shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # same row count as the plain (shuffling) join
+        plain = li.join(orders, "l_orderkey").count()
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
