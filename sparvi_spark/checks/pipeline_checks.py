@@ -75,6 +75,39 @@ WHERE round(shared * cast(1 as double) / (x.sz + y.sz - shared), 6) >= {JACCARD_
 """.strip()
 
 # ---------------------------------------------------------------------------
+# d07 near-dedup materialization: survivors after dropping the larger id of
+# every Jaccard>=T pair (greedy keep-smallest policy)
+# ---------------------------------------------------------------------------
+
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.dedup import dedup_near
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=1, threshold=JACCARD_T)
+    kept = dedup_near(docs, pairs, "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+SQL_DEDUP_CORPUS = f"""
+WITH sh AS (SELECT DISTINCT doc_id AS id, unnest({_DUCK_TOKS}) AS shingle
+            FROM documents WHERE doc_id < {DOC_CAP}),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+shared AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+           FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2),
+dups AS (SELECT DISTINCT id_b FROM shared
+         JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+         WHERE round(shared * cast(1 as double) / (x.sz + y.sz - shared), 6)
+               >= {JACCARD_T})
+SELECT source, count(*) AS n_kept, sum(doc_id) AS id_checksum
+FROM documents WHERE doc_id < {DOC_CAP}
+  AND doc_id NOT IN (SELECT id_b FROM dups)
+GROUP BY source
+""".strip()
+
+# ---------------------------------------------------------------------------
 # d03 MinHash-LSH, portable-hash mode: the ORACLE recomputes the identical
 # polynomial base hash, affine signature slots, band folds, candidate pairs,
 # and exact-Jaccard verification. d04 SimHash stays rows-only (64-bit
@@ -476,6 +509,7 @@ CHECKS = {
     "d03_minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "d04_simhash_pairs": (q_simhash_pairs, None),
     "d06_simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
+    "d07_dedup_corpus": (q_dedup_corpus, SQL_DEDUP_CORPUS),
     "d05_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "x01_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "x02_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),

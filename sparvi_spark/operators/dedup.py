@@ -133,6 +133,24 @@ def _affine_params(i: int) -> tuple[int, int]:
     return a, b
 
 
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Materialize a near-deduplicated corpus from a pair list.
+
+    Greedy keep-smallest-id policy: every pair (id_a < id_b) marks id_b a
+    duplicate; survivors = df anti-join duplicates. One distinct + one
+    anti-join — no iterative connected components, which large-scale text
+    dedup pipelines deliberately avoid (chains collapse toward the smallest
+    id well enough for training-data purposes, and the policy is
+    deterministic).
+    """
+    dups = pairs.select(F.col("id_b").alias("__dup")).distinct()
+    return df.join(dups, df[id_col] == F.col("__dup"), "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64,
     hash_fn: str = "xxhash64",
