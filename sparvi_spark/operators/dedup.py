@@ -153,7 +153,7 @@ def dedup_near(
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64,
-    hash_fn: str = "xxhash64",
+    hash_fn: str = "xxhash64", shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: sig[i] = min(h_i(shingle)).
 
@@ -161,8 +161,9 @@ def minhash_signatures(
     ``hash_fn="portable"``: one polynomial base hash per shingle + affine
     (a_i·x+b_i) mod P per signature slot — oracle-reproducible.
     One explode + one groupBy either way. Returns (id, sig: array<bigint>).
+    ``shingles`` lets callers share a precomputed (__id, shingle) frame.
     """
-    sh = _doc_shingles(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else _doc_shingles(df, id_col, text_col, n)
     if hash_fn == "portable":
         sh = sh.select("__id", F.expr(portable_hash_expr("shingle")).alias("__x"))
         mins = []
@@ -199,7 +200,13 @@ def minhash_lsh_pairs(
     exact operator on whatever candidates banding surfaces.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn)
+    # The shingle frame feeds FOUR subtrees (signatures, both sides of the
+    # verification join, sizes); Spark's ReusedExchange can't dedup them
+    # (projections differ), so persist once — 3 explode+distinct shuffles
+    # saved. MEMORY_AND_DISK: shingle sets are ~tokens×n per doc.
+    sh = _doc_shingles(df, id_col, text_col, n).persist()
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn,
+                              shingles=sh)
     if hash_fn == "portable":
         band_hash = (f"aggregate(slice(sig, b * {rows_per_band} + 1, "
                      f"{rows_per_band}), 0L, "
@@ -227,7 +234,6 @@ def minhash_lsh_pairs(
     # each pair by side-A's shingles, probe side-B on (id, shingle). Cost is
     # O(candidates × shingles/doc) — near-linear — instead of the
     # O(Σ df(shingle)²) all-pairs shingle self-join of jaccard_pairs.
-    sh = _doc_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     shared = (
         cands
