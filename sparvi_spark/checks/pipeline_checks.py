@@ -503,6 +503,32 @@ GROUP BY p_partkey
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# x09 semi-structured profiling: stats on a field INSIDE the events.props
+# JSON column (get_json_object vs DuckDB ->> extraction)
+# ---------------------------------------------------------------------------
+
+def q_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.profile import json_field_stats
+
+    ev = load_table(spark, "events", sf_dir)
+    out = json_field_stats(ev, "props", ["k"], group_by="event_type")
+    return out.select(
+        "event_type", "row_count", "k__present", "k__min", "k__max",
+        F.round("k__sum", 2).alias("k__sum"))
+
+
+SQL_JSON_PROFILE = """
+SELECT event_type, count(*) AS row_count,
+  count(props ->> 'k') AS k__present,
+  min(cast(props ->> 'k' as double)) AS k__min,
+  max(cast(props ->> 'k' as double)) AS k__max,
+  round(cast(sum(cast(cast(props ->> 'k' as double) as decimal(28,8)))
+             as double), 2) AS k__sum
+FROM events GROUP BY event_type
+""".strip()
+
+
 CHECKS = {
     "d01_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "d02_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
@@ -519,5 +545,6 @@ CHECKS = {
     "x06_top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "x07_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "x08_range_join": (q_range_join, SQL_RANGE_JOIN),
+    "x09_json_profile": (q_json_profile, SQL_JSON_PROFILE),
     "m01_multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

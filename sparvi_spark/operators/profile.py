@@ -302,3 +302,35 @@ def health_score(
     if n_columns > 50:
         score -= 10
     return max(score, 0)
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extension (beyond the reference, which handles flat
+# scalars only — SURVEY §1.1): profile fields inside a JSON string column.
+# ---------------------------------------------------------------------------
+
+def json_field_stats(
+    df: DataFrame,
+    json_col: str,
+    fields: list[str],
+    group_by: str | None = None,
+) -> DataFrame:
+    """Per-field stats extracted from a JSON string column, one pass.
+
+    Each field contributes extract-count + numeric min/max/decimal-sum (the
+    same exact-stat style as the scalar profiler). Extraction is JVM-side
+    ``get_json_object`` — no UDFs, so the whole profile stays in one
+    codegen'd aggregation even over deeply nested payloads.
+    """
+    exprs: list[Column] = [F.count(F.lit(1)).alias("row_count")]
+    for f_ in fields:
+        v = F.get_json_object(F.col(json_col), f"$.{f_}")
+        num = v.cast("double")
+        exprs += [
+            F.count(v).alias(f"{f_}__present"),
+            F.min(num).alias(f"{f_}__min"),
+            F.max(num).alias(f"{f_}__max"),
+            F.sum(num.cast("decimal(28,8)")).cast("double").alias(f"{f_}__sum"),
+        ]
+    grouped = df.groupBy(group_by) if group_by else df.groupBy()
+    return grouped.agg(*exprs)
