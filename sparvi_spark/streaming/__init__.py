@@ -13,6 +13,7 @@ from sparvi_spark.streaming.monitor import (
     windowed_quality,
 )
 from sparvi_spark.streaming.stateful import running_metrics
+from sparvi_spark.streaming.detect import streaming_detection
 
 __all__ = ["events_stream", "windowed_counts", "windowed_quality", "freshness",
-           "running_metrics"]
+           "running_metrics", "streaming_detection"]

@@ -94,3 +94,33 @@ def test_stateful_running_metrics(spark, stream_dir):
         assert r["row_count"] == expect[k]["n"]
         assert r["null_count"] == expect[k]["nulls"]
         assert r["max_value"] == expect[k]["mx"]
+
+
+def test_streaming_detection_matches_batch(spark, stream_dir, tmp_path):
+    from sparvi_spark.operators.anomalies import detect_anomalies
+    from sparvi_spark.streaming import streaming_detection
+
+    cfg = {"detection_method": "zscore", "sensitivity": 3.0,
+           "min_data_points": 3}
+    metrics_path = str(tmp_path / "metrics")
+    batches = []
+    q = streaming_detection(
+        events_stream(spark, stream_dir), metrics_path, config=cfg,
+        window="1 day", on_anomalies=lambda df, bid: batches.append((bid, df.collect())),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    nonempty = [rows for _, rows in sorted(batches) if rows]
+    assert nonempty, "expected at least one detection pass"
+    got = {(r["metric_name"], r["ts"]): round(r["score"], 9)
+           for r in nonempty[-1]}
+
+    # batch replay of the same pipeline over the emitted metrics store
+    store = (spark.read.parquet(metrics_path)
+             .groupBy("metric_name", "ts")
+             .agg(F.max("value").alias("value")))
+    expect = {(r["metric_name"], r["ts"]): round(r["score"], 9)
+              for r in detect_anomalies(store, ["metric_name"], config=cfg).collect()}
+    assert expect, "fixture should yield at least one anomaly"
+    assert got == expect
