@@ -19,7 +19,6 @@ both word and symbolic operator spellings (frontend ValidationRuleEditor.js).
 from __future__ import annotations
 
 import datetime as _dt
-import math as _math
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -345,16 +344,21 @@ def run_rules(
 
     - pass A (one scan): every scalar-aggregate rule, the sum/sumsq/count
       stats feeding each 3σ-outlier rule, and the total row count — one wide
-      ``df.agg``. Its single row is collected and outlier bounds are computed
-      driver-side with the same IEEE double ops as the oracle SQL.
-    - pass B (one scan): every outlier count (literal bounds from pass A)
-      and every FK orphan count, the dims attached as broadcast left joins —
-      so N referential checks cost one probe pass, not N anti-join scans.
+      ``df.agg``, unpivoted to (rule_name, actual_value) rows via ``stack``.
+    - pass B (one scan): every outlier count (bounds attached as a broadcast
+      cross-join of pass A's one-row stats, same IEEE double op order as the
+      oracle SQL) and every FK orphan count, the dims attached as broadcast
+      left joins — N referential checks cost one probe pass, not N anti-join
+      scans.
+
+    The whole result is ONE lazy DataFrame — no driver-side collect between
+    passes — so pass A, pass B, uniqueness and dominance stages schedule
+    concurrently in a single job, and pass A's aggregation exchange is
+    computed once and reused by every consumer (ReusedExchange).
     """
     spark = spark or df.sparkSession
     ref_tables = ref_tables or {}
     pieces: list[DataFrame] = []
-    scalar_rows: list[tuple[str, float | None]] = []
 
     agg_rules = [r for r in rules if r.kind == "agg"]
     out_rules = [r for r in rules if r.kind == "outlier"]
@@ -364,7 +368,7 @@ def run_rules(
     sql_rules = [r for r in rules if r.kind == "sql"]
 
     # ---- pass A: fused scalar aggregates + outlier stats + total ----------
-    row_a = None
+    agg_a = None
     exprs_a = [
         F.expr(r.agg_expr).cast("double").alias(f"a{i}")
         for i, r in enumerate(agg_rules)
@@ -379,9 +383,11 @@ def run_rules(
     if dom_rules:
         exprs_a.append(F.count(F.lit(1)).alias("__total"))
     if exprs_a:
-        row_a = df.agg(*exprs_a).collect()[0]
-    for i, r in enumerate(agg_rules):
-        scalar_rows.append((r.name, row_a[f"a{i}"]))
+        agg_a = df.agg(*exprs_a)
+    if agg_rules:
+        stack_a = ", ".join(f"'{_q(r.name)}', a{i}" for i, r in enumerate(agg_rules))
+        pieces.append(agg_a.select(F.expr(
+            f"stack({len(agg_rules)}, {stack_a}) as (rule_name, actual_value)")))
 
     # ---- pass B: fused outlier counts + FK orphan counts ------------------
     if out_rules or ref_rules:
@@ -395,28 +401,31 @@ def run_rules(
                 F.count(F.when(F.col(r.column).isNotNull()
                                & F.col(f"__rk{j}").isNull(), 1))
                 .cast("double").alias(f"r{j}"))
-        for i, r in enumerate(out_rules):
-            c = r.column
-            n = row_a[f"__{c}_n"]
-            sx, sxx = row_a[f"__{c}_sx"], row_a[f"__{c}_sxx"]
-            if n is not None and n > 1 and sx is not None:
-                # Same op order as the oracle SQL: avg = sx/n;
-                # std = sqrt(greatest((sxx - sx*sx/n)/(n-1), 0)); bound ±3σ.
-                avg = sx / n
-                std = _math.sqrt(max((sxx - (sx * sx) / n) / (n - 1), 0.0))
-                cond = (F.col(c) > F.lit(avg + 3 * std)) | (F.col(c) < F.lit(avg - 3 * std))
-            else:
-                cond = F.lit(False)
-            exprs_b.append(F.count(F.when(cond, 1)).cast("double").alias(f"o{i}"))
-        row_b = d.agg(*exprs_b).collect()[0]
-        for j, r in enumerate(ref_rules):
-            scalar_rows.append((r.name, row_b[f"r{j}"]))
-        for i, r in enumerate(out_rules):
-            scalar_rows.append((r.name, row_b[f"o{i}"]))
-
-    if scalar_rows:
-        pieces.append(spark.createDataFrame(
-            scalar_rows, "rule_name string, actual_value double"))
+        if out_rules:
+            # Bounds from pass A's one-row stats, attached as a broadcast
+            # cross-join: same IEEE op order as the oracle SQL (avg = sx/n;
+            # std = sqrt(greatest((sxx - sx*sx/n)/(n-1), 0)); bound avg±3σ;
+            # n<=1 or all-null column -> NULL bound -> NULL predicate -> 0).
+            bound_exprs = []
+            for i, r in enumerate(out_rules):
+                c = r.column
+                avg = f"(__{c}_sx / __{c}_n)"
+                std = (f"(case when __{c}_n > 1 then sqrt(greatest("
+                       f"(__{c}_sxx - (__{c}_sx*__{c}_sx)/__{c}_n)/(__{c}_n - 1), "
+                       f"cast(0 as double))) end)")
+                bound_exprs += [F.expr(f"{avg} + 3 * {std}").alias(f"__hi{i}"),
+                                F.expr(f"{avg} - 3 * {std}").alias(f"__lo{i}")]
+            d = d.join(F.broadcast(agg_a.select(*bound_exprs)))
+            for i, r in enumerate(out_rules):
+                c = r.column
+                cond = (F.col(c) > F.col(f"__hi{i}")) | (F.col(c) < F.col(f"__lo{i}"))
+                exprs_b.append(F.count(F.when(cond, 1)).cast("double").alias(f"o{i}"))
+        stack_b = ", ".join(
+            [f"'{_q(r.name)}', r{j}" for j, r in enumerate(ref_rules)]
+            + [f"'{_q(r.name)}', o{i}" for i, r in enumerate(out_rules)])
+        n_b = len(ref_rules) + len(out_rules)
+        pieces.append(d.agg(*exprs_b).select(F.expr(
+            f"stack({n_b}, {stack_b}) as (rule_name, actual_value)")))
 
     for r in dup_rules:
         d = df
@@ -429,7 +438,6 @@ def run_rules(
         pieces.append(dup)
 
     if dom_rules:
-        total = row_a["__total"]
         cols = [r.column for r in dom_rules]
         stack_expr = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
         melted = df.select(F.expr(
@@ -437,7 +445,8 @@ def run_rules(
         )).where(F.col("value").isNotNull())
         dominant = (melted.groupBy("column_name", "value")
                     .agg(F.count(F.lit(1)).alias("cnt"))
-                    .where(F.col("cnt") * 100.0 / F.lit(total) > 95.0)
+                    .join(F.broadcast(agg_a.select("__total")))
+                    .where(F.col("cnt") * 100.0 / F.col("__total") > 95.0)
                     .groupBy("column_name").agg(F.count(F.lit(1)).alias("n_dominant")))
         name_map = {r.column: r.name for r in dom_rules}
         base = spark.createDataFrame([(c, name_map[c]) for c in cols],
