@@ -28,6 +28,12 @@ def get_spark(app_name: str = "sparvi_spark", shuffle_partitions: int | None = N
         # AQE: runtime coalescing, skew-join splitting, dynamic join strategy.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions to the 64MB advisory size instead
+        # of maximizing parallelism: small shuffles collapse to few tasks
+        # (scheduling overhead dominates them), while at 100TB the advisory
+        # size keeps partitions executor-memory-sized either way. This is
+        # Spark's own recommended setting for busy clusters.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Deterministic timestamps across engines (oracle parity).
