@@ -353,8 +353,10 @@ def run_rules(
 
     The whole result is ONE lazy DataFrame — no driver-side collect between
     passes — so pass A, pass B, uniqueness and dominance stages schedule
-    concurrently in a single job, and pass A's aggregation exchange is
-    computed once and reused by every consumer (ReusedExchange).
+    concurrently in a single job. Pass A's one-row result feeds three
+    subtrees (stack unpivot, outlier bounds, dominance total) whose
+    projections differ, so ReusedExchange cannot dedup them; it is
+    persisted so the wide aggregation scan runs exactly once.
     """
     spark = spark or df.sparkSession
     ref_tables = ref_tables or {}
@@ -382,8 +384,14 @@ def run_rules(
         ]
     if dom_rules:
         exprs_a.append(F.count(F.lit(1)).alias("__total"))
+    multi_use = (bool(agg_rules) + bool(out_rules) + bool(dom_rules)) > 1
     if exprs_a:
         agg_a = df.agg(*exprs_a)
+        if multi_use:
+            # One row; persisted because its consumers project different
+            # columns (no ReusedExchange) — without this the full-table
+            # wide aggregation runs once per consumer.
+            agg_a = agg_a.persist()
     if agg_rules:
         stack_a = ", ".join(f"'{_q(r.name)}', a{i}" for i, r in enumerate(agg_rules))
         pieces.append(agg_a.select(F.expr(
