@@ -123,3 +123,26 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_run_rules_is_lazy_and_single_stats_scan(spark):
+    """run_rules must not trigger jobs at construction time (pure plan
+    building), and pass A's wide stats aggregation must be persisted so its
+    three consumers (unpivot, outlier bounds, dominance total) do not each
+    recompute the full-table scan."""
+    from sparvi_spark.operators.validation import generate_default_rules, run_rules
+    from sparvi_spark.testdata import SCHEMAS
+
+    li = _raw(spark, "lineitem")
+    rules = generate_default_rules(SCHEMAS["lineitem"], as_of="2026-01-01 00:00:00")
+    rules = [r for r in rules if r.kind != "ref_integrity"]
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    result = run_rules(li, rules)
+    after = tracker.getJobIdsForGroup(None)
+    assert list(before) == list(after), "run_rules triggered a job eagerly"
+
+    plan = _plan(result)
+    assert "InMemoryTableScan" in plan  # persisted pass-A stats reused
+    assert result.where(~F.col("is_valid").isNull()).count() == len(rules)
