@@ -23,14 +23,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
-    if v is None:
+    # Type-PREFIXED normalization: the driver's hash is dtype-sensitive
+    # (int64 0 vs float64 0.0 mismatch), so the local gate must be at least
+    # as strict — a float and an int with equal value must NOT collapse
+    # (ADVICE r01: p02/d07 passed locally while the driver failed them).
+    import numpy as np
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NULL"
-        return f"{v:.9g}"
-    if isinstance(v, bool):
-        return str(bool(v))
+        return f"f:{float(v):.9g}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
     return str(v)
 
 

@@ -91,16 +91,24 @@ SQL_ZSCORE_ROLLING = f"""
 {SERIES_CTE},
 stats AS (SELECT metric_name, ts, value,
   row_number() OVER (PARTITION BY metric_name ORDER BY ts) AS rn,
+  count(value) OVER (PARTITION BY metric_name) AS n,
   avg(value) OVER (PARTITION BY metric_name ORDER BY ts
-                   ROWS BETWEEN {ROLL_W} PRECEDING AND 1 PRECEDING) AS m,
+                   ROWS BETWEEN {ROLL_W} PRECEDING AND 1 PRECEDING) AS rm,
   stddev_pop(value) OVER (PARTITION BY metric_name ORDER BY ts
-                          ROWS BETWEEN {ROLL_W} PRECEDING AND 1 PRECEDING) AS s
- FROM series)
+                          ROWS BETWEEN {ROLL_W} PRECEDING AND 1 PRECEDING) AS rs,
+  avg(value) OVER (PARTITION BY metric_name) AS gm,
+  stddev_pop(value) OVER (PARTITION BY metric_name) AS gs
+ FROM series),
+sel AS (SELECT metric_name, ts, value,
+  case when n <= {ROLL_W} then gm else rm end AS m,
+  case when n <= {ROLL_W} then gs else rs end AS s
+ FROM stats
+ WHERE (n <= {ROLL_W} AND n >= 2) OR (n > {ROLL_W} AND rn > {ROLL_W}))
 SELECT metric_name, strftime(ts, '%Y-%m-%d') AS ts_day, value,
   round(case when s = 0 then 0.0 else abs((value - m)/s) end, 4) AS score,
   case when s = 0 then false else abs((value - m)/s) > 3.0 end AS is_anomaly,
   cast(3.0 as double) AS threshold
-FROM stats WHERE rn > {ROLL_W}
+FROM sel
 """.strip()
 
 # ---------------------------------------------------------------------------
@@ -223,14 +231,22 @@ SQL_IQR_ROLLING = f"""
 {SERIES_CTE},
 base AS (SELECT metric_name, ts, value,
   row_number() OVER (PARTITION BY metric_name ORDER BY ts) AS rn,
+  count(value) OVER (PARTITION BY metric_name) AS n,
   quantile_cont(value, 0.25) OVER (PARTITION BY metric_name ORDER BY ts
-    ROWS BETWEEN {ROLL_W} PRECEDING AND 1 PRECEDING) AS q1,
+    ROWS BETWEEN {ROLL_W} PRECEDING AND 1 PRECEDING) AS rq1,
   quantile_cont(value, 0.75) OVER (PARTITION BY metric_name ORDER BY ts
-    ROWS BETWEEN {ROLL_W} PRECEDING AND 1 PRECEDING) AS q3
+    ROWS BETWEEN {ROLL_W} PRECEDING AND 1 PRECEDING) AS rq3,
+  quantile_cont(value, 0.25) OVER (PARTITION BY metric_name) AS gq1,
+  quantile_cont(value, 0.75) OVER (PARTITION BY metric_name) AS gq3
  FROM series),
+sel AS (SELECT metric_name, ts, value,
+  case when n <= {ROLL_W} then gq1 else rq1 end AS q1,
+  case when n <= {ROLL_W} then gq3 else rq3 end AS q3
+ FROM base
+ WHERE (n <= {ROLL_W} AND n >= 4) OR (n > {ROLL_W} AND rn > {ROLL_W})),
 j AS (SELECT metric_name, ts, value, q3 - q1 AS iqr,
         q1 - (q3 - q1) * 1.5 AS lower_b, q3 + (q3 - q1) * 1.5 AS upper_b
-      FROM base WHERE rn > {ROLL_W})
+      FROM sel)
 SELECT metric_name, strftime(ts, '%Y-%m-%d') AS ts_day, value,
   round(case when value < lower_b then
           (case when iqr > 0 then abs((lower_b - value)/iqr)

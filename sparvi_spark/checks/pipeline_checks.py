@@ -101,7 +101,7 @@ dups AS (SELECT DISTINCT id_b FROM shared
          JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
          WHERE round(shared * cast(1 as double) / (x.sz + y.sz - shared), 6)
                >= {JACCARD_T})
-SELECT source, count(*) AS n_kept, sum(doc_id) AS id_checksum
+SELECT source, count(*) AS n_kept, cast(sum(doc_id) as bigint) AS id_checksum
 FROM documents WHERE doc_id < {DOC_CAP}
   AND doc_id NOT IN (SELECT id_b FROM dups)
 GROUP BY source

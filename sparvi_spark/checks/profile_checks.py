@@ -54,11 +54,13 @@ def _num_agg_exprs(c: str) -> list[str]:
         f"cast(min({c}) as double) as {c}__min",
         f"cast(max({c}) as double) as {c}__max",
         f"sum(cast({c} as decimal(28,8))) as {c}__sum",
-        # Squares via decimal(19,4)×decimal(12,4): one operand ≥19 digits
+        # Squares via decimal(19,4)×decimal(18,4): one operand ≥19 digits
         # forces DuckDB onto int128 multiply (it does not widen int64×int64);
-        # lossless for ≤4-decimal test data.
-        f"sum(cast(cast({c} as decimal(12,4)) as decimal(19,4)) "
-        f"* cast({c} as decimal(12,4))) as {c}__ssq",
+        # Spark's product precision is exactly 19+18+1 = 38 so no
+        # precision-loss scale adjustment occurs; |value| < 10^14 fits
+        # (decimal(12,4) overflowed-to-NULL at |value| >= 10^8).
+        f"sum(cast({c} as decimal(19,4)) "
+        f"* cast({c} as decimal(18,4))) as {c}__ssq",
         f"count(case when {c} = 0 then 1 end) as {c}__zeros",
         f"count(case when {c} < 0 then 1 end) as {c}__negs",
         f"count(case when {c} > 0 then 1 end) as {c}__pos",
@@ -107,7 +109,10 @@ def q_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NULL_COUNTS = (
     "WITH w AS (SELECT count(*) AS __n, "
     + ", ".join(
-        f"sum(case when {c} is null then 1 else 0 end) as {c}__nulls" for c in LINEITEM_ALL
+        # cast: DuckDB integer sum() yields HUGEINT -> float64 in pandas,
+        # which hash-mismatches Spark's bigint (ADVICE r01)
+        f"cast(sum(case when {c} is null then 1 else 0 end) as bigint) as {c}__nulls"
+        for c in LINEITEM_ALL
     )
     + " FROM lineitem) "
     + " UNION ALL ".join(

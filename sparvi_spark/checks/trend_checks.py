@@ -383,7 +383,7 @@ SQL_RETENTION = """
 WITH kept AS (SELECT * FROM events
   QUALIFY row_number() OVER (PARTITION BY user_id
                              ORDER BY ts DESC, event_id DESC) <= 10)
-SELECT user_id, count(*) AS kept, sum(event_id) AS id_checksum
+SELECT user_id, count(*) AS kept, cast(sum(event_id) as bigint) AS id_checksum
 FROM kept GROUP BY user_id
 """.strip()
 

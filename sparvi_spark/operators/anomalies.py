@@ -70,15 +70,31 @@ def zscore_anomalies(
             .drop("__mean", "__std", "__cnt")
         )
     else:
-        # stats computed over the trailing frame BEFORE the row_number filter
-        # (filtering first would shrink early windows).
+        # Reference fallback (algorithms.py:30): window >= len(values) ->
+        # GLOBAL stats over the whole series (all points scored); rolling
+        # frames only when the series is strictly longer than the window.
+        # Both stat sets share the same partition keys -> one shuffle; the
+        # rolling stats are computed over the trailing frame BEFORE the
+        # row_number filter (filtering first would shrink early windows).
         wf = _w_ord(keys, order_col).rowsBetween(-window, -1)
-        mean, std = F.avg(v).over(wf), F.stddev_pop(v).over(wf)
+        wg = _w(keys)
         out = (
             df.withColumn("__rn", F.row_number().over(_w_ord(keys, order_col)))
-            .withColumn("__mean", mean)
-            .withColumn("__std", std)
-            .where(F.col("__rn") > window)
+            .withColumn("__npts", F.count(v).over(wg))
+            .withColumn(
+                "__mean",
+                F.when(F.col("__npts") <= window, F.avg(v).over(wg))
+                .otherwise(F.avg(v).over(wf)),
+            )
+            .withColumn(
+                "__std",
+                F.when(F.col("__npts") <= window, F.stddev_pop(v).over(wg))
+                .otherwise(F.stddev_pop(v).over(wf)),
+            )
+            .where(
+                ((F.col("__npts") <= window) & (F.col("__npts") >= 2))
+                | ((F.col("__npts") > window) & (F.col("__rn") > window))
+            )
         )
         score = F.when(F.col("__std") == 0, F.lit(0.0)).otherwise(
             F.abs((v - F.col("__mean")) / F.col("__std"))
@@ -87,7 +103,7 @@ def zscore_anomalies(
             out.withColumn("score", score)
             .withColumn("is_anomaly", F.col("score") > threshold)
             .withColumn("threshold", F.lit(float(threshold)))
-            .drop("__rn", "__mean", "__std")
+            .drop("__rn", "__npts", "__mean", "__std")
         )
 
 
@@ -125,17 +141,27 @@ def iqr_anomalies(
         )
         out = df.join(F.broadcast(qs), keys)
     else:
+        # Reference fallback (algorithms.py:84): window >= len(values) ->
+        # GLOBAL percentiles over the whole series (>= 4 points); rolling
+        # frames only when the series is strictly longer than the window.
         wf = _w_ord(keys, order_col).rowsBetween(-window, -1)
+        wg = _w(keys)
         arr = F.sort_array(F.collect_list(v).over(wf))
+        short = F.col("__npts") <= window
         out = (
             df.withColumn("__rn", F.row_number().over(_w_ord(keys, order_col)))
-            .withColumn("__q1", _interp_sorted(arr, window, 0.25))
-            .withColumn("__q3", _interp_sorted(arr, window, 0.75))
-            .where(F.col("__rn") > window)
-            .drop("__rn")
+            .withColumn("__npts", F.count(v).over(wg))
+            .withColumn("__gq1", F.expr(f"percentile({value_col}, 0.25)").over(wg))
+            .withColumn("__gq3", F.expr(f"percentile({value_col}, 0.75)").over(wg))
+            .withColumn(
+                "__q1", F.when(short, F.col("__gq1")).otherwise(_interp_sorted(arr, window, 0.25))
+            )
+            .withColumn(
+                "__q3", F.when(short, F.col("__gq3")).otherwise(_interp_sorted(arr, window, 0.75))
+            )
+            .where((short & (F.col("__npts") >= 4)) | (~short & (F.col("__rn") > window)))
+            .drop("__rn", "__npts", "__gq1", "__gq3")
         )
-        # reference guard: series shorter than 4 points yields nothing —
-        # rolling windows require window full anyway (rn > window).
     iqr = F.col("__q3") - F.col("__q1")
     lower = F.col("__q1") - iqr * threshold
     upper = F.col("__q3") + iqr * threshold

@@ -36,8 +36,10 @@ def partition_stats(df: DataFrame, partition_col: str,
                 F.count(F.when(F.col(c).isNull(), 1)).alias("nulls"),
                 F.sum(F.col(c).cast("decimal(28,8)")).cast("decimal(38,8)")
                 .alias("sum_dec"),
-                F.sum(F.col(c).cast("decimal(12,4)").cast("decimal(19,4)")
-                      * F.col(c).cast("decimal(12,4)")).cast("decimal(38,8)")
+                # decimal(19,4) x decimal(18,4): exact scale-8 product up to
+                # |value| < 10^14 (see validation._STATS_SXX)
+                F.sum(F.col(c).cast("decimal(19,4)")
+                      * F.col(c).cast("decimal(18,4)")).cast("decimal(38,8)")
                 .alias("sumsq_dec"),
                 F.min(F.col(c)).cast("double").alias("min_val"),
                 F.max(F.col(c)).cast("double").alias("max_val"),

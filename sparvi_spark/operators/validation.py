@@ -326,8 +326,13 @@ def evaluate_row_growth(current: int, previous: int | None) -> int:
 # ---------------------------------------------------------------------------
 
 _STATS_SX = ("cast(sum(cast({c} as decimal(28,8))) as double)")
-_STATS_SXX = ("cast(sum(cast(cast({c} as decimal(12,4)) as decimal(19,4)) "
-              "* cast({c} as decimal(12,4))) as double)")
+# Squares via decimal(19,4) x decimal(18,4): Spark product precision is
+# exactly 19+18+1 = 38 (no precision-loss scale adjustment), DuckDB's is 37 —
+# both keep scale 8 exactly, so engines agree bit-for-bit. Both operands
+# round the value at scale 4, and |value| < 10^14 fits either operand
+# (the previous decimal(12,4) overflowed-to-NULL at |value| >= 10^8).
+_STATS_SXX = ("cast(sum(cast({c} as decimal(19,4)) "
+              "* cast({c} as decimal(18,4))) as double)")
 
 
 def run_rules(

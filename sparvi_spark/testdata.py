@@ -62,6 +62,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     key = (id(spark._jsparkSession), sf_dir, name)
     if cache_on and key in _CACHE:
         return _CACHE[key]
+    # The driver's testdata writes TIMESTAMP(NANOS) parquet (events.ts);
+    # without this conf any caller-provided session (the verify harness
+    # builds its own) fails the read with PARQUET_TYPE_ILLEGAL. The conf is
+    # runtime-settable, so set it here rather than relying on get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in _NANOS_TS.get(name, ()):
         if isinstance(df.schema[c].dataType, LongType):
