@@ -48,23 +48,41 @@ def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.dropDuplicates(cols)
 
 
-def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct (id, shingle) pairs.
+def _doc_gram_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(__id, __grams): the DISTINCT shingle set of each doc as one array row.
+
+    Set dedup happens per row with ``array_distinct`` — a narrow projection —
+    instead of an exploded global ``distinct()`` (which costs a full shuffle
+    of every (id, shingle) pair; at 100 TB that shuffle is the pipeline's
+    biggest stage and carries no information the per-row set doesn't).
 
     The tokens array is materialized as its own column BEFORE the n-gram
     transform: an expression embedded in a lambda body is re-evaluated per
     array element, turning shingling O(tokens²)-per-doc (measured ~5×
     slower). Same idiom as word_shingles but projection-staged.
+
+    Docs with zero shingles (empty/whitespace text) are dropped, matching
+    the exploded form where they simply contribute no rows.
     """
     toks = df.select(F.col(id_col).alias("__id"),
                      F.expr(tokens_expr(text_col)).alias("__toks"))
     if n == 1:
-        sh = toks.select("__id", F.explode("__toks").alias("shingle"))
+        gram = "__toks"
     else:
         gram = (f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)), "
                 f"i -> concat_ws(' ', slice(__toks, i, {n})))")
-        sh = toks.select("__id", F.explode(F.expr(gram)).alias("shingle"))
-    return sh.distinct()
+    return (toks.select("__id", F.array_distinct(F.expr(gram)).alias("__grams"))
+            .where(F.size("__grams") > 0))
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct (id, shingle) pairs — explode of the per-row shingle set.
+
+    No shuffle: per-row ``array_distinct`` already dedups within a doc and
+    (id, shingle) is globally unique by construction.
+    """
+    return _doc_gram_arrays(df, id_col, text_col, n).select(
+        "__id", F.explode("__grams").alias("shingle"))
 
 
 def jaccard_pairs(
@@ -82,12 +100,18 @@ def jaccard_pairs(
     drops shingles appearing in more than N docs (stop-shingles) — the
     standard skew guard at scale (changes semantics; off by default).
     """
-    sh = _doc_shingles(df, id_col, text_col, n)
+    grams = _doc_gram_arrays(df, id_col, text_col, n)
+    sh = grams.select("__id", F.explode("__grams").alias("shingle"))
     if max_shingle_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
                .where(F.col("__df") <= max_shingle_df).select("shingle"))
         sh = sh.join(hot, "shingle")
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+        # sizes must count the FILTERED sets (stop-shingles leave both the
+        # numerator and denominator), so the groupBy is unavoidable here
+        sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    else:
+        # set size per doc is a projection of the gram array — no shuffle
+        sizes = grams.select("__id", F.size("__grams").alias("__sz"))
     a = sh.select(F.col("__id").alias("id_a"), "shingle")
     b = sh.select(F.col("__id").alias("id_b"), "shingle")
     shared = (
@@ -151,36 +175,54 @@ def dedup_near(
     return df.join(dups, df[id_col] == F.col("__dup"), "left_anti")
 
 
+def _sig_expr(num_hashes: int, grams_col: str = "__grams") -> str:
+    """Per-ROW MinHash signature: sig[i] = array_min(xxhash64 over the set).
+
+    A pure projection — no explode, no groupBy. The classic
+    explode + 64-way min-aggregate formulation shuffles every (id, shingle)
+    pair; per-row evaluation does the identical hashing work (|set| ×
+    num_hashes hashes) with zero data movement, so it scales linearly with
+    input splits on a cluster.
+    """
+    slots = [f"array_min(transform({grams_col}, g -> xxhash64(g, {i})))"
+             for i in range(num_hashes)]
+    return f"array({', '.join(slots)})"
+
+
+def _with_sig(grams: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
+    """Attach a per-row ``sig`` column to a (__id, __grams, ...) frame.
+
+    Portable mode stages the polynomial base-hash array as its own column
+    first (lambda bodies re-evaluate embedded subexpressions per element),
+    then takes 64 affine mins over it — still a narrow projection.
+    """
+    if hash_fn == "portable":
+        staged = grams.withColumn("__pb", F.expr(
+            f"transform(__grams, g -> {portable_hash_expr('g')})"))
+        slots = []
+        for i in range(num_hashes):
+            a, b = _affine_params(i)
+            slots.append(F.expr(
+                f"array_min(transform(__pb, x -> (x * {a} + {b}) % {PORTABLE_P}))"))
+        return staged.withColumn("sig", F.array(*slots)).drop("__pb")
+    return grams.withColumn("sig", F.expr(_sig_expr(num_hashes)))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64,
-    hash_fn: str = "xxhash64", shingles: DataFrame | None = None,
+    hash_fn: str = "xxhash64", grams: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signatures: sig[i] = min(h_i(shingle)).
+    """MinHash signatures: sig[i] = min(h_i(shingle)) — per-row, shuffle-free.
 
     ``hash_fn="xxhash64"``: engine-native seeded hashes (production).
     ``hash_fn="portable"``: one polynomial base hash per shingle + affine
     (a_i·x+b_i) mod P per signature slot — oracle-reproducible.
-    One explode + one groupBy either way. Returns (id, sig: array<bigint>).
-    ``shingles`` lets callers share a precomputed (__id, shingle) frame.
+    Returns (id, sig: array<bigint>). ``grams`` lets callers share a
+    precomputed (__id, __grams) frame from ``_doc_gram_arrays``.
     """
-    sh = shingles if shingles is not None else _doc_shingles(df, id_col, text_col, n)
-    if hash_fn == "portable":
-        sh = sh.select("__id", F.expr(portable_hash_expr("shingle")).alias("__x"))
-        mins = []
-        for i in range(num_hashes):
-            a, b = _affine_params(i)
-            mins.append(F.min((F.col("__x") * F.lit(a) + F.lit(b)) % PORTABLE_P)
-                        .alias(f"h{i}"))
-    else:
-        mins = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    wide = sh.groupBy("__id").agg(*mins)
-    return wide.select(
-        F.col("__id").alias(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
-    )
+    g = grams if grams is not None else _doc_gram_arrays(df, id_col, text_col, n)
+    return _with_sig(g, num_hashes, hash_fn).select(
+        F.col("__id").alias(id_col), "sig")
 
 
 def minhash_lsh_pairs(
@@ -200,52 +242,54 @@ def minhash_lsh_pairs(
     exact operator on whatever candidates banding surfaces.
     """
     rows_per_band = num_hashes // bands
-    # The shingle frame feeds FOUR subtrees (signatures, both sides of the
-    # verification join, sizes); Spark's ReusedExchange can't dedup them
-    # (projections differ), so persist once — 3 explode+distinct shuffles
-    # saved. MEMORY_AND_DISK: shingle sets are ~tokens×n per doc.
-    sh = _doc_shingles(df, id_col, text_col, n).persist()
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn,
-                              shingles=sh)
+    # One persisted frame carries the shingle SET, its size, and the banded
+    # signature per doc — ALL computed as per-row projections (array_distinct
+    # set dedup, array_min signatures, slice band hashes). The only shuffles
+    # in the whole pipeline are the candidate bucket-join and the
+    # verification join/agg; the classic formulation additionally paid an
+    # exploded distinct(), a 64-way min groupBy, and a sizes groupBy.
     if hash_fn == "portable":
         band_hash = (f"aggregate(slice(sig, b * {rows_per_band} + 1, "
                      f"{rows_per_band}), 0L, "
                      f"(acc, v) -> (acc * {PORTABLE_BAND_M} + v) % {PORTABLE_P})")
     else:
         band_hash = f"xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band}))"
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b as band, {band_hash} as bh))"
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    grams = _doc_gram_arrays(df, id_col, text_col, n)
+    base = (
+        _with_sig(grams, num_hashes, hash_fn)
+        .withColumn("__sz", F.size("__grams"))
+        .withColumn(
+            "bands",
+            F.expr(f"transform(sequence(0, {bands - 1}), "
+                   f"b -> struct(b as band, {band_hash} as bh))"),
+        )
+        .select("__id", "__grams", "__sz", "bands")
+        .persist()
+    )
+
+    banded = base.select(
+        F.col("__id"),
+        F.explode("bands").alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.select(F.col("__id").alias("id_a"), "band", "bh")
+    b = banded.select(F.col("__id").alias("id_b"), "band", "bh")
     cands = (
         a.join(b, ["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    # Exact-Jaccard verification driven by the candidate pairs only: expand
-    # each pair by side-A's shingles, probe side-B on (id, shingle). Cost is
+    # Exact-Jaccard verification driven by the candidate pairs only: attach
+    # both gram SETS and overlap them per row with array_intersect. Cost is
     # O(candidates × shingles/doc) — near-linear — instead of the
     # O(Σ df(shingle)²) all-pairs shingle self-join of jaccard_pairs.
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
-    shared = (
-        cands
-        .join(sh.select(F.col("__id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("__id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    ga = base.select(F.col("__id").alias("id_a"), F.col("__grams").alias("__ga"),
+                     F.col("__sz").alias("sz_a"))
+    gb = base.select(F.col("__id").alias("id_b"), F.col("__grams").alias("__gb"),
+                     F.col("__sz").alias("sz_b"))
     return (
-        shared
-        .join(sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("sz_b")), "id_b")
+        cands.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("shared", F.size(F.array_intersect("__ga", "__gb")))
         .withColumn(
             "jaccard",
             F.round(F.col("shared") * F.lit(1.0)

@@ -48,6 +48,11 @@ def get_spark(app_name: str = "sparvi_spark", shuffle_partitions: int | None = N
         # codegen into interpreted eval (measured 1.6x on the fused
         # validation pass A at sf0.1).
         .config("spark.sql.codegen.maxFields", "500")
+        # PySpark 4 captures a Python call-site string on EVERY DataFrame
+        # API call for error enrichment (errors/utils.py _with_origin);
+        # profiling showed ~1.5s of pure driver-side overhead building one
+        # wide validation plan. We build thousands of Columns per run.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         # Session-catalog warehouse for bucketed tables (sources/bucketing).
         .config("spark.sql.warehouse.dir",
