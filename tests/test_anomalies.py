@@ -120,3 +120,59 @@ def test_detect_dispatch_formats_anomalies(series_df):
     assert rows and all(r["is_anomaly"] for r in rows)
     assert {"method", "severity", "threshold", "score"} <= set(out.columns)
     assert all(r["method"] == "iqr" for r in rows)
+
+
+def test_zscore_rolling_short_series_falls_back_to_global(spark):
+    """Reference algorithms.py:30: window >= len(values) -> global stats,
+    EVERY point scored (a rolling-only port silently emits zero rows)."""
+    vals = [10.0, 12.0, 11.0, 50.0]
+    df = spark.createDataFrame(
+        [("m", i, v) for i, v in enumerate(vals)],
+        "metric_name string, ts int, value double")
+    got = collect_scores(
+        zscore_anomalies(df, ["metric_name"], order_col="ts", window=7))
+    assert set(got) == set(range(len(vals)))  # all points, not none
+    mean, std = np.mean(vals), np.std(vals)
+    for i, v in enumerate(vals):
+        assert got[i][0] == pytest.approx(abs((v - mean) / std), abs=1e-9)
+
+
+def test_zscore_rolling_mixed_series_lengths(spark):
+    """Short and long series in one frame: short -> global branch, long ->
+    rolling branch, in a single job."""
+    w = 5
+    short = [("s", i, float(v)) for i, v in enumerate([1.0, 2.0, 3.0])]
+    long_ = [("l", i, float(v)) for i, v in enumerate(SERIES)]
+    df = spark.createDataFrame(short + long_,
+                               "metric_name string, ts int, value double")
+    out = zscore_anomalies(df, ["metric_name"], order_col="ts", window=w)
+    by_key = {(r["metric_name"], r["ts"]): r["score"] for r in out.collect()}
+    # short series: all 3 points scored with global stats
+    sv = [1.0, 2.0, 3.0]
+    m, s = np.mean(sv), np.std(sv)
+    for i, v in enumerate(sv):
+        assert by_key[("s", i)] == pytest.approx(abs((v - m) / s), abs=1e-9)
+    # long series: rolling, only i >= w emitted
+    assert {t for (k, t) in by_key if k == "l"} == set(range(w, len(SERIES)))
+
+
+def test_iqr_rolling_short_series_falls_back_to_global(spark):
+    """Reference algorithms.py:84: window >= len(values) -> global
+    percentiles over the whole series (needs >= 4 points)."""
+    vals = [10.0, 12.0, 11.0, 13.0, 100.0]
+    df = spark.createDataFrame(
+        [("m", i, v) for i, v in enumerate(vals)],
+        "metric_name string, ts int, value double")
+    got = collect_scores(
+        iqr_anomalies(df, ["metric_name"], order_col="ts", window=7))
+    assert set(got) == set(range(len(vals)))
+    q1, q3 = np.percentile(vals, 25), np.percentile(vals, 75)
+    iqr = q3 - q1
+    hi = q3 + 1.5 * iqr
+    assert got[4][1]  # 100 beyond upper bound
+    assert got[4][0] == pytest.approx(abs((vals[4] - hi) / iqr), abs=1e-9)
+    # 3-point series still yields nothing (reference len<4 guard)
+    tiny = spark.createDataFrame(
+        [("m", i, float(i)) for i in range(3)],
+        "metric_name string, ts int, value double")
+    assert iqr_anomalies(tiny, ["metric_name"], order_col="ts", window=7).count() == 0
