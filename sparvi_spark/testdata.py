@@ -67,6 +67,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # builds its own) fails the read with PARQUET_TYPE_ILLEGAL. The conf is
     # runtime-settable, so set it here rather than relying on get_spark().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # date_trunc/date_format over these tables are session-timezone
+    # dependent; the DuckDB oracles treat timestamps as UTC wall-clock, so
+    # pin any caller-provided session to UTC for engine parity.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in _NANOS_TS.get(name, ()):
         if isinstance(df.schema[c].dataType, LongType):
