@@ -219,6 +219,36 @@ SELECT id AS doc_id, {pack} AS simhash FROM votes
 SQL_SIMHASH_PORTABLE = _sql_simhash_portable()
 
 
+# d08: portable SimHash PAIRS — banding with n_chunks=4 > max_hamming=3
+# guarantees exact recall (pigeonhole), so the oracle can brute-force all
+# pairs over the d06 fingerprint CTE with bit_count(xor(...)) <= h.
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    pairs = simhash_pairs(docs, "doc_id", "text",
+                          max_hamming=SIMHASH_MAX_HAMMING,
+                          hash_fn="portable", bits=SIMHASH_BITS)
+    # bit_count returns int in Spark / tinyint in DuckDB; align on bigint
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _sql_simhash_pairs_portable() -> str:
+    fp = _sql_simhash_portable()
+    return f"""
+WITH fp AS ({fp})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  cast(bit_count(xor(a.simhash, b.simhash)) as bigint) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+""".strip()
+
+
+SQL_SIMHASH_PAIRS_PORTABLE = _sql_simhash_pairs_portable()
+
+
 # ---------------------------------------------------------------------------
 # d05 embedding-cosine near-dup pairs (fold dot product, oracle-checked)
 # ---------------------------------------------------------------------------
@@ -535,6 +565,7 @@ CHECKS = {
     "d03_minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "d04_simhash_pairs": (q_simhash_pairs, None),
     "d06_simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
+    "d08_simhash_pairs_portable": (q_simhash_pairs_portable, SQL_SIMHASH_PAIRS_PORTABLE),
     "d07_dedup_corpus": (q_dedup_corpus, SQL_DEDUP_CORPUS),
     "d05_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "x01_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),

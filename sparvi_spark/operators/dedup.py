@@ -335,16 +335,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    hash_fn: str = "xxhash64", bits: int = 64, n_chunks: int = 4,
 ) -> DataFrame:
-    """Hamming-near SimHash pairs via pigeonhole banding (4×16-bit chunks):
-    any pair within Hamming distance 3 shares at least one exact chunk."""
-    sh = simhash(df, id_col, text_col)
+    """Hamming-near SimHash pairs via pigeonhole banding.
+
+    With ``n_chunks`` chunks, any pair within Hamming distance ``n_chunks-1``
+    shares at least one exact chunk (pigeonhole) — so for
+    ``max_hamming < n_chunks`` recall is EXACT and the final
+    ``bit_count(xor)`` filter makes the banding a pure optimization.
+    Defaults (4×16-bit over xxhash64) keep the production behavior;
+    ``hash_fn="portable", bits=30`` is oracle-reproducible in ANSI SQL.
+    """
+    sh = simhash(df, id_col, text_col, hash_fn=hash_fn, bits=bits)
+    if hash_fn == "portable":
+        bits = min(bits, 30)
+    width = -(-bits // n_chunks)  # ceil
+    mask = (1 << width) - 1
     chunks = sh.select(
         id_col, "simhash",
         F.explode(F.expr(
-            "transform(sequence(0, 3), c -> struct(c as chunk, "
-            "shiftright(simhash, c * 16) & 65535 as ch))"
+            f"transform(sequence(0, {n_chunks - 1}), c -> struct(c as chunk, "
+            f"shiftright(simhash, c * {width}) & {mask} as ch))"
         )).alias("cc"),
     ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ch").alias("ch"))
     a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),

@@ -146,3 +146,33 @@ def test_run_rules_is_lazy_and_single_stats_scan(spark):
     plan = _plan(result)
     assert "InMemoryTableScan" in plan  # persisted pass-A stats reused
     assert result.where(~F.col("is_valid").isNull()).count() == len(rules)
+
+
+def test_minhash_prep_is_shuffle_free(spark):
+    """Shingle sets, sizes, signatures and band hashes are per-row
+    projections (SCALING.md round-2 redesign): the plan from scan to the
+    persisted base frame must contain NO Exchange."""
+    from sparvi_spark.operators.dedup import _doc_gram_arrays, _with_sig
+
+    docs = _raw(spark, "documents", fresh=True)
+    base = _with_sig(_doc_gram_arrays(docs, "doc_id", "text", 3), 16, "xxhash64") \
+        .withColumn("__sz", F.size("__grams"))
+    plan = _plan(base)
+    assert "Exchange" not in plan, plan
+    # portable mode must stay a projection too (oracle path)
+    plan_p = _plan(_with_sig(_doc_gram_arrays(docs, "doc_id", "text", 1), 8, "portable"))
+    assert "Exchange" not in plan_p, plan_p
+
+
+def test_minhash_pipeline_exchange_budget(spark):
+    """End-to-end LSH: only the candidate bucket-join and verification
+    joins/dedup may shuffle — the exploded-distinct / min-groupBy / sizes
+    shuffles of the naive formulation must not come back."""
+    from sparvi_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _raw(spark, "documents", fresh=True).limit(200)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=16,
+                              bands=4, threshold=0.5)
+    plan = _plan(pairs)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 6, f"{n_exchanges} hash exchanges:\n{plan}"
