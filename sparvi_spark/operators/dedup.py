@@ -397,9 +397,11 @@ def embedding_neardup_pairs(
     collide with prob ≈ (1-θ/π)^bits). Dot products are fold-based for
     deterministic summation order.
     """
-    from sparvi_spark.operators.similarity import cosine_expr, lsh_bucket_expr
+    from sparvi_spark.operators.similarity import (
+        _cosine_with_norms, lsh_bucket_expr, norm_expr)
 
-    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")]
+    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+            norm_expr(vec_col).alias("__n")]
     if bucket_col:
         cols.append(F.col(bucket_col).alias("__b"))
     elif lsh_bits:
@@ -407,13 +409,16 @@ def embedding_neardup_pairs(
         bucket_col = "__b"
     v = df.select(*cols)
     a = v.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"),
+                 F.col("__n").alias("na"),
                  *([F.col("__b").alias("ba")] if bucket_col else []))
     b = v.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"),
+                 F.col("__n").alias("nb"),
                  *([F.col("__b").alias("bb")] if bucket_col else []))
     joined = a.crossJoin(b) if not bucket_col else a.join(b, F.col("ba") == F.col("bb"))
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_expr("va", "vb"))
+        # norms precomputed per vector below the join (same IEEE op order)
+        .withColumn("cosine", _cosine_with_norms("va", "vb", "na", "nb"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -33,6 +33,15 @@ def cosine_expr(a: str, b: str) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def _cosine_with_norms(a: str, b: str, norm_a: str, norm_b: str) -> Column:
+    """cosine from PRE-COMPUTED per-side norms: dot/(na*nb).
+
+    Bit-identical to ``cosine_expr`` (same IEEE op order), but the norm
+    folds run once per VECTOR below the join instead of once per PAIR
+    above it — in a q×n brute-force scan that is 3 folds/pair -> 1."""
+    return dot_expr(a, b) / (F.col(norm_a) * F.col(norm_b))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -46,9 +55,12 @@ def cosine_topk(
     Returns (query_id, neighbor_id, rank, cosine) with deterministic
     tie-break (cosine DESC, neighbor_id ASC).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = c.crossJoin(F.broadcast(q)).withColumn("cosine", cosine_expr("cv", "qv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       norm_expr(vec_col).alias("qn"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                      norm_expr(vec_col).alias("cn"))
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", _cosine_with_norms("cv", "qv", "cn", "qn"))
     if exclude_self:
         scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -75,12 +87,12 @@ def ivf_topk(
     bucket replaces the cross join — this is the 100 TB plan shape.
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                       F.col(bucket_col).alias("qb"))
+                       F.col(bucket_col).alias("qb"), norm_expr(vec_col).alias("qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                      F.col(bucket_col).alias("cb"))
+                      F.col(bucket_col).alias("cb"), norm_expr(vec_col).alias("cn"))
     scored = (
         c.join(F.broadcast(q), F.col("cb") == F.col("qb"))
-        .withColumn("cosine", cosine_expr("cv", "qv"))
+        .withColumn("cosine", _cosine_with_norms("cv", "qv", "cn", "qn"))
     )
     if exclude_self:
         scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
@@ -92,28 +104,29 @@ def ivf_topk(
     )
 
 
-def _hyperplane_bit(vec_col: str, bit: int, seed: int) -> str:
-    """Sign bit of dot(vec, plane_bit): plane components are deterministic
-    pseudo-randoms in [-1, 1) derived from xxhash64(bit, j, seed) — fully
-    JVM-side, identical on every executor, no materialized plane matrix."""
-    comp = (f"(pmod(xxhash64({bit}L, cast(i as long), {seed}L), 2000000) "
+def lsh_bucket_expr(vec_col: str, n_bits: int = 12, seed: int = 7) -> Column:
+    """Random-hyperplane LSH bucket id (n_bits sign bits packed in a long).
+
+    Plane components are deterministic pseudo-randoms in [-1, 1) derived
+    from xxhash64(bit, j, seed) — fully JVM-side, identical on every
+    executor, no materialized plane matrix. Cosine-similar vectors agree on
+    most sign bits, so they land in the same bucket with probability
+    (1 - theta/pi)^n_bits — the standard SimHash-for-vectors scheme.
+
+    The bit loop is a nested aggregate over ``sequence`` rather than
+    ``n_bits`` unrolled dot-product blocks — identical values (the bit
+    index is cast to long, matching the former bigint literal), one codegen
+    block. At 100 TB the bucket assignment is one projection over the scan.
+    """
+    comp = (f"(pmod(xxhash64(cast(b as long), cast(i as long), {seed}L), 2000000) "
             f"/ cast(1000000 as double) - 1.0)")
     dot = (f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
            f"(x, i) -> cast(x as double) * {comp}), "
            f"cast(0 as double), (acc, v) -> acc + v)")
-    return f"case when {dot} >= 0 then shiftleft(1L, {bit}) else 0L end"
-
-
-def lsh_bucket_expr(vec_col: str, n_bits: int = 12, seed: int = 7) -> Column:
-    """Random-hyperplane LSH bucket id (n_bits sign bits packed in a long).
-
-    Cosine-similar vectors agree on most sign bits, so they land in the
-    same bucket with probability (1 - theta/pi)^n_bits — the standard
-    SimHash-for-vectors scheme. Everything is column expressions: at 100 TB
-    the bucket assignment is one projection over the corpus scan.
-    """
-    bits = " | ".join(_hyperplane_bit(vec_col, b, seed) for b in range(n_bits))
-    return F.expr(f"({bits})")
+    return F.expr(
+        f"aggregate(transform(sequence(0, {n_bits - 1}), "
+        f"b -> case when {dot} >= 0 then shiftleft(1L, b) else 0L end), "
+        f"0L, (acc, x) -> acc | x)")
 
 
 def lsh_topk(
@@ -134,12 +147,12 @@ def lsh_topk(
     """
     bucket = lambda col: lsh_bucket_expr(col, n_bits=n_bits, seed=seed)  # noqa: E731
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                       bucket(vec_col).alias("qb"))
+                       bucket(vec_col).alias("qb"), norm_expr(vec_col).alias("qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                      bucket(vec_col).alias("cb"))
+                      bucket(vec_col).alias("cb"), norm_expr(vec_col).alias("cn"))
     scored = (
         c.join(F.broadcast(q), F.col("cb") == F.col("qb"))
-        .withColumn("cosine", cosine_expr("cv", "qv"))
+        .withColumn("cosine", _cosine_with_norms("cv", "qv", "cn", "qn"))
     )
     if exclude_self:
         scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
