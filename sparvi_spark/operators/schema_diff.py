@@ -56,78 +56,73 @@ def _change(change_type, table, column, details) -> list:
 
 
 def compare_schemas(old: DataFrame, new: DataFrame) -> DataFrame:
-    """S1-S7: full-outer-join diff of two snapshot DataFrames."""
-    o = old.alias("o")
-    n = new.alias("n")
+    """S1-S7: diff two snapshot DataFrames as ONE union + aggregation.
 
-    o_tables = old.select("table_name").distinct()
-    n_tables = new.select("table_name").distinct()
-    tbl = o_tables.alias("ot").join(
-        n_tables.alias("nt"),
-        F.col("ot.table_name") == F.col("nt.table_name"), "full_outer")
-    table_changes = tbl.select(
-        F.when(F.col("ot.table_name").isNull(), F.lit("table_added"))
-        .when(F.col("nt.table_name").isNull(), F.lit("table_removed"))
-        .alias("change_type"),
-        F.coalesce(F.col("ot.table_name"), F.col("nt.table_name")).alias("table_name"),
+    Both snapshots are tagged with a side flag and reduced per
+    (table, column); every change class falls out of the per-column and
+    per-table aggregates. The round-1 formulation chained four full-outer /
+    left joins (~8 exchanges); this shape is one keyed shuffle + one
+    tiny rollup — on a catalog of millions of columns the diff costs a
+    single pass over the union.
+    """
+    tagged = old.select("*", F.lit(0).alias("__src")).unionAll(
+        new.select("*", F.lit(1).alias("__src")))
+
+    def oside(c):  # value of column c on the old side, null if absent
+        return F.max(F.when(F.col("__src") == 0, F.col(c)))
+
+    def nside(c):
+        return F.max(F.when(F.col("__src") == 1, F.col(c)))
+
+    percol = tagged.groupBy("table_name", "column_name").agg(
+        F.count(F.when(F.col("__src") == 0, 1)).alias("o_cnt"),
+        F.count(F.when(F.col("__src") == 1, 1)).alias("n_cnt"),
+        oside("col_type").alias("o_type"), nside("col_type").alias("n_type"),
+        oside("nullable").alias("o_null"), nside("nullable").alias("n_null"),
+        oside("pk_ordinal").alias("o_pk"), nside("pk_ordinal").alias("n_pk"),
+    )
+    # per-table rollup: side presence + name-sorted PK column lists
+    # (set-equality semantics, schema_change_detector.py:335-359)
+    pertab = percol.groupBy("table_name").agg(
+        F.max(F.col("o_cnt") > 0).alias("o_present"),
+        F.max(F.col("n_cnt") > 0).alias("n_present"),
+        F.concat_ws(",", F.array_sort(F.collect_list(
+            F.when(F.col("o_pk").isNotNull(), F.col("column_name"))))).alias("o_pkstr"),
+        F.concat_ws(",", F.array_sort(F.collect_list(
+            F.when(F.col("n_pk").isNotNull(), F.col("column_name"))))).alias("n_pkstr"),
+    )
+
+    table_changes = pertab.where(~F.col("o_present") | ~F.col("n_present")).select(
+        F.when(~F.col("o_present"), F.lit("table_added"))
+        .otherwise(F.lit("table_removed")).alias("change_type"),
+        "table_name",
         F.lit(None).cast("string").alias("column_name"),
         F.lit(None).cast("string").alias("details"),
-    ).where(F.col("change_type").isNotNull())
-
-    common = o_tables.join(n_tables, "table_name")
-
-    cols = (
-        o.join(common.alias("c1"), F.col("o.table_name") == F.col("c1.table_name"))
-        .select("o.*").alias("oc")
-        .join(
-            n.join(common.alias("c2"), F.col("n.table_name") == F.col("c2.table_name"))
-            .select("n.*").alias("nc"),
-            (F.col("oc.table_name") == F.col("nc.table_name"))
-            & (F.col("oc.column_name") == F.col("nc.column_name")),
-            "full_outer",
-        )
     )
-    col_changes = cols.select(
-        F.when(F.col("oc.column_name").isNull(), F.lit("column_added"))
-        .when(F.col("nc.column_name").isNull(), F.lit("column_removed"))
-        .when(F.col("oc.col_type") != F.col("nc.col_type"), F.lit("column_type_changed"))
-        .when(F.col("oc.nullable") != F.col("nc.nullable"), F.lit("nullable_changed"))
+
+    common = pertab.where(F.col("o_present") & F.col("n_present"))
+
+    col_changes = percol.join(
+        F.broadcast(common.select("table_name")), "table_name"
+    ).select(
+        F.when(F.col("o_cnt") == 0, F.lit("column_added"))
+        .when(F.col("n_cnt") == 0, F.lit("column_removed"))
+        .when(F.col("o_type") != F.col("n_type"), F.lit("column_type_changed"))
+        .when(F.col("o_null") != F.col("n_null"), F.lit("nullable_changed"))
         .alias("change_type"),
-        F.coalesce(F.col("oc.table_name"), F.col("nc.table_name")).alias("table_name"),
-        F.coalesce(F.col("oc.column_name"), F.col("nc.column_name")).alias("column_name"),
+        "table_name",
+        "column_name",
         F.when(
-            F.col("oc.col_type") != F.col("nc.col_type"),
-            F.concat_ws(" -> ", F.col("oc.col_type"), F.col("nc.col_type")),
+            F.col("o_type") != F.col("n_type"),
+            F.concat_ws(" -> ", F.col("o_type"), F.col("n_type")),
         ).alias("details"),
     ).where(F.col("change_type").isNotNull())
 
-    def pk_string(snap: DataFrame) -> DataFrame:
-        # set-equality semantics (schema_change_detector.py:335-359) ->
-        # compare name-sorted PK column lists
-        return (
-            snap.where(F.col("pk_ordinal").isNotNull())
-            .groupBy("table_name")
-            .agg(F.concat_ws(
-                ",", F.array_sort(F.collect_list("column_name"))).alias("pk"))
-        )
-
-    opk = pk_string(old).alias("opk")
-    npk = pk_string(new).alias("npk")
-    pk_changes = (
-        common.alias("cm")
-        .join(opk, F.col("cm.table_name") == F.col("opk.table_name"), "left")
-        .join(npk, F.col("cm.table_name") == F.col("npk.table_name"), "left")
-        .where(
-            ~(F.coalesce(F.col("opk.pk"), F.lit("")) ==
-              F.coalesce(F.col("npk.pk"), F.lit("")))
-        )
-        .select(
-            F.lit("primary_key_changed").alias("change_type"),
-            F.col("cm.table_name").alias("table_name"),
-            F.lit(None).cast("string").alias("column_name"),
-            F.concat_ws(" -> ", F.coalesce(F.col("opk.pk"), F.lit("")),
-                        F.coalesce(F.col("npk.pk"), F.lit(""))).alias("details"),
-        )
+    pk_changes = common.where(F.col("o_pkstr") != F.col("n_pkstr")).select(
+        F.lit("primary_key_changed").alias("change_type"),
+        "table_name",
+        F.lit(None).cast("string").alias("column_name"),
+        F.concat_ws(" -> ", F.col("o_pkstr"), F.col("n_pkstr")).alias("details"),
     )
 
     changes = table_changes.unionAll(col_changes).unionAll(pk_changes)
