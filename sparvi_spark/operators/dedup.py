@@ -175,44 +175,52 @@ def dedup_near(
     return df.join(dups, df[id_col] == F.col("__dup"), "left_anti")
 
 
-def _sig_expr(num_hashes: int, grams_col: str = "__grams") -> str:
-    """Per-ROW MinHash signature: sig[i] = array_min(xxhash64 over the set).
-
-    A pure projection — no explode, no groupBy. The classic
-    explode + 64-way min-aggregate formulation shuffles every (id, shingle)
-    pair; per-row evaluation does the identical hashing work (|set| ×
-    num_hashes hashes) with zero data movement, so it scales linearly with
-    input splits on a cluster.
-
-    The seed loop is a nested ``transform`` rather than ``num_hashes``
-    unrolled slots: identical values (``sequence`` elements are int, same
-    type as an int literal seed), but ~5× faster cold — the unrolled form
-    generates one codegen block per slot (measured 2.7s vs 0.5s first-run
-    at 64 hashes).
-    """
-    return (f"transform(sequence(0, {num_hashes - 1}), "
-            f"i -> array_min(transform({grams_col}, g -> xxhash64(g, i))))")
-
-
 def _with_sig(grams: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
     """Attach a per-row ``sig`` column to a (__id, __grams, ...) frame.
 
+    A pure projection — no explode, no groupBy. The classic
+    explode + num_hashes-way min-aggregate formulation shuffles every
+    (id, shingle) pair; per-row evaluation moves zero data, so it scales
+    linearly with input splits on a cluster.
+
+    xxhash64 mode uses Kirsch-Mitzenmacher double hashing: each shingle is
+    string-hashed exactly TWICE (h1, h2 staged as their own array columns),
+    and slot i's hash is the integer combo ``h1 + i*h2`` — the standard
+    MinHash/Bloom construction. Versus hashing every shingle once per slot
+    this is ~9× faster (measured 7.4s → 0.8s at sf0.1 docs, 64 hashes):
+    higher-order lambdas run interpreted, so the per-slot work must be a
+    cheap int op, not a string hash. Values are masked to 32 bits so the
+    combo can't overflow under ANSI arithmetic (i*b < 2^38), and h2 is
+    forced odd so slots stay distinct permutations. zip_with over two
+    primitive arrays beats one array<struct> (struct field access per
+    element is ~8× slower interpreted).
+
     Portable mode stages the polynomial base-hash array as its own column
     first (lambda bodies re-evaluate embedded subexpressions per element),
-    then takes 64 affine mins over it — still a narrow projection.
+    then takes num_hashes affine mins over it — still a narrow projection.
     """
     if hash_fn == "portable":
         staged = grams.withColumn("__pb", F.expr(
             f"transform(__grams, g -> {portable_hash_expr('g')})"))
         # affine params as two constant arrays zipped per slot — one codegen
-        # block total instead of num_hashes unrolled ones (see _sig_expr)
+        # block total instead of num_hashes unrolled ones (see docstring)
         ab = [_affine_params(i) for i in range(num_hashes)]
         a_arr = ", ".join(f"{a}L" for a, _ in ab)
         b_arr = ", ".join(f"{b}L" for _, b in ab)
         sig = (f"zip_with(array({a_arr}), array({b_arr}), "
                f"(a, b) -> array_min(transform(__pb, x -> (x * a + b) % {PORTABLE_P})))")
         return staged.withColumn("sig", F.expr(sig)).drop("__pb")
-    return grams.withColumn("sig", F.expr(_sig_expr(num_hashes)))
+    return (
+        grams
+        .withColumn("__h1", F.expr(
+            "transform(__grams, g -> xxhash64(g) & 4294967295L)"))
+        .withColumn("__h2", F.expr(
+            "transform(__grams, g -> xxhash64(g, 1) & 4294967294L | 1L)"))
+        .withColumn("sig", F.expr(
+            f"transform(sequence(0, {num_hashes - 1}), "
+            f"i -> array_min(zip_with(__h1, __h2, (a, b) -> a + i * b)))"))
+        .drop("__h1", "__h2")
+    )
 
 
 def minhash_signatures(
