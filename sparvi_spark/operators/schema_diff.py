@@ -56,76 +56,86 @@ def _change(change_type, table, column, details) -> list:
 
 
 def compare_schemas(old: DataFrame, new: DataFrame) -> DataFrame:
-    """S1-S7: diff two snapshot DataFrames as ONE union + aggregation.
+    """S1-S7: diff two snapshot DataFrames with ONE shuffle, no joins.
 
-    Both snapshots are tagged with a side flag and reduced per
-    (table, column); every change class falls out of the per-column and
-    per-table aggregates. The round-1 formulation chained four full-outer /
-    left joins (~8 exchanges); this shape is one keyed shuffle + one
-    tiny rollup — on a catalog of millions of columns the diff costs a
-    single pass over the union.
+    Both snapshots are tagged with a side flag and aggregated straight to
+    one row per table (collect_list of per-column structs — bounded by
+    columns-per-table, not catalog size, so no skew risk even on catalogs
+    with millions of columns). All seven change classes are then pure
+    per-row array expressions: table add/remove from side presence, column
+    changes by exploding the two column lists' high-level full-outer merge,
+    PK change from name-sorted PK lists (set-equality semantics,
+    schema_change_detector.py:335-359). The round-1 formulation chained four
+    full-outer/left joins (~8 exchanges); round 2 used two groupBys plus a
+    broadcast join back (3 exchanges + a broadcast build job); this is a
+    single Exchange on table_name.
     """
     tagged = old.select("*", F.lit(0).alias("__src")).unionAll(
         new.select("*", F.lit(1).alias("__src")))
 
-    def oside(c):  # value of column c on the old side, null if absent
-        return F.max(F.when(F.col("__src") == 0, F.col(c)))
+    def side_cols(src: int):
+        return F.collect_list(F.when(F.col("__src") == src, F.struct(
+            F.col("column_name").alias("c"), F.col("col_type").alias("t"),
+            F.col("nullable").alias("n"), F.col("pk_ordinal").alias("p"))))
 
-    def nside(c):
-        return F.max(F.when(F.col("__src") == 1, F.col(c)))
+    pertab = tagged.groupBy("table_name").agg(
+        side_cols(0).alias("o_cols"), side_cols(1).alias("n_cols"))
 
-    percol = tagged.groupBy("table_name", "column_name").agg(
-        F.count(F.when(F.col("__src") == 0, 1)).alias("o_cnt"),
-        F.count(F.when(F.col("__src") == 1, 1)).alias("n_cnt"),
-        oside("col_type").alias("o_type"), nside("col_type").alias("n_type"),
-        oside("nullable").alias("o_null"), nside("nullable").alias("n_null"),
-        oside("pk_ordinal").alias("o_pk"), nside("pk_ordinal").alias("n_pk"),
-    )
-    # per-table rollup: side presence + name-sorted PK column lists
-    # (set-equality semantics, schema_change_detector.py:335-359)
-    pertab = percol.groupBy("table_name").agg(
-        F.max(F.col("o_cnt") > 0).alias("o_present"),
-        F.max(F.col("n_cnt") > 0).alias("n_present"),
-        F.concat_ws(",", F.array_sort(F.collect_list(
-            F.when(F.col("o_pk").isNotNull(), F.col("column_name"))))).alias("o_pkstr"),
-        F.concat_ws(",", F.array_sort(F.collect_list(
-            F.when(F.col("n_pk").isNotNull(), F.col("column_name"))))).alias("n_pkstr"),
-    )
-
-    table_changes = pertab.where(~F.col("o_present") | ~F.col("n_present")).select(
-        F.when(~F.col("o_present"), F.lit("table_added"))
-        .otherwise(F.lit("table_removed")).alias("change_type"),
+    # Merge the two column lists by column name inside the row: for each name
+    # present on either side, pair up the old/new structs (null when absent).
+    merged = pertab.select(
         "table_name",
-        F.lit(None).cast("string").alias("column_name"),
-        F.lit(None).cast("string").alias("details"),
+        F.size("o_cols").alias("o_n"), F.size("n_cols").alias("n_n"),
+        F.expr("""
+            transform(
+              array_distinct(concat(transform(o_cols, x -> x.c),
+                                    transform(n_cols, x -> x.c))),
+              name -> struct(
+                name as c,
+                get(filter(o_cols, x -> x.c = name), 0) as o,
+                get(filter(n_cols, x -> x.c = name), 0) as n))
+        """).alias("cols"),
+        F.expr("concat_ws(',', array_sort("
+               "transform(filter(o_cols, x -> x.p is not null), x -> x.c)))"
+               ).alias("o_pkstr"),
+        F.expr("concat_ws(',', array_sort("
+               "transform(filter(n_cols, x -> x.p is not null), x -> x.c)))"
+               ).alias("n_pkstr"),
     )
 
-    common = pertab.where(F.col("o_present") & F.col("n_present"))
-
-    col_changes = percol.join(
-        F.broadcast(common.select("table_name")), "table_name"
-    ).select(
-        F.when(F.col("o_cnt") == 0, F.lit("column_added"))
-        .when(F.col("n_cnt") == 0, F.lit("column_removed"))
-        .when(F.col("o_type") != F.col("n_type"), F.lit("column_type_changed"))
-        .when(F.col("o_null") != F.col("n_null"), F.lit("nullable_changed"))
-        .alias("change_type"),
+    # change rows as one per-table array expression, then one explode
+    changes = merged.select(
         "table_name",
-        "column_name",
-        F.when(
-            F.col("o_type") != F.col("n_type"),
-            F.concat_ws(" -> ", F.col("o_type"), F.col("n_type")),
-        ).alias("details"),
-    ).where(F.col("change_type").isNotNull())
-
-    pk_changes = common.where(F.col("o_pkstr") != F.col("n_pkstr")).select(
-        F.lit("primary_key_changed").alias("change_type"),
+        F.expr("""
+            case
+              when o_n = 0 then array(struct('table_added' as change_type,
+                   cast(null as string) as column_name, cast(null as string) as details))
+              when n_n = 0 then array(struct('table_removed' as change_type,
+                   cast(null as string) as column_name, cast(null as string) as details))
+              else concat(
+                filter(transform(cols, x -> struct(
+                  case when x.o is null then 'column_added'
+                       when x.n is null then 'column_removed'
+                       when x.o.t <> x.n.t then 'column_type_changed'
+                       when x.o.n <> x.n.n then 'nullable_changed'
+                  end as change_type,
+                  x.c as column_name,
+                  case when x.o is not null and x.n is not null and x.o.t <> x.n.t
+                       then concat(x.o.t, ' -> ', x.n.t) end as details)),
+                 x -> x.change_type is not null),
+                case when o_pkstr <> n_pkstr then array(struct(
+                  'primary_key_changed' as change_type,
+                  cast(null as string) as column_name,
+                  concat(o_pkstr, ' -> ', n_pkstr) as details))
+                else array() end)
+            end
+        """).alias("chg"),
+    ).select("table_name", F.explode("chg").alias("c")).select(
+        F.col("c.change_type").alias("change_type"),
         "table_name",
-        F.lit(None).cast("string").alias("column_name"),
-        F.concat_ws(" -> ", F.col("o_pkstr"), F.col("n_pkstr")).alias("details"),
+        F.col("c.column_name").alias("column_name"),
+        F.col("c.details").alias("details"),
     )
-
-    changes = table_changes.unionAll(col_changes).unionAll(pk_changes)
     return changes.withColumn(
         "important", F.col("change_type").isin(*IMPORTANT_CHANGES)
     )
