@@ -20,15 +20,31 @@ from sparvi_spark.testdata import load_table
 
 # Shared series builder (Spark + DuckDB CTE must stay in lockstep).
 
+_SERIES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def metric_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    key = (id(spark._jsparkSession), sf_dir)
+    cache_on = os.environ.get("SPARK_GRAFT_NO_CACHE") != "1"
+    if cache_on and key in _SERIES_CACHE:
+        return _SERIES_CACHE[key]
     ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy(
+    out = ev.groupBy(
         F.col("event_type").alias("metric_name"),
         F.date_trunc("day", F.col("ts")).alias("ts"),
     ).agg(
         F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
         .cast("double").alias("value")
     )
+    if cache_on:
+        # the series is tiny (metrics x days) and feeds every anomaly/trend
+        # check plus both branches of the detection run — keep it resident,
+        # mirroring load_table's hot-input policy
+        out = out.persist()
+        _SERIES_CACHE[key] = out
+    return out
 
 
 SERIES_CTE = (

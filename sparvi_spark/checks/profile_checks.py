@@ -127,20 +127,16 @@ SQL_NULL_COUNTS = (
 # ---------------------------------------------------------------------------
 
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.profile import distinct_counts_melted
+
     df = load_table(spark, "lineitem", sf_dir)
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in LINEITEM_ALL:
-        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__d"))
-        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
-    wide = df.agg(*aggs)
-    tuples = ", ".join(
-        f"'{c}', {c}__d, round({c}__d * cast(100 as double) / {c}__nn, 6), {c}__d = {c}__nn"
-        for c in LINEITEM_ALL
+    return distinct_counts_melted(df, list(LINEITEM_ALL)).select(
+        "column_name",
+        F.col("distinct_cnt"),
+        F.expr("round(distinct_cnt * cast(100 as double) / nonnull_cnt, 6)"
+               ).alias("distinct_pct"),
+        (F.col("distinct_cnt") == F.col("nonnull_cnt")).alias("is_unique"),
     )
-    return wide.select(F.expr(
-        f"stack({len(LINEITEM_ALL)}, {tuples}) as "
-        "(column_name, distinct_cnt, distinct_pct, is_unique)"
-    ))
 
 
 SQL_DISTINCT_COUNTS = (

@@ -22,12 +22,16 @@ def _make_rule_check(table: str):
     spec = SCHEMAS[table]
     rules = generate_default_rules(spec, as_of=AS_OF)
     ref_names = {rt for _c, rt, _rc in spec.foreign_keys}
+    # FK targets whose ref column is the declared PK need no distinct before
+    # the broadcast build (saves a dimension-wide shuffle per FK)
+    unique = frozenset(
+        rt for c, rt, rc in spec.foreign_keys if SCHEMAS[rt].primary_keys == (rc,))
 
     def fn(spark: SparkSession, sf_dir: str, _table=table, _rules=rules,
-           _refs=tuple(ref_names)) -> DataFrame:
+           _refs=tuple(ref_names), _uniq=unique) -> DataFrame:
         df = load_table(spark, _table, sf_dir)
         refs = {rt: load_table(spark, rt, sf_dir) for rt in _refs}
-        return run_rules(df, _rules, ref_tables=refs)
+        return run_rules(df, _rules, ref_tables=refs, unique_refs=_uniq)
 
     return fn, rules_oracle_sql(rules, table)
 

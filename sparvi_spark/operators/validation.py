@@ -340,6 +340,7 @@ def run_rules(
     rules: list[Rule],
     ref_tables: dict[str, DataFrame] | None = None,
     spark: SparkSession | None = None,
+    unique_refs: frozenset[str] | set[str] = frozenset(),
 ) -> DataFrame:
     """Execute rules against ``df`` -> DataFrame
     (rule_name, operator, expected_lo, expected_hi, actual_value, is_valid).
@@ -387,9 +388,7 @@ def run_rules(
             F.expr(_STATS_SX.format(c=c)).alias(f"__{c}_sx"),
             F.expr(_STATS_SXX.format(c=c)).alias(f"__{c}_sxx"),
         ]
-    if dom_rules:
-        exprs_a.append(F.count(F.lit(1)).alias("__total"))
-    multi_use = (bool(agg_rules) + bool(out_rules) + bool(dom_rules)) > 1
+    multi_use = (bool(agg_rules) + bool(out_rules)) > 1
     if exprs_a:
         agg_a = df.agg(*exprs_a)
         if multi_use:
@@ -407,8 +406,13 @@ def run_rules(
         d = df
         exprs_b = []
         for j, r in enumerate(ref_rules):
-            ref = (ref_tables[r.ref_table]
-                   .select(F.col(r.ref_column).alias(f"__rk{j}")).distinct())
+            ref = ref_tables[r.ref_table].select(F.col(r.ref_column).alias(f"__rk{j}"))
+            # distinct guards against row multiplication under duplicate ref
+            # keys; when the ref column is a declared PK (unique_refs) the
+            # guard is skipped — at warehouse scale that saves a full shuffle
+            # of the dimension before the broadcast build.
+            if r.ref_table not in unique_refs:
+                ref = ref.distinct()
             d = d.join(F.broadcast(ref), F.col(r.column) == F.col(f"__rk{j}"), "left")
             exprs_b.append(
                 F.count(F.when(F.col(r.column).isNotNull()
@@ -451,24 +455,38 @@ def run_rules(
         pieces.append(dup)
 
     if dom_rules:
+        # ONE aggregation, no joins: melt (nulls kept so sum(cnt) = total
+        # table rows, the reference's pct denominator), group to per-column
+        # (value, cnt) lists — dominance columns are categorical by the name
+        # heuristic, so cardinality is bounded — and count values whose share
+        # exceeds 95% with an array expression. A sentinel row per column
+        # (unioned map-side, no extra stage) keeps a result row per rule even
+        # on an empty table; its cnt is subtracted from the total.
         cols = [r.column for r in dom_rules]
         stack_expr = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
         melted = df.select(F.expr(
-            f"stack({len(cols)}, {stack_expr}) as (column_name, value)"
-        )).where(F.col("value").isNotNull())
-        dominant = (melted.groupBy("column_name", "value")
-                    .agg(F.count(F.lit(1)).alias("cnt"))
-                    .join(F.broadcast(agg_a.select("__total")))
-                    .where(F.col("cnt") * 100.0 / F.col("__total") > 95.0)
-                    .groupBy("column_name").agg(F.count(F.lit(1)).alias("n_dominant")))
-        name_map = {r.column: r.name for r in dom_rules}
-        base = spark.createDataFrame([(c, name_map[c]) for c in cols],
-                                     "column_name string, rule_name string")
+            f"stack({len(cols)}, {stack_expr}) as (column_name, value)"))
+        sentinel = spark.createDataFrame(
+            [(c, None) for c in cols], "column_name string, value string"
+        ).repartition(1)
+        name_case = "case " + " ".join(
+            f"when column_name = '{_q(r.column)}' then '{_q(r.name)}'"
+            for r in dom_rules) + " end"
         pieces.append(
-            base.join(dominant, "column_name", "left")
-            .select("rule_name",
-                    F.coalesce(F.col("n_dominant"), F.lit(0)).cast("double").alias("actual_value"))
-        )
+            melted.unionAll(sentinel)
+            .groupBy("column_name", "value")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("column_name")
+            .agg(
+                (F.sum("cnt") - 1).alias("__tot"),
+                F.collect_list(
+                    F.when(F.col("value").isNotNull(),
+                           F.col("cnt"))).alias("__cnts"))
+            .select(
+                F.expr(name_case).alias("rule_name"),
+                F.expr("cast(size(filter(__cnts, "
+                       "c -> c * 100.0 / __tot > 95.0)) as double)"
+                       ).alias("actual_value")))
 
     for r in sql_rules:
         res = spark.sql(r.sql)
