@@ -368,6 +368,16 @@ def run_rules(
     ref_tables = ref_tables or {}
     pieces: list[DataFrame] = []
 
+    # Per-rule metadata (operator, expected bounds) is inlined as literals
+    # into each piece's projection instead of joined from a driver-built
+    # DataFrame: one less stage, no Python->JVM LocalRelation per run.
+    def _meta(r: Rule) -> str:
+        lo, hi = _expected_bounds(r)
+        return (f"'{_q(normalize_operator(r.operator))}', "
+                f"cast({lo!r} as double), cast({hi!r} as double)")
+
+    _META_COLS = "(rule_name, operator, expected_lo, expected_hi, actual_value)"
+
     agg_rules = [r for r in rules if r.kind == "agg"]
     out_rules = [r for r in rules if r.kind == "outlier"]
     ref_rules = [r for r in rules if r.kind == "ref_integrity"]
@@ -397,9 +407,10 @@ def run_rules(
             # wide aggregation runs once per consumer.
             agg_a = agg_a.persist()
     if agg_rules:
-        stack_a = ", ".join(f"'{_q(r.name)}', a{i}" for i, r in enumerate(agg_rules))
+        stack_a = ", ".join(f"'{_q(r.name)}', {_meta(r)}, a{i}"
+                            for i, r in enumerate(agg_rules))
         pieces.append(agg_a.select(F.expr(
-            f"stack({len(agg_rules)}, {stack_a}) as (rule_name, actual_value)")))
+            f"stack({len(agg_rules)}, {stack_a}) as {_META_COLS}")))
 
     # ---- pass B: fused outlier counts + FK orphan counts ------------------
     if out_rules or ref_rules:
@@ -438,20 +449,26 @@ def run_rules(
                 cond = (F.col(c) > F.col(f"__hi{i}")) | (F.col(c) < F.col(f"__lo{i}"))
                 exprs_b.append(F.count(F.when(cond, 1)).cast("double").alias(f"o{i}"))
         stack_b = ", ".join(
-            [f"'{_q(r.name)}', r{j}" for j, r in enumerate(ref_rules)]
-            + [f"'{_q(r.name)}', o{i}" for i, r in enumerate(out_rules)])
+            [f"'{_q(r.name)}', {_meta(r)}, r{j}" for j, r in enumerate(ref_rules)]
+            + [f"'{_q(r.name)}', {_meta(r)}, o{i}" for i, r in enumerate(out_rules)])
         n_b = len(ref_rules) + len(out_rules)
         pieces.append(d.agg(*exprs_b).select(F.expr(
-            f"stack({n_b}, {stack_b}) as (rule_name, actual_value)")))
+            f"stack({n_b}, {stack_b}) as {_META_COLS}")))
 
     for r in dup_rules:
         d = df
         if r.not_null_key:
             d = d.na.drop(subset=list(r.keys))
+        lo, hi = _expected_bounds(r)
         dup = (d.groupBy(*r.keys).agg(F.count(F.lit(1)).alias("__c"))
                .where(F.col("__c") > 1)
                .agg(F.count(F.lit(1)).cast("double").alias("actual_value"))
-               .select(F.lit(r.name).alias("rule_name"), "actual_value"))
+               .selectExpr(
+                   f"'{_q(r.name)}' as rule_name",
+                   f"'{_q(normalize_operator(r.operator))}' as operator",
+                   f"cast({lo!r} as double) as expected_lo",
+                   f"cast({hi!r} as double) as expected_hi",
+                   "actual_value"))
         pieces.append(dup)
 
     if dom_rules:
@@ -466,12 +483,17 @@ def run_rules(
         stack_expr = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
         melted = df.select(F.expr(
             f"stack({len(cols)}, {stack_expr}) as (column_name, value)"))
-        sentinel = spark.createDataFrame(
-            [(c, None) for c in cols], "column_name string, value string"
-        ).repartition(1)
-        name_case = "case " + " ".join(
-            f"when column_name = '{_q(r.column)}' then '{_q(r.name)}'"
-            for r in dom_rules) + " end"
+        col_arr = ", ".join(f"'{_q(c)}'" for c in cols)
+        sentinel = spark.range(1).selectExpr(
+            f"explode(array({col_arr})) as column_name",
+            "cast(null as string) as value",
+        ).select("column_name", "value")
+
+        def _case(pick) -> str:
+            return ("case " + " ".join(
+                f"when column_name = '{_q(r.column)}' then {pick(r)}"
+                for r in dom_rules) + " end")
+
         pieces.append(
             melted.unionAll(sentinel)
             .groupBy("column_name", "value")
@@ -483,7 +505,13 @@ def run_rules(
                     F.when(F.col("value").isNotNull(),
                            F.col("cnt"))).alias("__cnts"))
             .select(
-                F.expr(name_case).alias("rule_name"),
+                F.expr(_case(lambda r: f"'{_q(r.name)}'")).alias("rule_name"),
+                F.expr(_case(lambda r: f"'{_q(normalize_operator(r.operator))}'")
+                       ).alias("operator"),
+                F.expr(_case(lambda r: f"cast({_expected_bounds(r)[0]!r} as double)")
+                       ).alias("expected_lo"),
+                F.expr(_case(lambda r: f"cast({_expected_bounds(r)[1]!r} as double)")
+                       ).alias("expected_hi"),
                 F.expr("cast(size(filter(__cnts, "
                        "c -> c * 100.0 / __tot > 95.0)) as double)"
                        ).alias("actual_value")))
@@ -491,22 +519,18 @@ def run_rules(
     for r in sql_rules:
         res = spark.sql(r.sql)
         first_col = res.columns[0]
+        lo, hi = _expected_bounds(r)
         pieces.append(res.limit(1).select(
             F.lit(r.name).alias("rule_name"),
+            F.lit(normalize_operator(r.operator)).alias("operator"),
+            F.lit(lo).cast("double").alias("expected_lo"),
+            F.lit(hi).cast("double").alias("expected_hi"),
             F.col(first_col).cast("double").alias("actual_value")))
 
     result = pieces[0]
     for p in pieces[1:]:
         result = result.unionAll(p)
-
-    meta_rows = []
-    for r in rules:
-        lo, hi = _expected_bounds(r)
-        meta_rows.append((r.name, normalize_operator(r.operator), lo, hi))
-    meta = spark.createDataFrame(
-        meta_rows, "rule_name string, operator string, expected_lo double, expected_hi double")
-    return (result.join(F.broadcast(meta), "rule_name")
-            .withColumn("is_valid", F.expr(IS_VALID_CASE))
+    return (result.withColumn("is_valid", F.expr(IS_VALID_CASE))
             .select("rule_name", "operator", "expected_lo", "expected_hi",
                     "actual_value", "is_valid"))
 
