@@ -29,6 +29,7 @@ from sparvi_spark.testdata import load_table
 DOC_CAP = 120  # doc_id bound for O(n²) pair checks
 
 _DUCK_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SPARK_TOKS = "split(lower(trim(text)), '\\\\s+')"
 
 
 # ---------------------------------------------------------------------------
@@ -559,6 +560,220 @@ FROM events GROUP BY event_type
 """.strip()
 
 
+
+# ---------------------------------------------------------------------------
+# x10 gap-based sessionization (events): one shuffle on user_id, lag +
+# running-sum windows; integer-microsecond gap math for oracle parity
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30.0
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.sessions import session_stats
+
+    ev = load_table(spark, "events", sf_dir)
+    return session_stats(ev, "user_id", "ts", gap_minutes=SESSION_GAP_MIN,
+                         tiebreak_col="event_id")
+
+
+SQL_SESSIONIZE = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+o AS (SELECT user_id, us,
+        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us,
+        event_id FROM e),
+f AS (SELECT user_id, us, event_id,
+        CASE WHEN prev_us IS NULL OR us - prev_us > {int(SESSION_GAP_MIN * 60_000_000)}
+             THEN 1 ELSE 0 END AS new_s FROM o),
+s AS (SELECT user_id, us,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_no FROM f),
+per AS (SELECT user_id, session_no, count(*) AS n_events,
+          max(us) - min(us) AS dur_us FROM s GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions,
+  cast(sum(n_events) as bigint) AS n_events,
+  cast(max(n_events) as bigint) AS max_session_events,
+  cast(sum(dur_us) as bigint) AS total_session_us
+FROM per GROUP BY user_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# x11 equal-width histogram over lineitem prices (distribution_data of the
+# profile contract, SURVEY §1.3)
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 20
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.profile import numeric_histogram
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return numeric_histogram(li, "l_extendedprice", bins=HIST_BINS)
+
+
+SQL_HISTOGRAM = f"""
+WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+           FROM lineitem),
+b AS (SELECT CASE WHEN mx = mn THEN 0
+        ELSE least(cast(floor((l_extendedprice - mn) / ((mx - mn) / {HIST_BINS}))
+                   as bigint), {HIST_BINS - 1}) END AS bin, mn, mx
+      FROM lineitem, s WHERE l_extendedprice IS NOT NULL)
+SELECT bin, round(mn + bin * ((mx - mn) / {HIST_BINS}), 6) AS lo,
+  round(mn + (bin + 1) * ((mx - mn) / {HIST_BINS}), 6) AS hi,
+  count(*) AS cnt
+FROM b GROUP BY bin, mn, mx
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# x12 multi-pattern scan (PII shapes + content patterns) per source
+# ---------------------------------------------------------------------------
+
+def q_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.text import pattern_counts
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pattern_counts(docs, "text", group_by="source")
+
+
+def _sql_pattern_scan() -> str:
+    from sparvi_spark.operators.text import PII_PATTERNS
+
+    wide = ", ".join(
+        f"cast(sum(CASE WHEN len(regexp_extract_all(text, '{rx}')) > 0 "
+        f"THEN 1 ELSE 0 END) as bigint) AS {name}__rows, "
+        f"cast(sum(len(regexp_extract_all(text, '{rx}'))) as bigint) "
+        f"AS {name}__matches"
+        for name, rx in PII_PATTERNS.items()
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT source, '{name}' AS pattern, {name}__rows AS n_rows_matched, "
+        f"{name}__matches AS n_matches FROM w"
+        for name in PII_PATTERNS
+    )
+    return f"WITH w AS (SELECT source, {wide} FROM documents GROUP BY source) {unions}"
+
+
+SQL_PATTERN_SCAN = _sql_pattern_scan()
+
+
+# ---------------------------------------------------------------------------
+# x13/x14 deterministic sampling (portable affine hash; reproducible across
+# engines, partitionings, and cluster sizes)
+# ---------------------------------------------------------------------------
+
+SAMPLE_PCT, STRAT_N = 5, 3
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return hash_sample(docs, "doc_id", SAMPLE_PCT).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+def _duck_hash(id_col: str) -> str:
+    from sparvi_spark.operators.sampling import HASH_A, HASH_B, HASH_M
+
+    return f"(cast({id_col} as bigint) * {HASH_A} + {HASH_B}) % {HASH_M}"
+
+
+SQL_HASH_SAMPLE = f"""
+SELECT source, count(*) AS n_sampled, cast(sum(doc_id) as bigint) AS id_checksum
+FROM documents WHERE ({_duck_hash('doc_id')}) % 100 < {SAMPLE_PCT}
+GROUP BY source
+""".strip()
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return stratified_sample(docs, ["source"], STRAT_N, "doc_id").select(
+        "source", "doc_id")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT source, doc_id FROM documents
+QUALIFY row_number() OVER (PARTITION BY source
+  ORDER BY {_duck_hash('doc_id')}, doc_id) <= {STRAT_N}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# x15 benchmark-contamination screening: 3-gram shingle overlap of every
+# candidate doc against the src0 "benchmark" corpus
+# ---------------------------------------------------------------------------
+
+CONTAM_REF_SOURCE, CONTAM_N = "src0", 3
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.dedup import contamination
+
+    docs = load_table(spark, "documents", sf_dir)
+    ref = docs.where(F.col("source") == CONTAM_REF_SOURCE)
+    cand = docs.where(F.col("source") != CONTAM_REF_SOURCE)
+    return contamination(cand, ref, "doc_id", "text", n=CONTAM_N)
+
+
+SQL_CONTAMINATION = f"""
+WITH toks AS (SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents),
+g AS (SELECT doc_id, source,
+        unnest(list_transform(range(1, greatest(len(t) - {CONTAM_N - 1}, 0) + 1),
+          i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))) AS shingle FROM toks),
+d AS (SELECT DISTINCT doc_id, source, shingle FROM g),
+refset AS (SELECT DISTINCT shingle FROM d WHERE source = '{CONTAM_REF_SOURCE}'),
+cand AS (SELECT doc_id, shingle FROM d WHERE source <> '{CONTAM_REF_SOURCE}'),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY 1),
+hit AS (SELECT doc_id, count(*) AS n_contaminated FROM cand
+        WHERE shingle IN (SELECT shingle FROM refset) GROUP BY 1)
+SELECT t.doc_id, t.n_shingles, coalesce(h.n_contaminated, 0) AS n_contaminated,
+  round(coalesce(h.n_contaminated, 0) * cast(1 as double) / t.n_shingles, 6)
+    AS contamination_frac
+FROM tot t LEFT JOIN hit h USING (doc_id)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# x16 per-source token accounting (whitespace + BPE-ish tokenizers)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.text import BPE_TOKEN_REGEX
+
+    docs = load_table(spark, "documents", sf_dir)
+    ws = F.expr(f"size({_SPARK_TOKS})")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_REGEX), F.lit(0)))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws).cast("bigint").alias("ws_tokens"),
+        F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+        F.round(F.avg(ws), 6).alias("avg_ws_tokens"),
+    )
+
+
+def _sql_token_stats() -> str:
+    from sparvi_spark.operators.text import BPE_TOKEN_REGEX
+
+    bpe = f"len(regexp_extract_all(text, '{BPE_TOKEN_REGEX}'))"
+    return f"""
+SELECT source, count(*) AS n_docs,
+  cast(sum(len({_DUCK_TOKS})) as bigint) AS ws_tokens,
+  cast(sum({bpe}) as bigint) AS bpe_tokens,
+  round(avg(len({_DUCK_TOKS})), 6) AS avg_ws_tokens
+FROM documents GROUP BY source
+""".strip()
+
+
+SQL_TOKEN_STATS = _sql_token_stats()
+
+
 CHECKS = {
     "d01_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "d02_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
@@ -577,5 +792,12 @@ CHECKS = {
     "x07_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "x08_range_join": (q_range_join, SQL_RANGE_JOIN),
     "x09_json_profile": (q_json_profile, SQL_JSON_PROFILE),
+    "x10_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "x11_histogram": (q_histogram, SQL_HISTOGRAM),
+    "x12_pattern_scan": (q_pattern_scan, SQL_PATTERN_SCAN),
+    "x13_hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "x14_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "x15_contamination": (q_contamination, SQL_CONTAMINATION),
+    "x16_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "m01_multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

@@ -430,3 +430,45 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination screening: what fraction of each candidate doc's
+# n-gram shingles also occur in a reference ("benchmark"/eval) corpus?
+# Standard decontamination step for training-data pipelines; not in the
+# reference repo (its dedup surface stops at exact duplicates).
+# ---------------------------------------------------------------------------
+
+def contamination(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc overlap with the reference corpus' shingle set.
+
+    Output: (id, n_shingles, n_contaminated, contamination_frac).
+
+    Scale shape: both sides reduce to distinct (id, shingle) pairs via the
+    shuffle-free per-row ``array_distinct`` path; the only wide ops are the
+    semi-join on shingle (hash join; the ref set is usually the small side
+    -> broadcast) and the per-doc count aggregation. Cost is linear in
+    corpus size — no pairwise comparisons anywhere.
+    """
+    doc_sh = _doc_shingles(df, id_col, text_col, n)
+    ref_sh = _doc_shingles(ref, id_col, text_col, n).select("shingle").distinct()
+    totals = doc_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (doc_sh.join(ref_sh, "shingle", "left_semi")
+            .groupBy("__id").agg(F.count(F.lit(1)).alias("n_contaminated")))
+    return (
+        totals.join(hits, "__id", "left")
+        .na.fill({"n_contaminated": 0})
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") * F.lit(1.0) / F.col("n_shingles"), 6)
+            .alias("contamination_frac"),
+        )
+    )

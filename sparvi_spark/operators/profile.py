@@ -400,3 +400,41 @@ def json_field_stats(
         ]
     grouped = df.groupBy(group_by) if group_by else df.groupBy()
     return grouped.agg(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# Equal-width histogram — fills the profile document's `distribution_data`
+# key (SURVEY §1.3; the reference computes distributions warehouse-side and
+# stores them opaquely). Two scans: one tiny min/max agg broadcast back
+# over the data, then one groupBy(bin) — the classic Spark shape.
+# ---------------------------------------------------------------------------
+
+def numeric_histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
+    """Equal-width histogram: (bin, lo, hi, cnt), bins fixed-width over
+    [min, max], the max value clamped into the last bin.
+
+    Bin arithmetic stays in double precision with one canonical expression
+    order — (v - mn) / ((mx - mn) / bins) — so any engine repeating the
+    same IEEE ops bins identically (oracle-portable). Nulls are excluded.
+    """
+    stats = df.agg(
+        F.min(F.col(col).cast("double")).alias("__mn"),
+        F.max(F.col(col).cast("double")).alias("__mx"),
+    )
+    width = (F.col("__mx") - F.col("__mn")) / bins
+    v = F.col(col).cast("double")
+    bin_ = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(F.floor((v - F.col("__mn")) / width), F.lit(bins - 1)))
+    return (
+        df.where(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(bin_.cast("long").alias("bin"), "__mn", "__mx")
+        .groupBy("bin", "__mn", "__mx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            F.round(F.col("__mn") + F.col("bin") * width, 6).alias("lo"),
+            F.round(F.col("__mn") + (F.col("bin") + 1) * width, 6).alias("hi"),
+            "cnt",
+        )
+    )

@@ -1,0 +1,62 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-stable only for a fixed partitioning — repartition
+the input and the sample changes, which poisons reproducibility and makes
+an engine-independent oracle impossible. These operators instead derive
+the sampling decision from a *portable affine hash of the row key*, so the
+sample is (a) identical across engines, partitionings, and cluster sizes,
+(b) a pure narrow projection/filter — zero shuffles for the Bernoulli
+path — and (c) stable under incremental reprocessing (a re-ingested row
+lands in the same bucket).
+
+Knuth multiplicative hashing: h = (key * 2654435761 + B) mod 2^32 — the
+golden-ratio multiplier spreads sequential ids uniformly across buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_A = 2654435761  # 2^32 / golden ratio (Knuth)
+HASH_B = 12345
+HASH_M = 1 << 32
+
+
+def hash_expr(id_col: str) -> Column:
+    """Portable 32-bit affine hash of an integer key, as bigint."""
+    return F.expr(
+        f"(cast({id_col} as bigint) * {HASH_A}L + {HASH_B}L) % {HASH_M}L")
+
+
+def hash_bucket(id_col: str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer key column."""
+    return (hash_expr(id_col) % buckets).cast("int")
+
+
+def hash_sample(df: DataFrame, id_col: str, percent: int, buckets: int = 100) -> DataFrame:
+    """Deterministic ~percent% Bernoulli sample: keep rows whose hash bucket
+    is below ``percent``. Narrow filter — pushes down to the scan, no
+    shuffle, no driver randomness."""
+    return df.where(hash_bucket(id_col, buckets) < percent)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str,
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen by hash order — a deterministic stand-in for uniform
+    random choice. One shuffle on the strata key; the rank window never
+    materializes more than the stratum on one task, and for the common
+    "few rows per stratum" target AQE's skew handling bounds a hot stratum.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_expr(id_col), F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

@@ -144,3 +144,50 @@ def top_tokens(df: DataFrame, text_col: str = "text", k: int = 10) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("token", "cnt", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-pattern scanning (PII shapes + content patterns) — generalizes the
+# reference's single-pattern match rate (P11, backend/app.py:4210-4237) to
+# a per-group, per-pattern profile computed in ONE aggregation pass.
+# ---------------------------------------------------------------------------
+
+# Dialect-common regexes (Java + RE2 compatible: no backrefs, no lookaround).
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+    "phone": "[+][0-9][0-9 ()-]{7,}[0-9]",
+    "long_word": "[a-z]{6,}",
+}
+
+
+def pattern_counts(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+    group_by: str | None = None,
+) -> DataFrame:
+    """Per-group match profile for a set of named regexes.
+
+    Output long-form rows (group, pattern, n_rows_matched, n_matches).
+    All patterns are counted inside ONE wide aggregation over a single scan
+    (regexp_count is JVM-side, codegen'd); the stack to long form is a
+    metadata-only projection. At scale this is scan-bound — adding a
+    pattern adds zero I/O.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    exprs: list[Column] = []
+    for name, rx in pats.items():
+        c = F.regexp_count(F.col(text_col), F.lit(rx))
+        exprs.append(
+            F.sum((c > 0).cast("long")).alias(f"{name}__rows"))
+        exprs.append(F.sum(c).cast("long").alias(f"{name}__matches"))
+    grouped = df.groupBy(group_by) if group_by else df.groupBy()
+    wide = grouped.agg(*exprs)
+    stack = ", ".join(
+        f"'{name}', {name}__rows, {name}__matches" for name in pats)
+    head = [group_by] if group_by else []
+    return wide.selectExpr(
+        *head,
+        f"stack({len(pats)}, {stack}) as (pattern, n_rows_matched, n_matches)",
+    )

@@ -74,7 +74,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     df = spark.read.parquet(path)
     for c in _NANOS_TS.get(name, ()):
         if isinstance(df.schema[c].dataType, LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+            # `div` = exact integer division: nanos epochs (~1.7e18) exceed
+            # double's 2^53 exact range, so floor(col / 1000) — a DOUBLE
+            # division — lands ±2µs off the true microsecond value.
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     try:
         size = os.path.getsize(path)
     except OSError:

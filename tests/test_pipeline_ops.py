@@ -139,3 +139,91 @@ def test_lsh_topk_recall_against_bruteforce(spark):
               for r in lsh_topk(emb, queries, k=1, n_bits=8).collect()}
     hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
     assert hits >= 8  # >=80% top-1 recall on tight clusters
+
+
+def test_sessionize_gap_rule(spark):
+    from sparvi_spark.operators.sessions import session_stats, sessionize
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"),
+        (1, 2, "2024-01-01 10:10:00"),   # same session (10 min gap)
+        (1, 3, "2024-01-01 11:00:00"),   # new session (50 min gap)
+        (2, 4, "2024-01-01 09:00:00"),   # single-event session
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    s = {(r["user_id"], r["event_id"]): r["session_no"]
+         for r in sessionize(df, "user_id", "ts", 30.0, "event_id").collect()}
+    assert s == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (2, 4): 1}
+
+    stats = {r["user_id"]: r for r in
+             session_stats(df, "user_id", "ts", 30.0, "event_id").collect()}
+    assert stats[1]["n_sessions"] == 2
+    assert stats[1]["max_session_events"] == 2
+    assert stats[1]["total_session_us"] == 600_000_000  # 10 min, exact
+    assert stats[2]["n_sessions"] == 1
+    assert stats[2]["total_session_us"] == 0
+
+
+def test_hash_sampling_deterministic(spark):
+    from sparvi_spark.operators.sampling import hash_sample, stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "id int, src string")
+    a = sorted(r["id"] for r in hash_sample(df, "id", 10).collect())
+    # repartitioning must NOT change the sample (the df.sample failure mode)
+    b = sorted(r["id"] for r in hash_sample(df.repartition(7), "id", 10).collect())
+    assert a == b and 0 < len(a) < 60  # ~10% of 300, hash-spread
+
+    st = stratified_sample(df, ["src"], 5, "id")
+    per = {r["src"]: r["cnt"] for r in
+           st.groupBy("src").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per == {"s0": 5, "s1": 5, "s2": 5}
+    # deterministic under re-run
+    assert sorted(r["id"] for r in st.collect()) == \
+           sorted(r["id"] for r in stratified_sample(df, ["src"], 5, "id").collect())
+
+
+def test_numeric_histogram_bins(spark):
+    from sparvi_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    out = {r["bin"]: r for r in numeric_histogram(df, "v", bins=10).collect()}
+    assert len(out) == 10
+    assert all(out[b]["cnt"] == 10 for b in range(10))
+    assert out[0]["lo"] == 0.0 and out[9]["hi"] == 99.0
+    # max value clamps into last bin, not bins
+    assert 9 in out and 10 not in out
+
+
+def test_contamination_fractions(spark):
+    from sparvi_spark.operators.dedup import contamination
+
+    ref = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id int, text string")
+    cand = spark.createDataFrame(
+        [(1, "a b c d e"),        # fully contained
+         (2, "a b c x y z"),      # 1 of 4 shingles hits ('a b c')
+         (3, "p q r s t")],       # disjoint
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           contamination(cand, ref, "doc_id", "text", n=3).collect()}
+    assert out[1]["contamination_frac"] == 1.0
+    assert out[2]["n_shingles"] == 4 and out[2]["n_contaminated"] == 1
+    assert out[3]["contamination_frac"] == 0.0
+
+
+def test_pattern_counts_groups(spark):
+    from sparvi_spark.operators.text import pattern_counts
+
+    df = spark.createDataFrame(
+        [("a", "mail me at bob@example.com or sue@test.org"),
+         ("a", "no pii here"),
+         ("b", "server 10.0.0.1 and 192.168.1.1")],
+        "src string, text string")
+    out = {(r["src"], r["pattern"]): (r["n_rows_matched"], r["n_matches"])
+           for r in pattern_counts(df, "text", group_by="src").collect()}
+    assert out[("a", "email")] == (1, 2)
+    assert out[("b", "ipv4")] == (1, 2)
+    assert out[("b", "email")] == (0, 0)
