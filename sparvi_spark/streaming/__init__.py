@@ -14,6 +14,8 @@ from sparvi_spark.streaming.monitor import (
 )
 from sparvi_spark.streaming.stateful import running_metrics
 from sparvi_spark.streaming.detect import streaming_detection
+from sparvi_spark.streaming.sessions import streaming_sessions
 
 __all__ = ["events_stream", "windowed_counts", "windowed_quality", "freshness",
+           "streaming_sessions",
            "running_metrics", "streaming_detection"]

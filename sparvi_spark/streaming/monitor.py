@@ -39,8 +39,9 @@ def events_stream(spark: SparkSession, path: str,
           .option("maxFilesPerTrigger", max_files_per_trigger)
           .parquet(path))
     if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # integer `div`, not floor(x / 1000): nanos epochs exceed double's
+        # 2^53 exact range (same fix as testdata.load_table)
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

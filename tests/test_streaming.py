@@ -124,3 +124,28 @@ def test_streaming_detection_matches_batch(spark, stream_dir, tmp_path):
               for r in detect_anomalies(store, ["metric_name"], config=cfg).collect()}
     assert expect, "fixture should yield at least one anomaly"
     assert got == expect
+
+
+def test_streaming_sessions_match_batch(spark, stream_dir):
+    from sparvi_spark.operators.sessions import sessionize
+    from sparvi_spark.streaming import streaming_sessions
+
+    s = events_stream(spark, stream_dir)
+    _run(streaming_sessions(s, gap="30 minutes", watermark="0 seconds"), "ss")
+    got = {(r["user_id"], r["session_start"]): (r["n_events"], r["last_ts"])
+           for r in spark.sql("select * from ss").collect()}
+    assert got
+
+    # batch replay: same gap rule via the lag+running-sum sessionizer
+    ev = load_table(spark, "events", SF_DIR)
+    batch = (sessionize(ev, "user_id", "ts", 30.0, "event_id")
+             .groupBy("user_id", "session_no")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("ts").alias("start"), F.max("ts").alias("end")))
+    expect = {(r["user_id"], r["start"]): (r["n"], r["end"])
+              for r in batch.collect()}
+    # watermark may hold back each user's newest session; every emitted
+    # closed session must match the batch result exactly
+    assert all(expect.get(k) == v for k, v in got.items())
+    n_users = ev.select("user_id").distinct().count()
+    assert len(got) >= len(expect) - n_users
