@@ -60,6 +60,20 @@ def headline_queries():
         return (docs.withColumn("guessed", lang_id_expr("text"))
                 .groupBy("lang", "guessed").count())
 
+    def sessionize_full(spark, sf_dir):
+        from sparvi_spark.operators.sessions import session_stats
+
+        ev = load_table(spark, "events", sf_dir)
+        return session_stats(ev, "user_id", "ts", 30.0, "event_id")
+
+    def contamination_full(spark, sf_dir):
+        from sparvi_spark.operators.dedup import contamination
+
+        docs = load_table(spark, "documents", sf_dir)
+        ref = docs.where(F.col("source") == "src0")
+        cand = docs.where(F.col("source") != "src0")
+        return contamination(cand, ref, "doc_id", "text", n=3)
+
     return {
         "profile_numeric": P["p04_numeric_stats"][0],
         "profile_distinct": P["p03_distinct_counts"][0],
@@ -76,6 +90,8 @@ def headline_queries():
         "text_quality_full": text_quality_full,
         "langid_full": langid_full,
         "asof_join": PL["x07_asof_join"][0],
+        "sessionize_full": sessionize_full,
+        "contamination_full": contamination_full,
     }
 
 
