@@ -774,6 +774,28 @@ FROM documents GROUP BY source
 SQL_TOKEN_STATS = _sql_token_stats()
 
 
+# ---------------------------------------------------------------------------
+# x17 IVF training step: per-label centroid vectors (decimal-exact means)
+# ---------------------------------------------------------------------------
+
+def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.similarity import bucket_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return bucket_centroids(emb, "label", "embedding")
+
+
+SQL_CENTROIDS = """
+WITH e AS (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings)
+SELECT label, dim,
+  round(cast(sum(cast(cast(v as double) as decimal(27,9))) as double)
+        / count(*), 6) AS centroid,
+  count(*) AS n_vectors
+FROM e GROUP BY label, dim
+""".strip()
+
+
 CHECKS = {
     "d01_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "d02_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
@@ -799,5 +821,6 @@ CHECKS = {
     "x14_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "x15_contamination": (q_contamination, SQL_CONTAMINATION),
     "x16_token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "x17_centroids": (q_centroids, SQL_CENTROIDS),
     "m01_multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

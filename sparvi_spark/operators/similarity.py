@@ -162,3 +162,29 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def bucket_centroids(
+    df: DataFrame,
+    bucket_col: str,
+    vec_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-bucket centroid vectors, long form (bucket, dim, centroid) — the
+    training step of an IVF index (coarse quantizer cell means; `ivf_topk`
+    consumes the resulting assignment).
+
+    posexplode + one groupBy on (bucket, dim): the shuffle carries one row
+    per vector element, the standard shape for distributed k-means-style
+    updates. Element sums go through decimal so the mean is order-independent
+    (IEEE double summation would hash-differ across engines/partitionings).
+    """
+    d = df.select(F.col(bucket_col), F.posexplode(F.col(vec_col)).alias("dim", "__v"))
+    return d.groupBy(bucket_col, "dim").agg(
+        F.round(
+            F.sum(F.col("__v").cast("double").cast("decimal(27,9)")).cast("double")
+            / F.count(F.lit(1)),
+            round_to,
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -227,3 +227,16 @@ def test_pattern_counts_groups(spark):
     assert out[("a", "email")] == (1, 2)
     assert out[("b", "ipv4")] == (1, 2)
     assert out[("b", "email")] == (0, 0)
+
+
+def test_bucket_centroids_exact(spark):
+    from sparvi_spark.operators.similarity import bucket_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, 20.0])],
+        "label int, embedding array<double>")
+    out = {(r["label"], r["dim"]): (r["centroid"], r["n_vectors"])
+           for r in bucket_centroids(df, "label", "embedding").collect()}
+    assert out[(0, 0)] == (2.0, 2)
+    assert out[(0, 1)] == (3.0, 2)
+    assert out[(1, 0)] == (10.0, 1)
