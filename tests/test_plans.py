@@ -176,3 +176,38 @@ def test_minhash_pipeline_exchange_budget(spark):
     plan = _plan(pairs)
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 6, f"{n_exchanges} hash exchanges:\n{plan}"
+
+
+def test_sessionize_single_exchange(spark):
+    """The whole sessionize -> per-session -> per-user pipeline must shuffle
+    the events table exactly once (hashpartitioning on user); both
+    aggregations reuse the window's partitioning (SCALING.md round 2)."""
+    from sparvi_spark.operators.sessions import session_stats
+
+    ev = _raw(spark, "events", fresh=True).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)"))
+    plan = _plan(session_stats(ev, "user_id", "ts", 30.0, "event_id"))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"{n} hash exchanges:\n{plan}"
+
+
+def test_hash_sample_is_narrow(spark):
+    """Bernoulli hash sampling is a pure filter: no Exchange anywhere."""
+    from sparvi_spark.operators.sampling import hash_sample
+
+    docs = _raw(spark, "documents", fresh=True)
+    plan = _plan(hash_sample(docs, "doc_id", 5))
+    assert "Exchange" not in plan, plan
+
+
+def test_contamination_no_cartesian(spark):
+    """Contamination is linear: shingle hash-joins only — no cartesian or
+    nested-loop join may appear for the doc x benchmark overlap."""
+    from sparvi_spark.operators.dedup import contamination
+
+    docs = _raw(spark, "documents", fresh=True)
+    ref = docs.where(F.col("source") == "src0")
+    cand = docs.where(F.col("source") != "src0")
+    plan = _plan(contamination(cand, ref, "doc_id", "text", n=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
