@@ -30,6 +30,9 @@ def time_bucket(ts, width_seconds: int):
     from pyspark.sql import Column, functions as F
 
     c = F.col(ts) if isinstance(ts, str) else ts
+    # TIMESTAMP_NTZ has no direct numeric cast; relabel to TIMESTAMP first
+    # (no-op for TIMESTAMP inputs, wall-clock-preserving under a UTC session).
+    c = c.cast("timestamp")
     return F.timestamp_seconds(
         (F.floor(c.cast("long") / width_seconds) * width_seconds).cast("long"))
 
@@ -70,6 +73,8 @@ def datediff_hours(start: Column | str, end: Column | str) -> Column:
     (start, end) in both, but Spark's own ``datediff`` counts days only."""
     s = F.col(start) if isinstance(start, str) else start
     e = F.col(end) if isinstance(end, str) else end
+    s = s.cast("timestamp")
+    e = e.cast("timestamp")
     return (e.cast("long") - s.cast("long")) / F.lit(3600)
 
 

@@ -90,8 +90,8 @@ def asof_join(
                          ignorenulls=True).over(w))
     out = filled.where(F.col("__src") == 1)
     if tolerance_seconds is not None:
-        stale = (F.col(ts_col).cast("double")
-                 - F.col("__r_ts").cast("double")) > tolerance_seconds
+        stale = (F.col(ts_col).cast("timestamp").cast("double")
+                 - F.col("__r_ts").cast("timestamp").cast("double")) > tolerance_seconds
         for c in value_cols:
             out = out.withColumn(
                 f"__r_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"__r_{c}")))

@@ -39,7 +39,7 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(*order)
     gap_us = int(gap_minutes * 60_000_000)
     return (
-        df.withColumn("__us", F.unix_micros(F.col(ts_col)))
+        df.withColumn("__us", F.unix_micros(F.col(ts_col).cast("timestamp")))
         .withColumn("__prev_us", F.lag("__us").over(w))
         .withColumn(
             "__new_s",

@@ -214,7 +214,8 @@ def change_frequency(
         .withColumn("__prev", F.lag(ts_col).over(w))
         .withColumn(
             "__gap_h",
-            (F.col(ts_col).cast("double") - F.col("__prev").cast("double")) / 3600.0,
+            (F.col(ts_col).cast("timestamp").cast("double")
+             - F.col("__prev").cast("timestamp").cast("double")) / 3600.0,
         )
     )
     gap_stats = gaps.groupBy(*keys).agg(

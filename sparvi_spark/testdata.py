@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = [
     "region",
@@ -78,6 +78,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # double's 2^53 exact range, so floor(col / 1000) — a DOUBLE
             # division — lands ±2µs off the true microsecond value.
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) reads as TIMESTAMP_NTZ under
+    # Spark 4's inferTimestampNTZ default. NTZ forbids direct numeric casts
+    # (epoch math, unix_micros) that the operators rely on; with the session
+    # pinned to UTC above, NTZ -> TIMESTAMP is a wall-clock-preserving
+    # relabel, and DuckDB's naive-timestamp oracle arithmetic stays exact.
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     try:
         size = os.path.getsize(path)
     except OSError:

@@ -184,8 +184,13 @@ def test_sessionize_single_exchange(spark):
     aggregations reuse the window's partitioning (SCALING.md round 2)."""
     from sparvi_spark.operators.sessions import session_stats
 
-    ev = _raw(spark, "events", fresh=True).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)"))
+    ev = _raw(spark, "events", fresh=True)
+    # normalize the raw ts column the same way load_table does: nanos-long
+    # (legacy driver data) -> timestamp_micros; TIMESTAMP_NTZ -> TIMESTAMP
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     plan = _plan(session_stats(ev, "user_id", "ts", 30.0, "event_id"))
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"{n} hash exchanges:\n{plan}"
