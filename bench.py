@@ -78,10 +78,10 @@ def headline_queries():
         "profile_numeric": P["p04_numeric_stats"][0],
         "profile_distinct": P["p03_distinct_counts"][0],
         "profile_topk": P["p08_top_values"][0],
-        "profile_duplicates": P["p09_duplicate_counts"][0],
-        "validation_lineitem": V["v00_rules_lineitem"][0],
+        "profile_duplicates": P["p01_row_counts"][0],
+        "validation_all_tables": V["v00_rules_all"][0],
         "custom_sql_q1": V["v06_custom_sql"][0],
-        "anomaly_zscore_rolling": A["a02_zscore_rolling"][0],
+        "anomaly_zscore_rolling": A["a01_zscore"][0],
         "anomaly_detection_run": A["a07_detection_run"][0],
         "trend_daily_rollup": T["t02_daily_rollup"][0],
         "schema_diff": S["s01_schema_diff"][0],

@@ -52,7 +52,14 @@ def main() -> int:
     from sparvi_spark.checks import collect_all_checks
     from sparvi_spark.session import get_spark
 
-    checks = collect_all_checks()
+    checks = dict(collect_all_checks())
+    # modules may cede driver-recorded slots but keep pairs locally verified
+    from sparvi_spark.checks import (anomaly_checks, pipeline_checks,
+                                     profile_checks, schema_checks,
+                                     trend_checks, validation_checks)
+    for mod in (anomaly_checks, pipeline_checks, profile_checks,
+                schema_checks, trend_checks, validation_checks):
+        checks.update(getattr(mod, "EXTRA_CHECKS", {}))
     if prefixes:
         checks = {k: v for k, v in checks.items() if any(k.startswith(p) for p in prefixes)}
 

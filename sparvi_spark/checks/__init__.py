@@ -10,6 +10,33 @@ DECIMAL so float summation order cannot diverge between engines.
 
 from __future__ import annotations
 
+# The driver records at most 50 (query, oracle) pairs per round (observed:
+# CORRECTNESS_r01/r02 both cut at exactly entry 50 in insertion order).
+# Related same-schema checks are therefore unioned into one slot with a
+# literal tag column so every operator family stays oracle-graded.
+DRIVER_CHECK_CAP = 50
+
+
+def union_check(parts, tag_col: str = "mode"):
+    """Merge same-schema checks into one: ``parts`` is a list of
+    (tag, spark_fn, oracle_sql). Returns (fn, sql) where both sides prepend
+    a literal ``tag_col`` and UNION ALL the results. DuckDB permits CTEs
+    inside subqueries, so each part's full statement nests unchanged."""
+    def fn(spark, sf_dir, _parts=tuple(parts), _tag=tag_col):
+        from pyspark.sql import functions as F
+
+        out = None
+        for tag, f, _sql in _parts:
+            d = f(spark, sf_dir).select(F.lit(tag).alias(_tag), "*")
+            out = d if out is None else out.unionAll(d)
+        return out
+
+    sql = " UNION ALL ".join(
+        f"SELECT '{tag}' AS {tag_col}, * FROM ({s}) u_{i}"
+        for i, (tag, _f, s) in enumerate(parts)
+    )
+    return fn, sql
+
 
 def collect_all_checks() -> dict:
     from sparvi_spark.checks import (
@@ -28,4 +55,8 @@ def collect_all_checks() -> dict:
         if overlap:
             raise ValueError(f"duplicate check names: {overlap}")
         out.update(mod.CHECKS)
+    if len(out) > DRIVER_CHECK_CAP:
+        raise ValueError(
+            f"{len(out)} checks exceed the driver's {DRIVER_CHECK_CAP}-entry "
+            "recording cap — merge related checks via union_check")
     return out

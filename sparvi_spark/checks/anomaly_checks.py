@@ -342,12 +342,24 @@ FROM unioned
 """.strip()
 
 
+from sparvi_spark.checks import union_check  # noqa: E402
+
 CHECKS = {
-    "a01_zscore_global": (q_zscore_global, SQL_ZSCORE_GLOBAL),
-    "a02_zscore_rolling": (q_zscore_rolling, SQL_ZSCORE_ROLLING),
-    "a03_iqr_global": (q_iqr_global, SQL_IQR_GLOBAL),
+    # global + rolling variants share one recorded slot each (driver caps
+    # recorded checks at 50); A5 severity + A6 formatting are graded inside
+    # a07 (its output IS the severity-mapped anomalies-only document); the
+    # standalone a05 pair stays available below for local runs.
+    "a01_zscore": union_check([
+        ("global", q_zscore_global, SQL_ZSCORE_GLOBAL),
+        ("rolling", q_zscore_rolling, SQL_ZSCORE_ROLLING),
+    ]),
+    "a03_iqr": union_check([
+        ("global", q_iqr_global, SQL_IQR_GLOBAL),
+        ("rolling", q_iqr_rolling, SQL_IQR_ROLLING),
+    ]),
     "a04_moving_average": (q_moving_average, SQL_MOVING_AVERAGE),
-    "a05_severity": (q_severity, SQL_SEVERITY),
-    "a06_iqr_rolling": (q_iqr_rolling, SQL_IQR_ROLLING),
     "a07_detection_run": (q_detection_run, SQL_DETECTION_RUN),
 }
+
+# not registered (cap): severity-only view, kept for scripts/check_oracle.py
+EXTRA_CHECKS = {"a05_severity": (q_severity, SQL_SEVERITY)}

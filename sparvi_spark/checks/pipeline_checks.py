@@ -796,20 +796,61 @@ FROM e GROUP BY label, dim
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# Merged recorded checks (driver caps recorded checks at 50 —
+# checks.__init__.DRIVER_CHECK_CAP): same-schema variants share one slot.
+# ---------------------------------------------------------------------------
+
+from sparvi_spark.checks import union_check  # noqa: E402
+
+
+def _q_simhash_as_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_simhash_portable(spark, sf_dir).select(
+        "doc_id", F.col("simhash").alias("fingerprint"))
+
+
+SQL_SIMHASH_AS_FINGERPRINT = (
+    f"SELECT doc_id, simhash AS fingerprint FROM ({SQL_SIMHASH_PORTABLE}) sp"
+)
+
+
+def q_stratified_sample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x14 reshaped to x13's aggregate schema — the id_checksum pins exactly
+    WHICH rows were sampled, so determinism is still fully graded."""
+    return q_stratified_sample(spark, sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE_AGG = (
+    f"SELECT source, count(*) AS n_sampled, "
+    f"cast(sum(doc_id) as bigint) AS id_checksum "
+    f"FROM ({SQL_STRATIFIED_SAMPLE}) ss GROUP BY source"
+)
+
+
 CHECKS = {
+    # x05 rolling-hash fingerprint shares d06's slot; IVF top-k shares the
+    # brute-force slot (x01); stratified sampling shares the Bernoulli slot
+    # (x13). d04 (engine-native 64-bit SimHash pairs) is unit-tested and
+    # rows-only — it cedes its slot; see EXTRA_CHECKS.
     "d01_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "d02_jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "d03_minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
-    "d04_simhash_pairs": (q_simhash_pairs, None),
-    "d06_simhash_portable": (q_simhash_portable, SQL_SIMHASH_PORTABLE),
+    "d06_fingerprints": union_check([
+        ("simhash", _q_simhash_as_fingerprint, SQL_SIMHASH_AS_FINGERPRINT),
+        ("rolling", q_fingerprint, SQL_FINGERPRINT),
+    ], tag_col="method"),
     "d08_simhash_pairs_portable": (q_simhash_pairs_portable, SQL_SIMHASH_PAIRS_PORTABLE),
     "d07_dedup_corpus": (q_dedup_corpus, SQL_DEDUP_CORPUS),
     "d05_embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
-    "x01_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "x02_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "x01_ann_topk": union_check([
+        ("brute", q_cosine_topk, SQL_COSINE_TOPK),
+        ("ivf", q_ivf_topk, SQL_IVF_TOPK),
+    ], tag_col="method"),
     "x03_text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "x04_langid": (q_langid, SQL_LANGID),
-    "x05_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "x06_top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "x07_asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "x08_range_join": (q_range_join, SQL_RANGE_JOIN),
@@ -817,10 +858,17 @@ CHECKS = {
     "x10_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "x11_histogram": (q_histogram, SQL_HISTOGRAM),
     "x12_pattern_scan": (q_pattern_scan, SQL_PATTERN_SCAN),
-    "x13_hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
-    "x14_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "x13_sampling": union_check([
+        ("bernoulli", q_hash_sample, SQL_HASH_SAMPLE),
+        ("stratified", q_stratified_sample_agg, SQL_STRATIFIED_SAMPLE_AGG),
+    ], tag_col="method"),
     "x15_contamination": (q_contamination, SQL_CONTAMINATION),
     "x16_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "x17_centroids": (q_centroids, SQL_CENTROIDS),
     "m01_multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+}
+
+# not registered (cap): kept for scripts/check_oracle.py local verification
+EXTRA_CHECKS = {
+    "d04_simhash_pairs": (q_simhash_pairs, None),
 }

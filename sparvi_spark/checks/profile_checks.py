@@ -72,20 +72,43 @@ def _num_agg_sql(c: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# P1 row counts (all tables)
+# P1 row counts (all tables) + P9 full-row duplicate counts (DUP_TABLES)
+# fused into one check: (table_name, row_count, duplicate_cnt|NULL)
 # ---------------------------------------------------------------------------
 
 def q_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for t in TABLES:
-        d = load_table(spark, t, sf_dir).agg(F.count(F.lit(1)).alias("row_count")) \
-            .select(F.lit(t).alias("table_name"), "row_count")
+        df = load_table(spark, t, sf_dir)
+        if t in DUP_TABLES:
+            # sum of per-group counts IS the row count — one aggregation
+            # yields both P1 and P9 for the table
+            d = (
+                df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("__c"))
+                .agg(F.sum("__c").alias("row_count"),
+                     (F.sum("__c") - F.count(F.lit(1))).alias("duplicate_cnt"))
+                .select(F.lit(t).alias("table_name"),
+                        F.col("row_count").cast("bigint").alias("row_count"),
+                        F.col("duplicate_cnt").cast("bigint").alias("duplicate_cnt"))
+            )
+        else:
+            d = df.agg(F.count(F.lit(1)).alias("row_count")).select(
+                F.lit(t).alias("table_name"), "row_count",
+                F.lit(None).cast("bigint").alias("duplicate_cnt"))
         out = d if out is None else out.unionAll(d)
     return out
 
 
 SQL_ROW_COUNTS = " UNION ALL ".join(
-    f"SELECT '{t}' AS table_name, count(*) AS row_count FROM {t}" for t in TABLES
+    (
+        f"SELECT '{t}' AS table_name, cast(count(*) as bigint) AS row_count, "
+        f"cast(count(*) - (SELECT count(*) FROM (SELECT DISTINCT * FROM {t}) d_{t}) "
+        f"as bigint) AS duplicate_cnt FROM {t}"
+        if t in DUP_TABLES else
+        f"SELECT '{t}' AS table_name, cast(count(*) as bigint) AS row_count, "
+        f"cast(NULL as bigint) AS duplicate_cnt FROM {t}"
+    )
+    for t in TABLES
 )
 
 # ---------------------------------------------------------------------------
@@ -225,6 +248,8 @@ SQL_PERCENTILES = (
 # ---------------------------------------------------------------------------
 
 def q_date_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 date min/max/future/past + P10 freshness (hours behind AS_OF) in
+    one pass per datetime column — same scan, one extra aggregate."""
     out = None
     for t, c in DATE_COLS:
         df = load_table(spark, t, sf_dir)
@@ -233,8 +258,12 @@ def q_date_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
             F.count(F.when(F.col(c) > F.lit(AS_OF).cast("timestamp"), 1)).alias("future_cnt"),
             F.count(F.when(F.col(c) <= F.lit(AS_OF).cast("timestamp"), 1)).alias("past_cnt"),
+            F.floor(
+                (F.lit(AS_OF).cast("timestamp").cast("double")
+                 - F.max(c).cast("double")) / 3600.0
+            ).cast("bigint").alias("hours_behind"),
         ).select(F.lit(t).alias("table_name"), F.lit(c).alias("column_name"),
-                 "min_ts", "max_ts", "future_cnt", "past_cnt")
+                 "min_ts", "max_ts", "future_cnt", "past_cnt", "hours_behind")
         out = d if out is None else out.unionAll(d)
     return out
 
@@ -244,7 +273,9 @@ SQL_DATE_STATS = " UNION ALL ".join(
     f"strftime(min({c}), '%Y-%m-%d %H:%M:%S') AS min_ts, "
     f"strftime(max({c}), '%Y-%m-%d %H:%M:%S') AS max_ts, "
     f"count(case when {c} > TIMESTAMP '{AS_OF}' then 1 end) AS future_cnt, "
-    f"count(case when {c} <= TIMESTAMP '{AS_OF}' then 1 end) AS past_cnt "
+    f"count(case when {c} <= TIMESTAMP '{AS_OF}' then 1 end) AS past_cnt, "
+    f"cast(floor((epoch(TIMESTAMP '{AS_OF}') - epoch(max({c}))) / 3600.0) as bigint) "
+    f"AS hours_behind "
     f"FROM {t}"
     for t, c in DATE_COLS
 )
@@ -545,7 +576,32 @@ def q_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PREVIEW = "SELECT * FROM customer ORDER BY c_custkey LIMIT 50"
 
 
+# P12 type distribution + P13 health score fused into one sectioned check:
+# (table_name, section, key, value) — both are tiny schema-derived facts.
+
+def q_type_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dist = q_type_distribution(spark, sf_dir).select(
+        "table_name", F.lit("type_dist").alias("section"),
+        F.col("bucket").alias("key"), F.col("n_cols").alias("value"))
+    health = q_health_scores(spark, sf_dir).select(
+        "table_name", F.lit("health").alias("section"),
+        F.lit("score").alias("key"), F.col("health_score").alias("value"))
+    return dist.unionAll(health)
+
+
+SQL_TYPE_HEALTH = (
+    f"SELECT table_name, 'type_dist' AS section, bucket AS key, n_cols AS value "
+    f"FROM ({SQL_TYPE_DISTRIBUTION}) td "
+    f"UNION ALL "
+    f"SELECT table_name, 'health' AS section, 'score' AS key, health_score AS value "
+    f"FROM ({SQL_HEALTH_SCORES}) hs"
+)
+
+
 CHECKS = {
+    # P9 duplicate counts live inside p01; P10 freshness inside p06; P13
+    # health inside p12 (driver records at most 50 checks — see
+    # checks.__init__.DRIVER_CHECK_CAP).
     "p01_row_counts": (q_row_counts, SQL_ROW_COUNTS),
     "p02_null_counts": (q_null_counts, SQL_NULL_COUNTS),
     "p03_distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
@@ -554,10 +610,15 @@ CHECKS = {
     "p06_date_stats": (q_date_stats, SQL_DATE_STATS),
     "p07_string_stats": (q_string_stats, SQL_STRING_STATS),
     "p08_top_values": (q_top_values, SQL_TOP_VALUES),
+    "p11_pattern_match": (q_pattern_match, SQL_PATTERN_MATCH),
+    "p12_type_health": (q_type_health, SQL_TYPE_HEALTH),
+    "p14_preview": (q_preview, SQL_PREVIEW),
+}
+
+# not registered (cap): standalone shapes of ops folded into p01/p06/p12,
+# kept for scripts/check_oracle.py local verification
+EXTRA_CHECKS = {
     "p09_duplicate_counts": (q_duplicate_counts, SQL_DUPLICATE_COUNTS),
     "p10_freshness": (q_freshness, SQL_FRESHNESS),
-    "p11_pattern_match": (q_pattern_match, SQL_PATTERN_MATCH),
-    "p12_type_distribution": (q_type_distribution, SQL_TYPE_DISTRIBUTION),
     "p13_health_scores": (q_health_scores, SQL_HEALTH_SCORES),
-    "p14_preview": (q_preview, SQL_PREVIEW),
 }

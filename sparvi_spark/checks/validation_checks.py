@@ -59,8 +59,16 @@ def q_custom_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(CUSTOM_SQL)
 
 
+# All six per-table rule suites union into ONE recorded check (driver caps
+# recorded checks at 50 — checks.__init__.DRIVER_CHECK_CAP); the tag column
+# keys each row back to its table. ~100 generated rules, all oracle-graded.
+from sparvi_spark.checks import union_check  # noqa: E402
+
+RULE_SUITE = {t: _make_rule_check(t) for t in RULE_TABLES}
+
 CHECKS = {
+    "v00_rules_all": union_check(
+        [(t, fn, sql) for t, (fn, sql) in RULE_SUITE.items()],
+        tag_col="table_name"),
     "v06_custom_sql": (q_custom_sql, CUSTOM_SQL),
 }
-for i, t in enumerate(RULE_TABLES, start=0):
-    CHECKS[f"v{i:02d}_rules_{t}"] = _make_rule_check(t)
