@@ -53,7 +53,8 @@ def headline_queries():
         return cosine_topk(emb, queries, k=10)
 
     def text_quality_full(spark, sf_dir):
-        return quality_features(load_table(spark, "documents", sf_dir))
+        return quality_features(load_table(spark, "documents", sf_dir),
+                                repetition=True)
 
     def langid_full(spark, sf_dir):
         docs = load_table(spark, "documents", sf_dir)

@@ -345,21 +345,53 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
-    return quality_features(docs)
+    return quality_features(docs, repetition=True)
 
 
 _DUCK_STOP = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
 
+# DuckDB twins of the Gopher-style repetition signals (range() is
+# end-exclusive so the bigram index list is naturally empty for <2 tokens,
+# but the 0.0 guard mirrors the Spark branch exactly)
+_DUCK_BIGRAMS = (
+    "list_transform(range(1, len({t})), "
+    "i -> concat_ws(' ', {t}[i], {t}[i + 1]))"
+).format(t=_DUCK_TOKS)
+
+# Staged CTEs compute each per-row array exactly once (tk -> sorted bigrams
+# -> run ends), then the longest equal-run of the sorted bigram list gives
+# the most-frequent-bigram multiplicity in O(n log n) — mirroring the Spark
+# aggregate-struct pass. Run ends = indices whose successor differs (OOB
+# list index -> NULL, TRUE OR NULL = TRUE at the last element); run lengths
+# = ends[j] - ends[j-1] (ends[0] -> NULL -> 0).
 SQL_TEXT_QUALITY = f"""
-WITH f AS (SELECT doc_id, length(text) AS n_chars,
-  len({_DUCK_TOKS}) AS n_tokens,
-  round(list_sum(list_transform({_DUCK_TOKS}, t -> length(t)))
-        * cast(1 as double) / greatest(len({_DUCK_TOKS}), 1), 4) AS avg_token_len,
+WITH t0 AS (SELECT doc_id, text, {_DUCK_TOKS} AS tk
+            FROM documents WHERE doc_id < {DOC_CAP}),
+t1 AS (SELECT *, list_sort(list_transform(range(1, len(tk)),
+         i -> concat_ws(' ', tk[i], tk[i + 1]))) AS sbg FROM t0),
+t2 AS (SELECT *, list_filter(range(1, len(sbg) + 1),
+         i -> i = len(sbg) or sbg[i] <> sbg[i + 1]) AS ends FROM t1),
+f AS (SELECT doc_id, length(text) AS n_chars,
+  len(tk) AS n_tokens,
+  round(list_sum(list_transform(tk, t -> length(t)))
+        * cast(1 as double) / greatest(len(tk), 1), 4) AS avg_token_len,
   round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
         * cast(1 as double) / greatest(length(text), 1), 4) AS punct_ratio,
-  round(len(list_filter({_DUCK_TOKS}, t -> list_contains([{_DUCK_STOP}], t)))
-        * cast(1 as double) / greatest(len({_DUCK_TOKS}), 1), 4) AS stopword_ratio
- FROM documents WHERE doc_id < {DOC_CAP})
+  round(len(list_filter(tk, t -> list_contains([{_DUCK_STOP}], t)))
+        * cast(1 as double) / greatest(len(tk), 1), 4) AS stopword_ratio,
+  round(1.0 - len(list_distinct(tk)) * cast(1 as double)
+        / greatest(len(tk), 1), 6) AS dup_token_frac,
+  case when len(tk) >= 2 then
+    round(list_max(list_transform(range(1, len(ends) + 1),
+            j -> ends[j] - coalesce(ends[j - 1], 0))) * cast(1 as double)
+      / (len(tk) - 1), 6) else cast(0.0 as double) end AS top_bigram_frac,
+  round(len(regexp_extract_all(text, '[#@*]|[.][.][.]'))
+        * cast(1 as double) / greatest(len(tk), 1), 6)
+    AS symbol_word_ratio,
+  round(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+        * cast(1 as double) / greatest(len(tk), 1), 6)
+    AS alpha_word_frac
+ FROM t2)
 SELECT *, round(greatest(1.0
   - case when n_tokens < 5 then 0.4 else 0.0 end
   - case when punct_ratio > 0.3 then 0.3 else 0.0 end

@@ -71,8 +71,72 @@ def lang_id_expr(text_col: str) -> Column:
     )
 
 
-def quality_features(
+def _repetition_cols(text_col: str) -> dict[str, Column]:
+    """Gopher-style repetition/degeneracy signals (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1, public) as pure higher-order-function column
+    expressions — no shuffle, no UDF, whole-stage codegen'd:
+
+    - dup_token_frac: 1 − distinct/total tokens (repeated-word mass)
+    - top_bigram_frac: coverage of the most frequent word bigram
+      (O(distinct·n) filter-count per row, bounded by document length)
+    - symbol_word_ratio: '#'/'@'/'*'/ellipsis marks per token
+    - alpha_word_frac: fraction of tokens containing a letter
+    """
+    toks = tokens_expr(text_col)
+    nt = f"size({toks})"
+    bigrams = (
+        f"transform(sequence(1, {nt} - 1), "
+        f"i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i + 1)))"
+    )
+    # most-frequent-element multiplicity in O(n log n): sort, then the
+    # longest equal-run via one aggregate pass with a (prev, run, best)
+    # struct accumulator — no quadratic distinct×filter scan.
+    max_run = (
+        f"aggregate(array_sort({bigrams}), "
+        f"named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+        f"(a, x) -> named_struct("
+        f"'prev', x, "
+        f"'run', if(x <=> a.prev, a.run + 1L, 1L), "
+        f"'best', greatest(a.best, if(x <=> a.prev, a.run + 1L, 1L))), "
+        f"a -> a.best)"
+    )
+    top_bigram = (
+        # sequence(1, 0) would generate a DESCENDING range in Spark, so the
+        # <2-token case is guarded out before the bigram transform
+        f"case when {nt} >= 2 then round({max_run}"
+        f" * cast(1 as double) / ({nt} - 1), 6) else cast(0.0 as double) end")
+    return {
+        "dup_token_frac": F.expr(
+            f"round(1.0 - size(array_distinct({toks})) * cast(1 as double) "
+            f"/ greatest({nt}, 1), 6)"),
+        "top_bigram_frac": F.expr(top_bigram),
+        "symbol_word_ratio": F.expr(
+            f"round(size(regexp_extract_all({text_col}, '[#@*]|[.][.][.]', 0)) "
+            f"* cast(1 as double) / greatest({nt}, 1), 6)"),
+        "alpha_word_frac": F.expr(
+            f"round(size(filter({toks}, t -> t rlike '[a-z]')) "
+            f"* cast(1 as double) / greatest({nt}, 1), 6)"),
+    }
+
+
+def repetition_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (see _repetition_cols) as a
+    standalone projection: (id, n_tokens, dup_token_frac, top_bigram_frac,
+    symbol_word_ratio, alpha_word_frac)."""
+    toks = tokens_expr(text_col)
+    cols = _repetition_cols(text_col)
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        *[c.alias(n) for n, c in cols.items()],
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    repetition: bool = False,
 ) -> DataFrame:
     """Per-document quality features + composite score.
 
@@ -80,6 +144,8 @@ def quality_features(
     stopword ratio, uppercase ratio. Score: starts at 1.0, penalized for
     degenerate length, punctuation floods, and stopword-free (unnatural)
     text — the standard cheap pre-filter ahead of model-based scoring.
+    ``repetition=True`` appends the Gopher-style repetition signals in the
+    SAME projection (one scan, still shuffle-free).
     """
     toks = tokens_expr(text_col)
     n_chars = F.length(F.col(text_col))
@@ -92,6 +158,7 @@ def quality_features(
         f"size(regexp_extract_all({text_col}, '[^A-Za-z0-9\\\\s]', 0))"
     )
     stop_hits = F.expr(_hit_count(toks, STOPWORDS_EN))
+    rep = _repetition_cols(text_col) if repetition else {}
     out = df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -100,6 +167,7 @@ def quality_features(
         F.round(punct * F.lit(1.0) / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
         F.round(stop_hits * F.lit(1.0) / F.greatest(n_tokens, F.lit(1)), 4)
         .alias("stopword_ratio"),
+        *[c.alias(n) for n, c in rep.items()],
     )
     score = (
         F.lit(1.0)

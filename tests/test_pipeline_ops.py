@@ -88,6 +88,30 @@ def test_text_quality_and_langid(spark):
     assert langs[1] == "en" and langs[2] == "es"
 
 
+def test_repetition_features_hand_computed(spark):
+    from sparvi_spark.operators.text import repetition_features
+
+    rows = [
+        # 6 tokens, 2 distinct; bigrams a-b/b-a/a-b/b-a/a-b -> "a b" x3 of 5
+        (1, "a b a b a b"),
+        (2, "all unique words here now"),        # no repeats, no repeat bigrams
+        (3, "### @@@ ..."),                      # symbols, no alpha
+        (4, "one"),                              # single token: bigram frac 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert got[1]["n_tokens"] == 6
+    assert got[1]["dup_token_frac"] == round(1 - 2 / 6, 6)
+    assert got[1]["top_bigram_frac"] == round(3 / 5, 6)
+    assert got[1]["alpha_word_frac"] == 1.0
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == round(1 / 4, 6)
+    assert got[3]["alpha_word_frac"] == 0.0
+    # "###" has 3 '#' marks, "@@@" 3 '@', "..." one ellipsis -> 7 marks / 3 tokens
+    assert got[3]["symbol_word_ratio"] == round(7 / 3, 6)
+    assert got[4]["top_bigram_frac"] == 0.0
+
+
 def test_multimodal_plumbing_batch_shape(spark):
     from sparvi_spark.operators.multimodal import (
         documents_as_media,
