@@ -75,6 +75,33 @@ def headline_queries():
         cand = docs.where(F.col("source") != "src0")
         return contamination(cand, ref, "doc_id", "text", n=3)
 
+    def ivf_trained_full(spark, sf_dir):
+        # end-to-end: Lloyd's training (3 iterations, map+groupBy each)
+        # then 2-probe search for 20 queries over the full corpus
+        from sparvi_spark.operators.similarity import (
+            ivf_topk_trained,
+            kmeans_train,
+        )
+
+        emb = load_table(spark, "embeddings", sf_dir)
+        cents = kmeans_train(emb, k=8, iters=3)
+        queries = emb.where(F.col("vec_id") < 20)
+        return ivf_topk_trained(emb, queries, cents, k=10, nprobe=2)
+
+    def profile_approx_full(spark, sf_dir):
+        # the 100 TB profiling mode: approx_count_distinct +
+        # percentile_approx fold into ONE pass with the other aggregates
+        # (no per-column expand, no exact-percentile sort)
+        from sparvi_spark.operators.profile import distinct_count
+
+        li = load_table(spark, "lineitem", sf_dir)
+        cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"]
+        aggs = [distinct_count(c, exact=False).alias(f"{c}__ad") for c in cols]
+        aggs += [F.expr(f"percentile_approx({c}, array(0.25, 0.5, 0.75), "
+                        "10000)").alias(f"{c}__pq") for c in cols]
+        return li.agg(*aggs)
+
     return {
         "profile_numeric": P["p04_numeric_stats"][0],
         "profile_distinct": P["p03_distinct_counts"][0],
@@ -93,6 +120,8 @@ def headline_queries():
         "asof_join": PL["x07_asof_join"][0],
         "sessionize_full": sessionize_full,
         "contamination_full": contamination_full,
+        "ivf_trained_full": ivf_trained_full,
+        "profile_approx_full": profile_approx_full,
     }
 
 

@@ -164,6 +164,134 @@ def lsh_topk(
     )
 
 
+def _f(x: float) -> str:
+    """Full-precision float literal (repr round-trips IEEE doubles)."""
+    return repr(float(x))
+
+
+def centroid_probe_expr(
+    vec_col: str, centroids: list[tuple[int, list[float]]], nprobe: int = 1
+) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids for each row's vector,
+    best first — the IVF coarse-quantizer assignment as ONE projection.
+
+    The trained centroids (nlist × dim doubles — kilobytes) are inlined as
+    literals with their inverse norms, so assignment is a map-only pass:
+    no join, no shuffle, no broadcast variable to ship. Cosine argmax uses
+    dot(v, c)·(1/|c|) — |v| is constant per row, so it never affects the
+    ranking. Ties break toward the smaller centroid id (struct comparison
+    on (score, -id))."""
+    scored = []
+    for bucket, vec in centroids:
+        inv = 1.0 / (sum(x * x for x in vec) ** 0.5 or 1.0)
+        lits = ", ".join(_f(x) for x in vec)
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({lits}), "
+            f"(x, y) -> cast(x as double) * y), cast(0 as double), "
+            f"(acc, v) -> acc + v)"
+        )
+        scored.append(
+            f"struct({dot} * {_f(inv)} as s, {-int(bucket)} as nb)")
+    arr = f"array({', '.join(scored)})"
+    return F.expr(
+        f"transform(slice(reverse(array_sort({arr})), 1, {nprobe}), "
+        f"p -> -p.nb)")
+
+
+def collect_centroids(
+    centroids_df: DataFrame, bucket_col: str = "label"
+) -> list[tuple[int, list[float]]]:
+    """Long-form (bucket, dim, centroid) -> [(bucket, vector)] — the tiny
+    driver-side index handle (nlist × dim), NOT the data."""
+    rows = centroids_df.select(bucket_col, "dim", "centroid").collect()
+    by_bucket: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_bucket.setdefault(int(r[0]), {})[int(r[1])] = float(r[2])
+    out = []
+    for b in sorted(by_bucket):
+        dims = by_bucket[b]
+        out.append((b, [dims[i] for i in range(len(dims))]))
+    return out
+
+
+def ivf_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """End-to-end trained IVF search: assign corpus rows to their nearest
+    centroid cell (map-only), probe each query's ``nprobe`` nearest cells,
+    equi-join on cell id, exact re-rank inside the probed cells.
+
+    The 100 TB plan: one projection over the corpus scan (assignment), a
+    broadcast of the exploded (query × probe) side, and a window per query
+    — compute scales with n·(nprobe/nlist) instead of n·q."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        centroid_probe_expr(vec_col, centroids, nprobe=1)[0].alias("cb"),
+        norm_expr(vec_col).alias("cn"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(centroid_probe_expr(vec_col, centroids, nprobe=nprobe))
+        .alias("qb"),
+        norm_expr(vec_col).alias("qn"))
+    scored = (
+        c.join(F.broadcast(q), F.col("cb") == F.col("qb"))
+        .withColumn("cosine", _cosine_with_norms("cv", "qv", "cn", "qn"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means as DataFrame ops — the IVF coarse-quantizer trainer.
+
+    Init: the k rows with the smallest portable affine hash of the id
+    (deterministic across engines, partitionings, and cluster sizes — NOT
+    df.sample). Each iteration = one map-only assignment projection + one
+    posexplode/groupBy mean (bucket_centroids); only the nlist × dim
+    centroid table ever reaches the driver. Empty cells keep their previous
+    centroid."""
+    from sparvi_spark.operators.sampling import HASH_A, HASH_B, HASH_M
+
+    seed_rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy((F.col(id_col).cast("long") * HASH_A + HASH_B) % HASH_M,
+                 F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(seed_rows)]
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(vec_col),
+            centroid_probe_expr(vec_col, cents, nprobe=1)[0].alias("__cell"))
+        new = collect_centroids(
+            bucket_centroids(assigned, "__cell", vec_col, round_to=9),
+            bucket_col="__cell")
+        merged = dict(cents)
+        merged.update(dict(new))
+        cents = sorted(merged.items())
+    return cents
+
+
 def bucket_centroids(
     df: DataFrame,
     bucket_col: str,

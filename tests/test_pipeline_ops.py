@@ -165,6 +165,46 @@ def test_lsh_topk_recall_against_bruteforce(spark):
     assert hits >= 8  # >=80% top-1 recall on tight clusters
 
 
+def test_kmeans_ivf_trained_search(spark):
+    """Lloyd's trainer recovers tight synthetic clusters and the trained
+    IVF search matches brute-force top-1 on nearly every query."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_trained,
+        kmeans_train,
+    )
+
+    rng = random.Random(11)
+    cents = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(6)]
+    rows = []
+    vid = 0
+    for ci, cent in enumerate(cents):
+        for _ in range(25):
+            rows.append((vid, [float(x + rng.gauss(0, 0.05)) for x in cent], ci))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+
+    trained = kmeans_train(emb, k=6, iters=3)
+    assert len(trained) == 6 and all(len(v) == 16 for _, v in trained)
+
+    queries = emb.where(F.col("vec_id") % 25 == 0)  # one per true cluster
+    exact = {r["query_id"]: r["neighbor_id"]
+             for r in cosine_topk(emb, queries, k=1).collect()}
+    approx = {r["query_id"]: r["neighbor_id"]
+              for r in ivf_topk_trained(emb, queries, trained, k=1,
+                                        nprobe=2).collect()}
+    hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+    assert hits >= 5  # >=5/6 top-1 recall with 2-probe on tight clusters
+
+    # determinism: retraining yields identical centroids (hash-based init,
+    # decimal-exact means)
+    assert kmeans_train(emb, k=6, iters=3) == trained
+
+
 def test_sessionize_gap_rule(spark):
     from sparvi_spark.operators.sessions import session_stats, sessionize
 
