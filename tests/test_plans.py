@@ -89,6 +89,28 @@ def test_multimodal_is_arrow_batched_not_rowwise(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_ivf_trained_assignment_is_map_only(spark):
+    """Trained-IVF cell assignment must be a pure projection over the scan
+    (literal centroids — no join, no exchange, no Python) and the search
+    must broadcast the probe side."""
+    from sparvi_spark.operators.similarity import (
+        centroid_probe_expr,
+        ivf_topk_trained,
+    )
+
+    emb = _raw(spark, "embeddings")
+    cents = [(i, [float(i == d) for d in range(64)]) for i in range(4)]
+    assign = emb.select(
+        "vec_id", centroid_probe_expr("embedding", cents, nprobe=1)[0].alias("cell"))
+    plan = _plan(assign)
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    search = ivf_topk_trained(emb, emb.limit(3), cents, k=5, nprobe=2)
+    splan = _plan(search)
+    assert "BroadcastHashJoin" in splan
+
+
 def test_topk_partial_aggregation(spark):
     """P8 top-K: the groupBy must do map-side partial aggregation (two
     HashAggregate levels) so the shuffle carries group counts, not rows."""
