@@ -71,6 +71,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # dependent; the DuckDB oracles treat timestamps as UTC wall-clock, so
     # pin any caller-provided session to UTC for engine parity.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The fused profiler/validator plans carry 40-80 aggregates; below the
+    # default maxFields=100 they fall out of whole-stage codegen (measured
+    # 1.6x). Runtime-settable, so caller-provided sessions (the driver's
+    # harness) get the same plan quality as get_spark() sessions.
+    try:
+        spark.conf.set("spark.sql.codegen.maxFields", "500")
+    except Exception:
+        pass
     df = spark.read.parquet(path)
     for c in _NANOS_TS.get(name, ()):
         if isinstance(df.schema[c].dataType, LongType):
