@@ -126,6 +126,44 @@ def test_streaming_detection_matches_batch(spark, stream_dir, tmp_path):
     assert got == expect
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """True late-data semantics: an event older than the watermark arriving
+    in a later microbatch is EXCLUDED from its (already closing) window.
+
+    Drop 1 sets max event time to 13:00; with a 1-hour watermark delay the
+    [10:00, 11:00) window closes at watermark 12:00 during drop 2's batch,
+    so drop 2's late 10:15 event must not be counted."""
+    import time
+
+    d = str(tmp_path / "drops")
+
+    def drop(rows, name):
+        df = spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, None) for i, ts in enumerate(rows)],
+            "event_id bigint, ts string, user_id bigint, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(0.05)  # distinct file mtimes -> deterministic drop order
+
+    drop(["2024-01-01 10:00:00", "2024-01-01 10:20:00",
+          "2024-01-01 13:00:00"], "d1")
+    s = events_stream(spark, d, max_files_per_trigger=1)
+    q = (windowed_counts(s, window="1 hour", watermark="1 hour")
+         .writeStream.format("memory").queryName("late").outputMode("append")
+         .start())
+    q.processAllAvailable()
+    # late arrival for the 10:00 window + a fresh event to advance batches
+    drop(["2024-01-01 10:15:00", "2024-01-01 14:00:00"], "d2")
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["window_start"].strftime("%H:%M"): r["row_count"]
+           for r in spark.sql("select * from late").collect()}
+    # the 10:00 window emitted exactly once, WITHOUT the late event
+    assert got.get("10:00") == 2
+
+
 def test_streaming_sessions_match_batch(spark, stream_dir):
     from sparvi_spark.operators.sessions import sessionize
     from sparvi_spark.streaming import streaming_sessions
