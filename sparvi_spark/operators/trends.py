@@ -326,3 +326,42 @@ def profile_trends(
         .limit(n)
     )
     return recent.orderBy(ts_col)
+
+
+def incremental_time_rollup(
+    state: DataFrame | None,
+    new_events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    width_seconds: int,
+) -> DataFrame:
+    """Continuous-aggregate maintenance (hypertable-style): fold a NEW batch
+    of events into a (bucket, key) rollup WITHOUT rescanning history.
+
+    count and the decimal value sum are associative partials, so merging is
+    a re-aggregation of (old state ∪ fresh partials) — identical math to
+    computing the rollup from scratch (test-asserted). At 100 TB: the fresh
+    side scans only the new batch; the merge groupBy shuffles O(buckets ×
+    keys) state rows, not events, and with bucket-partitioned state +
+    partitionOverwriteMode=dynamic only touched bucket partitions rewrite.
+    Exact decimal sums make the result independent of batch arrival order.
+    """
+    from sparvi_spark.functions import time_bucket
+
+    fresh = (
+        new_events.groupBy(
+            time_bucket(ts_col, width_seconds).alias("bucket"),
+            F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col(value_col).cast("decimal(28,8)"))
+             .cast("decimal(38,8)").alias("sum_dec"))
+    )
+    if state is None:
+        return fresh
+    return (
+        state.unionByName(fresh)
+        .groupBy("bucket", "key")
+        .agg(F.sum("n").alias("n"),
+             F.sum("sum_dec").cast("decimal(38,8)").alias("sum_dec"))
+    )

@@ -88,3 +88,39 @@ def test_asof_join_semantics(spark):
             asof_join(left, right, by="k", ts_col="ts",
                       tolerance_seconds=3).collect()}
     assert got2 == {"a": 100.0, "b": None, "c": None, "d": None}
+
+
+def test_incremental_time_rollup_matches_full(spark):
+    """Folding the events table in three arbitrary batches must produce the
+    exact same (bucket, key) rollup as one full-scan aggregation, regardless
+    of batch split or arrival order (decimal-exact partials)."""
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.functions import time_bucket
+    from sparvi_spark.operators.trends import incremental_time_rollup
+    from sparvi_spark.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, "events", SF_DIR)
+    w = 6 * 3600
+
+    full = (ev.groupBy(time_bucket("ts", w).alias("bucket"),
+                       F.col("event_type").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(28,8)"))
+                 .cast("decimal(38,8)").alias("sum_dec")))
+
+    state = None
+    # three uneven batches, deliberately out of time order
+    batches = [ev.where(F.col("event_id") % 3 == 2),
+               ev.where(F.col("event_id") % 3 == 0),
+               ev.where(F.col("event_id") % 3 == 1)]
+    for b in batches:
+        state = incremental_time_rollup(state, b, "ts", "event_type",
+                                        "value", w)
+
+    got = {(r["bucket"], r["key"]): (r["n"], r["sum_dec"])
+           for r in state.collect()}
+    expect = {(r["bucket"], r["key"]): (r["n"], r["sum_dec"])
+              for r in full.collect()}
+    assert got == expect
