@@ -92,6 +92,56 @@ def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("duration_s", T.DoubleType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+])
+
+
+def extract_audio_features(media: DataFrame, fake: bool = True,
+                           sample_rate: int = 16_000) -> DataFrame:
+    """Audio decode + feature-extract via Arrow-batched mapInPandas:
+    duration, sample rate, channel count, RMS level.
+
+    ``fake=False`` raises NotImplementedError inside the UDF — the marked
+    stub where a real decoder (soundfile/torchaudio) plugs in. The fake
+    treats the payload as mono 16 kHz 8-bit PCM so every derived value is
+    deterministic across runs and engines.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/torchaudio; "
+                    "not available in this env"
+                )
+            durs, rms = [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    durs.append(None)
+                    rms.append(None)
+                    continue
+                b = bytes(p)
+                durs.append(round(len(b) / sample_rate, 6))
+                head = b[:256]
+                rms.append(round(
+                    (sum(x * x for x in head) / max(len(head), 1)) ** 0.5, 4)
+                    if head else 0.0)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "duration_s": durs,
+                "sample_rate": [None if d is None else sample_rate for d in durs],
+                "n_channels": [None if d is None else 1 for d in durs],
+                "rms": rms,
+            })
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int,
                   fake: bool = True) -> DataFrame:
     """Resize stub with the real batch plumbing (payload in, payload out)."""

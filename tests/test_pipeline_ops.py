@@ -135,6 +135,26 @@ def test_multimodal_plumbing_batch_shape(spark):
         extract_image_features(media, fake=False).collect()
 
 
+def test_multimodal_audio_features(spark):
+    from sparvi_spark.operators.multimodal import (
+        documents_as_media,
+        extract_audio_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcd" * 4000), (2, "x"), (3, None)],
+        "doc_id int, text string")
+    media = documents_as_media(docs)
+    got = {r["media_id"]: r for r in
+           extract_audio_features(media, fake=True).collect()}
+    assert got[1]["duration_s"] == 16000 / 16000  # 16k bytes @ 16kHz "PCM"
+    assert got[1]["sample_rate"] == 16000 and got[1]["n_channels"] == 1
+    assert got[1]["rms"] > 0
+    assert got[3]["duration_s"] is None and got[3]["rms"] is None
+    with pytest.raises(Exception):
+        extract_audio_features(media, fake=False).collect()
+
+
 def test_lsh_topk_recall_against_bruteforce(spark):
     """Random-hyperplane LSH: identical vectors always share a bucket;
     top-1 recall on clustered synthetic data stays high at 8 bits."""
