@@ -106,10 +106,15 @@ def headline_queries():
         "profile_numeric": P["p04_numeric_stats"][0],
         "profile_distinct": P["p03_distinct_counts"][0],
         "profile_topk": P["p08_top_values"][0],
-        "profile_duplicates": P["p01_row_counts"][0],
+        # keys renamed in round 3 where the workload changed (merged checks):
+        # profile_row_dup_counts was profile_duplicates (4 tables -> 10 +
+        # row counts), validation_all_tables was validation_lineitem (36 ->
+        # ~100 rules over 6 tables), anomaly_zscore_both was
+        # anomaly_zscore_rolling (rolling -> global + rolling union)
+        "profile_row_dup_counts": P["p01_row_counts"][0],
         "validation_all_tables": V["v00_rules_all"][0],
         "custom_sql_q1": V["v06_custom_sql"][0],
-        "anomaly_zscore_rolling": A["a01_zscore"][0],
+        "anomaly_zscore_both": A["a01_zscore"][0],
         "anomaly_detection_run": A["a07_detection_run"][0],
         "trend_daily_rollup": T["t02_daily_rollup"][0],
         "schema_diff": S["s01_schema_diff"][0],

@@ -83,10 +83,13 @@ def q_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         if t in DUP_TABLES:
             # sum of per-group counts IS the row count — one aggregation
             # yields both P1 and P9 for the table
+            # coalesce: an EMPTY table groups to 0 rows, so the outer sums
+            # are NULL — the oracle's count(*) says 0
             d = (
                 df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("__c"))
-                .agg(F.sum("__c").alias("row_count"),
-                     (F.sum("__c") - F.count(F.lit(1))).alias("duplicate_cnt"))
+                .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("row_count"),
+                     F.coalesce(F.sum("__c") - F.count(F.lit(1)), F.lit(0))
+                     .alias("duplicate_cnt"))
                 .select(F.lit(t).alias("table_name"),
                         F.col("row_count").cast("bigint").alias("row_count"),
                         F.col("duplicate_cnt").cast("bigint").alias("duplicate_cnt"))

@@ -330,8 +330,10 @@ totals AS (SELECT event_type, count(*) AS total_checks,
   count(case when changed then 1 end) AS changes FROM flagged GROUP BY event_type)
 SELECT t.event_type, t.total_checks, t.changes,
   round(t.changes * cast(1 as double) / t.total_checks, 4) AS change_ratio,
-  case when t.changes * cast(1 as double) / t.total_checks >= 0.5 then 'high'
-       when t.changes * cast(1 as double) / t.total_checks >= 0.1 then 'medium'
+  case when round(t.changes * cast(1 as double) / t.total_checks, 4) >= 0.5
+         then 'high'
+       when round(t.changes * cast(1 as double) / t.total_checks, 4) >= 0.1
+         then 'medium'
        else 'low' end AS frequency,
   round(g.avg_raw, 2) AS avg_hours_between_changes, g.last_change
 FROM totals t LEFT JOIN gap_stats g ON t.event_type = g.event_type
@@ -355,8 +357,10 @@ totals AS (SELECT user_id, count(*) AS total_checks,
   count(case when changed then 1 end) AS changes FROM flagged GROUP BY user_id),
 freq AS (SELECT user_id, total_checks, changes,
   round(changes * cast(1 as double) / total_checks, 4) AS change_ratio,
-  case when changes * cast(1 as double) / total_checks >= 0.5 then 'high'
-       when changes * cast(1 as double) / total_checks >= 0.1 then 'medium'
+  case when round(changes * cast(1 as double) / total_checks, 4) >= 0.5
+         then 'high'
+       when round(changes * cast(1 as double) / total_checks, 4) >= 0.1
+         then 'medium'
        else 'low' end AS frequency
  FROM totals WHERE changes >= 5)
 SELECT user_id, total_checks, changes, change_ratio, frequency FROM freq
@@ -427,8 +431,10 @@ gap_stats AS (SELECT event_type, round(avg(gap_h), 4) AS avg_h
 totals AS (SELECT event_type, count(*) AS total_checks,
   count(case when changed then 1 end) AS changes FROM flagged GROUP BY event_type),
 freq AS (SELECT t.event_type,
-  case when t.changes * cast(1 as double) / t.total_checks >= 0.5 then 'high'
-       when t.changes * cast(1 as double) / t.total_checks >= 0.1 then 'medium'
+  case when round(t.changes * cast(1 as double) / t.total_checks, 4) >= 0.5
+         then 'high'
+       when round(t.changes * cast(1 as double) / t.total_checks, 4) >= 0.1
+         then 'medium'
        else 'low' end AS frequency,
   g.avg_h FROM totals t LEFT JOIN gap_stats g ON t.event_type = g.event_type)
 SELECT event_type, frequency,
@@ -624,8 +630,10 @@ totals AS (SELECT event_type, count(*) AS total_checks,
   count(case when changed then 1 end) AS changes FROM flagged GROUP BY event_type),
 freq AS (SELECT t.event_type, t.total_checks, t.changes,
   round(t.changes * cast(1 as double) / t.total_checks, 4) AS change_ratio,
-  case when t.changes * cast(1 as double) / t.total_checks >= 0.5 then 'high'
-       when t.changes * cast(1 as double) / t.total_checks >= 0.1 then 'medium'
+  case when round(t.changes * cast(1 as double) / t.total_checks, 4) >= 0.5
+         then 'high'
+       when round(t.changes * cast(1 as double) / t.total_checks, 4) >= 0.1
+         then 'medium'
        else 'low' end AS frequency,
   g.avg_raw, g.last_change
  FROM totals t LEFT JOIN gap_stats g ON t.event_type = g.event_type)

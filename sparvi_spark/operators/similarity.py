@@ -269,12 +269,11 @@ def kmeans_train(
     posexplode/groupBy mean (bucket_centroids); only the nlist × dim
     centroid table ever reaches the driver. Empty cells keep their previous
     centroid."""
-    from sparvi_spark.operators.sampling import HASH_A, HASH_B, HASH_M
+    from sparvi_spark.operators.sampling import hash_expr
 
     seed_rows = (
         df.select(F.col(id_col), F.col(vec_col))
-        .orderBy((F.col(id_col).cast("long") * HASH_A + HASH_B) % HASH_M,
-                 F.col(id_col))
+        .orderBy(hash_expr(id_col), F.col(id_col))
         .limit(k)
         .collect()
     )

@@ -137,7 +137,7 @@ def test_watermark_drops_late_events(spark, tmp_path):
 
     d = str(tmp_path / "drops")
 
-    def drop(rows, name):
+    def drop(rows):
         df = spark.createDataFrame(
             [(i, ts, 1, "click", 1.0, None) for i, ts in enumerate(rows)],
             "event_id bigint, ts string, user_id bigint, event_type string, "
@@ -147,14 +147,14 @@ def test_watermark_drops_late_events(spark, tmp_path):
         time.sleep(0.05)  # distinct file mtimes -> deterministic drop order
 
     drop(["2024-01-01 10:00:00", "2024-01-01 10:20:00",
-          "2024-01-01 13:00:00"], "d1")
+          "2024-01-01 13:00:00"])
     s = events_stream(spark, d, max_files_per_trigger=1)
     q = (windowed_counts(s, window="1 hour", watermark="1 hour")
          .writeStream.format("memory").queryName("late").outputMode("append")
          .start())
     q.processAllAvailable()
     # late arrival for the 10:00 window + a fresh event to advance batches
-    drop(["2024-01-01 10:15:00", "2024-01-01 14:00:00"], "d2")
+    drop(["2024-01-01 10:15:00", "2024-01-01 14:00:00"])
     q.processAllAvailable()
     q.stop()
 
