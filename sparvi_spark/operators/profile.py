@@ -61,7 +61,9 @@ DEC = "decimal(28,8)"
 
 def null_count(c: str) -> Column:
     # SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END)  (app.py:3379-3404)
-    return F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls")
+    # coalesce: SUM over an EMPTY table is NULL; an empty table has 0 nulls
+    return F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)) \
+        .alias(f"{c}__nulls")
 
 
 def distinct_count(c: str, exact: bool = True) -> Column:
@@ -309,7 +311,8 @@ def profile_table(
         cnt = row[f"{c}__cnt"]
         summary[c] = {
             "min_length": row[f"{c}__min_len"], "max_length": row[f"{c}__max_len"],
-            "avg_length": round(row[f"{c}__sum_len"] / cnt, 4) if cnt else None,
+            "avg_length": round(row[f"{c}__sum_len"] / cnt, 4)
+            if cnt and row[f"{c}__sum_len"] is not None else None,
             "empty_count": row[f"{c}__empties"],
         }
 

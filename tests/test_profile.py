@@ -112,3 +112,49 @@ def test_profile_approx_mode(spark):
     for c, d in exact["distinct_counts"].items():
         a = approx["distinct_counts"][c]
         assert a == 0 or abs(a - d) <= max(0.1 * d, 2), (c, a, d)
+
+
+def test_operators_on_empty_input(spark):
+    """Every core operator must handle a 0-row input without raising and
+    with sane zero/NULL semantics (the reference's health score explicitly
+    covers 0-row tables, collector.py:661-687)."""
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.anomalies import detect_anomalies, zscore_anomalies
+    from sparvi_spark.operators.dedup import jaccard_pairs
+    from sparvi_spark.operators.profile import duplicate_count, profile_table
+    from sparvi_spark.operators.sessions import session_stats
+    from sparvi_spark.operators.text import quality_features
+    from sparvi_spark.operators.trends import incremental_time_rollup
+    from sparvi_spark.operators.validation import Rule, run_rules
+
+    empty_docs = spark.createDataFrame([], "doc_id int, text string")
+    empty_events = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double")
+
+    prof = profile_table(empty_docs, "empty_docs")
+    assert prof["row_count"] == 0 and prof["duplicate_count"] == 0
+    assert duplicate_count(empty_docs) == 0
+
+    rules = [Rule("not_empty", "count > 0", "greater_than", 0, "agg",
+                  agg_expr="count(*)")]
+    res = {r["rule_name"]: r for r in run_rules(empty_docs, rules).collect()}
+    assert res["not_empty"]["actual_value"] == 0.0
+    assert res["not_empty"]["is_valid"] is False
+
+    assert zscore_anomalies(empty_events.select(
+        F.col("event_type").alias("metric_name"), "ts", "value"),
+        ["metric_name"]).count() == 0
+    assert detect_anomalies(empty_events.select(
+        F.col("event_type").alias("metric_name"), "ts", "value"),
+        ["metric_name"], config={"detection_method": "zscore"}).count() == 0
+
+    assert session_stats(empty_events, "user_id", "ts", 30.0).count() == 0
+    assert quality_features(empty_docs, repetition=True).count() == 0
+    assert jaccard_pairs(empty_docs, "doc_id", "text", n=1,
+                         threshold=0.5).count() == 0
+
+    state = incremental_time_rollup(None, empty_events, "ts", "event_type",
+                                    "value", 3600)
+    assert state.count() == 0
