@@ -96,12 +96,24 @@ class Engine:
 
     # ------------------------------------------------------------------ §3.2
     def run_validations(self, df: DataFrame, table_name: str,
-                        rules: list[Rule],
+                        rules: list[Rule] | None = None,
                         ref_tables: dict[str, DataFrame] | None = None,
-                        run_at: str | None = None) -> DataFrame:
+                        run_at: str | None = None,
+                        primary_keys: tuple[str, ...] = ()) -> DataFrame:
         """Validation run: batched rule execution -> store results; failures
-        publish a validation_failure event (routes/validations.py:820-848)."""
+        publish a validation_failure event (routes/validations.py:820-848).
+        ``rules=None`` generates the default suite (V1-V20) from the
+        DataFrame's schema + name heuristics, like the reference does from
+        warehouse introspection."""
         run_at = run_at or _utcnow()
+        if rules is None:
+            from sparvi_spark.operators.validation import (
+                generate_default_rules,
+                spec_from_dataframe,
+            )
+
+            rules = generate_default_rules(
+                spec_from_dataframe(df, table_name, primary_keys=primary_keys))
         results = run_rules(df, rules, ref_tables=ref_tables)
         stored = results.select(
             F.lit(table_name).alias("table_name"), "rule_name", "operator",

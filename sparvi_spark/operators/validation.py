@@ -175,6 +175,28 @@ def guess_start_date_column(end_col: str, spec: TableSpec) -> str | None:
     return None
 
 
+def spec_from_dataframe(
+    df,
+    table_name: str,
+    primary_keys: tuple[str, ...] = (),
+    foreign_keys: tuple[tuple[str, str, str], ...] = (),
+) -> TableSpec:
+    """Derive a TableSpec from a DataFrame's schema so default rules can be
+    generated for ANY table, not just the declared testdata catalog — the
+    reference's path from warehouse introspection to rule generation
+    (collector.py:74-99 -> default_validations.py). Keys are caller-supplied
+    (parquet carries no PK/FK metadata — SURVEY §1.1)."""
+    from sparvi_spark.operators.profile import type_bucket
+    from sparvi_spark.testdata import ColumnSpec
+
+    cols = tuple(
+        ColumnSpec(f.name, type_bucket(f.dataType), f.nullable)
+        for f in df.schema.fields
+    )
+    return TableSpec(table_name, cols, primary_keys=tuple(primary_keys),
+                     foreign_keys=tuple(foreign_keys))
+
+
 def generate_default_rules(spec: TableSpec, as_of: str = DEFAULT_AS_OF) -> list[Rule]:
     t = spec.name
     pks = set(spec.primary_keys)
