@@ -110,6 +110,38 @@ def test_read_table_parquet_source(spark):
         read_table(spark, {"type": "bigquery"}, "x")
 
 
+def test_read_table_csv_json_roundtrip(spark, tmp_path):
+    """CSV and JSON lake sources round-trip through read_table with the
+    same row content as the parquet original."""
+    from sparvi_spark.sources import read_table
+    from sparvi_spark.testdata import load_table
+
+    nation = load_table(spark, "nation", SF_DIR)
+    (nation.coalesce(1).write.mode("overwrite")
+     .option("header", "true").csv(str(tmp_path / "nation.csv")))
+    nation.coalesce(1).write.mode("overwrite").json(str(tmp_path / "nation.json"))
+
+    csv_df = read_table(spark, {"type": "csv", "path": str(tmp_path)}, "nation")
+    json_df = read_table(spark, {"type": "json", "path": str(tmp_path)}, "nation")
+    expect = {(r["n_nationkey"], r["n_name"]) for r in nation.collect()}
+    assert {(r["n_nationkey"], r["n_name"]) for r in csv_df.collect()} == expect
+    assert {(r["n_nationkey"], r["n_name"]) for r in json_df.collect()} == expect
+
+
+def test_incremental_profile_pushdown_prunes_scan(spark):
+    """The changed-partitions filter must reach the parquet scan as a
+    pushed filter — at scale this is what makes the incremental pass read
+    only new data."""
+    from sparvi_spark.operators.incremental import partition_stats
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    scan = ev.where(F.col("event_type").cast("string").isin(["click"]))
+    stats = partition_stats(scan, "event_type", ["value"])
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "event_type" in plan.split(
+        "PushedFilters: [", 1)[1][:200]
+
+
 def test_state_retention_rewrite(spark, engine):
     df = _docs(spark)
     for day in range(1, 6):
