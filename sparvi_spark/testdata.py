@@ -77,6 +77,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # harness) get the same plan quality as get_spark() sessions.
     try:
         spark.conf.set("spark.sql.codegen.maxFields", "500")
+        # PySpark 4 captures a Python call-site string on every DataFrame
+        # call for error enrichment; the fused validation plans build
+        # thousands of Columns (~1.5s driver overhead per run)
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
     except Exception:
         pass
     df = spark.read.parquet(path)
