@@ -89,6 +89,39 @@ def test_multimodal_is_arrow_batched_not_rowwise(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_asof_join_single_exchange_no_join_node(spark):
+    """The union+window as-of join must contain NO join operator at all —
+    one hash exchange on the entity key, then window forward-fill. At 100 TB
+    this is the difference between one shuffle and a range-join explosion."""
+    from sparvi_spark.operators.joins import asof_join
+
+    ev = _raw(spark, "events", fresh=True)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts").agg(F.max("value").alias("v")))
+    plan = _plan(asof_join(clicks, purchases, by="user_id", ts_col="ts",
+                           value_cols=["v"]))
+    assert "Join" not in plan, plan
+
+
+def test_range_join_is_equi_bucketed_not_nested_loop(spark):
+    """The bucketed range join must execute as an equi hash join on the
+    bucket key (then refine), never a BroadcastNestedLoopJoin over the
+    raw BETWEEN predicate — the O(n*m) shape it exists to avoid."""
+    from sparvi_spark.operators.joins import range_join
+
+    li = _raw(spark, "lineitem", fresh=True).select("l_extendedprice")
+    part = _raw(spark, "part").select(
+        "p_partkey", (F.col("p_retailprice") - 100).alias("lo"),
+        (F.col("p_retailprice") + 100).alias("hi"))
+    plan = _plan(range_join(li, part, "l_extendedprice", "lo", "hi",
+                            bucket_width=200.0))
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_ivf_trained_assignment_is_map_only(spark):
     """Trained-IVF cell assignment must be a pure projection over the scan
     (literal centroids — no join, no exchange, no Python) and the search
