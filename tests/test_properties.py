@@ -85,3 +85,69 @@ def test_fingerprint_fold_is_deterministic_and_bounded(tokens):
     for t in tokens:
         acc = (acc * 31 + ord(t[0]) * 1000 + len(t)) % FP_MOD
     assert 0 <= acc < FP_MOD
+
+
+# ---------------------------------------------------------------------------
+# Spark text expressions vs pure-Python references over random ASCII corpora
+# (alphabet excludes non-space whitespace: Spark's `trim`/`\s` are ASCII-
+# oriented while Python's str.strip/\s are unicode-aware)
+# ---------------------------------------------------------------------------
+
+_ALPHABET = "abcdefghij XY019#.*@"
+_texts = st.lists(
+    st.text(alphabet=_ALPHABET, min_size=0, max_size=40),
+    min_size=1, max_size=8)
+
+
+def _ref_tokens(text):
+    import re as _re
+
+    return _re.split(r"\s+", text.strip(" ").lower())
+
+
+def _ref_repetition(text):
+    import re as _re
+    from collections import Counter
+
+    toks = _ref_tokens(text)
+    n = len(toks)
+    dup = 1.0 - len(set(toks)) / max(n, 1)
+    if n >= 2:
+        bg = [toks[i] + " " + toks[i + 1] for i in range(n - 1)]
+        top = max(Counter(bg).values()) / (n - 1)
+    else:
+        top = 0.0
+    symbol = len(_re.findall(r"[#@*]|[.][.][.]", text)) / max(n, 1)
+    alpha = len([t for t in toks if _re.search(r"[a-z]", t)]) / max(n, 1)
+    return n, dup, top, symbol, alpha
+
+
+def _ref_fingerprint(text):
+    acc = 0
+    for t in _ref_tokens(text):
+        v = (ord(t[0]) if t else 0) * 1000 + len(t)
+        acc = (acc * 31 + v) % 1_000_000_007
+    return acc
+
+
+@settings(max_examples=12, deadline=None)
+@given(_texts)
+def test_repetition_and_fingerprint_match_python_reference(spark, texts):
+    from sparvi_spark.operators.text import fingerprint_expr, repetition_features
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string")
+    rep = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    fps = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", fingerprint_expr("text").alias("fp")).collect()}
+    for i, text in enumerate(texts):
+        n, dup, top, symbol, alpha = _ref_repetition(text)
+        r = rep[i]
+        assert r["n_tokens"] == n, text
+        # Spark rounds HALF_UP to 6dp; compare against the unrounded
+        # reference with the max rounding error as tolerance
+        assert abs(r["dup_token_frac"] - dup) <= 5.1e-7, text
+        assert abs(r["top_bigram_frac"] - top) <= 5.1e-7, text
+        assert abs(r["symbol_word_ratio"] - symbol) <= 5.1e-7, text
+        assert abs(r["alpha_word_frac"] - alpha) <= 5.1e-7, text
+        assert fps[i] == _ref_fingerprint(text), text
