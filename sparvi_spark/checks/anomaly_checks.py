@@ -289,6 +289,7 @@ def q_detection_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     configs = [
         ("cfg_z", {"detection_method": "zscore", "sensitivity": 2.0}),
         ("cfg_i", {"detection_method": "iqr", "sensitivity": 1.0}),
+        ("cfg_c", {"detection_method": "cusum", "sensitivity": 2.0}),
     ]
     outs = []
     for cid, cfg in configs:
@@ -329,11 +330,31 @@ i AS (SELECT 'cfg_i' AS config_id, metric_name, ts, value,
               else cast('Infinity' as double) end)
        else 0.0 end AS score,
   'iqr' AS method FROM ij WHERE value < lower_b OR value > upper_b),
-unioned AS (SELECT * FROM z WHERE score > 1.5 UNION ALL SELECT * FROM i)
+cy AS (SELECT metric_name, ts, value, s,
+  sum(value - m - 0.5*s) OVER (PARTITION BY metric_name ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS sp_raw,
+  sum(m - value - 0.5*s) OVER (PARTITION BY metric_name ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS sn_raw
+ FROM zstats WHERE n >= 7),
+cs AS (SELECT metric_name, ts, value, s,
+  sp_raw - least(0.0, min(sp_raw) OVER (PARTITION BY metric_name ORDER BY ts
+      ROWS UNBOUNDED PRECEDING)) AS spv,
+  sn_raw - least(0.0, min(sn_raw) OVER (PARTITION BY metric_name ORDER BY ts
+      ROWS UNBOUNDED PRECEDING)) AS snv
+ FROM cy),
+c AS (SELECT 'cfg_c' AS config_id, metric_name, ts, value,
+  case when s = 0 then 0.0 else greatest(spv, snv) / s end AS score,
+  'cusum' AS method FROM cs
+ WHERE (case when s = 0 then 0.0 else greatest(spv, snv) / s end) > 2.5),
+unioned AS (SELECT * FROM z WHERE score > 1.5 UNION ALL SELECT * FROM i
+            UNION ALL SELECT * FROM c)
 SELECT config_id, metric_name, strftime(ts, '%Y-%m-%d') AS ts_day, value,
   round(score, 4) AS score, method,
   case when method = 'zscore' then
         (case when score > 5.0 then 'high' when score > 3.5 then 'medium'
+              else 'low' end)
+       when method = 'cusum' then
+        (case when score > 5.0 then 'high' when score > 2.5 then 'medium'
               else 'low' end)
        else
         (case when score > 3.0 then 'high' when score > 1.5 then 'medium'

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 ZSCORE_BASE_THRESHOLD = 3.0
 IQR_BASE_THRESHOLD = 1.5
 MA_BASE_THRESHOLD = 2.0
+CUSUM_BASE_THRESHOLD = 5.0
 
 def _inf() -> Column:
     # built lazily — Column construction needs an active SparkContext
@@ -237,6 +238,56 @@ def moving_average_anomalies(
     )
 
 
+def cusum_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "ts",
+    value_col: str = "value",
+    sensitivity: float = 1.0,
+    slack: float = 0.5,
+) -> DataFrame:
+    """CUSUM drift detector (Page 1954, public) — an extension beyond the
+    reference's point detectors: accumulates small sustained shifts of the
+    mean that no single point's z-score would flag.
+
+    Textbook recursion: ``s+_i = max(0, s+_{i-1} + (x_i − mean − k))`` and
+    mirrored ``s-``, with slack ``k = slack·std``. The recursion has a
+    window-expressible closed form — with ``y_i = x_i − mean − k`` and
+    prefix sum ``S_i``: ``s+_i = S_i − min(0, min_{j≤i} S_j)`` — so the
+    whole detector is ONE shuffle on the series key plus ordered running
+    sums/mins: no UDF, no fold, no driver loop, and both engines evaluate
+    the sums in the same ts order (``order_col`` must be unique per key).
+    Score = max(s+, s−)/std (0 when std = 0); threshold 5.0/sensitivity.
+    """
+    threshold = CUSUM_BASE_THRESHOLD / sensitivity
+    v = F.col(value_col)
+    wg = _w(keys)
+    run = _w_ord(keys, order_col).rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        df.withColumn("__mean", F.avg(v).over(wg))
+        .withColumn("__std", F.stddev_pop(v).over(wg))
+        .withColumn("__cnt", F.count(v).over(wg))
+        .where(F.col("__cnt") >= 2)
+        .withColumn("__k", F.lit(float(slack)) * F.col("__std"))
+        .withColumn("__Sp", F.sum(v - F.col("__mean") - F.col("__k")).over(run))
+        .withColumn("__Sn", F.sum(F.col("__mean") - v - F.col("__k")).over(run))
+    )
+    out = (
+        out.withColumn(
+            "__sp", F.col("__Sp") - F.least(F.lit(0.0), F.min("__Sp").over(run)))
+        .withColumn(
+            "__sn", F.col("__Sn") - F.least(F.lit(0.0), F.min("__Sn").over(run)))
+    )
+    score = F.when(F.col("__std") == 0, F.lit(0.0)).otherwise(
+        F.greatest(F.col("__sp"), F.col("__sn")) / F.col("__std"))
+    return (
+        out.withColumn("score", score)
+        .withColumn("is_anomaly", F.col("score") > threshold)
+        .withColumn("threshold", F.lit(float(threshold)))
+        .drop("__mean", "__std", "__cnt", "__k", "__Sp", "__Sn", "__sp", "__sn")
+    )
+
+
 def severity(score_col: Column, method: str) -> Column:
     """A5 severity mapping (algorithms.py:201-240)."""
     if method == "zscore":
@@ -298,6 +349,9 @@ def detect_anomalies(
     elif method == "moving_average":
         res = moving_average_anomalies(eligible, keys, order_col, value_col, sens,
                                        params.get("window", 7), params.get("std_window"))
+    elif method == "cusum":
+        res = cusum_anomalies(eligible, keys, order_col, value_col, sens,
+                              params.get("slack", 0.5))
     else:
         raise ValueError(f"unknown detection method: {method}")
     return format_anomalies(res, method, keys, order_col, value_col)

@@ -176,3 +176,36 @@ def test_iqr_rolling_short_series_falls_back_to_global(spark):
         [("m", i, float(i)) for i in range(3)],
         "metric_name string, ts int, value double")
     assert iqr_anomalies(tiny, ["metric_name"], order_col="ts", window=7).count() == 0
+
+
+def test_cusum_matches_recursion_and_detects_drift(spark):
+    """The window closed form (prefix sum minus running min) must equal the
+    textbook CUSUM recursion point-for-point, and a sustained mean shift
+    must cross the threshold even though each point is unremarkable."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.anomalies import cusum_anomalies
+
+    vals = [10.0, 10.2, 9.9, 10.1, 9.8, 10.0, 10.1, 9.9] + [11.0] * 12
+    rows = [(f"2024-01-{i+1:02d}", v) for i, v in enumerate(vals)]
+    df = (spark.createDataFrame(rows, "ts string, value double")
+          .withColumn("metric_name", F.lit("m")))
+    res = {r["ts"]: r for r in
+           cusum_anomalies(df, ["metric_name"], order_col="ts",
+                           sensitivity=2.0).collect()}
+
+    mean = statistics.fmean(vals)
+    std = statistics.pstdev(vals)
+    k = 0.5 * std
+    sp = sn = 0.0
+    for i, x in enumerate(vals):
+        sp = max(0.0, sp + (x - mean - k))
+        sn = max(0.0, sn + (mean - x - k))
+        got = res[f"2024-01-{i+1:02d}"]
+        assert abs(got["score"] - max(sp, sn) / std) < 1e-9
+    # the drift accumulates past the 2.5-sigma threshold by the tail
+    assert res["2024-01-20"]["is_anomaly"]
+    # nothing has accumulated at the first point
+    assert not res["2024-01-01"]["is_anomaly"]
