@@ -96,11 +96,13 @@ def test_stateful_running_metrics(spark, stream_dir):
         assert r["max_value"] == expect[k]["mx"]
 
 
-def test_streaming_detection_matches_batch(spark, stream_dir, tmp_path):
+@pytest.mark.parametrize("method,sens", [("zscore", 3.0), ("cusum", 2.0)])
+def test_streaming_detection_matches_batch(spark, stream_dir, tmp_path,
+                                           method, sens):
     from sparvi_spark.operators.anomalies import detect_anomalies
     from sparvi_spark.streaming import streaming_detection
 
-    cfg = {"detection_method": "zscore", "sensitivity": 3.0,
+    cfg = {"detection_method": method, "sensitivity": sens,
            "min_data_points": 3}
     metrics_path = str(tmp_path / "metrics")
     batches = []
