@@ -382,5 +382,44 @@ CHECKS = {
     "a07_detection_run": (q_detection_run, SQL_DETECTION_RUN),
 }
 
-# not registered (cap): severity-only view, kept for scripts/check_oracle.py
-EXTRA_CHECKS = {"a05_severity": (q_severity, SQL_SEVERITY)}
+def q_cusum_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUSUM score series (not just anomalies) vs the oracle's
+    prefix-sum/running-min windows — pins the closed form per point."""
+    from sparvi_spark.operators.anomalies import cusum_anomalies
+
+    res = cusum_anomalies(metric_series(spark, sf_dir), ["metric_name"])
+    return _finalize(res)
+
+
+SQL_CUSUM_SCORES = f"""
+{SERIES_CTE},
+stats AS (SELECT metric_name, ts, value,
+  avg(value) OVER (PARTITION BY metric_name) AS m,
+  stddev_pop(value) OVER (PARTITION BY metric_name) AS s,
+  count(value) OVER (PARTITION BY metric_name) AS n
+ FROM series),
+cy AS (SELECT metric_name, ts, value, s,
+  sum(value - m - 0.5*s) OVER (PARTITION BY metric_name ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS sp_raw,
+  sum(m - value - 0.5*s) OVER (PARTITION BY metric_name ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS sn_raw
+ FROM stats WHERE n >= 2),
+cs AS (SELECT metric_name, ts, value, s,
+  sp_raw - least(0.0, min(sp_raw) OVER (PARTITION BY metric_name ORDER BY ts
+      ROWS UNBOUNDED PRECEDING)) AS spv,
+  sn_raw - least(0.0, min(sn_raw) OVER (PARTITION BY metric_name ORDER BY ts
+      ROWS UNBOUNDED PRECEDING)) AS snv
+ FROM cy)
+SELECT metric_name, strftime(ts, '%Y-%m-%d') AS ts_day, value,
+  round(case when s = 0 then 0.0 else greatest(spv, snv) / s end, 4) AS score,
+  (case when s = 0 then 0.0 else greatest(spv, snv) / s end) > 5.0 AS is_anomaly,
+  cast(5.0 as double) AS threshold
+FROM cs
+""".strip()
+
+
+# not registered (cap): kept for scripts/check_oracle.py local verification
+EXTRA_CHECKS = {
+    "a05_severity": (q_severity, SQL_SEVERITY),
+    "a08_cusum_scores": (q_cusum_scores, SQL_CUSUM_SCORES),
+}

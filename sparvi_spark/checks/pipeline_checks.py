@@ -900,7 +900,51 @@ CHECKS = {
     "m01_multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold events in three uneven out-of-order batches; the merged state
+    must equal the oracle's one-shot full rollup (mergeable partials)."""
+    from sparvi_spark.operators.trends import incremental_time_rollup
+
+    ev = load_table(spark, "events", sf_dir)
+    state = None
+    for m in (2, 0, 1):
+        batch = ev.where(F.col("event_id") % 3 == m)
+        state = incremental_time_rollup(state, batch, "ts", "event_type",
+                                        "value", 6 * 3600)
+    return state.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "key", "n", F.col("sum_dec").cast("double").alias("sum_value"))
+
+
+SQL_INCREMENTAL_ROLLUP = """
+SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600),
+                '%Y-%m-%d %H:%M:%S') AS bucket,
+  event_type AS key, count(*) AS n,
+  cast(sum(cast(value as decimal(28,8))) as double) AS sum_value
+FROM events GROUP BY 1, 2
+""".strip()
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.multimodal import extract_audio_features
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    media = documents_as_media(docs)
+    return extract_audio_features(media, fake=True).select(
+        "media_id", "duration_s", "sample_rate", "n_channels")
+
+
+SQL_AUDIO_FEATURES = f"""
+SELECT doc_id AS media_id,
+  strlen(text) * cast(1 as double) / 16000 AS duration_s,
+  cast(16000 as int) AS sample_rate, cast(1 as int) AS n_channels
+FROM documents WHERE doc_id < {DOC_CAP}
+""".strip()
+
+
 # not registered (cap): kept for scripts/check_oracle.py local verification
 EXTRA_CHECKS = {
     "d04_simhash_pairs": (q_simhash_pairs, None),
+    "e01_incremental_rollup": (q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
+    "m02_audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
 }

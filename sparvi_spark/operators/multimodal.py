@@ -126,7 +126,9 @@ def extract_audio_features(media: DataFrame, fake: bool = True,
                     rms.append(None)
                     continue
                 b = bytes(p)
-                durs.append(round(len(b) / sample_rate, 6))
+                # no rounding: Python round() is banker's, engines are
+                # HALF_UP — the raw IEEE quotient is identical everywhere
+                durs.append(len(b) / sample_rate)
                 head = b[:256]
                 rms.append(round(
                     (sum(x * x for x in head) / max(len(head), 1)) ** 0.5, 4)
