@@ -942,9 +942,43 @@ FROM documents WHERE doc_id < {DOC_CAP}
 """.strip()
 
 
+MIX_PROPS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = mixture_sample(docs, "source", "doc_id", MIX_PROPS)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"))
+
+
+def _sql_mixture_sample() -> str:
+    from sparvi_spark.operators.sampling import HASH_A, HASH_B, HASH_M
+
+    vals = ", ".join(f"('{g}', {p})" for g, p in MIX_PROPS.items())
+    return f"""
+WITH props(source, p) AS (VALUES {vals}),
+cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+nout AS (SELECT min(n / p) AS n_out FROM cnt JOIN props USING (source)
+         WHERE p > 0),
+quota AS (SELECT props.source, cast(floor(n_out * p) as bigint) AS q
+          FROM props, nout),
+ranked AS (SELECT doc_id, d.source,
+  row_number() OVER (PARTITION BY d.source ORDER BY
+    (cast(doc_id as bigint) * {HASH_A} + {HASH_B}) % {HASH_M}, doc_id) AS rn
+ FROM documents d JOIN props ON d.source = props.source)
+SELECT r.source, count(*) AS n_kept, cast(sum(doc_id) as bigint) AS id_checksum
+FROM ranked r JOIN quota USING (source) WHERE rn <= q GROUP BY r.source
+""".strip()
+
+
 # not registered (cap): kept for scripts/check_oracle.py local verification
 EXTRA_CHECKS = {
     "d04_simhash_pairs": (q_simhash_pairs, None),
     "e01_incremental_rollup": (q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "m02_audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+    "e02_mixture_sample": (q_mixture_sample, _sql_mixture_sample()),
 }

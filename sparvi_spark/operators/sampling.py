@@ -60,3 +60,37 @@ def stratified_sample(
         .where(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    proportions: dict[str, float],
+) -> DataFrame:
+    """Downsample to target mixture PROPORTIONS across groups — the data-
+    mixing step of a training pipeline (e.g. rebalance web/books/code
+    shares). Output size is maximized subject to the targets: the binding
+    group is kept whole (quota = floor(N_out·p_g) with
+    N_out = min_g(n_g / p_g)); every other group is cut to quota by hash
+    order, so the selection is deterministic across engines, partitionings
+    and re-runs, and a group's sample is a PREFIX of any larger sample
+    (growing a quota never swaps previously selected rows).
+
+    One tiny groupBy count to the driver (n_groups rows), then one shuffle
+    on the group key for the rank window — the same shape as
+    stratified_sample. Groups absent from ``proportions`` are dropped.
+    """
+    counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
+    n_out = min(
+        counts.get(g, 0) / p for g, p in proportions.items() if p > 0)
+    quotas = {g: int(n_out * p) for g, p in proportions.items()}
+    quota_map = F.create_map(
+        *[F.lit(x) for gq in quotas.items() for x in gq])
+    w = Window.partitionBy(group_col).orderBy(hash_expr(id_col), F.col(id_col))
+    return (
+        df.where(F.col(group_col).isin(list(quotas)))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= quota_map[F.col(group_col)])
+        .drop("__rk")
+    )

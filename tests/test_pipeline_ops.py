@@ -324,3 +324,33 @@ def test_bucket_centroids_exact(spark):
     assert out[(0, 0)] == (2.0, 2)
     assert out[(0, 1)] == (3.0, 2)
     assert out[(1, 0)] == (10.0, 1)
+
+
+def test_mixture_sample_quotas_and_determinism(spark):
+    from sparvi_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"src{i % 4}") for i in range(100)]  # 25 per source
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    props = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+    out = mixture_sample(df, "source", "doc_id", props)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # n_out = min(25/0.5, 25/0.3, 25/0.2) = 50 -> quotas 25/15/10; the
+    # binding group (src0) is kept whole, src3 (no target) is dropped
+    assert counts == {"src0": 25, "src1": 15, "src2": 10}
+
+    # deterministic: identical selection on re-run
+    ids = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  mixture_sample(df, "source", "doc_id", props).collect())
+    assert ids == ids2
+
+    # prefix property: shrinking src1's share only REMOVES rows from src1
+    smaller = mixture_sample(df, "source", "doc_id",
+                             {"src0": 0.5, "src1": 0.25, "src2": 0.25})
+    s1_small = {r["doc_id"] for r in
+                smaller.where(F.col("source") == "src1").collect()}
+    s1_big = {r["doc_id"] for r in
+              out.where(F.col("source") == "src1").collect()}
+    assert s1_small <= s1_big
