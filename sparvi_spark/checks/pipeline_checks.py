@@ -942,6 +942,32 @@ FROM documents WHERE doc_id < {DOC_CAP}
 """.strip()
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 16, 4
+
+
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    return chunk_documents(docs, chunk_tokens=CHUNK_TOKENS,
+                           overlap=CHUNK_OVERLAP)
+
+
+SQL_CHUNKING = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk
+           FROM documents WHERE doc_id < {DOC_CAP}),
+s AS (SELECT doc_id, tk,
+        unnest(range(1, greatest(len(tk) - {CHUNK_OVERLAP}, 1) + 1,
+                     {CHUNK_TOKENS - CHUNK_OVERLAP})) AS st
+      FROM t)
+SELECT doc_id, cast((st - 1) // {CHUNK_TOKENS - CHUNK_OVERLAP} as int)
+    AS chunk_idx,
+  array_to_string(tk[st:st + {CHUNK_TOKENS} - 1], ' ') AS chunk_text,
+  cast(len(tk[st:st + {CHUNK_TOKENS} - 1]) as int) AS n_tokens
+FROM s
+""".strip()
+
+
 MIX_PROPS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
@@ -981,4 +1007,5 @@ EXTRA_CHECKS = {
     "e01_incremental_rollup": (q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "m02_audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "e02_mixture_sample": (q_mixture_sample, _sql_mixture_sample()),
+    "e03_chunking": (q_chunking, SQL_CHUNKING),
 }

@@ -78,7 +78,7 @@ def _repetition_cols(text_col: str) -> dict[str, Column]:
 
     - dup_token_frac: 1 − distinct/total tokens (repeated-word mass)
     - top_bigram_frac: coverage of the most frequent word bigram
-      (O(distinct·n) filter-count per row, bounded by document length)
+      (O(n log n) per row: sort + longest equal-run)
     - symbol_word_ratio: '#'/'@'/'*'/ellipsis marks per token
     - alpha_word_frac: fraction of tokens containing a letter
     """
@@ -225,6 +225,7 @@ PII_PATTERNS: dict[str, str] = {
     "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
     "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
     "phone": "[+][0-9][0-9 ()-]{7,}[0-9]",
+    "url": "https?://[A-Za-z0-9./_%~#?&=-]+",
     "long_word": "[a-z]{6,}",
 }
 
@@ -258,4 +259,39 @@ def pattern_counts(
     return wide.selectExpr(
         *head,
         f"stack({len(pats)}, {stack}) as (pattern, n_rows_matched, n_matches)",
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with optional
+    overlap — context-window preparation for training/embedding pipelines.
+
+    Pure per-row explode: chunk starts = 1, 1+stride, 1+2·stride, ... with
+    stride = chunk_tokens − overlap; each chunk re-joins its token slice
+    with single spaces (whitespace normalization is part of the contract).
+    No shuffle, no UDF; output grain (doc, chunk_idx) with the chunk's
+    token count. Documents shorter than one chunk yield one chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_expr(text_col)
+    starts = (
+        f"sequence(1, greatest(size({toks}) - {overlap}, 1), {stride})"
+    )
+    chunks = (
+        f"transform({starts}, s -> named_struct("
+        f"'chunk_idx', cast((s - 1) div {stride} as int), "
+        f"'chunk_text', array_join(slice({toks}, s, {chunk_tokens}), ' '), "
+        f"'n_tokens', size(slice({toks}, s, {chunk_tokens}))))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(chunks)).alias("__c"))
+        .select(id_col, "__c.chunk_idx", "__c.chunk_text", "__c.n_tokens")
     )

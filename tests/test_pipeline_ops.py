@@ -354,3 +354,23 @@ def test_mixture_sample_quotas_and_determinism(spark):
     s1_big = {r["doc_id"] for r in
               out.where(F.col("source") == "src1").collect()}
     assert s1_small <= s1_big
+
+
+def test_chunk_documents_windows(spark):
+    from sparvi_spark.operators.text import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame([(1, toks), (2, "short doc")],
+                                 "doc_id int, text string")
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1)
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+           for r in out.collect()}
+    # stride 3, starts 1/4/7 (greatest(10-1,1)=9 caps the last start)
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert (1, 3) not in got
+    # shorter than one chunk -> single chunk with its real token count
+    assert got[(2, 0)] == ("short doc", 2)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
