@@ -955,7 +955,7 @@ def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CHUNKING = f"""
 WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk
-           FROM documents WHERE doc_id < {DOC_CAP}),
+           FROM documents WHERE doc_id < {DOC_CAP} AND text IS NOT NULL),
 s AS (SELECT doc_id, tk,
         unnest(range(1, greatest(len(tk) - {CHUNK_OVERLAP}, 1) + 1,
                      {CHUNK_TOKENS - CHUNK_OVERLAP})) AS st
@@ -990,7 +990,7 @@ WITH props(source, p) AS (VALUES {vals}),
 cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
 nout AS (SELECT min(n / p) AS n_out FROM cnt JOIN props USING (source)
          WHERE p > 0),
-quota AS (SELECT props.source, cast(floor(n_out * p) as bigint) AS q
+quota AS (SELECT props.source, cast(floor(n_out * p + 1e-9) as bigint) AS q
           FROM props, nout),
 ranked AS (SELECT doc_id, d.source,
   row_number() OVER (PARTITION BY d.source ORDER BY

@@ -112,8 +112,11 @@ class Engine:
                 spec_from_dataframe,
             )
 
+            # anchor date rules (no-future-dates etc.) to THIS run's
+            # instant, not the module's frozen default
             rules = generate_default_rules(
-                spec_from_dataframe(df, table_name, primary_keys=primary_keys))
+                spec_from_dataframe(df, table_name, primary_keys=primary_keys),
+                as_of=run_at)
         results = run_rules(df, rules, ref_tables=ref_tables)
         stored = results.select(
             F.lit(table_name).alias("table_name"), "rule_name", "operator",

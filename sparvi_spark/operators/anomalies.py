@@ -263,6 +263,11 @@ def cusum_anomalies(
     v = F.col(value_col)
     wg = _w(keys)
     run = _w_ord(keys, order_col).rowsBetween(Window.unboundedPreceding, 0)
+    # NULL values: the other detectors score them NULL (never anomalous);
+    # here the prefix sums would SKIP the null and the row would inherit
+    # the previous drift score — drop such rows up front instead (stats
+    # are unchanged: avg/stddev/count already ignore nulls)
+    df = df.where(v.isNotNull())
     out = (
         df.withColumn("__mean", F.avg(v).over(wg))
         .withColumn("__std", F.stddev_pop(v).over(wg))

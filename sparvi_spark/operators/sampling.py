@@ -81,10 +81,24 @@ def mixture_sample(
     on the group key for the rank window — the same shape as
     stratified_sample. Groups absent from ``proportions`` are dropped.
     """
+    import math
+
+    if not proportions or all(p <= 0 for p in proportions.values()):
+        raise ValueError("proportions must contain at least one positive share")
     counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
-    n_out = min(
-        counts.get(g, 0) / p for g, p in proportions.items() if p > 0)
-    quotas = {g: int(n_out * p) for g, p in proportions.items()}
+    missing = [g for g, p in proportions.items()
+               if p > 0 and counts.get(g, 0) == 0]
+    if missing:
+        # a zero-count group would force n_out (and EVERY quota) to 0 —
+        # surface the configuration error instead of returning 0 rows
+        raise ValueError(f"groups {missing} have no rows; drop them from "
+                         "proportions or fix the group column")
+    n_out = min(counts[g] / p for g, p in proportions.items() if p > 0)
+    # +1e-9 guard: at the binding group n_out·p IS n_g but IEEE rounding
+    # can land at n_g−ulp, and bare floor would lose a row (e.g. n=6,
+    # p=0.35). The epsilon never overshoots: quotas stay ≤ n_g.
+    quotas = {g: int(math.floor(n_out * p + 1e-9))
+              for g, p in proportions.items()}
     quota_map = F.create_map(
         *[F.lit(x) for gq in quotas.items() for x in gq])
     w = Window.partitionBy(group_col).orderBy(hash_expr(id_col), F.col(id_col))

@@ -278,8 +278,8 @@ def chunk_documents(
     No shuffle, no UDF; output grain (doc, chunk_idx) with the chunk's
     token count. Documents shorter than one chunk yield one chunk.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     toks = tokens_expr(text_col)
     starts = (

@@ -186,9 +186,19 @@ def spec_from_dataframe(
     reference's path from warehouse introspection to rule generation
     (collector.py:74-99 -> default_validations.py). Keys are caller-supplied
     (parquet carries no PK/FK metadata — SURVEY §1.1)."""
+    import re
+
     from sparvi_spark.operators.profile import type_bucket
     from sparvi_spark.testdata import ColumnSpec
 
+    # rule generation interpolates column names into SQL text; reject
+    # names that would misparse rather than emit broken expressions
+    bad = [f.name for f in df.schema.fields
+           if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", f.name)]
+    if bad:
+        raise ValueError(
+            f"column names {bad} are not simple identifiers; rename them "
+            "(e.g. withColumnRenamed) before generating default rules")
     cols = tuple(
         ColumnSpec(f.name, type_bucket(f.dataType), f.nullable)
         for f in df.schema.fields

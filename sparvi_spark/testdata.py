@@ -75,12 +75,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # default maxFields=100 they fall out of whole-stage codegen (measured
     # 1.6x). Runtime-settable, so caller-provided sessions (the driver's
     # harness) get the same plan quality as get_spark() sessions.
+    # (debug-capture stays untouched here: silently disabling PySpark's
+    # call-site enrichment for the caller's whole session is not a data
+    # loader's call — get_spark() handles it for sessions we own)
     try:
         spark.conf.set("spark.sql.codegen.maxFields", "500")
-        # PySpark 4 captures a Python call-site string on every DataFrame
-        # call for error enrichment; the fused validation plans build
-        # thousands of Columns (~1.5s driver overhead per run)
-        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
     except Exception:
         pass
     df = spark.read.parquet(path)

@@ -374,3 +374,20 @@ def test_chunk_documents_windows(spark):
     assert got[(2, 0)] == ("short doc", 2)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_mixture_sample_binding_group_kept_whole_and_errors(spark):
+    from sparvi_spark.operators.sampling import mixture_sample
+
+    # IEEE-truncation regression: n=6, p=0.35 -> int(n_out*0.35) would be 5
+    rows = [(i, "a") for i in range(6)] + [(100 + i, "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = mixture_sample(df, "source", "doc_id", {"a": 0.35, "b": 0.65})
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["a"] == 6  # the binding group is kept whole
+
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_sample(df, "source", "doc_id", {"a": 0.5, "ghost": 0.5})
+    with pytest.raises(ValueError, match="positive share"):
+        mixture_sample(df, "source", "doc_id", {})

@@ -154,3 +154,18 @@ def test_dominance_detection(spark):
     assert rules
     row = run_rules(df, rules).collect()[0]
     assert row["actual_value"] == 1.0 and row["is_valid"] is False
+
+
+def test_spec_from_dataframe_rejects_non_identifier_columns(spark):
+    import pytest
+
+    from sparvi_spark.operators.validation import spec_from_dataframe
+
+    ok = spark.createDataFrame([(1, "x")], "id int, name string")
+    spec = spec_from_dataframe(ok, "t", primary_keys=("id",))
+    assert spec.primary_keys == ("id",)
+    assert [c.bucket for c in spec.columns] == ["numeric", "text"]
+
+    bad = spark.createDataFrame([(1,)], "id int").withColumnRenamed("id", "unit price")
+    with pytest.raises(ValueError, match="identifier"):
+        spec_from_dataframe(bad, "t")
