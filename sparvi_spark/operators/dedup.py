@@ -161,17 +161,40 @@ def dedup_near(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
+    prefer_col: str | None = None,
 ) -> DataFrame:
     """Materialize a near-deduplicated corpus from a pair list.
 
-    Greedy keep-smallest-id policy: every pair (id_a < id_b) marks id_b a
-    duplicate; survivors = df anti-join duplicates. One distinct + one
-    anti-join — no iterative connected components, which large-scale text
-    dedup pipelines deliberately avoid (chains collapse toward the smallest
-    id well enough for training-data purposes, and the policy is
-    deterministic).
+    Default policy: greedy keep-smallest-id — every pair (id_a < id_b)
+    marks id_b a duplicate; survivors = df anti-join duplicates. One
+    distinct + one anti-join — no iterative connected components, which
+    large-scale text dedup pipelines deliberately avoid (chains collapse
+    toward the smallest id well enough for training-data purposes, and the
+    policy is deterministic).
+
+    ``prefer_col``: quality-aware survivor selection — within each pair the
+    row with the HIGHER prefer value survives (ties break to the smaller
+    id), so a duplicate cluster keeps its best-quality member instead of
+    its lowest id. Costs two broadcast lookups of the (id, prefer) map on
+    top of the default path; still no iteration.
     """
-    dups = pairs.select(F.col("id_b").alias("__dup")).distinct()
+    if prefer_col is None:
+        dups = pairs.select(F.col("id_b").alias("__dup")).distinct()
+        return df.join(dups, df[id_col] == F.col("__dup"), "left_anti")
+    score = df.select(F.col(id_col).alias("__pid"),
+                      F.col(prefer_col).alias("__pref"))
+    scored = (
+        pairs.join(F.broadcast(score.withColumnRenamed("__pid", "id_a")
+                               .withColumnRenamed("__pref", "__pref_a")), "id_a")
+        .join(F.broadcast(score.withColumnRenamed("__pid", "id_b")
+                          .withColumnRenamed("__pref", "__pref_b")), "id_b")
+    )
+    loser = F.when(
+        F.col("__pref_a") > F.col("__pref_b"), F.col("id_b")
+    ).when(
+        F.col("__pref_b") > F.col("__pref_a"), F.col("id_a")
+    ).otherwise(F.greatest("id_a", "id_b"))
+    dups = scored.select(loser.alias("__dup")).distinct()
     return df.join(dups, df[id_col] == F.col("__dup"), "left_anti")
 
 

@@ -391,3 +391,21 @@ def test_mixture_sample_binding_group_kept_whole_and_errors(spark):
         mixture_sample(df, "source", "doc_id", {"a": 0.5, "ghost": 0.5})
     with pytest.raises(ValueError, match="positive share"):
         mixture_sample(df, "source", "doc_id", {})
+
+
+def test_dedup_near_prefer_column(spark, corpus):
+    """Quality-aware survivor selection: the HIGHER-quality member of a
+    near-dup pair survives, overriding the default smallest-id policy."""
+    from sparvi_spark.operators.dedup import dedup_near, jaccard_pairs
+
+    pairs = jaccard_pairs(corpus, "doc_id", "text", n=1, threshold=0.5)
+    # default: smallest id survives -> 2, 3, 5 dropped
+    assert {r["doc_id"] for r in dedup_near(corpus, pairs, "doc_id").collect()} \
+        == {1, 4, 6}
+    # prefer longer docs: 5 ("... ok") beats 4; ties (1 vs 2) keep smaller id
+    scored = corpus.withColumn("q", F.length("text"))
+    kept = {r["doc_id"] for r in
+            dedup_near(scored, pairs, "doc_id", prefer_col="q").collect()}
+    assert 5 in kept and 4 not in kept
+    assert 1 in kept and 2 not in kept  # tie -> smaller id survives
+    assert 6 in kept
