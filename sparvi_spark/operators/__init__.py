@@ -10,30 +10,57 @@
 - incremental: per-partition mergeable stats profiling
 """
 
-from sparvi_spark.operators.anomalies import detect_anomalies
+from sparvi_spark.operators.anomalies import cusum_anomalies, detect_anomalies
 from sparvi_spark.operators.dedup import (
+    contamination,
     dedup_exact,
+    dedup_near,
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
 )
 from sparvi_spark.operators.incremental import incremental_profile
-from sparvi_spark.operators.joins import salted_join
+from sparvi_spark.operators.joins import asof_join, range_join, salted_join
 from sparvi_spark.operators.profile import profile_table
+from sparvi_spark.operators.sampling import (
+    hash_sample,
+    mixture_sample,
+    stratified_sample,
+)
 from sparvi_spark.operators.schema_diff import compare_schemas, detect_changes
-from sparvi_spark.operators.similarity import cosine_topk, ivf_topk
-from sparvi_spark.operators.text import quality_features, top_tokens
+from sparvi_spark.operators.sessions import session_stats, sessionize
+from sparvi_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    ivf_topk_trained,
+    kmeans_train,
+    lsh_topk,
+)
+from sparvi_spark.operators.text import (
+    chunk_documents,
+    quality_features,
+    repetition_features,
+    top_tokens,
+)
+from sparvi_spark.operators.trends import incremental_time_rollup
 from sparvi_spark.operators.validation import (
     generate_default_rules,
     run_rules,
     run_validations,
+    spec_from_dataframe,
 )
 
 __all__ = [
     "profile_table", "generate_default_rules", "run_rules", "run_validations",
-    "detect_anomalies", "compare_schemas", "detect_changes",
-    "dedup_exact", "exact_duplicates", "jaccard_pairs", "minhash_lsh_pairs",
-    "simhash_pairs", "cosine_topk", "ivf_topk", "quality_features",
-    "top_tokens", "salted_join", "incremental_profile",
+    "spec_from_dataframe", "detect_anomalies", "cusum_anomalies",
+    "compare_schemas", "detect_changes",
+    "dedup_exact", "dedup_near", "exact_duplicates", "jaccard_pairs",
+    "minhash_lsh_pairs", "simhash_pairs", "contamination",
+    "cosine_topk", "ivf_topk", "ivf_topk_trained", "kmeans_train", "lsh_topk",
+    "quality_features", "repetition_features", "chunk_documents", "top_tokens",
+    "salted_join", "asof_join", "range_join",
+    "hash_sample", "stratified_sample", "mixture_sample",
+    "sessionize", "session_stats",
+    "incremental_profile", "incremental_time_rollup",
 ]
