@@ -271,3 +271,20 @@ def test_contamination_no_cartesian(spark):
     plan = _plan(contamination(cand, ref, "doc_id", "text", n=3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_check_registry_is_exactly_50_oracle_paired(spark):
+    """The driver records at most 50 (query, oracle) pairs; the registry
+    must stay exactly 50, every entry oracle-backed, and keep its family
+    coverage (accidentally dropping a family would silently lose its
+    driver grade)."""
+    from sparvi_spark.checks import DRIVER_CHECK_CAP, collect_all_checks
+
+    checks = collect_all_checks()
+    assert len(checks) == DRIVER_CHECK_CAP == 50
+    assert all(sql is not None for _fn, sql in checks.values())
+    prefixes = {name.split("_")[0][0] for name in checks}
+    for fam, n_min in {"p": 11, "v": 2, "a": 4, "t": 10, "s": 1,
+                       "d": 6, "x": 13, "m": 1}.items():
+        got = sum(1 for name in checks if name.startswith(fam))
+        assert got >= n_min, f"family {fam}: {got} < {n_min}"
