@@ -55,6 +55,35 @@ _REPARTITION_MIN_BYTES = 64 << 10
 _CACHE_MAX_BYTES = 256 << 20
 _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
+# Shuffle machinery should be sized to the data, not the cluster: below
+# _SMALL_DATA_BYTES of total input the right setting is a handful of shuffle
+# partitions and NO adaptive re-planning — AQE's per-stage replan rounds and
+# 32-task shuffle stages cost ~4x the actual compute at sf0.1 (measured
+# 0.97s -> 0.22s on a fresh groupBy query). Above the gate the cluster
+# profile stays untouched: AQE on, skew handling, parallelism-sized
+# shuffles — exactly what a 100 TB run needs. Both confs are runtime-settable
+# and applied once per (session, sf_dir) on first load.
+_SMALL_DATA_BYTES = 1 << 30
+_SMALL_DATA_SHUFFLE_PARTITIONS = 8
+_TUNED: set[tuple[int, str]] = set()
+
+
+def _tune_for_dir(spark: SparkSession, sf_dir: str) -> None:
+    key = (id(spark._jsparkSession), sf_dir)
+    if key in _TUNED:
+        return
+    _TUNED.add(key)
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir))
+    except OSError:
+        return
+    if total < _SMALL_DATA_BYTES:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(_SMALL_DATA_SHUFFLE_PARTITIONS))
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
@@ -82,6 +111,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         spark.conf.set("spark.sql.codegen.maxFields", "500")
     except Exception:
         pass
+    _tune_for_dir(spark, sf_dir)
     df = spark.read.parquet(path)
     for c in _NANOS_TS.get(name, ()):
         if isinstance(df.schema[c].dataType, LongType):
