@@ -22,6 +22,11 @@ def union_check(parts, tag_col: str = "mode"):
     (tag, spark_fn, oracle_sql). Returns (fn, sql) where both sides prepend
     a literal ``tag_col`` and UNION ALL the results. DuckDB permits CTEs
     inside subqueries, so each part's full statement nests unchanged."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", tag_col):
+        raise ValueError(f"tag_col {tag_col!r} is not a simple identifier")
+
     def fn(spark, sf_dir, _parts=tuple(parts), _tag=tag_col):
         from pyspark.sql import functions as F
 
@@ -32,7 +37,8 @@ def union_check(parts, tag_col: str = "mode"):
         return out
 
     sql = " UNION ALL ".join(
-        f"SELECT '{tag}' AS {tag_col}, * FROM ({s}) u_{i}"
+        "SELECT '{}' AS {}, * FROM ({}) u_{}".format(
+            tag.replace("'", "''"), tag_col, s, i)
         for i, (tag, _f, s) in enumerate(parts)
     )
     return fn, sql

@@ -934,10 +934,13 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "duration_s", "sample_rate", "n_channels")
 
 
+# sample_rate/n_channels NULL-propagate with the payload (the Spark fake
+# emits NULL for NULL payloads; documents.text is nullable in the schema)
 SQL_AUDIO_FEATURES = f"""
 SELECT doc_id AS media_id,
   strlen(text) * cast(1 as double) / 16000 AS duration_s,
-  cast(16000 as int) AS sample_rate, cast(1 as int) AS n_channels
+  case when text is null then null else cast(16000 as int) end AS sample_rate,
+  case when text is null then null else cast(1 as int) end AS n_channels
 FROM documents WHERE doc_id < {DOC_CAP}
 """.strip()
 

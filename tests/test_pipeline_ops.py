@@ -41,6 +41,29 @@ def test_jaccard_pairs_exact_math(corpus):
     assert not any(6 in p for p in pairs)
 
 
+def test_jaccard_hot_shingle_guard(corpus):
+    from sparvi_spark.operators.dedup import DEFAULT_MAX_SHINGLE_DF, jaccard_pairs
+
+    # default guard (10k) never triggers on small corpora: identical output
+    assert DEFAULT_MAX_SHINGLE_DF >= 10_000
+    base = sorted(map(tuple, jaccard_pairs(
+        corpus, "doc_id", "text", n=1, threshold=0.5,
+        max_shingle_df=None).collect()))
+    assert sorted(map(tuple, jaccard_pairs(
+        corpus, "doc_id", "text", n=1, threshold=0.5).collect())) == base
+    # with cap=2 every token shared by docs 1/2/3 (df=3) is a stop-shingle
+    # and drops from numerator AND denominator: doc1 keeps {dog} (df=2),
+    # doc3 keeps {cat} (df=1) -> the (1,3) pair disappears entirely, while
+    # identical docs 1/2 still score 1.0 on their surviving sets
+    guarded = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in jaccard_pairs(corpus, "doc_id", "text", n=1,
+                                      threshold=0.5,
+                                      max_shingle_df=2).collect()}
+    assert guarded[(1, 2)] == 1.0
+    assert (1, 3) not in guarded
+    assert guarded[(4, 5)] == round(7 / 8, 6)
+
+
 def test_minhash_lsh_finds_near_dups(corpus):
     from sparvi_spark.operators.dedup import minhash_lsh_pairs
 
