@@ -661,6 +661,31 @@ CHECKS = {
     "t14_retention": (q_retention, SQL_RETENTION),
 }
 
+USAGE_AS_OF = "2026-01-01 00:00:00"
+
+
+def q_usage_patterns(spark, sf_dir):
+    """P16 analogue over the events access log: per-user usage rollup
+    (trends.usage_patterns; the engine applies the same operator to its
+    engine_events log keyed by table_name)."""
+    from sparvi_spark.operators.trends import usage_patterns
+    from sparvi_spark.testdata import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    return usage_patterns(ev, entity_col="user_id", ts_col="ts",
+                          type_col="event_type", as_of=USAGE_AS_OF)
+
+
+SQL_USAGE_PATTERNS = """
+SELECT user_id, count(*) AS access_count,
+  min(ts) AS first_accessed, max(ts) AS last_accessed,
+  count(DISTINCT event_type) AS n_access_types,
+  round((epoch(timestamp '{as_of}') - epoch(max(ts))) / 3600.0, 2)
+    AS hours_since_access
+FROM events GROUP BY user_id
+""".strip()
+
+
 # not registered (cap): standalone shapes of ops folded into merged checks,
 # kept for scripts/check_oracle.py local verification
 EXTRA_CHECKS = {
@@ -668,4 +693,6 @@ EXTRA_CHECKS = {
     "t07_anomaly_top": (q_anomaly_top, SQL_ANOMALY_TOP),
     "t08_anomaly_daily_trend": (q_anomaly_daily_trend, SQL_ANOMALY_DAILY_TREND),
     "t11_refresh_suggestion": (q_refresh_suggestion, SQL_REFRESH_SUGGESTION),
+    "t15_usage_patterns": (q_usage_patterns,
+                           SQL_USAGE_PATTERNS.format(as_of=USAGE_AS_OF)),
 }

@@ -102,6 +102,16 @@ class Engine:
             "event_type": event_type, "table_name": table_name,
             "details": details, "detected_at": at or _utcnow()}])
 
+    def usage_patterns(self, as_of: str | None = None) -> DataFrame:
+        """P16 analogue: per-table access frequency from the engine's own
+        event log instead of warehouse QUERY_HISTORY introspection
+        (collector.py:281-321 output shape; see trends.usage_patterns)."""
+        from sparvi_spark.operators.trends import usage_patterns
+
+        return usage_patterns(self.state.read("engine_events"),
+                              "table_name", "detected_at", "event_type",
+                              as_of=as_of)
+
     # ------------------------------------------------------------------ §3.2
     def run_validations(self, df: DataFrame, table_name: str,
                         rules: list[Rule] | None = None,

@@ -12,6 +12,7 @@
 
 from sparvi_spark.operators.anomalies import cusum_anomalies, detect_anomalies
 from sparvi_spark.operators.dedup import (
+    connected_components,
     contamination,
     dedup_exact,
     dedup_near,
@@ -55,6 +56,7 @@ __all__ = [
     "profile_table", "generate_default_rules", "run_rules", "run_validations",
     "spec_from_dataframe", "detect_anomalies", "cusum_anomalies",
     "compare_schemas", "detect_changes",
+    "connected_components",
     "dedup_exact", "dedup_near", "exact_duplicates", "jaccard_pairs",
     "minhash_lsh_pairs", "simhash_pairs", "contamination",
     "cosine_topk", "ivf_topk", "ivf_topk_trained", "kmeans_train", "lsh_topk",

@@ -170,27 +170,102 @@ def _affine_params(i: int) -> tuple[int, int]:
     return a, b
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair list -> (node, comp),
+    comp = smallest node id in the component.
+
+    Min-label propagation with a pointer-jumping hop per round (label <-
+    min(own, neighbors' labels, label-of-label)), iterated to fixpoint with
+    a bounded round count — the standard distributed CC shape (GraphX /
+    large-star–small-star family). Each round is one shuffle on node id;
+    the hop makes chains collapse in ~log(diameter) rounds instead of
+    diameter. Convergence is checked with a cheap ``limit(1)`` probe.
+    Labels are ``localCheckpoint``ed each round: an iterative plan that
+    references the previous round twice (step + hop) otherwise nests
+    exponentially — lineage truncation is the standard idiom for
+    DataFrame iteration (same reason GraphX checkpoints Pregel state).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (edges.select("src").distinct()
+              .select(F.col("src").alias("node"), F.col("src").alias("comp"))
+              .localCheckpoint())
+    for _ in range(max_iters):
+        nbr = (edges.join(labels, edges["dst"] == labels["node"])
+               .groupBy("src").agg(F.min("comp").alias("__nc")))
+        stepped = (labels.join(nbr, labels["node"] == nbr["src"], "left")
+                   .select(F.col("node"),
+                           F.least("comp", F.coalesce("__nc", "comp"))
+                           .alias("comp")))
+        # pointer jump: follow comp -> that node's comp (always <= comp)
+        hop = labels.select(F.col("node").alias("__hn"),
+                            F.col("comp").alias("__hc"))
+        new = (stepped.join(hop, stepped["comp"] == F.col("__hn"), "left")
+               .select(F.col("node"),
+                       F.least("comp", F.coalesce("__hc", "comp"))
+                       .alias("comp"))
+               .localCheckpoint())
+        changed = (new.join(labels.withColumnRenamed("comp", "__old"), "node")
+                   .where(F.col("comp") != F.col("__old")).limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def dedup_near(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
     prefer_col: str | None = None,
+    clustering: str = "greedy",
+    max_iters: int = 20,
 ) -> DataFrame:
     """Materialize a near-deduplicated corpus from a pair list.
 
-    Default policy: greedy keep-smallest-id — every pair (id_a < id_b)
-    marks id_b a duplicate; survivors = df anti-join duplicates. One
-    distinct + one anti-join — no iterative connected components, which
-    large-scale text dedup pipelines deliberately avoid (chains collapse
-    toward the smallest id well enough for training-data purposes, and the
-    policy is deterministic).
+    ``clustering="greedy"`` (default): keep-smallest-id — every pair
+    (id_a < id_b) marks id_b a duplicate; survivors = df anti-join
+    duplicates. One distinct + one anti-join, no iteration — the policy
+    most large-scale text dedup pipelines use. It can OVER-KEEP on
+    transitive chains: pairs (1,3),(2,3) leave both 1 and 2 alive even
+    though they share the duplicate 3.
 
-    ``prefer_col``: quality-aware survivor selection — within each pair the
-    row with the HIGHER prefer value survives (ties break to the smaller
-    id), so a duplicate cluster keeps its best-quality member instead of
-    its lowest id. Costs two broadcast lookups of the (id, prefer) map on
-    top of the default path; still no iteration.
+    ``clustering="components"``: true transitive closure — group pairs
+    into connected components (bounded-iteration label propagation,
+    ``connected_components``) and keep ONE survivor per component. Costs
+    ~log(diameter) shuffle rounds; use when chain-heavy corpora make the
+    greedy policy keep near-identical pairs.
+
+    ``prefer_col``: quality-aware survivor selection — the HIGHER prefer
+    value survives (ties break to the smaller id). Greedy applies it per
+    pair (two broadcast lookups); components applies it per component
+    (one max_by per component), so the cluster keeps its single
+    best-quality member.
     """
+    if clustering == "components":
+        comp = connected_components(pairs, max_iters=max_iters)
+        if prefer_col is None:
+            keep = comp.groupBy("comp").agg(F.min("node").alias("__keep"))
+        else:
+            score = df.select(F.col(id_col).alias("__pid"),
+                              F.col(prefer_col).alias("__pref"))
+            keep = (comp.join(score, comp["node"] == F.col("__pid"))
+                    # max on (pref, -node): highest quality, tie -> min id
+                    .groupBy("comp")
+                    .agg(F.max(F.struct(F.col("__pref"), (-F.col("node"))
+                                        .alias("__negid"))).alias("__m"))
+                    .select("comp", (-F.col("__m.__negid")).alias("__keep")))
+        dups = (comp.join(keep, "comp")
+                .where(F.col("node") != F.col("__keep"))
+                .select(F.col("node").alias("__dup")).distinct())
+        return df.join(dups, df[id_col] == F.col("__dup"), "left_anti")
+    if clustering != "greedy":
+        raise ValueError(f"unknown clustering {clustering!r}")
     if prefer_col is None:
         dups = pairs.select(F.col("id_b").alias("__dup")).distinct()
         return df.join(dups, df[id_col] == F.col("__dup"), "left_anti")

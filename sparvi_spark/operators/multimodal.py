@@ -67,20 +67,46 @@ def _fake_decode(payload: bytes | None) -> tuple[int | None, int | None, float |
     return width, height, mean_intensity
 
 
-def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def _pil_decode(payload: bytes):
+    """Real decoder body: grayscale dims + mean intensity via Pillow.
+
+    Pillow is not in this container — the import-try raises the documented
+    NotImplementedError here, while any environment with Pillow (or any
+    injected ``decoder`` callable with this signature) runs the identical
+    mapInPandas plumbing.
+    """
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "real image decode requires Pillow; not available in this env"
+        ) from e
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    px = list(img.getdata())
+    return img.width, img.height, round(sum(px) / max(len(px), 1), 4)
+
+
+def extract_image_features(media: DataFrame, fake: bool = True,
+                           decoder=None) -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas.
 
-    ``fake=False`` raises NotImplementedError inside the UDF — the marked
-    stub where a real decoder (PIL.Image.open etc.) plugs in.
+    ``fake=False`` decodes with ``decoder`` (payload -> (width, height,
+    mean_intensity)), defaulting to the Pillow body ``_pil_decode`` —
+    which raises NotImplementedError where the library is absent. The
+    batch plumbing (Arrow transfer, NULL handling, schema) is identical
+    on every path, so the seam is test-coverable without codecs.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decoder or _pil_decode
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires Pillow; not available in this env"
-                )
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            if fake:
+                feats = [_fake_decode(p) for p in pdf["payload"]]
+            else:
+                feats = [(None, None, None) if p is None else dec(bytes(p))
+                         for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "width": [f[0] for f in feats],
@@ -101,24 +127,54 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
 ])
 
 
+def _soundfile_decode(payload: bytes):
+    """Real decoder body: (duration_s, sample_rate, n_channels, rms) via
+    soundfile — absent in this container, so the import-try raises the
+    documented NotImplementedError; an injected ``decoder`` with this
+    signature exercises the identical plumbing."""
+    try:
+        import io
+
+        import soundfile as sf
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "real audio decode requires soundfile/torchaudio; "
+            "not available in this env"
+        ) from e
+    data, sr = sf.read(io.BytesIO(payload))
+    n = data.shape[0]
+    ch = 1 if data.ndim == 1 else data.shape[1]
+    rms = float((data.astype("float64") ** 2).mean() ** 0.5) if n else 0.0
+    return n / sr, int(sr), int(ch), rms
+
+
 def extract_audio_features(media: DataFrame, fake: bool = True,
-                           sample_rate: int = 16_000) -> DataFrame:
+                           sample_rate: int = 16_000,
+                           decoder=None) -> DataFrame:
     """Audio decode + feature-extract via Arrow-batched mapInPandas:
     duration, sample rate, channel count, RMS level.
 
-    ``fake=False`` raises NotImplementedError inside the UDF — the marked
-    stub where a real decoder (soundfile/torchaudio) plugs in. The fake
+    ``fake=False`` decodes with ``decoder`` (payload -> (duration_s,
+    sample_rate, n_channels, rms)), defaulting to the soundfile body —
+    which raises NotImplementedError where the library is absent. The fake
     treats the payload as mono 16 kHz 8-bit PCM so every derived value is
     deterministic across runs and engines.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decoder or _soundfile_decode
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real audio decode requires soundfile/torchaudio; "
-                    "not available in this env"
-                )
+                feats = [(None, None, None, None) if p is None
+                         else dec(bytes(p)) for p in pdf["payload"]]
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "duration_s": [f[0] for f in feats],
+                    "sample_rate": [f[1] for f in feats],
+                    "n_channels": [f[2] for f in feats],
+                    "rms": [f[3] for f in feats],
+                })
+                continue
             durs, rms = [], []
             for p in pdf["payload"]:
                 if p is None:

@@ -266,6 +266,40 @@ def suggest_refresh_interval(
     return max(1.0, min(168.0, suggestion))
 
 
+def usage_patterns(
+    log: DataFrame,
+    entity_col: str = "table_name",
+    ts_col: str = "detected_at",
+    type_col: str | None = "event_type",
+    as_of: str | None = None,
+) -> DataFrame:
+    """P16 usage patterns from an event log.
+
+    The reference computes ``{access_count, last_accessed}`` per table by
+    grepping Snowflake QUERY_HISTORY (collector.py:281-321) — warehouse
+    introspection the survey scopes out. The engine derives the same shape
+    from its OWN event log (``engine_events``) or any access log: ONE
+    groupBy on the entity giving access_count, first/last access, distinct
+    access types, and staleness hours against ``as_of``. At scale this is
+    a keyed aggregation over a run_date-partitioned log — partial aggs
+    map-side, no joins.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("access_count"),
+        F.min(ts_col).alias("first_accessed"),
+        F.max(ts_col).alias("last_accessed"),
+    ]
+    if type_col is not None:
+        aggs.append(F.count_distinct(F.col(type_col)).alias("n_access_types"))
+    out = log.groupBy(F.col(entity_col)).agg(*aggs)
+    if as_of is not None:
+        out = out.withColumn(
+            "hours_since_access",
+            F.round((F.lit(as_of).cast("timestamp").cast("double")
+                     - F.col("last_accessed").cast("double")) / 3600.0, 2))
+    return out
+
+
 def append_metrics(df: DataFrame, path: str) -> None:
     """T12 metric tracking: append-only series store
     (core/analytics/historical_metrics.py:28-163)."""

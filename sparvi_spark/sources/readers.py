@@ -31,6 +31,10 @@ def _jdbc_url(conn: dict[str, Any]) -> str:
         return f"jdbc:snowflake://{conn['account']}.snowflakecomputing.com/"
     if ctype == "duckdb":
         return f"jdbc:duckdb:{conn.get('path', ':memory:')}"
+    if ctype == "derby":
+        # embedded Derby (ships with Spark's Hive support) — the in-process
+        # JDBC backend the integration tests drive the full JDBC path with
+        return f"jdbc:derby:{conn.get('path', 'memory:sparvi')};create=true"
     raise NotImplementedError(f"connection type {ctype!r}")
 
 

@@ -110,6 +110,35 @@ def test_read_table_parquet_source(spark):
         read_table(spark, {"type": "bigquery"}, "x")
 
 
+def test_read_table_jdbc_roundtrip_derby(spark):
+    """End-to-end JDBC path against in-process Derby (bundled with Spark):
+    write a table over JDBC, read it back PARTITIONED through read_table,
+    and assert the filter reaches the JDBC source as a pushed predicate —
+    the plan shape every warehouse connector (Snowflake/Postgres) gets."""
+    from sparvi_spark.sources import read_table
+
+    conn = {"type": "derby", "path": "memory:sparvi_test",
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = spark.range(0, 100).selectExpr(
+        "id AS k", "cast(id % 7 as int) AS grp", "id * 2.5 AS val")
+    from sparvi_spark.sources.readers import _jdbc_url
+
+    (src.write.format("jdbc").option("url", _jdbc_url(conn))
+     .option("dbtable", "usage_t").option("driver", conn["driver"])
+     .mode("overwrite").save())
+
+    df = read_table(spark, conn, "usage_t", partition_column="k",
+                    num_partitions=4, lower_bound=0, upper_bound=100)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100
+    filtered = df.where(F.col("grp") == 3)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan and "GRP" in plan.upper()
+    assert filtered.count() == 100 // 7 + (1 if 3 < 100 % 7 else 0)
+    back = sorted(r["k"] for r in df.where(F.col("k") < 5).collect())
+    assert back == [0, 1, 2, 3, 4]
+
+
 def test_read_table_csv_json_roundtrip(spark, tmp_path):
     """CSV and JSON lake sources round-trip through read_table with the
     same row content as the parquet original."""
@@ -140,6 +169,24 @@ def test_incremental_profile_pushdown_prunes_scan(spark):
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "event_type" in plan.split(
         "PushedFilters: [", 1)[1][:200]
+
+
+def test_usage_patterns_from_event_log(spark, engine):
+    """P16 analogue: access frequency from the engine's own event log."""
+    for day in (1, 2, 3):
+        engine.publish_event("profile_run", "documents", "ok",
+                             at=f"2026-01-{day:02d} 00:00:00")
+    engine.publish_event("validation_failure", "documents", "r1",
+                         at="2026-01-03 12:00:00")
+    engine.publish_event("profile_run", "orders", "ok",
+                         at="2026-01-02 00:00:00")
+    got = {r["table_name"]: r for r in
+           engine.usage_patterns(as_of="2026-01-04 00:00:00").collect()}
+    assert got["documents"]["access_count"] == 4
+    assert got["documents"]["n_access_types"] == 2
+    assert str(got["documents"]["last_accessed"]) == "2026-01-03 12:00:00"
+    assert got["documents"]["hours_since_access"] == 12.0
+    assert got["orders"]["access_count"] == 1
 
 
 def test_state_retention_rewrite(spark, engine):

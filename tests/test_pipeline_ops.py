@@ -178,6 +178,42 @@ def test_multimodal_audio_features(spark):
         extract_audio_features(media, fake=False).collect()
 
 
+def test_multimodal_real_decoder_seam(spark):
+    """fake=False wiring end-to-end with an injected stub codec: the
+    non-fake branch runs the same Arrow plumbing, NULL rows propagate, and
+    decoder outputs land in the typed schema — proving a real library
+    (Pillow/soundfile) plugs in without touching the Spark side."""
+    from sparvi_spark.operators.multimodal import (
+        documents_as_media,
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "efghij"), (3, None)], "doc_id int, text string")
+    media = documents_as_media(docs)
+
+    def img_codec(payload: bytes):
+        return len(payload), 2 * len(payload), float(len(payload)) / 2
+
+    got = {r["media_id"]: r for r in
+           extract_image_features(media, fake=False,
+                                  decoder=img_codec).collect()}
+    assert got[1]["width"] == 4 and got[1]["height"] == 8
+    assert got[2]["mean_intensity"] == 3.0
+    assert got[3]["width"] is None and got[3]["n_bytes"] is None
+
+    def audio_codec(payload: bytes):
+        return len(payload) / 8000.0, 8000, 2, 0.5
+
+    got = {r["media_id"]: r for r in
+           extract_audio_features(media, fake=False,
+                                  decoder=audio_codec).collect()}
+    assert got[1]["duration_s"] == 4 / 8000.0
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_channels"] == 2
+    assert got[3]["duration_s"] is None and got[3]["rms"] is None
+
+
 def test_lsh_topk_recall_against_bruteforce(spark):
     """Random-hyperplane LSH: identical vectors always share a bucket;
     top-1 recall on clustered synthetic data stays high at 8 bits."""
@@ -377,6 +413,39 @@ def test_mixture_sample_quotas_and_determinism(spark):
     s1_big = {r["doc_id"] for r in
               out.where(F.col("source") == "src1").collect()}
     assert s1_small <= s1_big
+
+
+def test_dedup_near_connected_components(spark):
+    """Greedy vs CC on a transitive chain: pairs (1,3),(2,3) — greedy
+    keeps 1 AND 2 (over-keep), components keeps only the cluster min."""
+    from sparvi_spark.operators.dedup import connected_components, dedup_near
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 7)], "doc_id int, quality double")
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (5, 6)], "id_a int, id_b int")
+
+    comp = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    greedy = sorted(r["doc_id"] for r in
+                    dedup_near(df, pairs, "doc_id").collect())
+    assert greedy == [1, 2, 4, 5]          # over-keeps 2
+    cc = sorted(r["doc_id"] for r in
+                dedup_near(df, pairs, "doc_id",
+                           clustering="components").collect())
+    assert cc == [1, 4, 5]                 # one survivor per component
+    # quality-aware CC: highest quality in each component survives
+    cc_q = sorted(r["doc_id"] for r in
+                  dedup_near(df, pairs, "doc_id", prefer_col="quality",
+                             clustering="components").collect())
+    assert cc_q == [3, 4, 6]
+    # long chain converges within the iteration bound (pointer jumping)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_a int, id_b int")
+    comp = {r["node"]: r["comp"] for r in
+            connected_components(chain, max_iters=12).collect()}
+    assert set(comp.values()) == {1}
 
 
 def test_chunk_documents_windows(spark):
