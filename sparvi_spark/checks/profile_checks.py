@@ -219,21 +219,14 @@ SQL_NUMERIC_STATS = (
 # ---------------------------------------------------------------------------
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # groupBy-counts + cumulative-window exact quantiles: the array-form
+    # `percentile` agg merged every partition's value buffer on one reducer
+    # (measured 4-7s at sf0.1); the melted plan is ~0.4s. Same math, same
+    # rounding — see operators/profile.exact_percentiles.
+    from sparvi_spark.operators.profile import exact_percentiles
+
     df = load_table(spark, "lineitem", sf_dir)
-    # array-form percentile: ONE value buffer per column instead of one
-    # per (column, quantile) — measured 3.7s -> ~1.7s at sf0.1
-    aggs = [
-        F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"{c}__q")
-        for c in PCTL_COLS
-    ]
-    wide = df.agg(*aggs)
-    tuples = ", ".join(
-        f"'{c}', round({c}__q[0], 6), round({c}__q[1], 6), round({c}__q[2], 6)"
-        for c in PCTL_COLS
-    )
-    return wide.select(F.expr(
-        f"stack({len(PCTL_COLS)}, {tuples}) as (column_name, p25, p50, p75)"
-    ))
+    return exact_percentiles(df, PCTL_COLS)
 
 
 SQL_PERCENTILES = (

@@ -137,6 +137,102 @@ def distinct_counts_melted(df: DataFrame, cols: list[str]) -> DataFrame:
                        .otherwise(F.lit(0))).alias("nonnull_cnt")))
 
 
+def exact_percentiles(
+    df: DataFrame,
+    cols: list[str],
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75),
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact linear-interpolation percentiles for many numeric columns at
+    once -> (column_name, p25, p50, p75, ...) — P5 (app.py:3416-3421
+    MEDIAN/quartiles semantics; identical math to Spark's ``percentile``
+    aggregate: position = p*(n-1), value = (hi_idx-pos)*lo + (pos-lo_idx)*hi).
+
+    ``percentile(c, array(...))`` buffers a value->count OpenHashMap per
+    partition per column and merges ALL of them on one reducer — measured
+    4-7s on 4 x 600k-row columns (the merge is single-threaded and
+    proportional to partials x distinct values). This plan instead melts the
+    columns into (column_name, value) rows, groupBys to (column, value,
+    cnt) with map-side partial aggregation, takes a running sum ordered by
+    value inside each column, and picks the two interpolation neighbors per
+    requested quantile with conditional aggregates — every step whole-stage
+    codegen, shuffle size O(sum of column cardinalities), nothing buffered
+    on a single reducer. Measured 4.8s -> ~0.4s at sf0.1.
+
+    Scale note: the per-column cumulative window puts one column's distinct
+    values in one task — exact quantiles need a total order somewhere. At
+    100 TB the profiler's ``exact=False`` mode (percentile_approx sketches,
+    one pass, mergeable) is the intended path; this operator is the
+    oracle-parity / final-verification path.
+    """
+    n_buckets = 32
+    stack = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    melted = (
+        df.selectExpr(f"stack({len(cols)}, {stack}) as (column_name, v)")
+        .where(F.col("v").isNotNull())
+    )
+    counts = melted.groupBy("column_name", "v").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    # Per-column n/min/max from ONE cheap agg over the source scan, stacked
+    # to a k-row frame and broadcast. (An unbounded `sum OVER (PARTITION BY
+    # column_name)` window for n would buffer the whole column partition —
+    # measured as a straggler task dominating the plan.)
+    wide_n = df.agg(*[e for i, c in enumerate(cols) for e in (
+        F.count(F.col(c)).alias(f"__n_{i}"),
+        F.min(F.col(c)).cast("double").alias(f"__mn_{i}"),
+        F.max(F.col(c)).cast("double").alias(f"__mx_{i}"))])
+    total_tuples = ", ".join(
+        f"'{c}', __n_{i}, __mn_{i}, __mx_{i}" for i, c in enumerate(cols))
+    totals = wide_n.selectExpr(
+        f"stack({len(cols)}, {total_tuples}) as (column_name, n, mn, mx)")
+    # Two-phase distributed prefix sum — exact quantiles need a total order
+    # somewhere, but NOT a single-task sort: bucket values by a monotonic
+    # (linear in [mn, mx]) key, run the cumulative sum inside each
+    # (column, bucket) in parallel, then shift each bucket by the total of
+    # the buckets before it (a per-bucket aggregate, k x n_buckets rows,
+    # broadcast back). Bucket skew affects balance, never correctness.
+    span = F.col("mx") - F.col("mn")
+    bucket = F.when(span > 0, F.least(
+        F.floor((F.col("v") - F.col("mn")) / span * n_buckets),
+        F.lit(n_buckets - 1))).otherwise(F.lit(0))
+    bucketed = (counts.join(F.broadcast(totals), "column_name")
+                .withColumn("b", bucket))
+    loc = bucketed.withColumn(
+        "lcum",
+        F.sum("cnt").over(
+            Window.partitionBy("column_name", "b").orderBy("v")))
+    offs = (
+        bucketed.groupBy("column_name", "b")
+        .agg(F.sum("cnt").alias("bsum"))
+        .withColumn(
+            "off",
+            F.sum("bsum").over(
+                Window.partitionBy("column_name").orderBy("b"))
+            - F.col("bsum"))
+        .select("column_name", "b", "off")
+    )
+    cum = (loc.join(F.broadcast(offs), ["column_name", "b"])
+           .withColumn("cum", F.col("off") + F.col("lcum")))
+    # A row (v, cnt, cum) covers sorted positions [cum-cnt, cum); quantile p
+    # needs positions floor(p*(n-1)) and ceil(p*(n-1)).
+    pre, aggs, out = cum, [], []
+    for i, p in enumerate(ps):
+        pos = F.lit(float(p)) * (F.col("n") - F.lit(1)).cast("double")
+        lo_i, hi_i = F.floor(pos), F.ceil(pos)
+        covers = lambda idx: (F.col("cum") - F.col("cnt") <= idx) & (idx < F.col("cum"))  # noqa: E731
+        pre = (pre.withColumn(f"__lo{i}", F.when(covers(lo_i), F.col("v")))
+               .withColumn(f"__hi{i}", F.when(covers(hi_i), F.col("v")))
+               .withColumn(f"__pos{i}", pos))
+        aggs += [F.max(f"__lo{i}").alias(f"__lov{i}"),
+                 F.max(f"__hi{i}").alias(f"__hiv{i}"),
+                 F.max(f"__pos{i}").alias(f"__p{i}")]
+        lo_v, hi_v, posv = F.col(f"__lov{i}"), F.col(f"__hiv{i}"), F.col(f"__p{i}")
+        interp = F.when(F.ceil(posv) == F.floor(posv), lo_v).otherwise(
+            (F.ceil(posv) - posv) * lo_v + (posv - F.floor(posv)) * hi_v)
+        out.append(F.round(interp, round_to).alias(f"p{int(p * 100)}"))
+    return pre.groupBy("column_name").agg(*aggs).select("column_name", *out)
+
+
 def numeric_exprs(c: str) -> list[Column]:
     col = F.col(c)
     dec = col.cast(DEC)
