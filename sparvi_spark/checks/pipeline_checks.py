@@ -1005,8 +1005,63 @@ FROM ranked r JOIN quota USING (source) WHERE rn <= q GROUP BY r.source
 
 
 # not registered (cap): kept for scripts/check_oracle.py local verification
+# x18: broadcast-Bloom contamination screen (operators/bloom.py), portable
+# hash family. The oracle needs NO bit arithmetic: a bloom hit — false
+# positives included — is exactly "all k probe positions are in the union
+# of the reference set's probe positions", so DuckDB checks position-SET
+# membership while Spark runs the real packed-word filter; the outputs
+# (which are what the check hashes) agree bit-for-bit. n_bits is sized
+# DOWN (2^14) so real false positives occur at sf0.01 and parity is
+# exercised on them, not just on true hits.
+
+BLOOM_BITS, BLOOM_K = 1 << 14, 4
+
+
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.bloom import contamination_bloom
+
+    docs = load_table(spark, "documents", sf_dir)
+    ref = docs.where(F.col("source") == CONTAM_REF_SOURCE)
+    cand = docs.where(F.col("source") != CONTAM_REF_SOURCE)
+    return contamination_bloom(cand, ref, "doc_id", "text", n=CONTAM_N,
+                               n_bits=BLOOM_BITS, k=BLOOM_K, portable=True)
+
+
+def _sql_bloom_contamination() -> str:
+    from sparvi_spark.operators.dedup import PORTABLE_P as P
+    from sparvi_spark.operators.dedup import _affine_params
+
+    pos = [f"(({a} * h + {b}) % {P}) % {BLOOM_BITS}"
+           for a, b in (_affine_params(j) for j in range(BLOOM_K))]
+    ref_union = " UNION ".join(
+        f"SELECT {p} AS pos FROM hx WHERE source = '{CONTAM_REF_SOURCE}'"
+        for p in pos)
+    hit = " AND ".join(f"({p}) IN (SELECT pos FROM refpos)" for p in pos)
+    return f"""
+WITH toks AS (SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents),
+g AS (SELECT doc_id, source,
+        unnest(list_transform(range(1, greatest(len(t) - {CONTAM_N - 1}, 0) + 1),
+          i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))) AS shingle FROM toks),
+d AS (SELECT DISTINCT doc_id, source, shingle FROM g),
+hx AS (SELECT doc_id, source, list_reduce(list_prepend(cast(0 as bigint),
+         list_transform(range(1, strlen(shingle) + 1),
+           i -> cast(ascii(substring(shingle, i, 1)) as bigint))),
+         (acc, c) -> (acc * 131 + c) % {P}) AS h FROM d),
+refpos AS ({ref_union}),
+cand AS (SELECT doc_id, h, ({hit}) AS hit
+         FROM hx WHERE source <> '{CONTAM_REF_SOURCE}')
+SELECT doc_id, count(*) AS n_shingles,
+  cast(sum(case when hit then 1 else 0 end) as bigint) AS n_contaminated,
+  round(sum(case when hit then 1 else 0 end) * cast(1 as double) / count(*), 6)
+    AS contamination_frac
+FROM cand GROUP BY doc_id
+""".strip()
+
+
 EXTRA_CHECKS = {
     "d04_simhash_pairs": (q_simhash_pairs, None),
+    "x18_bloom_contamination": (q_bloom_contamination,
+                                _sql_bloom_contamination()),
     "e01_incremental_rollup": (q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "m02_audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "e02_mixture_sample": (q_mixture_sample, _sql_mixture_sample()),

@@ -11,6 +11,11 @@
 """
 
 from sparvi_spark.operators.anomalies import cusum_anomalies, detect_anomalies
+from sparvi_spark.operators.bloom import (
+    bloom_build,
+    bloom_filter_members,
+    contamination_bloom,
+)
 from sparvi_spark.operators.dedup import (
     connected_components,
     contamination,
@@ -59,6 +64,7 @@ __all__ = [
     "connected_components",
     "dedup_exact", "dedup_near", "exact_duplicates", "jaccard_pairs",
     "minhash_lsh_pairs", "simhash_pairs", "contamination",
+    "bloom_build", "bloom_filter_members", "contamination_bloom",
     "cosine_topk", "ivf_topk", "ivf_topk_trained", "kmeans_train", "lsh_topk",
     "quality_features", "repetition_features", "chunk_documents", "top_tokens",
     "salted_join", "asof_join", "range_join",

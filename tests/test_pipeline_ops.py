@@ -501,3 +501,55 @@ def test_dedup_near_prefer_column(spark, corpus):
     assert 5 in kept and 4 not in kept
     assert 1 in kept and 2 not in kept  # tie -> smaller id survives
     assert 6 in kept
+
+
+def test_bloom_members_and_contamination(spark):
+    """Broadcast-Bloom screen: (1) every true member passes the filter
+    (no false negatives, both hash modes); (2) contamination via bloom is
+    a superset of the exact screen and identical when the filter is big
+    enough; (3) the candidate-side plan is join-free — the probe is a
+    projection after a broadcast of the one-row filter."""
+    from sparvi_spark.operators.bloom import (
+        bloom_build,
+        bloom_filter_members,
+        contamination_bloom,
+    )
+    from sparvi_spark.operators.dedup import contamination
+
+    ref = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(200)], "s string")
+    probe = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(150, 400)], "s string")
+    for portable in (False, True):
+        bloom = bloom_build(ref, "s", n_bits=1 << 12, k=4, portable=portable)
+        kept = {r["s"] for r in bloom_filter_members(
+            probe, bloom, "s", n_bits=1 << 12, k=4, portable=portable).collect()}
+        assert {f"tok{i}" for i in range(150, 200)} <= kept  # no false negs
+        # 4096 bits / 200 keys -> FPR well under 10%
+        assert len(kept) - 50 < 25
+
+    docs = spark.createDataFrame(
+        [(1, "a", "the quick brown fox jumps over the lazy dog"),
+         (2, "b", "the quick brown fox jumps over a sleepy cat"),
+         (3, "b", "completely unrelated text about spark plans here"),
+         (4, "b", "the quick brown fox jumps over the lazy dog indeed")],
+        "doc_id int, source string, text string")
+    ref_d = docs.where(F.col("source") == "a")
+    cand = docs.where(F.col("source") != "a")
+    exact = {r["doc_id"]: r["n_contaminated"] for r in
+             contamination(cand, ref_d, "doc_id", "text", n=3).collect()}
+    approx = {r["doc_id"]: r["n_contaminated"] for r in
+              contamination_bloom(cand, ref_d, "doc_id", "text", n=3,
+                                  n_bits=1 << 16, k=4).collect()}
+    assert set(exact) == set(approx)
+    assert all(approx[d] >= exact[d] for d in exact)
+    assert approx == exact  # 65536 bits vs ~40 shingles: no false positives
+
+    plan = contamination_bloom(
+        cand, ref_d, "doc_id", "text", n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only sort-merge/hash joins allowed are none: candidate side is
+    # scan -> project -> probe; all Exchanges belong to the filter build
+    # and the final per-doc aggregation
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
