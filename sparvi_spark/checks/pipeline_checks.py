@@ -1058,10 +1058,79 @@ FROM cand GROUP BY doc_id
 """.strip()
 
 
+# x19: product-quantization encode + ADC search (operators/similarity.py
+# pq_*). The check pins a FIXED synthetic codebook (the trained path is
+# unit-tested for recall; training collects Spark-side state that an
+# import-time SQL string cannot reproduce) and verifies the quantizer
+# mechanics end-to-end: both engines compute identical left-associated
+# squared-distance chains, take the FIRST minimum (array_position /
+# list_indexof both scan left-to-right, so ties break to the smaller
+# code), and score pairs by m table lookups.
+
+PQ_M, PQ_K, PQ_DIM, PQ_TOPK, PQ_NQUERIES = 4, 8, 64, 10, 10
+
+
+def _pq_books() -> list[list[list[float]]]:
+    sub = PQ_DIM // PQ_M
+    return [[[((s * 131 + c * 31 + d * 17) % 23 - 11) / 10.0
+              for d in range(sub)] for c in range(PQ_K)] for s in range(PQ_M)]
+
+
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.similarity import pq_encode, pq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = _pq_books()
+    codes = pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < PQ_NQUERIES)
+    return pq_topk(codes, queries, books, k=PQ_TOPK)
+
+
+def _sql_pq_adc() -> str:
+    books = _pq_books()
+    sub = PQ_DIM // PQ_M
+
+    def dists(vec: str, s: int) -> str:
+        # identical IEEE order to similarity._l2_dists_expr: fold over
+        # per-dim terms in index order from a 0.0 seed; DuckDB lists are
+        # 1-based and have no zip, so the term list comes from range()
+        books_lit = ", ".join(
+            "[" + ", ".join(repr(x) for x in c) + "]" for c in books[s])
+        sl = f"list_slice({vec}, {s * sub + 1}, {s * sub + sub})"
+        return (
+            f"list_transform([{books_lit}], c -> "
+            f"list_reduce(list_prepend(cast(0 as double), "
+            f"list_transform(range(1, {sub} + 1), i -> "
+            f"(cast({sl}[i] as double) - c[i]) * "
+            f"(cast({sl}[i] as double) - c[i]))), "
+            f"(acc, v) -> acc + v))")
+
+    code_cols = ", ".join(
+        f"list_indexof({dists('embedding', s)}, "
+        f"list_min({dists('embedding', s)})) - 1 AS c{s}"
+        for s in range(PQ_M))
+    qt_cols = ", ".join(
+        f"{dists('embedding', s)} AS qt{s}" for s in range(PQ_M))
+    score = " + ".join(f"q.qt{s}[c.c{s} + 1]" for s in range(PQ_M))
+    return f"""
+WITH c AS (SELECT vec_id, {code_cols} FROM embeddings),
+q AS (SELECT vec_id AS query_id, {qt_cols} FROM embeddings
+      WHERE vec_id < {PQ_NQUERIES}),
+scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+             {score} AS adc FROM c, q WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist FROM (
+  SELECT query_id, neighbor_id, adc,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= {PQ_TOPK}
+""".strip()
+
+
 EXTRA_CHECKS = {
     "d04_simhash_pairs": (q_simhash_pairs, None),
     "x18_bloom_contamination": (q_bloom_contamination,
                                 _sql_bloom_contamination()),
+    "x19_pq_adc": (q_pq_adc, _sql_pq_adc()),
     "e01_incremental_rollup": (q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "m02_audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "e02_mixture_sample": (q_mixture_sample, _sql_mixture_sample()),

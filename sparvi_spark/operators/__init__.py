@@ -42,6 +42,9 @@ from sparvi_spark.operators.similarity import (
     ivf_topk_trained,
     kmeans_train,
     lsh_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
 )
 from sparvi_spark.operators.text import (
     chunk_documents,
@@ -66,6 +69,7 @@ __all__ = [
     "minhash_lsh_pairs", "simhash_pairs", "contamination",
     "bloom_build", "bloom_filter_members", "contamination_bloom",
     "cosine_topk", "ivf_topk", "ivf_topk_trained", "kmeans_train", "lsh_topk",
+    "pq_train", "pq_encode", "pq_topk",
     "quality_features", "repetition_features", "chunk_documents", "top_tokens",
     "salted_join", "asof_join", "range_join",
     "hash_sample", "stratified_sample", "mixture_sample",

@@ -553,3 +553,38 @@ def test_bloom_members_and_contamination(spark):
     # scan -> project -> probe; all Exchanges belong to the filter build
     # and the final per-doc aggregation
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_pq_train_encode_search_recall(spark):
+    """Trained product quantization: codes are valid, the coded corpus is
+    m ints per vector, and ADC top-10 recalls far more of the exact top-10
+    than chance on the sf0.001 embeddings (unit-norm vectors, so exact
+    cosine ranking == exact L2 ranking)."""
+    from sparvi_spark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+    from sparvi_spark.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    n = emb.count()
+    books = pq_train(emb, m=8, k=16, iters=2)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes = pq_encode(emb, books)
+    row = codes.first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
+
+    queries = emb.where(F.col("vec_id") < 10)
+    pq = pq_topk(codes, queries, books, k=10).toPandas()
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    assert set(pq.columns) == {"query_id", "neighbor_id", "rank", "adc_dist"}
+    hits = sum(
+        len(set(pq[pq.query_id == q].neighbor_id)
+            & set(exact[exact.query_id == q].neighbor_id))
+        for q in range(10))
+    recall = hits / 100.0
+    # chance recall is 10/n; PQ should be an order of magnitude above it
+    assert recall > max(0.15, 3 * 10.0 / n), recall
