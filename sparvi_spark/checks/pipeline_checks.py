@@ -1126,11 +1126,62 @@ SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc_dist FROM (
 """.strip()
 
 
+# x20: z-order clustering key (sources/layout.py). The Spark side inlines
+# driver-collected min/max as double literals; the oracle computes the
+# same stats in a subquery — identical doubles, so the linear rank
+# ((v-mn)/(mx-mn)*2^bits, floored, clamped) and the bit interleave agree
+# exactly. Covers bigint, double, and timestamp (epoch-seconds) columns.
+
+ZORDER_BITS, ZORDER_CAP = 12, 1000
+ZORDER_COLS = ["user_id", "value", "ts"]
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.sources.layout import zorder_key_expr
+
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.select(
+        "event_id",
+        zorder_key_expr(ev, ZORDER_COLS, bits=ZORDER_BITS).alias("zkey"))
+        .where(F.col("event_id") < ZORDER_CAP))
+
+
+def _sql_zorder_key() -> str:
+    n, bits = len(ZORDER_COLS), ZORDER_BITS
+    top = (1 << bits) - 1
+
+    def rank(col: str, mn: str, mx: str) -> str:
+        v = f"epoch({col})" if col == "ts" else f"cast({col} as double)"
+        return (f"cast(least(floor(({v} - {mn}) / ({mx} - {mn}) "
+                f"* {top + 1}), {top}) as bigint)")
+
+    stats = ", ".join(
+        f"{'epoch(' if c == 'ts' else 'cast('}"
+        f"{f'min({c})) ' if c == 'ts' else f'min({c}) as double) '}AS mn_{c}, "
+        f"{'epoch(' if c == 'ts' else 'cast('}"
+        f"{f'max({c})) ' if c == 'ts' else f'max({c}) as double) '}AS mx_{c}"
+        for c in ZORDER_COLS)
+    parts = []
+    for i, c in enumerate(ZORDER_COLS):
+        r = rank(c, f"mn_{c}", f"mx_{c}")
+        parts.append(
+            f"(list_reduce(list_prepend(cast(0 as bigint), "
+            f"list_transform(range(0, {bits}), b -> "
+            f"((({r}) >> b) & 1) << (b * {n} + {i}))), "
+            f"(acc, v) -> acc | v))")
+    return f"""
+WITH s AS (SELECT {stats} FROM events)
+SELECT event_id, {' | '.join(parts)} AS zkey
+FROM events, s WHERE event_id < {ZORDER_CAP}
+""".strip()
+
+
 EXTRA_CHECKS = {
     "d04_simhash_pairs": (q_simhash_pairs, None),
     "x18_bloom_contamination": (q_bloom_contamination,
                                 _sql_bloom_contamination()),
     "x19_pq_adc": (q_pq_adc, _sql_pq_adc()),
+    "x20_zorder_key": (q_zorder_key, _sql_zorder_key()),
     "e01_incremental_rollup": (q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "m02_audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "e02_mixture_sample": (q_mixture_sample, _sql_mixture_sample()),

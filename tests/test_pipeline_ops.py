@@ -588,3 +588,36 @@ def test_pq_train_encode_search_recall(spark):
     recall = hits / 100.0
     # chance recall is 10/n; PQ should be an order of magnitude above it
     assert recall > max(0.15, 3 * 10.0 / n), recall
+
+
+def test_zorder_layout_tightens_file_spans(spark, tmp_path):
+    """Z-order clustered write: per-file min/max spans of BOTH interleaved
+    columns shrink vs a hash-random layout (i.e. footer-stat pruning works
+    for either predicate), and the rewrite preserves the data."""
+    from sparvi_spark.sources.layout import (
+        file_column_spans,
+        write_zordered,
+        zorder_key_expr,
+    )
+    from sparvi_spark.testdata import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    zp, rp = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(ev, zp, ["user_id", "value"], bits=10, target_files=6)
+    ev.repartition(6, "event_id").write.mode("overwrite").parquet(rp)
+
+    assert spark.read.parquet(zp).count() == ev.count()
+
+    def avg_span(path, col):
+        sp = file_column_spans(spark, path, [col]).toPandas()
+        return float((sp[f"mx_{col}"] - sp[f"mn_{col}"]).mean())
+
+    for col in ("user_id", "value"):
+        assert avg_span(zp, col) < 0.85 * avg_span(rp, col), col
+
+    # key fits n_cols*bits bits and is deterministic
+    keys = ev.select(zorder_key_expr(ev, ["user_id", "value"], bits=10)
+                     .alias("z")).toPandas()["z"]
+    assert keys.between(0, (1 << 20) - 1).all()
+    with pytest.raises(ValueError, match="exceeds a long"):
+        zorder_key_expr(ev, ["user_id", "value"], bits=32)
