@@ -107,3 +107,129 @@ def incremental_profile(
     fresh = partition_stats(scan, partition_col, numeric_cols)
     new_state = fresh if state is None else merge_partition_stats(state, fresh)
     return new_state, rollup_profile(new_state)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: log-binned histograms.
+#
+# Exact percentiles need a total order and approx_count_distinct-style
+# sketches are not exposed as storable state — but a histogram whose bucket
+# boundaries are VALUE-INTRINSIC (derived from the float's exponent +
+# leading mantissa bits, like HdrHistogram / DDSketch's log buckets) is
+# trivially mergeable: any two partial sketches over disjoint rows sum
+# bucket-wise, with no global coordination, no min/max pre-pass, and a
+# RELATIVE error bound fixed by construction: bucket width is a factor of
+# 2^(1/2^sub_bits), so a quantile estimate is within ~2^(1/2^sub_bits)-1
+# of the true value (~9% at sub_bits=3, ~4.4% at 4). That is the right
+# trade for incremental 100 TB profiling: the daily pass scans only new
+# partitions, stores KBs of (bucket, count) rows, and quantiles of the
+# WHOLE table fold out of the merged state.
+# ---------------------------------------------------------------------------
+
+QSKETCH_SCHEMA = ("partition_value string, column_name string, "
+                  "bucket bigint, cnt bigint")
+
+
+def log_bucket_expr(col: str, sub_bits: int = 4) -> F.Column:
+    """Value-intrinsic bucket id for a double column.
+
+    0 -> bucket 0; positive v -> 1 + (floor(log2 v)+1100)*2^sub_bits + sub,
+    where sub subdivides the octave linearly into 2^sub_bits slices;
+    negative v mirrors to the negative ids. The +1100 offset keeps ids
+    positive for every normal double (exponent >= -1074). NULL -> NULL.
+    """
+    m = 1 << sub_bits
+    a = f"abs(cast({col} as double))"
+    e = f"floor(log2({a}))"
+    sub = f"cast(floor(({a} / power(cast(2 as double), {e}) - 1.0) * {m}) as bigint)"
+    mag = f"(1 + (cast({e} as bigint) + 1100) * {m} + least({sub}, {m - 1}))"
+    return F.expr(
+        f"case when {col} is null then null "
+        f"when cast({col} as double) = 0.0 then 0 "
+        f"when cast({col} as double) > 0.0 then {mag} "
+        f"else -{mag} end")
+
+
+def bucket_bounds(bucket: int, sub_bits: int = 4) -> tuple[float, float]:
+    """(lo, hi) value range of a bucket id — inverse of log_bucket_expr."""
+    if bucket == 0:
+        return (0.0, 0.0)
+    sign = 1.0 if bucket > 0 else -1.0
+    b = abs(bucket) - 1
+    m = 1 << sub_bits
+    e, sub = divmod(b, m)
+    lo = (2.0 ** (e - 1100)) * (1.0 + sub / m)
+    hi = (2.0 ** (e - 1100)) * (1.0 + (sub + 1) / m)
+    return (sign * lo, sign * hi) if sign > 0 else (sign * hi, sign * lo)
+
+
+def partition_quantile_sketch(
+    df: DataFrame, partition_col: str, numeric_cols: list[str],
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Per-partition log-histogram -> (partition_value, column_name,
+    bucket, cnt). One melt + one groupBy; shuffle size is O(occupied
+    buckets) — a few hundred rows per (partition, column) no matter how
+    many rows were scanned."""
+    stack = ", ".join(f"'{c}', cast(`{c}` as double)" for c in numeric_cols)
+    melted = df.select(
+        F.col(partition_col).cast("string").alias("partition_value"),
+        F.expr(f"stack({len(numeric_cols)}, {stack}) as (column_name, v)"))
+    return (
+        melted.where(F.col("v").isNotNull())
+        .withColumn("bucket", log_bucket_expr("v", sub_bits))
+        .groupBy("partition_value", "column_name", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_quantile_sketches(state: DataFrame, fresh: DataFrame) -> DataFrame:
+    """Replace refreshed partitions' sketch rows (same contract as
+    merge_partition_stats)."""
+    refreshed = fresh.select("partition_value").distinct()
+    kept = state.join(refreshed, "partition_value", "left_anti")
+    return kept.unionByName(fresh)
+
+
+def sketch_quantiles(
+    sketch: DataFrame,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75),
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Table-level approximate quantiles from a (merged) sketch ->
+    (column_name, p25, p50, ...), each within the sketch's relative-error
+    bound of the true quantile.
+
+    Folds partitions bucket-wise, takes a running count over buckets in
+    value order (bucket ids are monotonic in value by construction), and
+    reports the geometric midpoint of the first bucket whose cumulative
+    count reaches ceil(p*n). All tiny: the frame is occupied-bucket-sized.
+    """
+    from pyspark.sql import Window
+
+    m = 1 << sub_bits
+    folded = (sketch.groupBy("column_name", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    w = Window.partitionBy("column_name").orderBy("bucket")
+    cum = (folded
+           .withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.max(F.col("cum")).over(
+               Window.partitionBy("column_name"))))
+    # representative value: sqrt(lo*hi) of the bucket (sign-aware); the
+    # bounds fold out of the id arithmetic inverse of log_bucket_expr
+    b = F.abs(F.col("bucket")) - 1
+    e = (b / m).cast("bigint") - 1100
+    sub = b % m
+    lo = F.pow(F.lit(2.0), e.cast("double")) * (1.0 + sub / F.lit(m))
+    hi = F.pow(F.lit(2.0), e.cast("double")) * (1.0 + (sub + 1) / F.lit(m))
+    rep = F.when(F.col("bucket") == 0, F.lit(0.0)).otherwise(
+        F.signum(F.col("bucket")) * F.sqrt(lo * hi))
+    pre = cum.withColumn("rep", rep)
+    aggs = []
+    for p in ps:
+        target = F.ceil(F.lit(float(p)) * F.col("n"))
+        hit = F.when(
+            (F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target),
+            F.col("rep"))
+        aggs.append(F.max(hit).alias(f"p{int(p * 100)}"))
+    return pre.groupBy("column_name").agg(*aggs)

@@ -124,3 +124,54 @@ def test_incremental_time_rollup_matches_full(spark):
     expect = {(r["bucket"], r["key"]): (r["n"], r["sum_dec"])
               for r in full.collect()}
     assert got == expect
+
+
+def test_quantile_sketch_accuracy_and_merge(spark):
+    """Log-binned quantile sketch: (1) bucket ids invert exactly through
+    bucket_bounds; (2) quantile estimates stay inside the constructive
+    relative-error bound (2^(1/16)-1 ~ 4.4% at sub_bits=4) against exact
+    percentiles; (3) merging per-partition sketches is bit-identical to
+    sketching in one pass — the mergeability contract that makes the
+    incremental path correct."""
+    from sparvi_spark.operators.incremental import (
+        bucket_bounds,
+        log_bucket_expr,
+        merge_quantile_sketches,
+        partition_quantile_sketch,
+        sketch_quantiles,
+    )
+    from sparvi_spark.testdata import load_table
+
+    # bucket/bounds inversion on hand values incl. negatives and zero
+    vals = [0.0, 1.0, 1.5, 2.0, 100.25, -3.75, 1e-6, -1e6]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = df.select("v", log_bucket_expr("v", 4).alias("b")).collect()
+    for r in rows:
+        lo, hi = bucket_bounds(r["b"], 4)
+        if r["v"] == 0.0:
+            assert r["b"] == 0
+        else:
+            assert lo <= r["v"] <= hi, (r["v"], r["b"], lo, hi)
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.01")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    sk = partition_quantile_sketch(li, "l_returnflag", cols, sub_bits=4)
+    approx = sketch_quantiles(sk, (0.25, 0.5, 0.75), sub_bits=4) \
+        .toPandas().set_index("column_name")
+    bound = 2 ** (1 / 16) - 1
+    for c in cols:
+        exact = li.selectExpr(
+            f"percentile({c}, array(0.25, 0.5, 0.75)) q").first()[0]
+        for i, p in enumerate(("p25", "p50", "p75")):
+            rel = abs(approx.loc[c, p] - exact[i]) / abs(exact[i])
+            assert rel <= bound, (c, p, rel)
+
+    h1 = partition_quantile_sketch(
+        li.where("l_returnflag = 'A'"), "l_returnflag", cols)
+    h2 = partition_quantile_sketch(
+        li.where("l_returnflag <> 'A'"), "l_returnflag", cols)
+    merged = sketch_quantiles(merge_quantile_sketches(h1, h2)) \
+        .toPandas().sort_values("column_name").reset_index(drop=True)
+    whole = sketch_quantiles(sk) \
+        .toPandas().sort_values("column_name").reset_index(drop=True)
+    assert merged.equals(whole)
