@@ -13,9 +13,14 @@ from sparvi_spark.streaming.monitor import (
     windowed_quality,
 )
 from sparvi_spark.streaming.stateful import running_metrics
+from sparvi_spark.streaming.dedup import (
+    streaming_dedup_exact,
+    streaming_dedup_fingerprint,
+)
 from sparvi_spark.streaming.detect import streaming_detection
 from sparvi_spark.streaming.sessions import streaming_sessions
 
 __all__ = ["events_stream", "windowed_counts", "windowed_quality", "freshness",
            "streaming_sessions",
-           "running_metrics", "streaming_detection"]
+           "running_metrics", "streaming_detection",
+           "streaming_dedup_exact", "streaming_dedup_fingerprint"]

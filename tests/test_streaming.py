@@ -189,3 +189,49 @@ def test_streaming_sessions_match_batch(spark, stream_dir):
     assert all(expect.get(k) == v for k, v in got.items())
     n_users = ev.select("user_id").distinct().count()
     assert len(got) >= len(expect) - n_users
+
+
+def test_streaming_dedup_exact_and_fingerprint(spark, tmp_path):
+    """Streaming dedup: only first occurrences pass; the kept key set
+    matches batch dedup over the same drops; fingerprint mode also drops
+    docs whose SimHash coincides (identical token multiset here)."""
+    import datetime as dt
+
+    from sparvi_spark.streaming.dedup import (
+        streaming_dedup_exact,
+        streaming_dedup_fingerprint,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows1 = [(1, t0, "alpha beta gamma"),
+             (2, t0 + dt.timedelta(minutes=1), "delta epsilon zeta"),
+             (3, t0 + dt.timedelta(minutes=2), "alpha beta gamma")]
+    rows2 = [(4, t0 + dt.timedelta(minutes=3), "delta epsilon zeta"),
+             (5, t0 + dt.timedelta(minutes=4), "unique new text here"),
+             (6, t0 + dt.timedelta(minutes=5), "alpha beta gamma")]
+    ddl = "doc_id int, ts timestamp, text string"
+    d = tmp_path / "drops"
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.mode("overwrite") \
+        .parquet(str(d))
+    spark.createDataFrame(rows2, ddl).coalesce(1).write.mode("append") \
+        .parquet(str(d))
+
+    stream = (spark.readStream.schema(ddl)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (streaming_dedup_exact(stream, ["text"], watermark="1 hour")
+         .writeStream.format("memory").queryName("sde")
+         .outputMode("append").start())
+    q.processAllAvailable(); q.stop()
+    kept = {r["text"] for r in spark.sql("select * from sde").collect()}
+    assert kept == {"alpha beta gamma", "delta epsilon zeta",
+                    "unique new text here"}
+    # exactly one row per distinct content — repeats in later batches drop
+    assert spark.sql("select count(*) c from sde").first()["c"] == 3
+
+    stream2 = (spark.readStream.schema(ddl)
+               .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q2 = (streaming_dedup_fingerprint(stream2, "text", watermark="1 hour")
+          .writeStream.format("memory").queryName("sdf")
+          .outputMode("append").start())
+    q2.processAllAvailable(); q2.stop()
+    assert spark.sql("select count(*) c from sdf").first()["c"] == 3
