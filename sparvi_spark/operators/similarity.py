@@ -265,7 +265,10 @@ def kmeans_train(
 
     Init: the k rows with the smallest portable affine hash of the id
     (deterministic across engines, partitionings, and cluster sizes — NOT
-    df.sample). Each iteration = one map-only assignment projection + one
+    df.sample). `orderBy(hash).limit(k)` compiles to TakeOrderedAndProject
+    — per-partition top-k merged on the driver, NOT a global sort (plan
+    verified), so seeding costs one narrow pass at any scale. Each
+    iteration = one map-only assignment projection + one
     posexplode/groupBy mean (bucket_centroids); only the nlist × dim
     centroid table ever reaches the driver. Empty cells keep their previous
     centroid."""
