@@ -1058,6 +1058,65 @@ FROM cand GROUP BY doc_id
 """.strip()
 
 
+# x21: Gopher-rule quality filter (text.quality_filter) — the keep/drop
+# decision layer with per-rule flags; the oracle replays every rule's
+# threshold comparison on the same token/line features.
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.text import quality_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_filter(docs, "text", "doc_id", min_words=10)
+
+
+def _sql_quality_filter() -> str:
+    from sparvi_spark.operators.text import GOPHER_THRESHOLDS, STOPWORDS_EN
+
+    t = dict(GOPHER_THRESHOLDS, min_words=10)
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+WITH t0 AS (SELECT doc_id, text, {_DUCK_TOKS} AS tk,
+              string_split(text, chr(10)) AS ls FROM documents),
+f AS (SELECT doc_id, tk, ls, len(tk) AS nt, len(ls) AS nl,
+  list_sum(list_transform(tk, x -> length(x))) * cast(1 as double)
+    / greatest(len(tk), 1) AS avg_len,
+  len(regexp_extract_all(text, '[#@*]|[.][.][.]')) AS sym,
+  len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+  len(list_filter(ls, l -> substring(ltrim(l), 1, 1) in ('-', '*')))
+    AS bullets,
+  len(list_filter(ls, l -> rtrim(l) LIKE '%...')) AS ell,
+  len(list_filter(tk, x -> list_contains([{stops}], x))) AS stops
+ FROM t0),
+g AS (SELECT doc_id,
+  nt >= {t['min_words']} AND nt <= {t['max_words']} AS pass_word_count,
+  avg_len >= {t['min_avg_word_len']!r}
+    AND avg_len <= {t['max_avg_word_len']!r} AS pass_avg_word_len,
+  sym * cast(1 as double) / greatest(nt, 1)
+    <= {t['max_symbol_word_ratio']!r} AS pass_symbol_ratio,
+  alpha * cast(1 as double) / greatest(nt, 1)
+    >= {t['min_alpha_word_frac']!r} AS pass_alpha_frac,
+  bullets * cast(1 as double) / greatest(nl, 1)
+    <= {t['max_bullet_line_frac']!r} AS pass_bullet_lines,
+  ell * cast(1 as double) / greatest(nl, 1)
+    <= {t['max_ellipsis_line_frac']!r} AS pass_ellipsis_lines,
+  stops >= {t['min_stopword_hits']} AS pass_stopwords
+ FROM f)
+SELECT *,
+  cast((case when pass_word_count then 0 else 1 end)
+     + (case when pass_avg_word_len then 0 else 1 end)
+     + (case when pass_symbol_ratio then 0 else 1 end)
+     + (case when pass_alpha_frac then 0 else 1 end)
+     + (case when pass_bullet_lines then 0 else 1 end)
+     + (case when pass_ellipsis_lines then 0 else 1 end)
+     + (case when pass_stopwords then 0 else 1 end) as int) AS n_failed,
+  (pass_word_count AND pass_avg_word_len AND pass_symbol_ratio
+   AND pass_alpha_frac AND pass_bullet_lines AND pass_ellipsis_lines
+   AND pass_stopwords) AS keep
+FROM g
+""".strip()
+
+
 # x19: product-quantization encode + ADC search (operators/similarity.py
 # pq_*). The check pins a FIXED synthetic codebook (the trained path is
 # unit-tested for recall; training collects Spark-side state that an
@@ -1182,6 +1241,7 @@ EXTRA_CHECKS = {
                                 _sql_bloom_contamination()),
     "x19_pq_adc": (q_pq_adc, _sql_pq_adc()),
     "x20_zorder_key": (q_zorder_key, _sql_zorder_key()),
+    "x21_quality_filter": (q_quality_filter, _sql_quality_filter()),
     "e01_incremental_rollup": (q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "m02_audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "e02_mixture_sample": (q_mixture_sample, _sql_mixture_sample()),

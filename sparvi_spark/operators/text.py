@@ -295,3 +295,91 @@ def chunk_documents(
         df.select(F.col(id_col), F.explode(F.expr(chunks)).alias("__c"))
         .select(id_col, "__c.chunk_idx", "__c.chunk_text", "__c.n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality FILTER: the published Gopher document-level rules (Rae et al.
+# 2021, Appendix A1.1) plus C4-style line heuristics, as an explicit
+# keep/drop decision with per-rule flags. quality_features SCORES documents;
+# this is the decision layer a pretraining pipeline actually gates on —
+# and per-rule flags (not just the verdict) are what makes a filtering run
+# auditable ("why did 40% of this crawl drop?").
+# ---------------------------------------------------------------------------
+
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_avg_word_len": 3.0,
+    "max_avg_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "min_alpha_word_frac": 0.8,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_stopword_hits": 2,
+}
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **overrides,
+) -> DataFrame:
+    """(id, per-rule pass flags, n_failed, keep) — one shuffle-free
+    projection; every rule is a dialect-common expression so the oracle
+    replays the decision exactly.
+
+    Rules (defaults = the published Gopher values; override any by name):
+    word count in [min_words, max_words]; mean word length in
+    [min_avg_word_len, max_avg_word_len]; symbol-to-word ratio (#, @, *,
+    ...) <= max_symbol_word_ratio; >= min_alpha_word_frac of words contain
+    a letter; <= max_bullet_line_frac of lines start with a bullet;
+    <= max_ellipsis_line_frac of lines end with an ellipsis; at least
+    min_stopword_hits stopword occurrences (the "natural language" guard).
+    """
+    t = dict(GOPHER_THRESHOLDS)
+    unknown = set(overrides) - set(t)
+    if unknown:
+        raise ValueError(f"unknown thresholds: {sorted(unknown)}")
+    t.update(overrides)
+
+    toks = tokens_expr(text_col)
+    nt = f"size({toks})"
+    avg_len = (f"(aggregate({toks}, 0L, (a, x) -> a + length(x)) "
+               f"* cast(1 as double) / greatest({nt}, 1))")
+    symbols = f"size(regexp_extract_all({text_col}, '[#@*]|[.][.][.]', 0))"
+    alpha = f"size(filter({toks}, x -> x rlike '[a-zA-Z]'))"
+    lines = f"split({text_col}, '\\n')"
+    nl = f"size({lines})"
+    bullets = (f"size(filter({lines}, l -> "
+               f"substring(ltrim(l), 1, 1) in ('-', '*')))")
+    ellipsis = f"size(filter({lines}, l -> rtrim(l) like '%...'))"
+    stop_hits = _hit_count(toks, STOPWORDS_EN)
+
+    rules = {
+        "pass_word_count": (f"{nt} >= {t['min_words']} "
+                            f"and {nt} <= {t['max_words']}"),
+        "pass_avg_word_len": (f"{avg_len} >= {t['min_avg_word_len']!r} "
+                              f"and {avg_len} <= {t['max_avg_word_len']!r}"),
+        "pass_symbol_ratio": (f"{symbols} * cast(1 as double) "
+                              f"/ greatest({nt}, 1) "
+                              f"<= {t['max_symbol_word_ratio']!r}"),
+        "pass_alpha_frac": (f"{alpha} * cast(1 as double) "
+                            f"/ greatest({nt}, 1) "
+                            f">= {t['min_alpha_word_frac']!r}"),
+        "pass_bullet_lines": (f"{bullets} * cast(1 as double) "
+                              f"/ greatest({nl}, 1) "
+                              f"<= {t['max_bullet_line_frac']!r}"),
+        "pass_ellipsis_lines": (f"{ellipsis} * cast(1 as double) "
+                                f"/ greatest({nl}, 1) "
+                                f"<= {t['max_ellipsis_line_frac']!r}"),
+        "pass_stopwords": f"{stop_hits} >= {t['min_stopword_hits']}",
+    }
+    out = df.select(
+        F.col(id_col),
+        *[F.expr(e).alias(name) for name, e in rules.items()],
+    )
+    n_failed = sum(
+        F.when(~F.col(name), 1).otherwise(0) for name in rules)
+    return (out.withColumn("n_failed", n_failed.cast("int"))
+            .withColumn("keep", F.col("n_failed") == 0))
