@@ -49,6 +49,7 @@ from sparvi_spark.operators.similarity import (
 from sparvi_spark.operators.text import (
     chunk_documents,
     quality_features,
+    quality_filter,
     repetition_features,
     top_tokens,
 )
@@ -70,7 +71,8 @@ __all__ = [
     "bloom_build", "bloom_filter_members", "contamination_bloom",
     "cosine_topk", "ivf_topk", "ivf_topk_trained", "kmeans_train", "lsh_topk",
     "pq_train", "pq_encode", "pq_topk",
-    "quality_features", "repetition_features", "chunk_documents", "top_tokens",
+    "quality_features", "quality_filter", "repetition_features",
+    "chunk_documents", "top_tokens",
     "salted_join", "asof_join", "range_join",
     "hash_sample", "stratified_sample", "mixture_sample",
     "sessionize", "session_stats",
