@@ -1,0 +1,208 @@
+"""Scale-up crossover: the SAME queries, Spark vs DuckDB, at 1x and 10x
+sf0.1 — evidence for the central scaling claim in SCALING.md.
+
+At sf0.1 the oracle-suite comparison is dominated by Spark's fixed
+per-query scheduling/JIT floor (~0.25s), which is FLAT in data size;
+DuckDB's floor is microseconds, so it wins small. This script multiplies
+the data 10x (rows duplicated with remapped keys into /tmp, one-off) and
+re-times representative queries in BOTH engines under the same fresh-run
+protocol. What should happen — and what SCALING.md records — is that
+per-query ratios collapse toward compute parity (scan-bound profile
+aggregates) or cross over to Spark (expression-heavy text/dedup paths
+that parallelize across 32 cores).
+
+Usage: python scripts/scaleup_compare.py [base_sf_dir] [multiplier]
+Prints one JSON line: {"queries": {name: {"spark_1x":…, "duck_1x":…,
+"spark_Nx":…, "duck_Nx":…}}, …}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+SCALE_DIR = f"/tmp/sparvi_scaleup_x{MULT}"
+
+
+def build_scaled(spark) -> None:
+    """documents / lineitem duplicated MULT x with remapped ids (each copy
+    offset so keys stay unique) — written once, reused across runs."""
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.testdata import load_table
+
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    for table, key in (("documents", "doc_id"), ("lineitem", None)):
+        out = os.path.join(SCALE_DIR, f"{table}.parquet")
+        # _SUCCESS gates the skip: a killed prior run leaves partial dirs
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            continue
+        df = load_table(spark, table, BASE)
+        n = df.count()
+        copies = []
+        for i in range(MULT):
+            c = df
+            if key is not None:
+                c = c.withColumn(key, F.col(key) + F.lit(i * n * 10))
+            copies.append(c)
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        big.repartition(32).write.mode("overwrite").parquet(out)
+
+
+def spark_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.dedup import minhash_lsh_pairs
+    from sparvi_spark.operators.profile import exact_percentiles
+    from sparvi_spark.operators.text import lang_id_expr, quality_features
+
+    def docs():
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return d
+
+    def li():
+        return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    return {
+        "profile_numeric": lambda: li().agg(*[
+            e for c in ("l_quantity", "l_extendedprice", "l_discount")
+            for e in (F.count(c).alias(f"{c}_n"),
+                      F.sum(F.col(c).cast("decimal(28,8)")).alias(f"{c}_s"),
+                      F.min(c).alias(f"{c}_mn"), F.max(c).alias(f"{c}_mx"))]),
+        "percentiles": lambda: exact_percentiles(
+            li(), ["l_quantity", "l_extendedprice", "l_discount"]),
+        "langid": lambda: (docs().select(lang_id_expr("text").alias("g"))
+                           .groupBy("g").count()),
+        "text_quality": lambda: (
+            quality_features(docs(), repetition=True)
+            .agg(F.avg("quality_score"), F.avg("dup_token_frac"))),
+        "dedup_minhash": lambda: minhash_lsh_pairs(
+            docs(), "doc_id", "text", n=3, num_hashes=16, bands=16,
+            threshold=0.8).groupBy().count(),
+    }
+
+
+DUCK_SQL = {
+    "profile_numeric": """
+SELECT count(l_quantity), sum(cast(l_quantity as decimal(28,8))),
+  min(l_quantity), max(l_quantity),
+  count(l_extendedprice), sum(cast(l_extendedprice as decimal(28,8))),
+  min(l_extendedprice), max(l_extendedprice),
+  count(l_discount), sum(cast(l_discount as decimal(28,8))),
+  min(l_discount), max(l_discount) FROM lineitem""",
+    "percentiles": """
+SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+  quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+  quantile_cont(l_discount, [0.25, 0.5, 0.75]) FROM lineitem""",
+}
+
+
+def main() -> None:
+    import duckdb
+
+    from sparvi_spark.session import get_spark
+    from sparvi_spark.checks.pipeline_checks import _DUCK_TOKS
+
+    spark = get_spark("scaleup")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled(spark)
+
+    # DuckDB equivalents for the text/dedup paths (same token/shingle
+    # idioms as the oracle checks, uncapped)
+    lang_markers = {
+        "en": ["the", "and", "of", "to", "is", "a"],
+        "de": ["der", "die", "und", "das", "ist", "ein"],
+        "fr": ["le", "la", "et", "les", "est", "une"],
+        "es": ["el", "la", "y", "los", "es", "una"],
+        "zh": ["的", "是", "了", "在", "和", "有"],
+    }
+    hit_cols = ", ".join(
+        "len(list_filter(tk, t -> list_contains([{}], t))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in ws), lang)
+        for lang, ws in lang_markers.items())
+    langs = list(lang_markers)
+    pick = ("CASE greatest(" + ", ".join(f"h_{la}" for la in langs) + ") "
+            + " ".join(f"WHEN h_{la} THEN '{la}'" for la in langs) + " END")
+    duck = {
+        "profile_numeric": DUCK_SQL["profile_numeric"],
+        "percentiles": DUCK_SQL["percentiles"],
+        "langid": f"""
+WITH t0 AS (SELECT {_DUCK_TOKS} AS tk FROM documents),
+g AS (SELECT {hit_cols} FROM t0)
+SELECT {pick} AS guessed, count(*) FROM g GROUP BY 1""",
+        "text_quality": f"""
+WITH t0 AS (SELECT text, {_DUCK_TOKS} AS tk FROM documents)
+SELECT avg(list_sum(list_transform(tk, t -> length(t)))
+           * cast(1 as double) / greatest(len(tk), 1)),
+  avg(1.0 - len(list_distinct(tk)) * cast(1 as double)
+      / greatest(len(tk), 1))
+FROM t0""",
+        # same pipeline shape as the Spark side: per-doc distinct 3-gram
+        # sets, 16 min-hashes, 16 bands (1 row/band), bucket self-join,
+        # exact-Jaccard verification on candidates via list overlap
+        "dedup_minhash": f"""
+WITH t0 AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+g AS (SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(tk) - 2, 0) + 1),
+        i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))) AS grams FROM t0
+      WHERE len(tk) >= 3),
+sig AS (SELECT doc_id, grams,
+          {", ".join(f"list_min(list_transform(grams, s -> hash(s || '|{i}'))) AS h{i}" for i in range(16))}
+        FROM g),
+banded AS ({" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, h{b} AS bh FROM sig"
+            for b in range(16))}),
+cands AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+          WHERE a.doc_id < b.doc_id),
+verified AS (SELECT ida, idb,
+    len(list_intersect(x.grams, y.grams)) AS shared,
+    len(x.grams) AS sa, len(y.grams) AS sb
+  FROM cands JOIN sig x ON x.doc_id = ida JOIN sig y ON y.doc_id = idb)
+SELECT count(*) FROM verified
+WHERE shared * cast(1 as double) / (sa + sb - shared) >= 0.8""",
+    }
+
+    results: dict[str, dict[str, float]] = {}
+    for tag, sf_dir in (("1x", BASE), (f"{MULT}x", SCALE_DIR)):
+        con = duckdb.connect()
+        for t in ("documents", "lineitem"):
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):  # Spark writes a directory of part files
+                p = f"{p}/*.parquet"
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        sq = spark_queries(spark, sf_dir)
+        for name in sq:
+            best_d = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(duck[name]).fetchall()
+                best_d = min(best_d, time.perf_counter() - t0)
+            best_s = 1e9
+            for _ in range(2):
+                df = sq[name]()
+                df._jdf.queryExecution().executedPlan()
+                t0 = time.perf_counter()
+                df.toPandas()
+                best_s = min(best_s, time.perf_counter() - t0)
+            r = results.setdefault(name, {})
+            r[f"spark_{tag}"] = round(best_s, 3)
+            r[f"duck_{tag}"] = round(best_d, 3)
+            print(f"# {name} {tag}: spark {best_s:.2f}s duck {best_d:.2f}s",
+                  file=sys.stderr)
+        con.close()
+    print(json.dumps({"multiplier": MULT, "queries": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

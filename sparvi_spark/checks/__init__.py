@@ -66,7 +66,13 @@ def prepared_check(name: str, fn):
     return wrapped
 
 
-def collect_all_checks() -> dict:
+def collect_all_checks(prepared: bool = True) -> dict:
+    """All registered checks. ``prepared=True`` (default, the driver/oracle
+    path) wraps each fn in the per-session plan cache. ``prepared=False``
+    returns the raw builders — the BENCHMARK path: re-executing a cached
+    DataFrame lets Spark skip already-computed shuffle stages (same RDD
+    lineage), which under-measures a periodic run that would see new data;
+    a fresh build per timed run recomputes every stage."""
     from sparvi_spark.checks import (
         anomaly_checks,
         pipeline_checks,
@@ -87,5 +93,7 @@ def collect_all_checks() -> dict:
         raise ValueError(
             f"{len(out)} checks exceed the driver's {DRIVER_CHECK_CAP}-entry "
             "recording cap — merge related checks via union_check")
+    if not prepared:
+        return dict(out)
     return {name: (prepared_check(name, fn), sql)
             for name, (fn, sql) in out.items()}
