@@ -151,3 +151,63 @@ def test_repetition_and_fingerprint_match_python_reference(spark, texts):
         assert abs(r["symbol_word_ratio"] - symbol) <= 5.1e-7, text
         assert abs(r["alpha_word_frac"] - alpha) <= 5.1e-7, text
         assert fps[i] == _ref_fingerprint(text), text
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=1, max_size=60))
+def test_exact_percentiles_match_numpy(spark, vals):
+    """The two-phase bucketed prefix-sum percentiles equal numpy's linear
+    interpolation (type 7 — Spark `percentile`'s math) on arbitrary value
+    lists: duplicates, negatives, single-element, constant columns."""
+    from sparvi_spark.operators.profile import exact_percentiles
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = exact_percentiles(df, ["x"]).collect()[0]
+    for p, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+        expect = float(np.percentile(np.array(vals, dtype="float64"), p * 100,
+                                     method="linear"))
+        assert got[name] is not None
+        assert math.isclose(got[name], round(expect, 6), rel_tol=1e-9,
+                            abs_tol=2e-6), (vals, p, got[name], expect)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6),
+                min_size=2, max_size=30),
+       st.integers(min_value=0, max_value=10**6))
+def test_zorder_key_monotone_per_dimension(spark, xs, fixed):
+    """With the other dimension held fixed, the z-order key is monotone in
+    each participating column — the property that makes range-partitioned
+    z-files prunable by per-column min/max stats."""
+    from sparvi_spark.sources.layout import zorder_key_expr
+
+    rows = [(int(x), int(fixed)) for x in xs]
+    df = spark.createDataFrame(rows, "a bigint, b bigint")
+    out = df.select("a", zorder_key_expr(df, ["a", "b"], bits=10)
+                    .alias("z")).collect()
+    by_a = sorted((r["a"], r["z"]) for r in out)
+    zs = [z for _a, z in by_a]
+    assert zs == sorted(zs), by_a
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.sets(st.text(alphabet="abcdefgh", min_size=1, max_size=8),
+               min_size=1, max_size=40),
+       st.sets(st.text(alphabet="abcdefgh", min_size=1, max_size=8),
+               min_size=1, max_size=40))
+def test_bloom_never_false_negative(spark, members, probes):
+    """One-sided error, propertywise: every member string passes the
+    filter for arbitrary member/probe sets, in both hash modes."""
+    from sparvi_spark.operators.bloom import bloom_build, bloom_filter_members
+
+    mdf = spark.createDataFrame([(m,) for m in members], "s string")
+    pdf = spark.createDataFrame([(p,) for p in probes | members], "s string")
+    for portable in (False, True):
+        bloom = bloom_build(mdf, "s", n_bits=1 << 10, k=3, portable=portable)
+        kept = {r["s"] for r in bloom_filter_members(
+            pdf, bloom, "s", n_bits=1 << 10, k=3,
+            portable=portable).collect()}
+        assert members <= kept
