@@ -53,14 +53,20 @@ def main() -> None:
         for t in TABLES:
             load_table(spark, t, SF_DIR).count()
 
+    # Timer boundary: fn() + toPandas TOGETHER — the wall time from
+    # "request" to "results in hand" on a warm engine (one untimed prior
+    # run per query warms codegen/JIT and any prepared state; per-call
+    # Catalyst analysis stays inside the timer, exactly as DuckDB's
+    # planning is inside its timer). Some checks execute eagerly inside
+    # fn() (the prepared multi-table validation sweep), so timing the
+    # action alone would place their work outside the clock.
     timings: dict[str, float] = {}
     for name, (fn, _sql) in sorted(collect_all_checks(prepared=False).items()):
+        fn(spark, SF_DIR).toPandas()  # untimed warm run
         best = float("inf")
         for _ in range(2):
-            df = fn(spark, SF_DIR)
-            df._jdf.queryExecution().executedPlan()  # plan outside timer
             t0 = time.perf_counter()
-            df.toPandas()
+            fn(spark, SF_DIR).toPandas()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
@@ -76,14 +82,11 @@ def main() -> None:
     # both answer "how long until every result is in hand".
     from concurrent.futures import ThreadPoolExecutor
 
-    dfs = []
-    for name, (fn, _sql) in sorted(collect_all_checks(prepared=False).items()):
-        df = fn(spark, SF_DIR)
-        df._jdf.queryExecution().executedPlan()
-        dfs.append(df)
+    fns = [fn for _n, (fn, _sql)
+           in sorted(collect_all_checks(prepared=False).items())]
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=8) as ex:
-        list(ex.map(lambda d: d.toPandas(), dfs))
+        list(ex.map(lambda f: f(spark, SF_DIR).toPandas(), fns))
     concurrent_wall = round(time.perf_counter() - t0, 4)
     print(f"# concurrent wall (50 queries, 8 threads): {concurrent_wall:.2f}s",
           file=sys.stderr)
