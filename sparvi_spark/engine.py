@@ -219,3 +219,77 @@ class Engine:
             "anomaly_results",
             result.withColumn("run_date", F.to_date(F.lit(as_of))))
         return result
+
+    # ------------------------------------------------------------------ §3.5
+    def screen_corpus(self, docs: DataFrame, corpus_name: str,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      ref: DataFrame | None = None,
+                      run_at: str | None = None,
+                      min_keep_rate: float = 0.5,
+                      max_dup_rate: float = 0.2,
+                      max_contamination_rate: float = 0.05,
+                      contamination_threshold: float = 0.5) -> dict[str, Any]:
+        """Training-corpus ingest gate: ONE summary from three screens —
+        Gopher-rule quality pass rate, exact-duplicate rate, and (given a
+        reference/benchmark corpus) the fraction of docs whose shingle
+        overlap with it exceeds ``contamination_threshold`` (broadcast-
+        Bloom screen, upper bound). The summary row is appended to the
+        ``corpus_screens`` state table; any gate breach publishes a
+        ``corpus_gate_failure`` event for the automation consumers, the
+        same path validation failures use.
+
+        All three screens are full-scan-parallel operators (see
+        operators/text.quality_filter, dedup.exact_duplicates,
+        bloom.contamination_bloom); only the counts reach the driver.
+        """
+        from sparvi_spark.operators.bloom import contamination_bloom
+        from sparvi_spark.operators.text import quality_filter
+
+        run_at = run_at or _utcnow()
+        n_docs = docs.count()
+        if n_docs == 0:
+            raise ValueError(f"screen_corpus: {corpus_name} has no rows")
+
+        kept = quality_filter(docs, text_col, id_col).agg(
+            F.count(F.when(F.col("keep"), 1)).alias("kept")
+        ).first()["kept"]
+        keep_rate = kept / n_docs
+
+        n_distinct = (docs.select(F.xxhash64(F.col(text_col)).alias("h"))
+                      .agg(F.countDistinct("h").alias("d")).first()["d"])
+        dup_rate = (n_docs - n_distinct) / n_docs
+
+        contamination_rate = None
+        if ref is not None:
+            flagged = contamination_bloom(
+                docs, ref, id_col, text_col).where(
+                F.col("contamination_frac") >= contamination_threshold
+            ).count()
+            contamination_rate = flagged / n_docs
+
+        summary = {
+            "corpus_name": corpus_name,
+            "n_docs": int(n_docs),
+            "keep_rate": round(keep_rate, 6),
+            "dup_rate": round(dup_rate, 6),
+            "contamination_rate": (None if contamination_rate is None
+                                   else round(contamination_rate, 6)),
+            "screened_at": run_at,
+        }
+        self.state.append_rows("corpus_screens", [summary])
+
+        breaches = []
+        if keep_rate < min_keep_rate:
+            breaches.append(f"keep_rate {keep_rate:.3f} < {min_keep_rate}")
+        if dup_rate > max_dup_rate:
+            breaches.append(f"dup_rate {dup_rate:.3f} > {max_dup_rate}")
+        if (contamination_rate is not None
+                and contamination_rate > max_contamination_rate):
+            breaches.append(
+                f"contamination_rate {contamination_rate:.3f} "
+                f"> {max_contamination_rate}")
+        if breaches:
+            self.publish_event("corpus_gate_failure", corpus_name,
+                               "; ".join(breaches), run_at)
+        summary["gate_passed"] = not breaches
+        return summary

@@ -50,6 +50,11 @@ ENTITIES: dict[str, str] = {
     "engine_events": (
         "event_type string, table_name string, details string, "
         "detected_at timestamp, run_date date"),
+    # corpus ingest-gate summaries (Engine.screen_corpus)
+    "corpus_screens": (
+        "corpus_name string, n_docs bigint, keep_rate double, "
+        "dup_rate double, contamination_rate double, "
+        "screened_at timestamp, run_date date"),
 }
 
 

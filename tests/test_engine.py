@@ -234,3 +234,40 @@ def test_embedding_neardup_lsh_bucket_mode(spark):
     assert lsh <= exact  # bucket restriction never invents pairs
     if exact:
         assert len(lsh) >= len(exact) * 0.5  # decent recall at 4 bits
+
+
+def test_screen_corpus_gate_and_state(spark, engine):
+    """Corpus ingest gate: summary math, state row, and the
+    corpus_gate_failure event on breach. The corpus is built to fail the
+    duplicate gate (half the docs are copies of one text) and pass with
+    relaxed thresholds."""
+    good = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the old barn where it sleeps in the warm hay "
+            "until morning comes and the farmer wakes it for a new day "
+            "of chasing rabbits in the green field by the quiet river")
+    rows = [(i, good + f" variant {i}") for i in range(10)]
+    rows += [(100 + i, good) for i in range(10)]  # 10 exact copies
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    ref = spark.createDataFrame([(999, "completely unrelated benchmark "
+                                  "text with its own words entirely")],
+                                "doc_id int, text string")
+
+    s = engine.screen_corpus(docs, "crawl1", ref=ref,
+                             run_at="2026-01-02 00:00:00")
+    assert s["n_docs"] == 20
+    # 10 copies of one text -> 11 distinct -> dup_rate 9/20
+    assert abs(s["dup_rate"] - 9 / 20) < 1e-9
+    assert s["contamination_rate"] == 0.0
+    assert 0.0 <= s["keep_rate"] <= 1.0
+    assert s["gate_passed"] is False  # dup_rate 0.45 > default 0.2
+
+    stored = engine.state.read("corpus_screens").collect()
+    assert len(stored) == 1 and stored[0]["corpus_name"] == "crawl1"
+    events = engine.state.read("engine_events").where(
+        F.col("event_type") == "corpus_gate_failure").collect()
+    assert len(events) == 1 and "dup_rate" in events[0]["details"]
+
+    s2 = engine.screen_corpus(docs, "crawl1", ref=ref, max_dup_rate=0.5,
+                              min_keep_rate=0.0,
+                              run_at="2026-01-02 01:00:00")
+    assert s2["gate_passed"] is True
