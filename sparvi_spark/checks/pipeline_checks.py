@@ -1117,6 +1117,40 @@ FROM g
 """.strip()
 
 
+# x22: text normalization (text.clean_text_expr / dedup_lines_expr) —
+# whitespace canonicalization and order-preserving in-document line dedup,
+# verified string-for-string. DuckDB regexp_replace needs the 'g' flag
+# (Spark's is global by default) and real newlines via chr(10) in
+# replacements (Java replaceAll escapes backslash-n to 'n').
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.text import clean_text_expr, dedup_lines_expr
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        clean_text_expr("text").alias("clean_text"),
+        dedup_lines_expr("text").alias("dedup_text"))
+
+
+SQL_TEXT_NORMALIZE = r"""
+WITH c AS (SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '[\x00-\x08\x0b-\x1f]', '', 'g'),
+      '[ \t]+', ' ', 'g'),
+    ' ?\n ?', chr(10), 'g') AS c1,
+  string_split(text, chr(10)) AS ls
+ FROM documents)
+SELECT doc_id,
+  trim(regexp_replace(c1, '\n{3,}', chr(10) || chr(10), 'g')) AS clean_text,
+  array_to_string(list_filter(ls, (l, i) ->
+    not list_contains(list_slice(ls, 1, i - 1), l)), chr(10)) AS dedup_text
+FROM c
+""".strip()
+
+
 # x19: product-quantization encode + ADC search (operators/similarity.py
 # pq_*). The check pins a FIXED synthetic codebook (the trained path is
 # unit-tested for recall; training collects Spark-side state that an
@@ -1242,6 +1276,7 @@ EXTRA_CHECKS = {
     "x19_pq_adc": (q_pq_adc, _sql_pq_adc()),
     "x20_zorder_key": (q_zorder_key, _sql_zorder_key()),
     "x21_quality_filter": (q_quality_filter, _sql_quality_filter()),
+    "x22_text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "e01_incremental_rollup": (q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "m02_audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "e02_mixture_sample": (q_mixture_sample, _sql_mixture_sample()),

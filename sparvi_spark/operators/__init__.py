@@ -48,6 +48,8 @@ from sparvi_spark.operators.similarity import (
 )
 from sparvi_spark.operators.text import (
     chunk_documents,
+    clean_text_expr,
+    dedup_lines_expr,
     quality_features,
     quality_filter,
     repetition_features,
@@ -72,6 +74,7 @@ __all__ = [
     "cosine_topk", "ivf_topk", "ivf_topk_trained", "kmeans_train", "lsh_topk",
     "pq_train", "pq_encode", "pq_topk",
     "quality_features", "quality_filter", "repetition_features",
+    "clean_text_expr", "dedup_lines_expr",
     "chunk_documents", "top_tokens",
     "salted_join", "asof_join", "range_join",
     "hash_sample", "stratified_sample", "mixture_sample",

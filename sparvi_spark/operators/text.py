@@ -383,3 +383,39 @@ def quality_filter(
         F.when(~F.col(name), 1).otherwise(0) for name in rules)
     return (out.withColumn("n_failed", n_failed.cast("int"))
             .withColumn("keep", F.col("n_failed") == 0))
+
+
+# ---------------------------------------------------------------------------
+# Text normalization: the cleaning pass that runs BEFORE hashing/dedup in a
+# training pipeline (whitespace noise and boilerplate lines otherwise make
+# near-identical documents hash apart). Both are per-row projections with
+# dialect-common semantics (oracle-checked).
+# ---------------------------------------------------------------------------
+
+def clean_text_expr(text_col: str) -> Column:
+    """Canonical whitespace form: control characters (except newline)
+    removed, runs of spaces/tabs collapsed to one space, spaces trimmed
+    around line boundaries, leading/trailing whitespace stripped."""
+    # order matters: strip controls, collapse horizontal runs, then tidy
+    # around newlines, then trim the ends. Replacements embed REAL newline
+    # characters: Java replaceAll treats backslash-n in a replacement as
+    # an escaped literal 'n', not a newline.
+    nl, nl2 = "\n", "\n\n"
+    e = f"regexp_replace({text_col}, '[\\\\x00-\\\\x08\\\\x0b-\\\\x1f]', '')"
+    e = f"regexp_replace({e}, '[ \\\\t]+', ' ')"
+    e = f"regexp_replace({e}, ' ?\\\\n ?', '{nl}')"
+    return F.expr(f"trim(regexp_replace({e}, '\\\\n{{3,}}', '{nl2}'))")
+
+
+def dedup_lines_expr(text_col: str) -> Column:
+    """Remove duplicate lines within a document, keeping FIRST occurrences
+    in order — the cheap in-document boilerplate cut (repeated nav/footer
+    lines) ahead of corpus-level dedup.
+
+    Order-preserving set semantics in pure column functions: a line at
+    1-based position i survives iff no earlier position holds the same
+    line; `filter`'s index form supplies i, `slice` the prefix."""
+    lines = f"split({text_col}, '\\n')"
+    kept = (f"filter({lines}, (l, i) -> "
+            f"not array_contains(slice({lines}, 1, i), l))")
+    return F.expr(f"array_join({kept}, '\\n')")

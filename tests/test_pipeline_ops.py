@@ -621,3 +621,22 @@ def test_zorder_layout_tightens_file_spans(spark, tmp_path):
     assert keys.between(0, (1 << 20) - 1).all()
     with pytest.raises(ValueError, match="exceeds a long"):
         zorder_key_expr(ev, ["user_id", "value"], bits=32)
+
+
+def test_text_normalization_hand_cases(spark):
+    """clean_text: controls stripped, horizontal runs collapsed, spaces
+    tidied around newlines, 3+ blank runs squeezed, ends trimmed.
+    dedup_lines: first occurrence kept, order preserved."""
+    from sparvi_spark.operators.text import clean_text_expr, dedup_lines_expr
+
+    df = spark.createDataFrame(
+        [("  hello\t\tworld \n\n\n\n line2  \x07bell \nx\nx\n other ",),
+         ("a\nb\na\nc\nb\na",), ("", ), ("one",)],
+        "t string")
+    rows = df.select(clean_text_expr("t").alias("c"),
+                     dedup_lines_expr("t").alias("d")).collect()
+    assert rows[0]["c"] == "hello world\n\nline2 bell\nx\nx\nother"
+    assert rows[0]["d"] == "  hello\t\tworld \n\n line2  \x07bell \nx\n other "
+    assert rows[1]["d"] == "a\nb\nc"
+    assert rows[2]["c"] == "" and rows[2]["d"] == ""
+    assert rows[3]["c"] == "one" and rows[3]["d"] == "one"
