@@ -233,3 +233,87 @@ def sketch_quantiles(
             F.col("rep"))
         aggs.append(F.max(hit).alias(f"p{int(p * 100)}"))
     return pre.groupBy("column_name").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketch: HyperLogLog registers as rows.
+#
+# Exact distinct counts do not merge across partition refreshes, and
+# approx_count_distinct's internal sketch is not storable state. These are
+# classic HLL registers materialized as (partition, column, register, rho)
+# rows: register = top p bits of xxhash64, rho = leading-zero count of the
+# remaining bits + 1, per-register MAX. Merging any two sketches over
+# disjoint (or overlapping!) row sets is a bucket-wise max — idempotent,
+# commutative, associative — so the incremental profiler can fold distinct
+# counts out of per-partition state exactly like sums. Standard error is
+# 1.04/sqrt(2^p) (~1.6% at p=12, 4096 registers -> at most 4096 rows per
+# (partition, column), usually far fewer).
+# ---------------------------------------------------------------------------
+
+HLL_P = 12
+
+
+def partition_distinct_sketch(
+    df: DataFrame, partition_col: str, cols: list[str], p: int = HLL_P,
+) -> DataFrame:
+    """Per-partition HLL registers -> (partition_value, column_name,
+    register, rho). One melt + one groupBy-max; shuffle is bounded by
+    occupied registers, not rows."""
+    stack = ", ".join(
+        f"'{c}', xxhash64(cast(`{c}` as string))" for c in cols)
+    melted = df.select(
+        F.col(partition_col).cast("string").alias("partition_value"),
+        F.expr(f"stack({len(cols)}, {stack}) as (column_name, h)"))
+    # register: top p bits; rho: leading zeros of the remaining 64-p bits
+    # (shifted left so zeros count from bit 63) + 1, capped at 64-p+1.
+    # NULL column values: xxhash64(NULL) is NULL -> filtered, matching
+    # COUNT(DISTINCT)'s null handling.
+    reg = f"cast(shiftrightunsigned(h, {64 - p}) as int)"
+    # leading-zero count of the remaining bits via the binary method
+    # (test the top s bits for s = 32,16,8,4,2,1; if zero, shift left by s
+    # and add s) — floor(log2(...)) is unusable because the sign bit makes
+    # the value negative. A column is staged for `shifted` so the fold
+    # isn't re-evaluated per step.
+    nlz = ("aggregate(array(32, 16, 8, 4, 2, 1), "
+           "named_struct('v', __sh, 'n', 0), "
+           "(acc, s) -> if(acc.v != 0 and shiftrightunsigned(acc.v, 64 - s) = 0, "
+           "named_struct('v', shiftleft(acc.v, s), 'n', acc.n + s), acc), "
+           "acc -> acc.n)")
+    rho = (f"cast(case when __sh = 0 then {64 - p} else least({nlz}, {64 - p - 1}) "
+           f"end + 1 as int)")
+    return (
+        melted.where(F.col("h").isNotNull())
+        .withColumn("__sh", F.expr(f"shiftleft(h, {p})"))
+        .select("partition_value", "column_name",
+                F.expr(reg).alias("register"), F.expr(rho).alias("rho"))
+        .groupBy("partition_value", "column_name", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def merge_distinct_sketches(state: DataFrame, fresh: DataFrame) -> DataFrame:
+    """Replace refreshed partitions' register rows (same contract as
+    merge_partition_stats)."""
+    refreshed = fresh.select("partition_value").distinct()
+    kept = state.join(refreshed, "partition_value", "left_anti")
+    return kept.unionByName(fresh)
+
+
+def sketch_distinct(sketch: DataFrame, p: int = HLL_P) -> DataFrame:
+    """Table-level distinct estimates from a (merged) sketch ->
+    (column_name, distinct_est). Classic HLL estimator with the
+    small-range (linear counting) correction; registers fold across
+    partitions with MAX first."""
+    m = 1 << p
+    folded = (sketch.groupBy("column_name", "register")
+              .agg(F.max("rho").alias("rho")))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = folded.groupBy("column_name").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("inv_sum"),
+        F.count(F.lit(1)).alias("occupied"))
+    zeros = F.lit(m) - F.col("occupied")
+    raw = F.lit(alpha * m * m) / (F.col("inv_sum") + zeros)
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), small).otherwise(raw)
+    return agg.select(
+        "column_name", F.round(est).cast("bigint").alias("distinct_est"))
