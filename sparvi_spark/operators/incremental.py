@@ -317,3 +317,54 @@ def sketch_distinct(sketch: DataFrame, p: int = HLL_P) -> DataFrame:
     est = F.when((raw <= 2.5 * m) & (zeros > 0), small).otherwise(raw)
     return agg.select(
         "column_name", F.round(est).cast("bigint").alias("distinct_est"))
+
+
+def incremental_profile_full(
+    df: DataFrame,
+    partition_col: str,
+    numeric_cols: list[str],
+    states: dict[str, DataFrame] | None = None,
+    changed_partitions: list[str] | None = None,
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """One incremental round over ALL mergeable state families ->
+    (states, table_profile).
+
+    ``states`` holds three frames — "stats" (count/null/sum/sumsq/min/max),
+    "quantiles" (log-histogram), "distincts" (HLL registers) — each merged
+    by the replace-refreshed-partitions rule. The returned profile joins
+    exact fold-out stats with approximate quantiles (bounded relative
+    error) and distinct estimates (~1.6% sigma): a FULL per-column profile
+    whose per-round cost is proportional to the changed partitions, never
+    the table. This is the engine's answer to "re-profile 100 TB daily":
+    the reference re-reads everything on its adaptive schedule
+    (change_analytics.py:179-271); here unchanged partitions are never
+    touched and the sketch state is KBs per partition.
+    """
+    scan = df
+    if changed_partitions is not None:
+        scan = df.where(
+            F.col(partition_col).cast("string").isin(changed_partitions))
+    fresh = {
+        "stats": partition_stats(scan, partition_col, numeric_cols),
+        "quantiles": partition_quantile_sketch(scan, partition_col,
+                                               numeric_cols),
+        "distincts": partition_distinct_sketch(scan, partition_col,
+                                               numeric_cols),
+    }
+    mergers = {
+        "stats": merge_partition_stats,
+        "quantiles": merge_quantile_sketches,
+        "distincts": merge_distinct_sketches,
+    }
+    new_states = {
+        k: (fresh[k] if states is None else mergers[k](states[k], fresh[k]))
+        for k in fresh
+    }
+    profile = (
+        rollup_profile(new_states["stats"])
+        .join(sketch_quantiles(new_states["quantiles"]), "column_name",
+              "left")
+        .join(sketch_distinct(new_states["distincts"]), "column_name",
+              "left")
+    )
+    return new_states, profile

@@ -209,3 +209,33 @@ def test_distinct_sketch_accuracy_and_merge(spark):
     whole = sketch_distinct(sk) \
         .toPandas().sort_values("column_name").reset_index(drop=True)
     assert merged.equals(whole)
+
+
+def test_incremental_profile_full_round_trip(spark):
+    """Full incremental profile: bootstrap over part of the table, then a
+    refresh of the remaining partitions — the folded profile (exact stats
+    + sketch quantiles + sketch distincts) is identical to bootstrapping
+    over everything at once."""
+    from sparvi_spark.operators.incremental import incremental_profile_full
+    from sparvi_spark.testdata import load_table
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.01")
+    cols = ["l_quantity", "l_extendedprice"]
+
+    states, _ = incremental_profile_full(
+        li.where("l_returnflag = 'A'"), "l_returnflag", cols)
+    states, prof_inc = incremental_profile_full(
+        li, "l_returnflag", cols, states=states,
+        changed_partitions=[r["l_returnflag"] for r in
+                            li.select("l_returnflag").distinct().collect()
+                            if r["l_returnflag"] != "A"])
+    _, prof_all = incremental_profile_full(li, "l_returnflag", cols)
+
+    a = prof_inc.toPandas().sort_values("column_name").reset_index(drop=True)
+    b = prof_all.toPandas().sort_values("column_name").reset_index(drop=True)
+    assert a.equals(b)
+
+    row = a.set_index("column_name").loc["l_quantity"]
+    assert row["cnt"] == li.count()
+    assert row["distinct_est"] == 50
+    assert row["min_val"] == 1.0
