@@ -293,3 +293,51 @@ class Engine:
                                "; ".join(breaches), run_at)
         summary["gate_passed"] = not breaches
         return summary
+
+    # ------------------------------------------------------------------ §3.6
+    def run_incremental_profile(self, df: DataFrame, table_name: str,
+                                partition_col: str,
+                                numeric_cols: list[str]) -> DataFrame:
+        """Durable incremental profiling: detect partitions whose row count
+        changed since the stored sketch state, re-sketch ONLY those, merge
+        into the persisted state families (stats / quantile histogram / HLL
+        registers, parquet under the warehouse), and return the folded
+        full-table profile. Per-run scan cost is proportional to changed
+        data — the storage-layer version of the reference's adaptive
+        re-collection intervals (change_analytics.py:179-271)."""
+        import os
+        import shutil
+
+        from sparvi_spark.operators.incremental import (
+            detect_changed_partitions,
+            incremental_profile_full,
+        )
+
+        root = os.path.join(self.state.root, "incremental", table_name)
+        families = ("stats", "quantiles", "distincts")
+        states = None
+        if os.path.isdir(os.path.join(root, "stats")):
+            states = {k: self.spark.read.parquet(os.path.join(root, k))
+                      for k in families}
+
+        changed = detect_changed_partitions(
+            df, partition_col, None if states is None else states["stats"])
+        if states is None or changed:
+            new_states, _ = incremental_profile_full(
+                df, partition_col, numeric_cols, states=states,
+                changed_partitions=None if states is None else changed)
+            # materialize to tmp BEFORE replacing: the merged-state plans
+            # read from the very files being overwritten
+            for k in families:
+                tmp = os.path.join(root, f"{k}._new")
+                new_states[k].write.mode("overwrite").parquet(tmp)
+                final = os.path.join(root, k)
+                shutil.rmtree(final, ignore_errors=True)
+                os.rename(tmp, final)
+            self.publish_event("incremental_profile", table_name,
+                               f"changed_partitions={len(changed)}")
+        from sparvi_spark.operators.incremental import profile_from_states
+
+        return profile_from_states(
+            {k: self.spark.read.parquet(os.path.join(root, k))
+             for k in families})

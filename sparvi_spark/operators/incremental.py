@@ -360,11 +360,40 @@ def incremental_profile_full(
         k: (fresh[k] if states is None else mergers[k](states[k], fresh[k]))
         for k in fresh
     }
-    profile = (
-        rollup_profile(new_states["stats"])
-        .join(sketch_quantiles(new_states["quantiles"]), "column_name",
-              "left")
-        .join(sketch_distinct(new_states["distincts"]), "column_name",
-              "left")
+    return new_states, profile_from_states(new_states)
+
+
+def profile_from_states(states: dict[str, DataFrame]) -> DataFrame:
+    """Fold the three state families into the full per-column profile."""
+    return (
+        rollup_profile(states["stats"])
+        .join(sketch_quantiles(states["quantiles"]), "column_name", "left")
+        .join(sketch_distinct(states["distincts"]), "column_name", "left")
     )
-    return new_states, profile
+
+
+def detect_changed_partitions(
+    df: DataFrame, partition_col: str, stats_state: DataFrame | None,
+) -> list[str]:
+    """Partitions whose row count differs from the stored stats state (new
+    partitions included) — the change feed for incremental_profile_full.
+
+    One narrow count-per-partition pass over the current table (with a
+    directory-partitioned layout this prunes to metadata); the comparison
+    joins the KB-sized state. Row-count equality is the same freshness
+    proxy the reference's change analytics keys on
+    (change_analytics.py:179-271).
+    """
+    current = (df.groupBy(
+        F.col(partition_col).cast("string").alias("partition_value"))
+        .agg(F.count(F.lit(1)).alias("__cur")))
+    if stats_state is None:
+        return [r["partition_value"] for r in
+                current.select("partition_value").collect()]
+    stored = (stats_state.groupBy("partition_value")
+              .agg(F.max("cnt").alias("__old")))
+    changed = (current.join(stored, "partition_value", "left")
+               .where(F.col("__old").isNull()
+                      | (F.col("__cur") != F.col("__old"))))
+    return [r["partition_value"] for r in
+            changed.select("partition_value").collect()]

@@ -271,3 +271,32 @@ def test_screen_corpus_gate_and_state(spark, engine):
                               min_keep_rate=0.0,
                               run_at="2026-01-02 01:00:00")
     assert s2["gate_passed"] is True
+
+
+def test_run_incremental_profile_durable(spark, engine):
+    """Durable incremental profiling: bootstrap persists sketch state;
+    an unchanged re-run detects zero changed partitions (no event, state
+    untouched); appending rows to one partition refreshes only it and the
+    folded profile matches a from-scratch run over the full data."""
+    from sparvi_spark.operators.incremental import incremental_profile_full
+
+    rows = [(p, float(i)) for p in ("a", "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "part string, v double")
+    p1 = engine.run_incremental_profile(df, "t1", "part", ["v"]).collect()
+    assert p1[0]["cnt"] == 100
+
+    n_events = engine.state.read("engine_events").where(
+        F.col("event_type") == "incremental_profile").count()
+    engine.run_incremental_profile(df, "t1", "part", ["v"])  # no change
+    assert engine.state.read("engine_events").where(
+        F.col("event_type") == "incremental_profile").count() == n_events
+
+    grown = df.unionByName(spark.createDataFrame(
+        [("b", 999.0)], "part string, v double"))
+    p3 = engine.run_incremental_profile(grown, "t1", "part", ["v"]) \
+        .toPandas().sort_values("column_name").reset_index(drop=True)
+    _, scratch = incremental_profile_full(grown, "part", ["v"])
+    expect = scratch.toPandas().sort_values("column_name") \
+        .reset_index(drop=True)
+    assert p3.equals(expect)
+    assert p3.iloc[0]["cnt"] == 101 and p3.iloc[0]["max_val"] == 999.0
