@@ -6,12 +6,18 @@ the change-aware refresh the reference approximates with adaptive intervals
 (core/metadata/change_analytics.py:179-271) done properly at the storage
 layer.
 
-Mergeable stats per (partition, column): count, nulls, sum (decimal-exact),
-sumsq, min, max. Merging = groupBy-sum / min / max over partition rows —
-associative, so any subset of partitions can be (re)computed independently.
-Distinct counts are NOT mergeable exactly; the incremental path reports
-approx sketches or defers exact distincts to the (rarer) full pass — the
-same exact/approx mode split as the profiler.
+Three mergeable state families per (partition, column):
+- stats: count, nulls, sum (decimal-exact), sumsq, min, max — exact folds
+  (groupBy-sum / min / max), associative, any partition subset recomputes
+  independently;
+- quantiles: log-binned histograms (DDSketch-style value-intrinsic
+  buckets) — bucket-wise sums, bounded RELATIVE error;
+- distincts: HyperLogLog registers — bucket-wise max, ~1.6% sigma at
+  p=12 (exact distincts do not merge; this is the same exact/approx mode
+  split as the profiler).
+`incremental_profile_full` runs all three over only the changed
+partitions; `Engine.run_incremental_profile` persists the state and
+detects changes itself.
 """
 
 from __future__ import annotations
