@@ -288,3 +288,25 @@ def test_check_registry_is_exactly_50_oracle_paired(spark):
                        "d": 6, "x": 13, "m": 1}.items():
         got = sum(1 for name in checks if name.startswith(fam))
         assert got >= n_min, f"family {fam}: {got} < {n_min}"
+
+
+def test_pq_encode_and_zorder_key_are_map_only(spark):
+    """PQ byte-coding and the z-order key must be pure projections over
+    the scan — no exchange, no join, no Python — so they hold as map-only
+    passes over a 100 TB corpus."""
+    from sparvi_spark.operators.similarity import pq_encode
+    from sparvi_spark.sources.layout import zorder_key_expr
+
+    emb = _raw(spark, "embeddings")
+    books = [[[float((s + c + d) % 5) for d in range(8)]
+              for c in range(4)] for s in range(8)]
+    plan = _plan(pq_encode(emb, books))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    ev = _raw(spark, "events")
+    keyed = ev.select(zorder_key_expr(ev, ["user_id", "value"], bits=10)
+                      .alias("z"))
+    plan = _plan(keyed)
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -235,3 +235,38 @@ def test_streaming_dedup_exact_and_fingerprint(spark, tmp_path):
           .outputMode("append").start())
     q2.processAllAvailable(); q2.stop()
     assert spark.sql("select count(*) c from sdf").first()["c"] == 3
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """The Gopher-rule quality filter is a stateless projection, so it
+    composes with a stream unchanged: flags emitted per microbatch equal
+    the batch run over the same drops — continuous ingest gating."""
+    import datetime as dt
+
+    from sparvi_spark.operators.text import quality_filter
+
+    t0 = dt.datetime(2026, 1, 1)
+    long_ok = " ".join(
+        ["the quick brown fox jumps over a lazy dog near the old barn"] * 3)
+    rows = [(1, t0, long_ok), (2, t0, "tiny"), (3, t0, "### ### ###"),
+            (4, t0, long_ok + " indeed")]
+    d = tmp_path / "drops"
+    ddl = "doc_id int, ts timestamp, text string"
+    spark.createDataFrame(rows[:2], ddl).coalesce(1) \
+        .write.mode("overwrite").parquet(str(d))
+    spark.createDataFrame(rows[2:], ddl).coalesce(1) \
+        .write.mode("append").parquet(str(d))
+
+    stream = (spark.readStream.schema(ddl)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (quality_filter(stream, "text", "doc_id", min_words=10)
+         .writeStream.format("memory").queryName("sqf")
+         .outputMode("append").start())
+    q.processAllAvailable(); q.stop()
+    got = {r["doc_id"]: (r["keep"], r["n_failed"]) for r in
+           spark.sql("select * from sqf").collect()}
+    batch = {r["doc_id"]: (r["keep"], r["n_failed"]) for r in
+             quality_filter(spark.createDataFrame(rows, ddl), "text",
+                            "doc_id", min_words=10).collect()}
+    assert got == batch and len(got) == 4
+    assert got[2][0] is False and got[1][0] in (True, False)
