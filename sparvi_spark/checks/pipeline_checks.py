@@ -1151,6 +1151,49 @@ FROM c
 """.strip()
 
 
+# x23: PCA projection (vectors.pca_project_expr) with a pinned synthetic
+# mean/components (training collects Spark-side state an import-time SQL
+# string cannot reproduce; it is unit-tested against numpy). Both engines
+# evaluate the same fold — centered zip_with product, left-associated from
+# a 0.0 seed — so coordinates match bit-for-bit after round(12).
+
+PCA_K, PCA_DIM = 4, 64
+
+
+def _pca_fixture() -> tuple[list[float], list[list[float]]]:
+    mean = [((d * 37) % 11 - 5) / 10.0 for d in range(PCA_DIM)]
+    comps = [[((j * 131 + d * 29) % 17 - 8) / 20.0 for d in range(PCA_DIM)]
+             for j in range(PCA_K)]
+    return mean, comps
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.vectors import pca_project_expr
+
+    mean, comps = _pca_fixture()
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id",
+        pca_project_expr("embedding", mean, comps, round_to=12).alias("pca"))
+
+
+def _sql_pca_project() -> str:
+    mean, comps = _pca_fixture()
+    mean_lit = "[" + ", ".join(repr(x) for x in mean) + "]"
+    comp_lits = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]" for c in comps)
+    centered = (f"list_transform(range(1, {PCA_DIM} + 1), i -> "
+                f"cast(embedding[i] as double) - ({mean_lit})[i])")
+    return f"""
+WITH c AS (SELECT vec_id, {centered} AS ctr FROM embeddings)
+SELECT vec_id, list_transform([{comp_lits}], w ->
+  round(list_reduce(list_prepend(cast(0 as double),
+    list_transform(range(1, {PCA_DIM} + 1), i -> ctr[i] * w[i])),
+    (acc, v) -> acc + v), 12)) AS pca
+FROM c
+""".strip()
+
+
 # x19: product-quantization encode + ADC search (operators/similarity.py
 # pq_*). The check pins a FIXED synthetic codebook (the trained path is
 # unit-tested for recall; training collects Spark-side state that an
@@ -1277,6 +1320,7 @@ EXTRA_CHECKS = {
     "x20_zorder_key": (q_zorder_key, _sql_zorder_key()),
     "x21_quality_filter": (q_quality_filter, _sql_quality_filter()),
     "x22_text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "x23_pca_project": (q_pca_project, _sql_pca_project()),
     "e01_incremental_rollup": (q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "m02_audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "e02_mixture_sample": (q_mixture_sample, _sql_mixture_sample()),

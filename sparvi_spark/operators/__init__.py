@@ -56,6 +56,11 @@ from sparvi_spark.operators.text import (
     top_tokens,
 )
 from sparvi_spark.operators.trends import incremental_time_rollup
+from sparvi_spark.operators.vectors import (
+    l2_normalize_expr,
+    pca_project,
+    pca_train,
+)
 from sparvi_spark.operators.validation import (
     generate_default_rules,
     run_rules,
@@ -80,4 +85,5 @@ __all__ = [
     "hash_sample", "stratified_sample", "mixture_sample",
     "sessionize", "session_stats",
     "incremental_profile", "incremental_time_rollup",
+    "l2_normalize_expr", "pca_train", "pca_project",
 ]

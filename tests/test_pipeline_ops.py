@@ -640,3 +640,42 @@ def test_text_normalization_hand_cases(spark):
     assert rows[1]["d"] == "a\nb\nc"
     assert rows[2]["c"] == "" and rows[2]["d"] == ""
     assert rows[3]["c"] == "one" and rows[3]["d"] == "one"
+
+
+def test_pca_train_project_and_normalize(spark):
+    """Distributed PCA: gram/mean/covariance match numpy exactly, the
+    top-k eigenvectors match numpy's (sign-fixed), the map-only projection
+    reproduces (X-mean)W^T to float precision, and l2_normalize yields
+    unit norms."""
+    import numpy as np
+
+    from sparvi_spark.operators.vectors import (
+        l2_normalize_expr,
+        pca_project,
+        pca_train,
+    )
+    from sparvi_spark.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    rows = sorted(emb.select("vec_id", "embedding").collect(),
+                  key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in rows], dtype="float64")
+
+    mean, comps = pca_train(emb, k=4)
+    vals, vecs = np.linalg.eigh(np.cov(X.T, bias=True))
+    for j, oj in enumerate(np.argsort(vals)[::-1][:4]):
+        v = vecs[:, oj]
+        if abs(v.min()) > abs(v.max()):
+            v = -v
+        assert np.abs(np.array(comps[j]) - v).max() < 1e-8
+
+    P = np.array(pca_project(emb, mean, comps).toPandas()
+                 .sort_values("vec_id")["pca"].tolist())
+    ref = (X - np.array(mean)) @ np.array(comps).T
+    assert np.abs(P - ref).max() < 1e-12
+
+    norms = (emb.select(l2_normalize_expr("embedding").alias("nv"))
+             .selectExpr("aggregate(zip_with(nv, nv, (x, y) -> x * y), "
+                         "cast(0 as double), (a, v) -> a + v) as n2")
+             .toPandas())
+    assert np.abs(norms["n2"] - 1.0).max() < 1e-9
