@@ -42,6 +42,9 @@ from sparvi_spark.operators.similarity import (
     ivf_topk_trained,
     kmeans_train,
     lsh_topk,
+    ivfpq_encode,
+    ivfpq_topk,
+    ivfpq_train,
     pq_encode,
     pq_topk,
     pq_train,
@@ -78,6 +81,7 @@ __all__ = [
     "bloom_build", "bloom_filter_members", "contamination_bloom",
     "cosine_topk", "ivf_topk", "ivf_topk_trained", "kmeans_train", "lsh_topk",
     "pq_train", "pq_encode", "pq_topk",
+    "ivfpq_train", "ivfpq_encode", "ivfpq_topk",
     "quality_features", "quality_filter", "repetition_features",
     "clean_text_expr", "dedup_lines_expr",
     "chunk_documents", "top_tokens",

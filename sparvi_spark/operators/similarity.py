@@ -438,18 +438,21 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>): nearest-codeword index per subspace — m
-    literal-centroid argmin projections, zero shuffle, the map-only pass
-    that turns a 100 TB float corpus into a byte-coded one."""
+    """(id, [keep_cols...,] codes array<int>): nearest-codeword index per
+    subspace — m literal-centroid argmin projections, zero shuffle, the
+    map-only pass that turns a 100 TB float corpus into a byte-coded one.
+    ``keep_cols`` pass through unchanged (e.g. the IVF cell)."""
     sub_dim = len(codebooks[0][0])
     staged = df.select(
         F.col(id_col).alias("vec_id"),
+        *[F.col(c) for c in keep_cols],
         *[F.expr(_l2_dists_expr(_subslice(vec_col, s, sub_dim), book))
           .alias(f"__d{s}") for s, book in enumerate(codebooks)])
     codes = F.array(*[l2_argmin_expr(f"__d{s}")
                       for s in range(len(codebooks))])
-    return staged.select("vec_id", codes.alias("codes"))
+    return staged.select("vec_id", *keep_cols, codes.alias("codes"))
 
 
 def pq_topk(
@@ -484,6 +487,123 @@ def pq_topk(
                           if exclude_self else F.lit(True))
         .withColumn("adc_dist", F.expr(score))
     )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                               F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank",
+                F.round("adc_dist", 6).alias("adc_dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed billion-scale ANN index — a coarse quantizer prunes
+# the search to nprobe cells, PQ codes over the RESIDUAL (vector minus its
+# cell centroid) compress what remains, and ADC scores candidates with m
+# table lookups. Residual coding is what makes the combination work: inside
+# one cell the residual distribution is far tighter than the raw corpus, so
+# the same codebook bits buy much lower quantization error. Index state is
+# centroids (nlist x d) + codebooks (m x k x d/m) + one byte-code row per
+# vector — at 100 TB the coded corpus is ~32x smaller than float vectors
+# and the scan per query touches nprobe/nlist of it.
+# ---------------------------------------------------------------------------
+
+def ivfpq_train(
+    df: DataFrame,
+    nlist: int = 8,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+):
+    """Train the composed index -> (centroids, codebooks).
+
+    Coarse centroids from the existing Lloyd's trainer; PQ codebooks from
+    the residual frame (vector minus assigned centroid — one map-only
+    projection, no shuffle). Training touches the driver only for the
+    KB-sized centroid/codebook tables."""
+    cents = kmeans_train(df, k=nlist, id_col=id_col, vec_col=vec_col,
+                         iters=iters)
+    residuals = _residual_frame(df, cents, id_col, vec_col)
+    books = pq_train(residuals, m=m, k=k, id_col=id_col, vec_col="__res",
+                     iters=iters)
+    return cents, books
+
+
+def _residual_frame(
+    df: DataFrame, centroids, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, __cell, __res): assigned coarse cell + residual vector, one
+    projection (literal centroids, zip_with subtraction)."""
+    cent_arr = "array(" + ", ".join(
+        "array(" + ", ".join(_f(x) for x in vec) + ")"
+        for _b, vec in sorted(centroids)) + ")"
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        centroid_probe_expr(vec_col, centroids, nprobe=1)[0].alias("__cell"))
+    return assigned.select(
+        id_col, "__cell",
+        F.expr(f"zip_with({vec_col}, element_at({cent_arr}, __cell + 1), "
+               f"(x, c) -> cast(x as double) - c)").alias("__res"))
+
+
+def ivfpq_encode(
+    df: DataFrame, centroids, codebooks,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell, codes): the stored index rows — two chained map-only
+    projections (assignment+residual, then PQ coding), zero shuffle."""
+    res = _residual_frame(df, centroids, id_col, vec_col) \
+        .withColumnRenamed("__cell", "cell")
+    return pq_encode(res, codebooks, id_col=id_col, vec_col="__res",
+                     keep_cols=("cell",))
+
+
+def ivfpq_topk(
+    corpus_index: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ADC search over the coded corpus: each query explodes to its nprobe
+    nearest cells WITH a per-cell distance table over the query's residual
+    to that cell (literal codebooks + literal centroids — the tables are
+    computed in-plan, per (query, cell)); the equi-join on cell prunes the
+    corpus; scoring is m array lookups. Returns (query_id, neighbor_id,
+    rank, adc_dist)."""
+    sub_dim = len(codebooks[0][0])
+    cent_arr = "array(" + ", ".join(
+        "array(" + ", ".join(_f(x) for x in vec) + ")"
+        for _b, vec in sorted(centroids)) + ")"
+    probes = centroid_probe_expr(vec_col, centroids, nprobe=nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        F.explode(probes).alias("qcell"))
+    qres = q.select(
+        "query_id", "qcell",
+        F.expr(f"zip_with(__qv, element_at({cent_arr}, qcell + 1), "
+               f"(x, c) -> cast(x as double) - c)").alias("__qres"))
+    qt = qres.select(
+        "query_id", "qcell",
+        *[F.expr(_l2_dists_expr(_subslice("__qres", s, sub_dim), book))
+          .alias(f"__qt{s}") for s, book in enumerate(codebooks)])
+    score = " + ".join(
+        f"element_at(__qt{s}, codes[{s}] + 1)" for s in range(len(codebooks)))
+    scored = (
+        corpus_index.join(F.broadcast(qt),
+                          F.col("cell") == F.col("qcell"))
+        .withColumn("adc_dist", F.expr(score))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("vec_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
                                                F.asc("vec_id"))
     return (

@@ -679,3 +679,41 @@ def test_pca_train_project_and_normalize(spark):
                          "cast(0 as double), (a, v) -> a + v) as n2")
              .toPandas())
     assert np.abs(norms["n2"] - 1.0).max() < 1e-9
+
+
+def test_ivfpq_index_recall_and_shape(spark):
+    """Composed IVF-PQ index: training produces nlist centroids and m
+    codebooks; the encoded corpus is (vec_id, cell, codes) from map-only
+    projections; nprobe search recalls far more of the exact top-10 than
+    chance while scanning only nprobe/nlist of the coded corpus."""
+    from pyspark.sql import functions as F2
+
+    from sparvi_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+    from sparvi_spark.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    n = emb.count()
+    cents, books = ivfpq_train(emb, nlist=8, m=8, k=16, iters=2)
+    assert len(cents) == 8 and len(books) == 8 and len(books[0]) == 16
+
+    idx = ivfpq_encode(emb, cents, books)
+    row = idx.first()
+    assert 0 <= row["cell"] < 8 and len(row["codes"]) == 8
+    assert idx.count() == n
+
+    queries = emb.where(F2.col("vec_id") < 20)
+    got = ivfpq_topk(idx, queries, cents, books, k=10, nprobe=3).toPandas()
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+    assert set(got.columns) == {"query_id", "neighbor_id", "rank",
+                                "adc_dist"}
+    hits = sum(
+        len(set(got[got.query_id == q].neighbor_id)
+            & set(exact[exact.query_id == q].neighbor_id))
+        for q in range(20))
+    recall = hits / 200.0
+    assert recall > max(0.12, 3 * 10.0 / n), recall
