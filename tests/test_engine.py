@@ -300,3 +300,22 @@ def test_run_incremental_profile_durable(spark, engine):
         .reset_index(drop=True)
     assert p3.equals(expect)
     assert p3.iloc[0]["cnt"] == 101 and p3.iloc[0]["max_val"] == 999.0
+
+
+def test_pipeline_demo():
+    """scripts/pipeline_demo.py — the composed normalize -> filter ->
+    dedup -> decontaminate -> index pipeline — runs green end-to-end in a
+    fresh interpreter (own SparkSession, so: subprocess)."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "/root/repo/scripts/pipeline_demo.py",
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = dict(
+        line[2:].split(": ") for line in proc.stdout.splitlines()
+        if line.startswith("# "))
+    assert int(stats["n_clean"]) <= int(stats["n_raw"])
+    assert int(stats["n_indexed"]) > 0
