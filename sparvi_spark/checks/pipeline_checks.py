@@ -1089,18 +1089,19 @@ f AS (SELECT doc_id, tk, ls, len(tk) AS nt, len(ls) AS nl,
   len(list_filter(tk, x -> list_contains([{stops}], x))) AS stops
  FROM t0),
 g AS (SELECT doc_id,
-  nt >= {t['min_words']} AND nt <= {t['max_words']} AS pass_word_count,
-  avg_len >= {t['min_avg_word_len']!r}
-    AND avg_len <= {t['max_avg_word_len']!r} AS pass_avg_word_len,
-  sym * cast(1 as double) / greatest(nt, 1)
-    <= {t['max_symbol_word_ratio']!r} AS pass_symbol_ratio,
-  alpha * cast(1 as double) / greatest(nt, 1)
-    >= {t['min_alpha_word_frac']!r} AS pass_alpha_frac,
-  bullets * cast(1 as double) / greatest(nl, 1)
-    <= {t['max_bullet_line_frac']!r} AS pass_bullet_lines,
-  ell * cast(1 as double) / greatest(nl, 1)
-    <= {t['max_ellipsis_line_frac']!r} AS pass_ellipsis_lines,
-  stops >= {t['min_stopword_hits']} AS pass_stopwords
+  coalesce(nt >= {t['min_words']} AND nt <= {t['max_words']}, false)
+    AS pass_word_count,
+  coalesce(avg_len >= {t['min_avg_word_len']!r}
+    AND avg_len <= {t['max_avg_word_len']!r}, false) AS pass_avg_word_len,
+  coalesce(sym * cast(1 as double) / greatest(nt, 1)
+    <= {t['max_symbol_word_ratio']!r}, false) AS pass_symbol_ratio,
+  coalesce(alpha * cast(1 as double) / greatest(nt, 1)
+    >= {t['min_alpha_word_frac']!r}, false) AS pass_alpha_frac,
+  coalesce(bullets * cast(1 as double) / greatest(nl, 1)
+    <= {t['max_bullet_line_frac']!r}, false) AS pass_bullet_lines,
+  coalesce(ell * cast(1 as double) / greatest(nl, 1)
+    <= {t['max_ellipsis_line_frac']!r}, false) AS pass_ellipsis_lines,
+  coalesce(stops >= {t['min_stopword_hits']}, false) AS pass_stopwords
  FROM f)
 SELECT *,
   cast((case when pass_word_count then 0 else 1 end)

@@ -255,9 +255,14 @@ class Engine:
         ).first()["kept"]
         keep_rate = kept / n_docs
 
-        n_distinct = (docs.select(F.xxhash64(F.col(text_col)).alias("h"))
+        # duplicates over NON-NULL texts only: xxhash64 does not
+        # null-propagate (NULL hashes to the seed), so hashing nulls would
+        # count k null docs as k-1 duplicates
+        nn = docs.where(F.col(text_col).isNotNull())
+        n_nonnull = nn.count()
+        n_distinct = (nn.select(F.xxhash64(F.col(text_col)).alias("h"))
                       .agg(F.countDistinct("h").alias("d")).first()["d"])
-        dup_rate = (n_docs - n_distinct) / n_docs
+        dup_rate = (n_nonnull - n_distinct) / n_docs
 
         contamination_rate = None
         if ref is not None:
@@ -322,7 +327,21 @@ class Engine:
 
         changed = detect_changed_partitions(
             df, partition_col, None if states is None else states["stats"])
-        if states is None or changed:
+        # partitions DELETED upstream leave orphan state rows behind:
+        # purge them from every family (they are absent from the scan, so
+        # the refresh merge alone would never remove them)
+        deleted: list[str] = []
+        if states is not None:
+            current = {r[0] for r in df.select(
+                F.col(partition_col).cast("string")).distinct().collect()}
+            stored = {r[0] for r in states["stats"]
+                      .select("partition_value").distinct().collect()}
+            deleted = sorted(stored - current)
+            if deleted:
+                states = {k: v.where(~F.col("partition_value")
+                                     .isin(deleted))
+                          for k, v in states.items()}
+        if states is None or changed or deleted:
             new_states, _ = incremental_profile_full(
                 df, partition_col, numeric_cols, states=states,
                 changed_partitions=None if states is None else changed)
@@ -334,8 +353,10 @@ class Engine:
                 final = os.path.join(root, k)
                 shutil.rmtree(final, ignore_errors=True)
                 os.rename(tmp, final)
-            self.publish_event("incremental_profile", table_name,
-                               f"changed_partitions={len(changed)}")
+            self.publish_event(
+                "incremental_profile", table_name,
+                f"changed_partitions={len(changed)};"
+                f"deleted_partitions={len(deleted)}")
         from sparvi_spark.operators.incremental import profile_from_states
 
         return profile_from_states(

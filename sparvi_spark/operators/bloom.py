@@ -108,6 +108,29 @@ def bloom_hit_expr(col: str, n_bits: int, k: int, portable: bool) -> Column:
     return hit
 
 
+def _staged_probe(df: DataFrame, col: str, n_bits: int, k: int,
+                  portable: bool) -> tuple[DataFrame, Column]:
+    """(frame, hit column) with the expensive base hash STAGED: in
+    portable mode the per-character polynomial fold would otherwise be
+    inlined 2k times per row (each probe needs it for div 64 and % 64);
+    materializing it once as a column leaves only k affine transforms.
+    Engine mode stages nothing — xxhash64 per probe is already cheap."""
+    if portable:
+        df = df.withColumn("__bh", F.expr(portable_hash_expr(col)))
+        exprs = [
+            f"(({a}L * __bh + {b}L) % {PORTABLE_P}) % {n_bits}"
+            for a, b in (_affine_params(j) for j in range(k))
+        ]
+    else:
+        exprs = _position_exprs(col, n_bits, k, portable)
+    hit = F.lit(True)
+    for e in exprs:
+        hit = hit & F.expr(
+            f"(element_at(words, cast(({e}) div 64 as int) + 1) "
+            f"& shiftleft(1L, cast(({e}) % 64 as int))) != 0")
+    return df, hit
+
+
 def bloom_filter_members(
     df: DataFrame,
     bloom: DataFrame,
@@ -123,11 +146,9 @@ def bloom_filter_members(
     map-only probe — the big side never shuffles. This is the 100 TB
     anti-join/semi-join prefilter shape.
     """
-    return (
-        df.crossJoin(F.broadcast(bloom.select("words")))
-        .where(bloom_hit_expr(col, n_bits, k, portable))
-        .drop("words")
-    )
+    joined = df.crossJoin(F.broadcast(bloom.select("words")))
+    joined, hit = _staged_probe(joined, col, n_bits, k, portable)
+    return joined.where(hit).drop("words", "__bh")
 
 
 def contamination_bloom(
@@ -159,10 +180,9 @@ def contamination_bloom(
         _doc_shingles(ref, id_col, text_col, n).select("shingle"),
         "shingle", n_bits=n_bits, k=k, portable=portable)
     doc_sh = _doc_shingles(df, id_col, text_col, n)
-    probed = (
-        doc_sh.crossJoin(F.broadcast(bloom.select("words")))
-        .withColumn("__hit", bloom_hit_expr("shingle", n_bits, k, portable))
-    )
+    joined = doc_sh.crossJoin(F.broadcast(bloom.select("words")))
+    joined, hit = _staged_probe(joined, "shingle", n_bits, k, portable)
+    probed = joined.withColumn("__hit", hit)
     return (
         probed.groupBy("__id")
         .agg(F.count(F.lit(1)).alias("n_shingles"),

@@ -254,12 +254,16 @@ def dedup_near(
         else:
             score = df.select(F.col(id_col).alias("__pid"),
                               F.col(prefer_col).alias("__pref"))
+            # highest quality survives, tie -> smallest id. row_number
+            # (not max(struct(pref, -node))): negation only exists for
+            # numeric ids — string doc ids crash under ANSI or silently
+            # null out — while a window order works for any orderable type
+            w = Window.partitionBy("comp").orderBy(
+                F.desc("__pref"), F.asc("node"))
             keep = (comp.join(score, comp["node"] == F.col("__pid"))
-                    # max on (pref, -node): highest quality, tie -> min id
-                    .groupBy("comp")
-                    .agg(F.max(F.struct(F.col("__pref"), (-F.col("node"))
-                                        .alias("__negid"))).alias("__m"))
-                    .select("comp", (-F.col("__m.__negid")).alias("__keep")))
+                    .withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1)
+                    .select("comp", F.col("node").alias("__keep")))
         dups = (comp.join(keep, "comp")
                 .where(F.col("node") != F.col("__keep"))
                 .select(F.col("node").alias("__dup")).distinct())

@@ -265,15 +265,19 @@ def partition_distinct_sketch(
     """Per-partition HLL registers -> (partition_value, column_name,
     register, rho). One melt + one groupBy-max; shuffle is bounded by
     occupied registers, not rows."""
-    stack = ", ".join(
-        f"'{c}', xxhash64(cast(`{c}` as string))" for c in cols)
-    melted = df.select(
+    # stack the STRING value and filter nulls BEFORE hashing: xxhash64
+    # does not null-propagate (a NULL input hashes to the seed), so
+    # hashing first would count NULL as one extra distinct value —
+    # COUNT(DISTINCT) ignores nulls and so must the sketch
+    stack = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    melted = (df.select(
         F.col(partition_col).cast("string").alias("partition_value"),
-        F.expr(f"stack({len(cols)}, {stack}) as (column_name, h)"))
+        F.expr(f"stack({len(cols)}, {stack}) as (column_name, v)"))
+        .where(F.col("v").isNotNull())
+        .select("partition_value", "column_name",
+                F.xxhash64("v").alias("h")))
     # register: top p bits; rho: leading zeros of the remaining 64-p bits
     # (shifted left so zeros count from bit 63) + 1, capped at 64-p+1.
-    # NULL column values: xxhash64(NULL) is NULL -> filtered, matching
-    # COUNT(DISTINCT)'s null handling.
     reg = f"cast(shiftrightunsigned(h, {64 - p}) as int)"
     # leading-zero count of the remaining bits via the binary method
     # (test the top s bits for s = 32,16,8,4,2,1; if zero, shift left by s
@@ -288,7 +292,7 @@ def partition_distinct_sketch(
     rho = (f"cast(case when __sh = 0 then {64 - p} else least({nlz}, {64 - p - 1}) "
            f"end + 1 as int)")
     return (
-        melted.where(F.col("h").isNotNull())
+        melted
         .withColumn("__sh", F.expr(f"shiftleft(h, {p})"))
         .select("partition_value", "column_name",
                 F.expr(reg).alias("register"), F.expr(rho).alias("rho"))

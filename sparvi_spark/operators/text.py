@@ -375,9 +375,13 @@ def quality_filter(
                                 f"<= {t['max_ellipsis_line_frac']!r}"),
         "pass_stopwords": f"{stop_hits} >= {t['min_stopword_hits']}",
     }
+    # NULL text makes every rule expression NULL; without the coalesce,
+    # when(~NULL) falls through to 0 failures and a null document would
+    # sail through the gate. NULL text fails every rule.
     out = df.select(
         F.col(id_col),
-        *[F.expr(e).alias(name) for name, e in rules.items()],
+        *[F.coalesce(F.expr(e), F.lit(False)).alias(name)
+          for name, e in rules.items()],
     )
     n_failed = sum(
         F.when(~F.col(name), 1).otherwise(0) for name in rules)
@@ -414,7 +418,13 @@ def dedup_lines_expr(text_col: str) -> Column:
 
     Order-preserving set semantics in pure column functions: a line at
     1-based position i survives iff no earlier position holds the same
-    line; `filter`'s index form supplies i, `slice` the prefix."""
+    line; `filter`'s index form supplies i, `slice` the prefix.
+
+    Cost is O(L²) in LINES PER DOCUMENT (each line scans its prefix) —
+    fine for web documents (L is tens to hundreds), quadratic on
+    pathological 10k-line concatenations. For those, explode lines with
+    posexplode and keep `row_number() over (partition by doc, line order
+    by pos) = 1` — one shuffle, linear per doc — then re-assemble."""
     lines = f"split({text_col}, '\\n')"
     kept = (f"filter({lines}, (l, i) -> "
             f"not array_contains(slice({lines}, 1, i), l))")

@@ -52,7 +52,7 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding"):
                 "g": [(mat.T @ mat).ravel().tolist()],
             })
 
-    parts = df.select(vec_col).mapInPandas(
+    parts = df.select(vec_col).where(F.col(vec_col).isNotNull()).mapInPandas(
         batch_stats, "n long, s array<double>, g array<double>")
     folded = (
         parts.select(

@@ -34,11 +34,17 @@ def streaming_dedup_exact(
 
     The key is xxhash64 over ``cols`` (8 bytes of state per key instead of
     the full row — the same shuffle-a-hash-not-the-row trade as the batch
-    duplicate counter). Repeats arriving after state eviction pass again:
-    the watermark IS the dedup horizon, by contract.
+    duplicate counter). NULLs are coalesced to a sentinel first: xxhash64
+    SKIPS null inputs (it does not null-propagate), so ("x", NULL) and
+    (NULL, "x") would otherwise collide and a genuinely distinct row
+    would be dropped as a duplicate. Repeats arriving after state
+    eviction pass again: the watermark IS the dedup horizon, by contract.
     """
     keyed = stream.withColumn(
-        "__key", F.xxhash64(*[F.col(c) for c in cols]))
+        "__key",
+        F.xxhash64(*[F.coalesce(F.col(c).cast("string"),
+                                F.lit("<<NULL>>"))
+                     for c in cols]))
     return (
         keyed.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__key"])

@@ -65,24 +65,37 @@ _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 # and applied once per (session, sf_dir) on first load.
 _SMALL_DATA_BYTES = 1 << 30
 _SMALL_DATA_SHUFFLE_PARTITIONS = 8
-_TUNED: set[tuple[int, str]] = set()
+# session id -> last-applied profile ("small" | "cluster"); keyed on the
+# PROFILE, not the dir, so alternating between a small and a large dir in
+# one session re-applies the right confs each time it actually changes
+_TUNED: dict[int, str] = {}
 
 
 def _tune_for_dir(spark: SparkSession, sf_dir: str) -> None:
-    key = (id(spark._jsparkSession), sf_dir)
-    if key in _TUNED:
-        return
-    _TUNED.add(key)
     try:
         total = sum(
             os.path.getsize(os.path.join(sf_dir, f))
             for f in os.listdir(sf_dir))
     except OSError:
         return
-    if total < _SMALL_DATA_BYTES:
+    profile = "small" if total < _SMALL_DATA_BYTES else "cluster"
+    sid = id(spark._jsparkSession)
+    if _TUNED.get(sid) == profile:
+        return
+    _TUNED[sid] = profile
+    if profile == "small":
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(_SMALL_DATA_SHUFFLE_PARTITIONS))
+    else:
+        # two-way: loading a LARGE dir restores the cluster profile a
+        # previously-loaded small dir switched off — otherwise a session
+        # that warmed on sf0.01 would run big-data queries with AQE
+        # disabled and 8 shuffle partitions
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism))
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

@@ -319,3 +319,22 @@ def test_pipeline_demo():
         if line.startswith("# "))
     assert int(stats["n_clean"]) <= int(stats["n_raw"])
     assert int(stats["n_indexed"]) > 0
+
+
+def test_run_incremental_profile_purges_deleted_partitions(spark, engine):
+    """A partition dropped upstream must leave no orphan sketch state:
+    the next run purges its rows and the profile matches from-scratch."""
+    from sparvi_spark.operators.incremental import incremental_profile_full
+
+    rows = [(p, float(i)) for p in ("a", "b") for i in range(30)]
+    df = spark.createDataFrame(rows, "part string, v double")
+    engine.run_incremental_profile(df, "t2", "part", ["v"])
+
+    shrunk = df.where("part <> 'b'")
+    got = engine.run_incremental_profile(shrunk, "t2", "part", ["v"]) \
+        .toPandas().sort_values("column_name").reset_index(drop=True)
+    _, scratch = incremental_profile_full(shrunk, "part", ["v"])
+    expect = scratch.toPandas().sort_values("column_name") \
+        .reset_index(drop=True)
+    assert got.equals(expect)
+    assert got.iloc[0]["cnt"] == 30

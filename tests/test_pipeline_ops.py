@@ -717,3 +717,55 @@ def test_ivfpq_index_recall_and_shape(spark):
         for q in range(20))
     recall = hits / 200.0
     assert recall > max(0.12, 3 * 10.0 / n), recall
+
+
+def test_review_fixes_null_and_string_id_paths(spark):
+    """Regression pins for review findings: (1) NULL text FAILS the
+    quality gate (coalesced flags, not NULL-propagated keep=true);
+    (2) components-clustering near-dedup works on STRING doc ids with
+    prefer_col (no arithmetic negation of the id); (3) the HLL sketch
+    ignores NULLs like COUNT(DISTINCT); (4) streaming-dedup's content key
+    distinguishes different null patterns."""
+    from sparvi_spark.operators.dedup import dedup_near
+    from sparvi_spark.operators.incremental import (
+        partition_distinct_sketch,
+        sketch_distinct,
+    )
+    from sparvi_spark.operators.text import quality_filter
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox jumps over a lazy dog and "
+                        "then keeps running through the field all day")],
+        "doc_id int, text string")
+    flags = {r["doc_id"]: r for r in
+             quality_filter(docs, "text", "doc_id", min_words=5).collect()}
+    assert flags[1]["keep"] is False and flags[1]["n_failed"] == 7
+    assert flags[2]["n_failed"] < 7
+
+    corp = spark.createDataFrame(
+        [("a", "x y z", 1.0), ("b", "x y z", 9.0), ("c", "x y z", 5.0)],
+        "doc_id string, text string, q double")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string")
+    kept = {r["doc_id"] for r in dedup_near(
+        corp, pairs, "doc_id", prefer_col="q",
+        clustering="components").collect()}
+    assert kept == {"b"}  # one survivor per component, highest quality
+
+    vals = spark.createDataFrame(
+        [("p", None), ("p", None), ("p", 1.0), ("p", 2.0)],
+        "part string, v double")
+    est = sketch_distinct(
+        partition_distinct_sketch(vals, "part", ["v"])).collect()
+    assert est[0]["distinct_est"] == 2  # nulls not counted
+
+    from sparvi_spark.streaming.dedup import streaming_dedup_exact  # noqa: F401
+    from pyspark.sql import functions as F2
+
+    two = spark.createDataFrame(
+        [("x", None), (None, "x")], "a string, b string")
+    keys = two.select(F2.xxhash64(
+        F2.coalesce(F2.col("a").cast("string"), F2.lit("<<NULL>>")),
+        F2.coalesce(F2.col("b").cast("string"), F2.lit("<<NULL>>")))
+        .alias("k")).collect()
+    assert keys[0]["k"] != keys[1]["k"]
