@@ -108,16 +108,22 @@ def zscore_anomalies(
         )
 
 
-def _interp_sorted(arr: Column, n: int, p: float) -> Column:
-    """np.percentile linear interpolation over a sorted array of length n."""
-    q = (n - 1) * p
-    lo = int(q)
-    frac = q - lo
-    lo_val = F.element_at(arr, lo + 1)
-    if frac == 0.0:
-        return lo_val
-    hi_val = F.element_at(arr, lo + 2)
-    return lo_val + F.lit(frac) * (hi_val - lo_val)
+def _interp_sorted(arr: Column, p: float) -> Column:
+    """np.percentile linear interpolation over a sorted array, positions
+    from the array's RUNTIME size: collect_list drops NULL values, so a
+    trailing window with nulls yields a shorter array than the window
+    width — indexing by the static width would read past the end (wrong
+    quartiles, or INVALID_ARRAY_INDEX under ANSI). For null-free windows
+    the arithmetic is value-identical to the static form ((n-1)*p is the
+    same double either way, and frac=0 makes lo + 0*(hi-lo) == lo).
+    An all-null window returns NULL."""
+    n = F.size(arr)
+    q = (n - F.lit(1)).cast("double") * F.lit(p)
+    lo = F.floor(q)
+    frac = q - lo.cast("double")
+    lo_val = F.element_at(arr, (lo + 1).cast("int"))
+    hi_val = F.element_at(arr, F.least(lo + 2, n.cast("bigint")).cast("int"))
+    return F.when(n > 0, lo_val + frac * (hi_val - lo_val))
 
 
 def iqr_anomalies(
@@ -155,10 +161,10 @@ def iqr_anomalies(
             .withColumn("__gq1", F.expr(f"percentile({value_col}, 0.25)").over(wg))
             .withColumn("__gq3", F.expr(f"percentile({value_col}, 0.75)").over(wg))
             .withColumn(
-                "__q1", F.when(short, F.col("__gq1")).otherwise(_interp_sorted(arr, window, 0.25))
+                "__q1", F.when(short, F.col("__gq1")).otherwise(_interp_sorted(arr, 0.25))
             )
             .withColumn(
-                "__q3", F.when(short, F.col("__gq3")).otherwise(_interp_sorted(arr, window, 0.75))
+                "__q3", F.when(short, F.col("__gq3")).otherwise(_interp_sorted(arr, 0.75))
             )
             .where((short & (F.col("__npts") >= 4)) | (~short & (F.col("__rn") > window)))
             .drop("__rn", "__npts", "__gq1", "__gq3")

@@ -76,9 +76,12 @@ def validation_daily_rollup(
     """T3 daily rollup (app.py:4425-4553): keep the LATEST result per rule
     per day, count passed/failed, densify over the full date range, and
     compute health = passed/(passed+failed)*100."""
+    # tiebreak on the validity flag: two results for one rule at the SAME
+    # timestamp (second-granularity re-runs) must not flip pass/fail
+    # counts between executions of the same query
     daily = latest_per_key(
         results.withColumn("day", F.to_date(ts_col)),
-        [rule_col, "day"], ts_col,
+        [rule_col, "day"], ts_col, tiebreak=[valid_col],
     )
     per_day = daily.groupBy("day").agg(
         F.count(F.when(F.col(valid_col), 1)).alias("passed"),
@@ -115,7 +118,8 @@ def current_health_score(
     valid_col: str = "is_valid",
 ) -> DataFrame:
     """T4 (app.py:4556-4596): latest result per rule -> overall health."""
-    latest = latest_per_key(results, [rule_col], ts_col)
+    latest = latest_per_key(results, [rule_col], ts_col,
+                            tiebreak=[valid_col])
     return latest.agg(
         F.count(F.when(F.col(valid_col), 1)).alias("passed"),
         F.count(F.when(~F.col(valid_col), 1)).alias("failed"),
@@ -135,7 +139,8 @@ def per_group_summary(
     valid_col: str = "is_valid",
 ) -> DataFrame:
     """T5 per-table validation summary (routes/validations.py:100-206)."""
-    latest = latest_per_key(results, [group_col, rule_col], ts_col)
+    latest = latest_per_key(results, [group_col, rule_col], ts_col,
+                            tiebreak=[valid_col])
     return latest.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("total_rules"),
         F.count(F.when(F.col(valid_col), 1)).alias("passing"),
@@ -160,8 +165,10 @@ def dashboard_daily_metrics(
     )
 
 
-def anomaly_summary(anomalies: DataFrame, table_col: str = "metric_name") -> DataFrame:
-    """T7 (core/anomalies/api.py:356-488): counts by severity."""
+def anomaly_summary(anomalies: DataFrame) -> DataFrame:
+    """T7 (core/anomalies/api.py:356-488): counts by severity. (Per-table
+    grouping lives in ``anomaly_top_tables``; this function deliberately
+    has no table parameter.)"""
     return anomalies.groupBy("severity").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -293,10 +300,14 @@ def usage_patterns(
         aggs.append(F.count_distinct(F.col(type_col)).alias("n_access_types"))
     out = log.groupBy(F.col(entity_col)).agg(*aggs)
     if as_of is not None:
+        # cast through TIMESTAMP first: the docstring promises "any access
+        # log", and a string/date ts column cast straight to double is
+        # NULL — the same two-step every other epoch-math helper uses
         out = out.withColumn(
             "hours_since_access",
             F.round((F.lit(as_of).cast("timestamp").cast("double")
-                     - F.col("last_accessed").cast("double")) / 3600.0, 2))
+                     - F.col("last_accessed").cast("timestamp")
+                     .cast("double")) / 3600.0, 2))
     return out
 
 

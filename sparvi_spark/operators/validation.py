@@ -127,10 +127,25 @@ def evaluate_rule(operator: str, actual_value: Any, expected_value: Any) -> bool
 
 
 def _expected_bounds(rule: Rule) -> tuple[float, float]:
-    if normalize_operator(rule.operator) == "between":
-        return float(rule.expected_value[0]), float(rule.expected_value[1])
-    v = float(rule.expected_value)
-    return v, v
+    """Numeric (lo, hi) bounds for the compiled SQL CASE. The distributed
+    executor only evaluates numeric comparisons (every generated V1-V20
+    rule is numeric); a clear error here beats the bare float() crash —
+    string-equality rules belong on the row-level ``evaluate_rule`` path.
+    """
+    try:
+        if normalize_operator(rule.operator) == "between":
+            if (not isinstance(rule.expected_value, (list, tuple))
+                    or len(rule.expected_value) != 2):
+                raise ValueError("between needs a (lo, hi) pair")
+            return float(rule.expected_value[0]), float(rule.expected_value[1])
+        v = float(rule.expected_value)
+        return v, v
+    except (ValueError, TypeError) as exc:
+        raise ValueError(
+            f"rule {rule.name!r}: run_rules compiles NUMERIC expected "
+            f"values into SQL; got {rule.expected_value!r} for operator "
+            f"{rule.operator!r} (use evaluate_rule for string equality)"
+        ) from exc
 
 
 # SQL CASE mirroring evaluate_rule for numeric actuals — dialect-common text.
@@ -436,7 +451,13 @@ def run_rules(
         if multi_use:
             # One row; persisted because its consumers project different
             # columns (no ReusedExchange) — without this the full-table
-            # wide aggregation runs once per consumer.
+            # wide aggregation runs once per consumer. Never explicitly
+            # unpersisted: the returned (lazy) result still references it,
+            # and the cached payload is ONE row per call — repeated calls
+            # in a long session accumulate only entry metadata, evicted
+            # LRU under memory pressure. Callers cycling thousands of
+            # suites per session can spark.catalog.clearCache() between
+            # sweeps (the engine's prepared path reuses plans instead).
             agg_a = agg_a.persist()
     if agg_rules:
         stack_a = ", ".join(f"'{_q(r.name)}', {_meta(r)}, a{i}"
@@ -493,6 +514,13 @@ def run_rules(
         pieces.append(dom)
     pieces += _sql_pieces(spark, sql_rules)
 
+    if not pieces:
+        # empty rule list (or only unrecognized kinds): an empty result
+        # frame, not an IndexError — callers treat "no rows" as "no rules"
+        sess = spark or df.sparkSession
+        return sess.createDataFrame(
+            [], "rule_name string, operator string, expected_lo double, "
+                "expected_hi double, actual_value double, is_valid boolean")
     result = pieces[0]
     for p in pieces[1:]:
         result = result.unionAll(p)
@@ -534,7 +562,10 @@ def _dominance_piece(
     # (unioned map-side, no extra stage) keeps a result row per rule even
     # on an empty table; its cnt is subtracted from the total.
     cols = [r.column for r in dom_rules]
-    stack_expr = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    # _q-escape the stack labels like col_arr/_case do: an unescaped quote
+    # in a hand-built rule's column name would break the SQL (or mismatch
+    # the escaped sentinel labels)
+    stack_expr = ", ".join(f"'{_q(c)}', cast(`{c}` as string)" for c in cols)
     melted = df.select(F.expr(
         f"stack({len(cols)}, {stack_expr}) as (column_name, value)"))
     col_arr = ", ".join(f"'{_q(c)}'" for c in cols)
@@ -577,12 +608,17 @@ def _sql_pieces(spark: SparkSession, sql_rules: list[Rule]) -> list[DataFrame]:
         res = spark.sql(r.sql)
         first_col = res.columns[0]
         lo, hi = _expected_bounds(r)
-        pieces.append(res.limit(1).select(
+        # first() over limit(1), NOT limit(1).select(...): a custom query
+        # returning ZERO rows must still surface as one (rule, NULL) row —
+        # IS_VALID_CASE then marks it invalid — instead of silently
+        # vanishing from the report as if the rule never ran
+        pieces.append(res.limit(1).agg(
+            F.first(F.col(first_col).cast("double")).alias("__v")).select(
             F.lit(r.name).alias("rule_name"),
             F.lit(normalize_operator(r.operator)).alias("operator"),
             F.lit(lo).cast("double").alias("expected_lo"),
             F.lit(hi).cast("double").alias("expected_hi"),
-            F.col(first_col).cast("double").alias("actual_value")))
+            F.col("__v").alias("actual_value")))
     return pieces
 
 
@@ -626,8 +662,13 @@ class PreparedRulesMulti:
                            frozenset[str] | set[str]]],
         tag_col: str = "table_name",
         max_concurrency: int = 16,
+        spark: SparkSession | None = None,
     ):
-        self.spark = inputs[0][1].sparkSession
+        if not inputs and spark is None:
+            raise ValueError(
+                "PreparedRulesMulti: empty inputs — pass spark= to prepare "
+                "an empty suite (run() then returns an empty relation)")
+        self.spark = spark if spark is not None else inputs[0][1].sparkSession
         self.tag_col = tag_col
         self.max_concurrency = max_concurrency
         # (tname, rules_in_row_order | None, frame): rules present -> ONE

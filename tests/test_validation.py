@@ -169,3 +169,31 @@ def test_spec_from_dataframe_rejects_non_identifier_columns(spark):
     bad = spark.createDataFrame([(1,)], "id int").withColumnRenamed("id", "unit price")
     with pytest.raises(ValueError, match="identifier"):
         spec_from_dataframe(bad, "t")
+
+
+def test_run_rules_edge_inputs(spark):
+    """Review-fix pins: empty rule list returns an empty typed frame (not
+    IndexError); a zero-row custom SQL rule surfaces as one invalid row
+    (not silently vanishing); non-numeric expected values raise a clear
+    error pointing at evaluate_rule."""
+    import pytest as _pt
+
+    from sparvi_spark.operators.validation import Rule, run_rules
+
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    empty = run_rules(df, [])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"rule_name", "operator", "expected_lo",
+                                  "expected_hi", "actual_value", "is_valid"}
+
+    df.createOrReplaceTempView("edge_t")
+    r = Rule("ghost", "zero-row sql", "equals", 1.0, "sql",
+             sql="SELECT id FROM edge_t WHERE id < 0")
+    rows = {x["rule_name"]: x for x in run_rules(df, [r], spark=spark).collect()}
+    assert rows["ghost"]["actual_value"] is None
+    assert rows["ghost"]["is_valid"] is False
+
+    bad = Rule("strrule", "string equals", "equals", "ACTIVE", "agg",
+               agg_expr="max(s)")
+    with _pt.raises(ValueError, match="evaluate_rule"):
+        run_rules(df, [bad])
