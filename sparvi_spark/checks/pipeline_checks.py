@@ -710,9 +710,13 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_hash(id_col: str) -> str:
+    """Mirror of sampling.hash_expr incl. its pmod semantics: DuckDB's %
+    keeps the dividend sign like Spark's, so the non-negative form is
+    ((h % m) + m) % m — identical values for non-negative keys."""
     from sparvi_spark.operators.sampling import HASH_A, HASH_B, HASH_M
 
-    return f"(cast({id_col} as bigint) * {HASH_A} + {HASH_B}) % {HASH_M}"
+    h = f"(cast({id_col} as bigint) * {HASH_A} + {HASH_B})"
+    return f"((({h}) % {HASH_M}) + {HASH_M}) % {HASH_M}"
 
 
 SQL_HASH_SAMPLE = f"""
@@ -985,8 +989,6 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_mixture_sample() -> str:
-    from sparvi_spark.operators.sampling import HASH_A, HASH_B, HASH_M
-
     vals = ", ".join(f"('{g}', {p})" for g, p in MIX_PROPS.items())
     return f"""
 WITH props(source, p) AS (VALUES {vals}),
@@ -997,7 +999,7 @@ quota AS (SELECT props.source, cast(floor(n_out * p + 1e-9) as bigint) AS q
           FROM props, nout),
 ranked AS (SELECT doc_id, d.source,
   row_number() OVER (PARTITION BY d.source ORDER BY
-    (cast(doc_id as bigint) * {HASH_A} + {HASH_B}) % {HASH_M}, doc_id) AS rn
+    {_duck_hash('doc_id')}, doc_id) AS rn
  FROM documents d JOIN props ON d.source = props.source)
 SELECT r.source, count(*) AS n_kept, cast(sum(doc_id) as bigint) AS id_checksum
 FROM ranked r JOIN quota USING (source) WHERE rn <= q GROUP BY r.source

@@ -66,13 +66,21 @@ def asof_join(
 
     value_cols = value_cols or [
         c for c in right.columns if c not in (by, ts_col)]
-    l_tag = left.withColumn("__src", F.lit(1))
-    for c in value_cols:
-        l_tag = l_tag.withColumn(f"__r_{c}", F.lit(None).cast(
-            dict(right.dtypes)[c]))
+    # Fill ONE struct carrying the whole right row, never per-column:
+    # per-column last(ignorenulls) would skip OVER a matched right row
+    # whose value is NULL (returning a stale older value — DuckDB ASOF
+    # returns the matched row's NULL) and could mix columns from
+    # different right rows. The struct is non-null iff a right row
+    # exists, so the fill always lands on the latest right ROW intact.
+    rrow_type = ", ".join(
+        [f"`{c}`:{dict(right.dtypes)[c]}" for c in value_cols]
+        + [f"__rts:{dict(right.dtypes)[ts_col]}"])
+    l_tag = left.withColumn("__src", F.lit(1)).withColumn(
+        "__rrow", F.lit(None).cast(f"struct<{rrow_type}>"))
     r_tag = right.select(
         F.col(by), F.col(ts_col),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols],
+                 F.col(ts_col).alias("__rts")).alias("__rrow"),
     ).withColumn("__src", F.lit(0))
     for c in l_tag.columns:
         if c not in r_tag.columns:
@@ -81,13 +89,11 @@ def asof_join(
     # right rows (__src=0) sort before left rows at equal ts -> inclusive <=
     w = (Window.partitionBy(by).orderBy(F.col(ts_col).asc(), F.col("__src").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
-    filled = u
+    filled = u.withColumn(
+        "__rrow", F.last("__rrow", ignorenulls=True).over(w))
     for c in value_cols:
-        filled = filled.withColumn(
-            f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
-    filled = filled.withColumn(
-        "__r_ts", F.last(F.when(F.col("__src") == 0, F.col(ts_col)),
-                         ignorenulls=True).over(w))
+        filled = filled.withColumn(f"__r_{c}", F.col(f"__rrow.{c}"))
+    filled = filled.withColumn("__r_ts", F.col("__rrow.__rts"))
     out = filled.where(F.col("__src") == 1)
     if tolerance_seconds is not None:
         stale = (F.col(ts_col).cast("timestamp").cast("double")
@@ -137,12 +143,25 @@ def broadcast_threshold_join(
     fact: DataFrame, dim: DataFrame, on: str, how: str = "left",
     force_broadcast: bool | None = None,
 ) -> DataFrame:
-    """Join a fact to a dim, broadcasting when the dim is plan-estimated
-    small (or forced). The explicit hint keeps the plan stable when
-    statistics are missing (fresh parquet without ANALYZE)."""
+    """Join a fact to a dim, hinting broadcast only when ASKED
+    (``force_broadcast=True``) or when the dim's plan-estimated size fits
+    under the session's autoBroadcastJoinThreshold.
+
+    An unconditional hint would be wrong: Spark honors explicit broadcast
+    hints REGARDLESS of size — AQE does not demote user hints — so a
+    mis-hinted 50 GB dim kills the job. Default (None) estimates from the
+    optimized plan's statistics; when the estimate is unusably large or
+    missing the join is left to the planner/AQE, which already broadcasts
+    genuinely-small sides on its own."""
     if force_broadcast is None:
-        # No stats? The safe default for dimension tables is to hint: AQE
-        # will still demote if the build side turns out too large.
-        force_broadcast = True
+        try:
+            est = (dim._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+            thresh = int(dim.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760")
+                .rstrip("b"))
+            force_broadcast = 0 < thresh and int(est.toString()) <= thresh
+        except Exception:
+            force_broadcast = False
     d = F.broadcast(dim) if force_broadcast else dim
     return fact.join(d, on, how)

@@ -29,9 +29,15 @@ def hash_expr(id_col: str) -> Column:
     Valid for |key| < 2^63 / HASH_A ≈ 3.47e9: beyond that the multiply
     overflows int64 — Spark wraps while DuckDB raises, so the oracle and
     engine would diverge (error vs result). Keys above the bound must be
-    pre-reduced mod 2^32 on BOTH sides before multiplying."""
+    pre-reduced mod 2^32 on BOTH sides before multiplying.
+
+    pmod, not %: Spark's % keeps the dividend's sign, so a NEGATIVE key
+    would hash negative — every bucket comparison (`bucket < percent`)
+    would then be true and hash_sample would keep 100% of negative-id
+    rows. pmod lands every key in [0, 2^32); the DuckDB oracle mirrors it
+    with ((h % m) + m) % m (identical for non-negative keys)."""
     return F.expr(
-        f"(cast({id_col} as bigint) * {HASH_A}L + {HASH_B}L) % {HASH_M}L")
+        f"pmod(cast({id_col} as bigint) * {HASH_A}L + {HASH_B}L, {HASH_M}L)")
 
 
 def hash_bucket(id_col: str, buckets: int = 100) -> Column:

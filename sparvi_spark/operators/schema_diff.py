@@ -51,10 +51,6 @@ def snapshot_from_dataframe(spark: SparkSession, df: DataFrame, table: str,
     return spark.createDataFrame(rows, SNAPSHOT_SCHEMA)
 
 
-def _change(change_type, table, column, details) -> list:
-    return [change_type, table, column, details]
-
-
 def compare_schemas(old: DataFrame, new: DataFrame) -> DataFrame:
     """S1-S7: diff two snapshot DataFrames with ONE shuffle, no joins.
 

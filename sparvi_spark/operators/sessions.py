@@ -25,13 +25,17 @@ def sessionize(
     ts_col: str,
     gap_minutes: float = 30.0,
     tiebreak_col: str | None = None,
+    keep_epoch: bool = False,
 ) -> DataFrame:
     """Assign ``session_no`` (1-based per user) via the classic gap rule:
     a new session starts when the previous event is more than ``gap_minutes``
     older (strictly greater), or at the user's first event.
 
     Ordering within a user is (ts, tiebreak) so equal timestamps produce a
-    deterministic numbering.
+    deterministic numbering. The public output is the input plus
+    ``session_no`` only; ``keep_epoch=True`` additionally keeps the
+    internal ``__us`` epoch-micros column (session_stats reuses it for
+    exact dwell arithmetic without a second timestamp conversion).
     """
     order: list[Column] = [F.col("__us")]
     if tiebreak_col:
@@ -53,7 +57,8 @@ def sessionize(
             "session_no",
             F.sum("__new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
-        .drop("__prev_us", "__new_s")
+        .drop("__prev_us", "__new_s",
+              *([] if keep_epoch else ["__us"]))
     )
 
 
@@ -72,7 +77,8 @@ def session_stats(
     (user) partitioning, so no additional exchange of the full table — the
     second groupBy is over the already-small per-session frame.
     """
-    s = sessionize(df, user_col, ts_col, gap_minutes, tiebreak_col)
+    s = sessionize(df, user_col, ts_col, gap_minutes, tiebreak_col,
+                   keep_epoch=True)
     per_session = s.groupBy(user_col, "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.max("__us") - F.min("__us")).alias("dur_us"),

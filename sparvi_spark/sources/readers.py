@@ -28,7 +28,16 @@ def _jdbc_url(conn: dict[str, Any]) -> str:
         return (f"jdbc:postgresql://{conn['host']}:{conn.get('port', 5432)}/"
                 f"{conn['database']}")
     if ctype == "snowflake":
-        return f"jdbc:snowflake://{conn['account']}.snowflakecomputing.com/"
+        # carry database/schema/warehouse context into the URL — without
+        # them every unqualified table read fails with "object does not
+        # exist" (the reference's builder sets the same fields)
+        params = "&".join(
+            f"{url_k}={conn[k]}" for k, url_k in
+            (("database", "db"), ("schema", "schema"),
+             ("warehouse", "warehouse"), ("role", "role"))
+            if conn.get(k))
+        base = f"jdbc:snowflake://{conn['account']}.snowflakecomputing.com/"
+        return base + (f"?{params}" if params else "")
     if ctype == "duckdb":
         return f"jdbc:duckdb:{conn.get('path', ':memory:')}"
     if ctype == "derby":
@@ -70,8 +79,31 @@ def read_table(
         if k in conn:
             reader = reader.option(k, conn[k])
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # derive real bounds with one tiny JDBC round trip: bounds
+            # define the STRIDE (rows outside them still load, funneled
+            # into the edge partitions), so a silent default like
+            # [0, 1e6) on a table with ids to 1e9 puts 99.9% of the rows
+            # through one task — the exact straggler partitioning exists
+            # to prevent
+            probe = (spark.read.format("jdbc")
+                     .option("url", _jdbc_url(conn))
+                     .option("dbtable",
+                             f"(SELECT min({partition_column}) AS mn, "
+                             f"max({partition_column}) AS mx "
+                             f"FROM {table}) AS b"))
+            for k in ("user", "password", "driver"):
+                if k in conn:
+                    probe = probe.option(k, conn[k])
+            bounds_df = probe.load()
+            row = bounds_df.first()
+            vals = {c.lower(): row[c] for c in bounds_df.columns}
+            if lower_bound is None:
+                lower_bound = vals["mn"]
+            if upper_bound is None:
+                upper_bound = vals["mx"]
         reader = (reader.option("partitionColumn", partition_column)
                   .option("numPartitions", num_partitions or 8)
-                  .option("lowerBound", lower_bound or 0)
-                  .option("upperBound", upper_bound or 1_000_000))
+                  .option("lowerBound", lower_bound)
+                  .option("upperBound", int(upper_bound) + 1))
     return reader.load()

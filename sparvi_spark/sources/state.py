@@ -98,10 +98,19 @@ class StateStore:
             *[F.col(n).cast(t).alias(n) for n, t in fields]))
 
     def read(self, entity: str) -> DataFrame:
+        """Read an entity table; a never-written entity reads as empty.
+
+        Existence is probed THROUGH the Spark read, not os.path.exists —
+        the path check is always False for non-local roots (s3://,
+        hdfs://) and would silently return empty state forever, turning
+        every engine run into a fresh bootstrap with no error."""
         path = self._path(entity)
-        if not os.path.exists(path):
-            return self.spark.createDataFrame([], ENTITIES[entity])
-        return self.spark.read.schema(ENTITIES[entity]).parquet(path)
+        try:
+            return self.spark.read.schema(ENTITIES[entity]).parquet(path)
+        except Exception as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return self.spark.createDataFrame([], ENTITIES[entity])
+            raise
 
     # -- profile documents (JSON payloads, profiling_history shape) --------
 
@@ -125,13 +134,21 @@ class StateStore:
     def retain_latest(self, entity: str, keys: list[str], order_col: str,
                       n: int = 30) -> None:
         """Keep the newest n rows per key (supabase_manager.py:275-305),
-        rewriting the entity table."""
+        rewriting the entity table.
+
+        The retained frame writes DISTRIBUTED to a side directory (source
+        and destination don't overlap, so no driver collect — the old
+        implementation pulled every retained row through the driver), and
+        only then swaps. The rmtree+rename swap assumes a local/posix
+        state root; an object-store root needs a FileSystem.rename-based
+        swap (documented limitation of this local StateStore)."""
         from sparvi_spark.operators.trends import retain_latest as _retain
 
-        kept = _retain(self.read(entity), keys, order_col, n).collect()
         path = self._path(entity)
-        tmp = self.spark.createDataFrame(kept, ENTITIES[entity])
-        tmp.coalesce(4).write.mode("overwrite").partitionBy("run_date") \
+        kept = _retain(self.read(entity), keys, order_col, n)
+        kept.select(*[f.strip().split(" ")[0]
+                      for f in ENTITIES[entity].split(",")]) \
+            .coalesce(4).write.mode("overwrite").partitionBy("run_date") \
             .parquet(path + "._tmp")
         import shutil
         shutil.rmtree(path)

@@ -49,27 +49,35 @@ def streaming_detection(
     )
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        spark = batch.sparkSession
-        batch.write.mode("append").parquet(metrics_path)
-        # prune the read-back to series touched by THIS batch via a
-        # semi-join on the batch's distinct names — no driver collect in
-        # the microbatch loop, and the join's build side is one small
-        # already-materialized batch
-        touched = batch.select("metric_name").distinct()
-        series = (spark.read.parquet(metrics_path)
-                  .join(F.broadcast(touched), "metric_name", "left_semi"))
-        # late duplicates of a window (append mode re-emits on updates):
-        # keep the newest value per (series, ts)
-        series = series.groupBy("metric_name", "ts").agg(
-            F.max("value").alias("value"))
-        found = detect_anomalies(series, ["metric_name"], config=config)
-        if on_anomalies is not None:
-            on_anomalies(found, batch_id)
-        else:
-            (found.withColumn("batch_id", F.lit(batch_id))
-             .write.mode("append").parquet(metrics_path + "_anomalies"))
+        # persist first: the foreachBatch frame is NOT materialized —
+        # isEmpty, the append write, and the semi-join below would each
+        # re-execute the source read + windowed aggregation (3x the
+        # microbatch work) without it
+        batch = batch.persist()
+        try:
+            if batch.isEmpty():
+                return
+            spark = batch.sparkSession
+            batch.write.mode("append").parquet(metrics_path)
+            # prune the read-back to series touched by THIS batch via a
+            # semi-join on the batch's distinct names — no driver collect
+            # in the microbatch loop, and the join's build side is one
+            # small already-materialized batch
+            touched = batch.select("metric_name").distinct()
+            series = (spark.read.parquet(metrics_path)
+                      .join(F.broadcast(touched), "metric_name", "left_semi"))
+            # late duplicates of a window (append mode re-emits on
+            # updates): keep the newest value per (series, ts)
+            series = series.groupBy("metric_name", "ts").agg(
+                F.max("value").alias("value"))
+            found = detect_anomalies(series, ["metric_name"], config=config)
+            if on_anomalies is not None:
+                on_anomalies(found, batch_id)
+            else:
+                (found.withColumn("batch_id", F.lit(batch_id))
+                 .write.mode("append").parquet(metrics_path + "_anomalies"))
+        finally:
+            batch.unpersist()
 
     return (windowed.writeStream.outputMode("append")
             .foreachBatch(fold).start())

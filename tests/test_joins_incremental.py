@@ -239,3 +239,33 @@ def test_incremental_profile_full_round_trip(spark):
     assert row["cnt"] == li.count()
     assert row["distinct_est"] == 50
     assert row["min_val"] == 1.0
+
+
+def test_review_fixes_asof_nulls_and_negative_keys(spark):
+    """Regression pins: (1) asof_join returns the MATCHED right row's NULL
+    value instead of forward-filling a stale older value across it (DuckDB
+    ASOF semantics), and multi-column values always come from one row;
+    (2) hash sampling maps negative keys into [0, 2^32) — previously every
+    negative-id row was kept regardless of the sampling percent."""
+    import datetime as dt
+
+    from sparvi_spark.operators.joins import asof_join
+    from sparvi_spark.operators.sampling import hash_expr, hash_sample
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    right = spark.createDataFrame(
+        [("k", t(10), 5.0, 100.0), ("k", t(20), None, 200.0)],
+        "k string, ts timestamp, a double, b double")
+    left = spark.createDataFrame(
+        [("k", t(25)), ("k", t(15))], "k string, ts timestamp")
+    got = {r["ts"].second: (r["right_a"], r["right_b"]) for r in
+           asof_join(left, right, by="k", value_cols=["a", "b"]).collect()}
+    assert got[25] == (None, 200.0)  # matched ts=20 row intact, no mixing
+    assert got[15] == (5.0, 100.0)
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(-500, 500)], "id bigint")
+    hashes = ids.select(hash_expr("id").alias("h"))
+    assert hashes.where("h < 0").count() == 0
+    kept = hash_sample(ids, "id", 10).count()
+    assert kept < 350, kept  # ~10% expected; the bug kept all 500 negatives
