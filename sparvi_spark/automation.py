@@ -57,12 +57,19 @@ def is_due(cfg: ScheduleConfig, last_run: str | None, now: str) -> bool:
         return (t - last).total_seconds() >= cfg.interval_hours * 3600
     if cfg.frequency == "daily":
         scheduled = t.replace(hour=cfg.at_hour, minute=0, second=0)
-        return t >= scheduled and last < scheduled
+        if t < scheduled:
+            # before today's slot: the job is still due if it MISSED the
+            # previous slot (orchestrator downtime must catch up now, not
+            # wait until at_hour comes around again)
+            scheduled -= _dt.timedelta(days=1)
+        return last < scheduled
     if cfg.frequency == "weekly":
         days_back = (t.weekday() - cfg.weekday) % 7
         scheduled = (t - _dt.timedelta(days=days_back)).replace(
             hour=cfg.at_hour, minute=0, second=0)
-        return t >= scheduled and last < scheduled
+        if t < scheduled:
+            scheduled -= _dt.timedelta(days=7)
+        return last < scheduled
     raise ValueError(f"unknown frequency {cfg.frequency!r}")
 
 

@@ -255,14 +255,17 @@ class Engine:
         ).first()["kept"]
         keep_rate = kept / n_docs
 
-        # duplicates over NON-NULL texts only: xxhash64 does not
-        # null-propagate (NULL hashes to the seed), so hashing nulls would
-        # count k null docs as k-1 duplicates
+        # duplicates over NON-NULL texts only — numerator AND denominator:
+        # xxhash64 does not null-propagate (NULL hashes to the seed), so
+        # hashing nulls would count k null docs as k-1 duplicates, and a
+        # total-docs denominator would let null-text rows dilute the rate
+        # (half-duplicate corpora sailing under the gate)
         nn = docs.where(F.col(text_col).isNotNull())
         n_nonnull = nn.count()
         n_distinct = (nn.select(F.xxhash64(F.col(text_col)).alias("h"))
                       .agg(F.countDistinct("h").alias("d")).first()["d"])
-        dup_rate = (n_nonnull - n_distinct) / n_docs
+        dup_rate = ((n_nonnull - n_distinct) / n_nonnull
+                    if n_nonnull else 0.0)
 
         contamination_rate = None
         if ref is not None:
@@ -320,10 +323,20 @@ class Engine:
 
         root = os.path.join(self.state.root, "incremental", table_name)
         families = ("stats", "quantiles", "distincts")
+        # probe existence THROUGH the Spark read (not os.path: always
+        # false on object-store roots -> silent full-rescan bootstrap
+        # every run; same rule as StateStore.read)
         states = None
-        if os.path.isdir(os.path.join(root, "stats")):
+        try:
             states = {k: self.spark.read.parquet(os.path.join(root, k))
                       for k in families}
+            states["stats"].schema  # force resolution
+        except Exception as exc:
+            if ("PATH_NOT_FOUND" in str(exc)
+                    or "Path does not exist" in str(exc)):
+                states = None
+            else:
+                raise
 
         changed = detect_changed_partitions(
             df, partition_col, None if states is None else states["stats"])

@@ -41,16 +41,13 @@ def similar_to(col: Column | str, pattern: str) -> Column:
     """SQL ``SIMILAR TO`` (reference default_validations.py:267).
 
     SIMILAR TO is implicitly anchored at both ends; Spark's ``rlike`` is
-    not (SURVEY §7.7) — anchor explicitly. The SQL-regex dialect subset the
-    reference uses (char classes, ?, +) is valid POSIX regex as-is.
+    not (SURVEY §7.7) — anchor explicitly, AROUND A GROUP: bare
+    '^pat|tern$' binds the anchors to the first/last alternative only
+    ('xxbar' would match '^foo|bar$'), while SIMILAR TO requires the
+    whole string to match the full alternation.
     """
     c = F.col(col) if isinstance(col, str) else col
-    anchored = pattern
-    if not anchored.startswith("^"):
-        anchored = "^" + anchored
-    if not anchored.endswith("$"):
-        anchored = anchored + "$"
-    return c.rlike(anchored)
+    return c.rlike(f"^(?:{pattern})$")
 
 
 def not_regexp(col: Column | str, pattern: str) -> Column:
@@ -67,10 +64,14 @@ def count_filter(cond: Column) -> Column:
 
 
 def datediff_hours(start: Column | str, end: Column | str) -> Column:
-    """DuckDB/Snowflake ``DATEDIFF('hour', start, end)``
-    (core/anomalies/metrics.py:83). Spark's equivalent is
-    ``timestampdiff(HOUR, start, end)`` — note the argument order matches
-    (start, end) in both, but Spark's own ``datediff`` counts days only."""
+    """FRACTIONAL elapsed hours between two timestamps (the quantity the
+    reference's freshness math consumes, core/anomalies/metrics.py:83).
+
+    NOT the same as DuckDB/Snowflake ``DATEDIFF('hour', ...)`` (which
+    counts hour-BOUNDARY crossings: 01:59 -> 02:01 is 1) or Spark's
+    ``timestampdiff(HOUR, ...)`` (whole elapsed hours: 0); this returns
+    2/60. Checks that need boundary semantics must floor/truncate
+    explicitly on both sides."""
     s = F.col(start) if isinstance(start, str) else start
     e = F.col(end) if isinstance(end, str) else end
     s = s.cast("timestamp")

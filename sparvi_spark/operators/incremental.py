@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 STATS_SCHEMA = ("partition_value string, column_name string, cnt bigint, "
                 "nulls bigint, sum_dec decimal(38,8), sumsq_dec decimal(38,8), "
-                "min_val double, max_val double")
+                "sq_ovfl bigint, min_val double, max_val double")
 
 
 def partition_stats(df: DataFrame, partition_col: str,
@@ -42,15 +42,24 @@ def partition_stats(df: DataFrame, partition_col: str,
                 F.count(F.when(F.col(c).isNull(), 1)).alias("nulls"),
                 F.sum(F.col(c).cast("decimal(28,8)")).cast("decimal(38,8)")
                 .alias("sum_dec"),
-                # decimal(19,4) x decimal(18,4): exact scale-8 product up to
-                # |value| < 10^14 (see validation._STATS_SXX)
-                F.sum(F.col(c).cast("decimal(19,4)")
-                      * F.col(c).cast("decimal(18,4)")).cast("decimal(38,8)")
-                .alias("sumsq_dec"),
+                # decimal(19,4) x decimal(18,4): exact scale-8 product up
+                # to |value| < 10^15 (see validation._STATS_SXX); TRY
+                # arithmetic + an overflow counter instead of an ANSI
+                # crash — rollup_profile reports stddev as NULL for any
+                # column with overflowed rows rather than a wrong value
+                F.sum(F.expr(
+                    f"try_multiply(try_cast(`{c}` as decimal(19,4)), "
+                    f"try_cast(`{c}` as decimal(18,4)))"))
+                .cast("decimal(38,8)").alias("sumsq_dec"),
+                F.count(F.when(
+                    F.col(c).isNotNull() & F.expr(
+                        f"try_cast(`{c}` as decimal(19,4))").isNull(), 1))
+                .alias("sq_ovfl"),
                 F.min(F.col(c)).cast("double").alias("min_val"),
                 F.max(F.col(c)).cast("double").alias("max_val"),
             ).select("partition_value", F.lit(c).alias("column_name"),
-                     "cnt", "nulls", "sum_dec", "sumsq_dec", "min_val", "max_val"))
+                     "cnt", "nulls", "sum_dec", "sumsq_dec", "sq_ovfl",
+                     "min_val", "max_val"))
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionAll(p)
@@ -78,6 +87,7 @@ def rollup_profile(stats: DataFrame) -> DataFrame:
         F.sum("nulls").alias("nulls"),
         F.sum("sum_dec").alias("sum_dec"),
         F.sum("sumsq_dec").alias("sumsq_dec"),
+        F.sum("sq_ovfl").alias("sq_ovfl"),
         F.min("min_val").alias("min_val"),
         F.max("max_val").alias("max_val"),
     )
@@ -85,7 +95,7 @@ def rollup_profile(stats: DataFrame) -> DataFrame:
     sx = F.col("sum_dec").cast("double")
     sxx = F.col("sumsq_dec").cast("double")
     avg = F.when(nn > 0, F.round(sx / nn, 6))
-    std = F.when(nn > 1, F.round(
+    std = F.when((nn > 1) & (F.col("sq_ovfl") == 0), F.round(
         F.sqrt(F.greatest((sxx - (sx * sx) / nn) / (nn - 1), F.lit(0.0))), 4))
     return agg.select(
         "column_name", "cnt", "nulls", "min_val", "max_val",

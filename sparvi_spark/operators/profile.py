@@ -74,7 +74,10 @@ def distinct_count(c: str, exact: bool = True) -> Column:
 def _canonical_slot(dt: T.DataType) -> tuple[str, str]:
     """(slot name, cast type) for the typed melt: injective widenings only
     (int->bigint, float->double); everything else keeps its own slot so
-    values of different columns never collide across types."""
+    values of different columns never collide across types. Slot names
+    are SANITIZED — decimal(12,2)/char(8)/array<...> simpleStrings carry
+    parens/commas/brackets that are not valid identifiers and break the
+    generated stack() aliases; the cast TYPE stays verbatim."""
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return "slot_long", "bigint"
     if isinstance(dt, (T.FloatType, T.DoubleType)):
@@ -82,7 +85,8 @@ def _canonical_slot(dt: T.DataType) -> tuple[str, str]:
     if isinstance(dt, T.StringType):
         return "slot_string", "string"
     s = dt.simpleString()
-    return f"slot_{s}", s
+    safe = "".join(ch if ch.isalnum() else "_" for ch in s)
+    return f"slot_{safe}", s
 
 
 def distinct_counts_melted(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -236,12 +240,23 @@ def exact_percentiles(
 def numeric_exprs(c: str) -> list[Column]:
     col = F.col(c)
     dec = col.cast(DEC)
+    # sum of squares via decimal(19,4) x decimal(18,4) — exact scale-8
+    # product up to |value| < 10^15 (the same widening the check-side
+    # _num_agg_exprs documents; dec*dec at (28,8) overflows the product's
+    # decimal(38,6) for |value| >= ~1e16). Beyond the bound the TRY
+    # arithmetic yields NULL per row instead of an ANSI crash, and the
+    # overflow counter lets profile_table report stddev as honestly
+    # unknown (None) rather than a silently-wrong partial sum.
+    sq = (f"try_multiply(try_cast(`{c}` as decimal(19,4)), "
+          f"try_cast(`{c}` as decimal(18,4)))")
     return [
         F.count(col).alias(f"{c}__cnt"),
         F.min(col).cast("double").alias(f"{c}__min"),
         F.max(col).cast("double").alias(f"{c}__max"),
         F.sum(dec).alias(f"{c}__sum_dec"),
-        F.sum(dec * dec).alias(f"{c}__sumsq_dec"),
+        F.sum(F.expr(sq)).cast("decimal(38,8)").alias(f"{c}__sumsq_dec"),
+        F.count(F.when(col.isNotNull() & F.expr(sq).isNull(), 1))
+        .alias(f"{c}__sq_ovfl"),
         F.count(F.when(col == 0, 1)).alias(f"{c}__zeros"),
         F.count(F.when(col < 0, 1)).alias(f"{c}__negatives"),
         F.count(F.when(col > 0, 1)).alias(f"{c}__positives"),
@@ -282,14 +297,15 @@ def derived_avg(sum_dec: Column, cnt: Column) -> Column:
 def derived_stddev_samp(sum_dec: Column, sumsq_dec: Column, cnt: Column) -> Column:
     """Sample stddev from exact decimal Σx, Σx² (deterministic cross-engine).
 
-    stddev² = (Σx² − (Σx)²/n) / (n−1); guard n>1 and clamp negatives from
-    float cancellation. SQL STDDEV in the reference is *sample* stddev
-    (SURVEY §7.1).
+    stddev² = (Σx² − (Σx)²/n) / (n−1); guard n>1 (sample stddev of a
+    single row is undefined -> NULL, and the unguarded division crashes
+    under ANSI) and clamp negatives from float cancellation. SQL STDDEV
+    in the reference is *sample* stddev (SURVEY §7.1).
     """
     sx = sum_dec.cast("double")
     sxx = sumsq_dec.cast("double")
     var = (sxx - (sx * sx) / cnt) / (cnt - F.lit(1))
-    return F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4)
+    return F.when(cnt > 1, F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4))
 
 
 # ---------------------------------------------------------------------------
@@ -389,7 +405,7 @@ def profile_table(
         std = None
         if cnt and sd is not None:
             avg = round(float(sd) / cnt, 6)
-            if cnt > 1:
+            if cnt > 1 and ssd is not None and not row[f"{c}__sq_ovfl"]:
                 var = (float(ssd) - float(sd) ** 2 / cnt) / (cnt - 1)
                 std = round(max(var, 0.0) ** 0.5, 4)
         summary[c] = {

@@ -34,10 +34,16 @@ def token_count_expr(text_col: str) -> Column:
 
 
 def bpe_token_count_expr(text_col: str) -> Column:
-    """BPE-ish token count: words, numbers, and single punctuation marks."""
-    return F.expr(
-        f"size(regexp_extract_all({text_col}, '{BPE_TOKEN_REGEX}', 0))"
-    )
+    """BPE-ish token count: words, numbers, and single punctuation marks.
+
+    The pattern goes in as a COLUMN LITERAL, not interpolated into a SQL
+    string: Spark's SQL literal parser strips the unknown escape '\\s'
+    down to 's', silently degrading the class to [^A-Za-z0-9] — every
+    whitespace character then counts as a punctuation token and budgets
+    inflate by ~the word count (verified; the x16 check always used the
+    literal form, which is why it never caught this)."""
+    return F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_TOKEN_REGEX), F.lit(0)))
 
 
 def _hit_count(tokens: str, words: list[str]) -> str:
@@ -198,7 +204,13 @@ def fingerprint_expr(text_col: str) -> Column:
 
 
 def top_tokens(df: DataFrame, text_col: str = "text", k: int = 10) -> DataFrame:
-    """Corpus-level token frequencies, top-k with deterministic tie-break."""
+    """Corpus-level token frequencies, top-k with deterministic tie-break.
+
+    orderBy+limit, NOT a global row_number window: an unpartitioned
+    window funnels the entire vocabulary (millions of distinct tokens)
+    through one task, while orderBy(...).limit(k) compiles to
+    TakeOrderedAndProject — per-partition top-k, k-row merge. The rank
+    window then runs over the k surviving rows only."""
     from pyspark.sql import Window
 
     toks = (
@@ -206,10 +218,10 @@ def top_tokens(df: DataFrame, text_col: str = "text", k: int = 10) -> DataFrame:
         .where(F.col("token") != "")
     )
     counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    topk = counted.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("token", "cnt", "rank")
     )
 

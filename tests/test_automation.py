@@ -51,3 +51,24 @@ def test_engine_publishes_failure_and_change_events(spark, tmp_path):
     events = {r["event_type"]: r for r in eng.state.read("engine_events").collect()}
     assert events["validation_failure"]["details"] == "will_fail"
     assert "column_removed" in events["schema_change"]["details"]
+
+
+def test_is_due_catches_up_missed_slots():
+    """Review-fix pin: a daily/weekly job whose orchestrator was down over
+    its slot is due IMMEDIATELY, not after the next at_hour comes around."""
+    from sparvi_spark.automation import ScheduleConfig, is_due
+
+    daily = ScheduleConfig("profile", "t", frequency="daily", at_hour=2)
+    # last ran 3 days ago at 02:00; it is 01:00 now (before today's slot):
+    # the 08-12/08-13 slots were missed -> due now
+    assert is_due(daily, "2026-08-11 02:00:05", "2026-08-14 01:00:00")
+    # ran at yesterday's slot, before today's slot -> NOT due yet
+    assert not is_due(daily, "2026-08-13 02:00:05", "2026-08-14 01:00:00")
+    # ran at today's slot -> not due
+    assert not is_due(daily, "2026-08-14 02:00:01", "2026-08-14 03:00:00")
+
+    weekly = ScheduleConfig("profile", "t", frequency="weekly",
+                            at_hour=2, weekday=0)  # Mondays 02:00
+    # 2026-08-10 is a Monday; now is Monday 01:00 with last run 8 days ago
+    assert is_due(weekly, "2026-08-02 02:00:05", "2026-08-10 01:00:00")
+    assert not is_due(weekly, "2026-08-03 02:00:05", "2026-08-10 01:00:00")

@@ -20,6 +20,16 @@ def test_similar_to_is_anchored(spark):
     assert got == [True, False, True, False]  # SIMILAR TO anchors both ends
 
 
+def test_similar_to_anchors_whole_alternation(spark):
+    """Regression: bare ^pat|tern$ binds anchors to the outer alternatives
+    only — 'xxbar' must NOT match 'foo|bar' under SIMILAR TO semantics."""
+    df = spark.createDataFrame(
+        [("foo",), ("bar",), ("xxbar",), ("fooyy",)], "v string")
+    got = [r["m"] for r in
+           df.select(similar_to("v", "foo|bar").alias("m")).collect()]
+    assert got == [True, True, False, False]
+
+
 def test_not_regexp_unanchored(spark):
     df = spark.createDataFrame([("abc123",), ("xyz",)], "v string")
     got = [r["m"] for r in df.select(not_regexp("v", "[0-9]").alias("m")).collect()]

@@ -158,3 +158,20 @@ def test_operators_on_empty_input(spark):
     state = incremental_time_rollup(None, empty_events, "ts", "event_type",
                                     "value", 3600)
     assert state.count() == 0
+
+
+def test_profile_large_magnitudes_and_single_row(spark):
+    """Review-fix pins: the profiler survives |values| >= 1e16 (the old
+    dec*dec sum-of-squares overflowed decimal(38,6) — ANSI crash) and a
+    single-row group reports NULL sample stddev instead of dividing by
+    zero."""
+    from sparvi_spark.operators.profile import profile_table
+
+    big = spark.createDataFrame([(1e17,), (2e17,)], "x double")
+    p = profile_table(big, "big")
+    assert p["summary_statistics"]["x"]["max"] == 2e17
+    assert p["summary_statistics"]["x"]["stddev"] is None  # overflow -> unknown
+
+    one = spark.createDataFrame([(5.0,)], "x double")
+    p1 = profile_table(one, "one")
+    assert p1["summary_statistics"]["x"]["stddev"] is None
