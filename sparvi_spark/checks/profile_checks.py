@@ -81,12 +81,20 @@ def q_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in TABLES:
         df = load_table(spark, t, sf_dir)
         if t in DUP_TABLES:
-            # sum of per-group counts IS the row count — one aggregation
-            # yields both P1 and P9 for the table
-            # coalesce: an EMPTY table groups to 0 rows, so the outer sums
-            # are NULL — the oracle's count(*) says 0
+            # P9 scale path: project every row to an 8-byte xxhash64 FIRST,
+            # then dedup on the hash — the shuffle carries (hash, partial
+            # count), never full-width rows (SCALING.md's prescription; the
+            # exact full-row path lives in p09_duplicate_counts). Literal
+            # position markers keep NULL columns position-distinct:
+            # xxhash64 skips NULL inputs, so without them (NULL,'a') and
+            # ('a',NULL) would collide structurally.
+            parts = []
+            for i, c in enumerate(df.columns):
+                parts.append(F.lit(i))
+                parts.append(F.col(c))
             d = (
-                df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("__c"))
+                df.select(F.xxhash64(*parts).alias("__h"))
+                .groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
                 .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("row_count"),
                      F.coalesce(F.sum("__c") - F.count(F.lit(1)), F.lit(0))
                      .alias("duplicate_cnt"))

@@ -127,6 +127,7 @@ class Engine:
         if rules is None:
             from sparvi_spark.operators.validation import (
                 generate_default_rules,
+                row_growth_rule_vs,
                 spec_from_dataframe,
             )
 
@@ -135,6 +136,19 @@ class Engine:
             rules = generate_default_rules(
                 spec_from_dataframe(df, table_name, primary_keys=primary_keys),
                 as_of=run_at)
+            # V3 row growth: auto-append when historical_metrics holds a
+            # prior row_count for this table (the reference auto-generates
+            # the same rule against its metrics store,
+            # default_validations.py:71-97) — previous count fetched as one
+            # tiny scalar, inlined so the rule fuses into pass A
+            prev_rows = (self.state.read("historical_metrics")
+                         .where((F.col("metric_name") == "row_count")
+                                & (F.col("table_name") == table_name))
+                         .orderBy(F.col("ts").desc()).limit(1)
+                         .select("metric_value").collect())
+            if prev_rows and prev_rows[0][0] is not None:
+                rules = rules + [row_growth_rule_vs(
+                    table_name, int(prev_rows[0][0]))]
         results = run_rules(df, rules, ref_tables=ref_tables)
         stored = results.select(
             F.lit(table_name).alias("table_name"), "rule_name", "operator",
@@ -184,28 +198,60 @@ class Engine:
                               history_days: int = 30,
                               limit_per_series: int = 1000,
                               as_of: str | None = None) -> DataFrame | None:
-        """Anomaly run over all active configs as one job per method group
-        (the reference threads over configs one at a time,
-        scheduler.py:57-66; here a method group is a single keyed window
-        job over every matching series)."""
+        """Anomaly run over all active configs as ONE keyed window job per
+        (method, params) GROUP, the configs broadcast-joined onto the
+        metric series (the reference threads over configs one at a time,
+        scheduler.py:30-91). Plan size is O(distinct method groups), not
+        O(configs): 200 same-method configs are 200 rows in one broadcast
+        config table and one window subtree, where a per-config loop built
+        200 filtered subtrees and linear Catalyst analysis cost."""
+        import json as _json
+
         as_of = as_of or _utcnow()
         metrics = self.state.read("historical_metrics").where(
             F.col("ts") >= F.lit(as_of).cast("timestamp")
             - F.expr(f"interval {history_days} days"))
         keys = ["metric_name", "table_name", "column_name"]
-        outs: list[DataFrame] = []
-        for cfg in configs:
+
+        # group configs by detection signature — every config in a group
+        # shares method/sensitivity/min_points/params, so one detect call
+        # covers all of them
+        groups: dict[str, list[tuple[int, dict[str, Any]]]] = {}
+        for i, cfg in enumerate(configs):
             if not cfg.get("is_active", True):
                 continue
-            series = metrics.where(
-                (F.col("metric_name") == cfg["metric_name"])
-                & (F.col("table_name") == cfg.get("table_name", ""))
-            )
-            if cfg.get("column_name"):
-                series = series.where(F.col("column_name") == cfg["column_name"])
-            series = retain_latest(series, keys, "ts", limit_per_series) \
-                .select(*keys, "ts", F.col("metric_value").alias("value"))
-            det = detect_anomalies(series, keys, config=cfg,
+            sig = _json.dumps({
+                "m": cfg.get("detection_method", "zscore"),
+                "s": cfg.get("sensitivity", 1.0),
+                "n": cfg.get("min_data_points", 7),
+                "p": cfg.get("config_params") or {},
+            }, sort_keys=True)
+            groups.setdefault(sig, []).append((i, cfg))
+
+        outs: list[DataFrame] = []
+        for members in groups.values():
+            cfg0 = members[0][1]
+            rows = [(i, c["metric_name"], c.get("table_name", ""),
+                     c.get("column_name") or None) for i, c in members]
+            cfgdf = self.spark.createDataFrame(
+                rows, "cfg_id int, c_metric string, c_table string, "
+                      "c_column string")
+            # broadcast-hash join on the equi keys with the wildcard-column
+            # residual; cfg_id stays in the window partition keys so a
+            # series matched by TWO configs of the group keeps separate
+            # stats (and duplicate emission), exactly like the per-config
+            # loop
+            joined = metrics.join(
+                F.broadcast(cfgdf),
+                (metrics["metric_name"] == cfgdf["c_metric"])
+                & (metrics["table_name"] == cfgdf["c_table"])
+                & (cfgdf["c_column"].isNull()
+                   | (metrics["column_name"] == cfgdf["c_column"])),
+                "inner").drop("c_metric", "c_table", "c_column")
+            gkeys = ["cfg_id"] + keys
+            series = retain_latest(joined, gkeys, "ts", limit_per_series) \
+                .select(*gkeys, "ts", F.col("metric_value").alias("value"))
+            det = detect_anomalies(series, gkeys, config=cfg0,
                                    order_col="ts", value_col="value")
             outs.append(det.where(F.col("is_anomaly")).select(
                 *keys, F.col("method"),
@@ -314,39 +360,54 @@ class Engine:
         data — the storage-layer version of the reference's adaptive
         re-collection intervals (change_analytics.py:179-271)."""
         import os
-        import shutil
 
         from sparvi_spark.operators.incremental import (
             detect_changed_partitions,
             incremental_profile_full,
+            partition_key,
+        )
+        from sparvi_spark.sources.state import (
+            gc_versions,
+            next_version,
+            read_pointer,
+            write_pointer,
         )
 
         root = os.path.join(self.state.root, "incremental", table_name)
         families = ("stats", "quantiles", "distincts")
+        bases = {k: os.path.join(root, k) for k in families}
+
+        def _committed(k: str) -> str | None:
+            cur = read_pointer(bases[k])
+            return None if cur is None else os.path.join(bases[k], cur)
+
         # probe existence THROUGH the Spark read (not os.path: always
         # false on object-store roots -> silent full-rescan bootstrap
         # every run; same rule as StateStore.read)
         states = None
-        try:
-            states = {k: self.spark.read.parquet(os.path.join(root, k))
-                      for k in families}
-            states["stats"].schema  # force resolution
-        except Exception as exc:
-            if ("PATH_NOT_FOUND" in str(exc)
-                    or "Path does not exist" in str(exc)):
-                states = None
-            else:
-                raise
+        if all(_committed(k) is not None for k in families):
+            try:
+                states = {k: self.spark.read.parquet(_committed(k))
+                          for k in families}
+                states["stats"].schema  # force resolution
+            except Exception as exc:
+                if ("PATH_NOT_FOUND" in str(exc)
+                        or "Path does not exist" in str(exc)):
+                    states = None
+                else:
+                    raise
 
         changed = detect_changed_partitions(
             df, partition_col, None if states is None else states["stats"])
         # partitions DELETED upstream leave orphan state rows behind:
         # purge them from every family (they are absent from the scan, so
-        # the refresh merge alone would never remove them)
+        # the refresh merge alone would never remove them). partition_value
+        # is the NULL-safe sentinel key on both sides, so set difference
+        # and the isin purge below treat a NULL partition like any other.
         deleted: list[str] = []
         if states is not None:
             current = {r[0] for r in df.select(
-                F.col(partition_col).cast("string")).distinct().collect()}
+                partition_key(partition_col)).distinct().collect()}
             stored = {r[0] for r in states["stats"]
                       .select("partition_value").distinct().collect()}
             deleted = sorted(stored - current)
@@ -358,14 +419,21 @@ class Engine:
             new_states, _ = incremental_profile_full(
                 df, partition_col, numeric_cols, states=states,
                 changed_partitions=None if states is None else changed)
-            # materialize to tmp BEFORE replacing: the merged-state plans
-            # read from the very files being overwritten
+            # two-phase commit across the three families: write EVERY new
+            # version dir first (the merged-state plans still read the
+            # committed dirs), then flip the pointers last — a crash
+            # before any flip leaves all three prior versions readable
+            # (no partial state that the bootstrap probe would misread as
+            # "no state"), and the flip itself is the atomic pointer
+            # replace from sources.state
+            versions = {}
             for k in families:
-                tmp = os.path.join(root, f"{k}._new")
-                new_states[k].write.mode("overwrite").parquet(tmp)
-                final = os.path.join(root, k)
-                shutil.rmtree(final, ignore_errors=True)
-                os.rename(tmp, final)
+                versions[k] = next_version(bases[k])
+                new_states[k].write.mode("overwrite").parquet(
+                    os.path.join(bases[k], versions[k]))
+            for k in families:
+                write_pointer(bases[k], versions[k])
+                gc_versions(bases[k])
             self.publish_event(
                 "incremental_profile", table_name,
                 f"changed_partitions={len(changed)};"
@@ -373,5 +441,4 @@ class Engine:
         from sparvi_spark.operators.incremental import profile_from_states
 
         return profile_from_states(
-            {k: self.spark.read.parquet(os.path.join(root, k))
-             for k in families})
+            {k: self.spark.read.parquet(_committed(k)) for k in families})

@@ -29,6 +29,19 @@ STATS_SCHEMA = ("partition_value string, column_name string, cnt bigint, "
                 "nulls bigint, sum_dec decimal(38,8), sumsq_dec decimal(38,8), "
                 "sq_ovfl bigint, min_val double, max_val double")
 
+# NULL partition keys are first-class: every state row, change-detection
+# compare, scan filter, and purge keys on this sentinel instead of SQL NULL
+# (isin()/!= never match NULL — NULL-keyed rows would be re-flagged every
+# run but never re-sketched, and silently purged whenever ANY partition is
+# dropped).
+NULL_PARTITION = "<<NULL>>"
+
+
+def partition_key(partition_col: str) -> F.Column:
+    """The canonical NULL-safe string partition key."""
+    return F.coalesce(F.col(partition_col).cast("string"),
+                      F.lit(NULL_PARTITION))
+
 
 def partition_stats(df: DataFrame, partition_col: str,
                     numeric_cols: list[str]) -> DataFrame:
@@ -36,7 +49,7 @@ def partition_stats(df: DataFrame, partition_col: str,
     pieces = []
     for c in numeric_cols:
         pieces.append(df.groupBy(
-            F.col(partition_col).cast("string").alias("partition_value"))
+            partition_key(partition_col).alias("partition_value"))
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
                 F.count(F.when(F.col(c).isNull(), 1)).alias("nulls"),
@@ -118,8 +131,7 @@ def incremental_profile(
     """
     scan = df
     if changed_partitions is not None:
-        scan = df.where(
-            F.col(partition_col).cast("string").isin(changed_partitions))
+        scan = df.where(partition_key(partition_col).isin(changed_partitions))
     fresh = partition_stats(scan, partition_col, numeric_cols)
     new_state = fresh if state is None else merge_partition_stats(state, fresh)
     return new_state, rollup_profile(new_state)
@@ -189,7 +201,7 @@ def partition_quantile_sketch(
     many rows were scanned."""
     stack = ", ".join(f"'{c}', cast(`{c}` as double)" for c in numeric_cols)
     melted = df.select(
-        F.col(partition_col).cast("string").alias("partition_value"),
+        partition_key(partition_col).alias("partition_value"),
         F.expr(f"stack({len(numeric_cols)}, {stack}) as (column_name, v)"))
     return (
         melted.where(F.col("v").isNotNull())
@@ -281,7 +293,7 @@ def partition_distinct_sketch(
     # COUNT(DISTINCT) ignores nulls and so must the sketch
     stack = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
     melted = (df.select(
-        F.col(partition_col).cast("string").alias("partition_value"),
+        partition_key(partition_col).alias("partition_value"),
         F.expr(f"stack({len(cols)}, {stack}) as (column_name, v)"))
         .where(F.col("v").isNotNull())
         .select("partition_value", "column_name",
@@ -362,8 +374,7 @@ def incremental_profile_full(
     """
     scan = df
     if changed_partitions is not None:
-        scan = df.where(
-            F.col(partition_col).cast("string").isin(changed_partitions))
+        scan = df.where(partition_key(partition_col).isin(changed_partitions))
     fresh = {
         "stats": partition_stats(scan, partition_col, numeric_cols),
         "quantiles": partition_quantile_sketch(scan, partition_col,
@@ -405,7 +416,7 @@ def detect_changed_partitions(
     (change_analytics.py:179-271).
     """
     current = (df.groupBy(
-        F.col(partition_col).cast("string").alias("partition_value"))
+        partition_key(partition_col).alias("partition_value"))
         .agg(F.count(F.lit(1)).alias("__cur")))
     if stats_state is None:
         return [r["partition_value"] for r in

@@ -157,10 +157,21 @@ def broadcast_threshold_join(
         try:
             est = (dim._jdf.queryExecution().optimizedPlan()
                    .stats().sizeInBytes())
-            thresh = int(dim.sparkSession.conf.get(
+            raw = dim.sparkSession.conf.get(
                 "spark.sql.autoBroadcastJoinThreshold", "10485760")
-                .rstrip("b"))
-            force_broadcast = 0 < thresh and int(est.toString()) <= thresh
+            # the conf accepts byte-unit strings ("10MB", "1g") — parse
+            # with the same JVM helper Spark itself uses, so a unit-
+            # suffixed setting doesn't throw here and silently disable
+            # the size-based broadcast path forever
+            jvm = dim.sparkSession._jvm
+            thresh = int(
+                jvm.org.apache.spark.network.util.JavaUtils
+                .byteStringAsBytes(raw))
+            # py4j maps the BigInt statistic to a plain int on Spark 4;
+            # older versions hand back a Java object
+            est_bytes = int(est.toString()) if hasattr(est, "toString") \
+                else int(est)
+            force_broadcast = 0 < thresh and est_bytes <= thresh
         except Exception:
             force_broadcast = False
     d = F.broadcast(dim) if force_broadcast else dim

@@ -43,6 +43,33 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
+def pillow_available() -> bool:
+    """True when Pillow is importable — the opportunistic real-image path."""
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def soundfile_available() -> bool:
+    """True when soundfile is importable — the opportunistic real-audio path."""
+    try:
+        import soundfile  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _resolve_fake(fake, decoder, available: bool) -> bool:
+    """``fake="auto"``: run the real path out of the box whenever a decoder
+    is injected or the library is present, else fall back to the
+    deterministic fake (never NotImplementedError on auto)."""
+    if fake == "auto":
+        return not (decoder is not None or available)
+    return bool(fake)
+
+
 def documents_as_media(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Adapter: synthesize a binary media table from text payloads so the
@@ -88,16 +115,20 @@ def _pil_decode(payload: bytes):
     return img.width, img.height, round(sum(px) / max(len(px), 1), 4)
 
 
-def extract_image_features(media: DataFrame, fake: bool = True,
+def extract_image_features(media: DataFrame, fake: bool | str = True,
                            decoder=None) -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas.
 
     ``fake=False`` decodes with ``decoder`` (payload -> (width, height,
     mean_intensity)), defaulting to the Pillow body ``_pil_decode`` —
-    which raises NotImplementedError where the library is absent. The
+    which raises NotImplementedError where the library is absent.
+    ``fake="auto"`` uses the real path whenever Pillow (or an injected
+    decoder) is present and the deterministic fake otherwise — real
+    decoding out of the box in a normal environment, no crash here. The
     batch plumbing (Arrow transfer, NULL handling, schema) is identical
     on every path, so the seam is test-coverable without codecs.
     """
+    fake = _resolve_fake(fake, decoder, pillow_available())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dec = decoder or _pil_decode
@@ -148,7 +179,7 @@ def _soundfile_decode(payload: bytes):
     return n / sr, int(sr), int(ch), rms
 
 
-def extract_audio_features(media: DataFrame, fake: bool = True,
+def extract_audio_features(media: DataFrame, fake: bool | str = True,
                            sample_rate: int = 16_000,
                            decoder=None) -> DataFrame:
     """Audio decode + feature-extract via Arrow-batched mapInPandas:
@@ -156,10 +187,13 @@ def extract_audio_features(media: DataFrame, fake: bool = True,
 
     ``fake=False`` decodes with ``decoder`` (payload -> (duration_s,
     sample_rate, n_channels, rms)), defaulting to the soundfile body —
-    which raises NotImplementedError where the library is absent. The fake
-    treats the payload as mono 16 kHz 8-bit PCM so every derived value is
-    deterministic across runs and engines.
+    which raises NotImplementedError where the library is absent.
+    ``fake="auto"`` runs the real path when soundfile (or an injected
+    decoder) is present, else the fake. The fake treats the payload as
+    mono 16 kHz 8-bit PCM so every derived value is deterministic across
+    runs and engines.
     """
+    fake = _resolve_fake(fake, decoder, soundfile_available())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dec = decoder or _soundfile_decode
@@ -202,21 +236,48 @@ def extract_audio_features(media: DataFrame, fake: bool = True,
     return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+def _pil_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize body: decode with Pillow, bilinear-resize, re-encode PNG.
+    Raises the documented NotImplementedError where Pillow is absent."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "real resize requires Pillow; not available in this env") from e
+    img = Image.open(io.BytesIO(payload)).resize((width, height))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def resize_images(media: DataFrame, width: int, height: int,
-                  fake: bool = True) -> DataFrame:
-    """Resize stub with the real batch plumbing (payload in, payload out)."""
+                  fake: bool | str = True, resizer=None) -> DataFrame:
+    """Resize with the real batch plumbing (payload in, payload out).
+
+    ``fake=False`` resizes with ``resizer`` (payload, w, h -> payload),
+    defaulting to the Pillow body; ``fake="auto"`` picks the real path
+    when available. The fake truncates/pads to width*height bytes —
+    deterministic, schema-identical."""
+    fake = _resolve_fake(fake, resizer, pillow_available())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rz = resizer or _pil_resize
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real resize requires an image library")
-            # deterministic fake: truncate/pad payload to width*height bytes
             target = width * height
             pdf = pdf.copy()
-            pdf["payload"] = [
-                None if p is None else (bytes(p)[:target]).ljust(target, b"\0")
-                for p in pdf["payload"]
-            ]
+            if fake:
+                # deterministic fake: truncate/pad payload to w*h bytes
+                pdf["payload"] = [
+                    None if p is None else (bytes(p)[:target]).ljust(target, b"\0")
+                    for p in pdf["payload"]
+                ]
+            else:
+                pdf["payload"] = [
+                    None if p is None else rz(bytes(p), width, height)
+                    for p in pdf["payload"]
+                ]
             yield pdf[["media_id", "payload", "media_type", "format"]]
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)

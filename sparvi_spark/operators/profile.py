@@ -234,7 +234,15 @@ def exact_percentiles(
         interp = F.when(F.ceil(posv) == F.floor(posv), lo_v).otherwise(
             (F.ceil(posv) - posv) * lo_v + (posv - F.floor(posv)) * hi_v)
         out.append(F.round(interp, round_to).alias(f"p{int(p * 100)}"))
-    return pre.groupBy("column_name").agg(*aggs).select("column_name", *out)
+    # right-join onto the totals frame (always one row per requested
+    # column): a column with ZERO non-null values vanishes in the melt and
+    # would otherwise be missing from the output entirely — the replaced
+    # `percentile` aggregate returned NULL quantiles for it, and callers
+    # iterate expected columns
+    agged = pre.groupBy("column_name").agg(*aggs)
+    return (totals.select("column_name")
+            .join(agged, "column_name", "left")
+            .select("column_name", *out))
 
 
 def numeric_exprs(c: str) -> list[Column]:
@@ -338,9 +346,34 @@ def top_values(df: DataFrame, columns: Iterable[str], k: int = 10) -> DataFrame:
     )
 
 
-def duplicate_count(df: DataFrame) -> int:
-    """P9 exact full-row duplicate count: COUNT(*) − COUNT(DISTINCT *)."""
-    return df.count() - df.dropDuplicates().count()
+def duplicate_count(df: DataFrame, exact: bool = False) -> int:
+    """P9 full-row duplicate count (profile key ``duplicate_count``,
+    reference consumption: core/storage/supabase_manager.py:250).
+
+    Default (hash) mode projects every row to ``xxhash64(struct(*))`` FIRST
+    and counts distinct hashes in one aggregate — the shuffle carries an
+    8-byte hash + partial counts instead of full-width rows (at 100 TB the
+    full-row dedup exchange is the single biggest shuffle in the profiler;
+    SCALING.md prescribes exactly this projection). A 64-bit collision
+    undercounts distincts by 1 (expected collisions ≈ n²/2⁶⁵ — ~0.003 rows
+    at a billion rows); ``exact=True`` keeps the full-row
+    ``dropDuplicates`` path for oracle-parity / audit runs.
+    """
+    if exact:
+        return df.count() - df.dropDuplicates().count()
+    # interleave literal position markers: xxhash64 SKIPS null inputs (the
+    # running hash passes through), so without markers (NULL,'a') and
+    # ('a',NULL) hash identically — the always-present marker keeps each
+    # column's contribution position-distinct
+    parts: list[Column] = []
+    for i, c in enumerate(df.columns):
+        parts.append(F.lit(i))
+        parts.append(F.col(c))
+    r = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct(F.xxhash64(*parts)).alias("__d"),
+    ).collect()[0]
+    return r["__n"] - r["__d"]
 
 
 # ---------------------------------------------------------------------------
@@ -441,7 +474,9 @@ def profile_table(
                 {"value": r["value"][:100], "count": r["cnt"], "percentage": r["pct"]}
             )
 
-    dup = duplicate_count(df) if exact else 0
+    # exact mode keeps the full-row dedup (oracle-parity); approx mode uses
+    # the 8-byte hash projection — cheap enough to always compute
+    dup = duplicate_count(df, exact=exact)
 
     profile = {
         "table": table_name,

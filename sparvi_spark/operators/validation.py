@@ -368,6 +368,20 @@ def evaluate_row_growth(current: int, previous: int | None) -> int:
     return 1 if abs(current - previous) > previous * 0.2 else 0
 
 
+def row_growth_rule_vs(table_name: str, previous: int) -> Rule:
+    """V3 with the previous count inlined as a literal: compiles into the
+    fused pass-A aggregate like any scalar rule (the reference's generated
+    CTE compares against its own metrics store, default_validations.py:71-97;
+    here the engine fetches the prior row_count scalar and bakes it in, so
+    evaluation needs no second table)."""
+    prev = int(previous)
+    return Rule(f"check_{table_name}_row_growth",
+                f"Detect >20% change in {table_name} row count",
+                "equals", 0, "agg",
+                agg_expr=(f"case when abs(count(*) - {prev}) > {prev} * 0.2 "
+                          f"then 1 else 0 end"))
+
+
 # ---------------------------------------------------------------------------
 # compilation: rules -> batched Spark jobs -> long results DataFrame
 # ---------------------------------------------------------------------------

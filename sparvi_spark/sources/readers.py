@@ -79,6 +79,7 @@ def read_table(
         if k in conn:
             reader = reader.option(k, conn[k])
     if partition_column is not None:
+        user_upper = upper_bound is not None
         if lower_bound is None or upper_bound is None:
             # derive real bounds with one tiny JDBC round trip: bounds
             # define the STRIDE (rows outside them still load, funneled
@@ -86,11 +87,17 @@ def read_table(
             # [0, 1e6) on a table with ids to 1e9 puts 99.9% of the rows
             # through one task — the exact straggler partitioning exists
             # to prevent
+            # quote the column through Spark's own JDBC dialect: the JDBC
+            # writer creates columns quoted (case-preserved), so a raw
+            # `min(col)` would be case-folded by the warehouse and miss
+            url = _jdbc_url(conn)
+            qcol = (spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects
+                    .get(url).quoteIdentifier(partition_column))
             probe = (spark.read.format("jdbc")
-                     .option("url", _jdbc_url(conn))
+                     .option("url", url)
                      .option("dbtable",
-                             f"(SELECT min({partition_column}) AS mn, "
-                             f"max({partition_column}) AS mx "
+                             f"(SELECT min({qcol}) AS mn, "
+                             f"max({qcol}) AS mx "
                              f"FROM {table}) AS b"))
             for k in ("user", "password", "driver"):
                 if k in conn:
@@ -102,8 +109,21 @@ def read_table(
                 lower_bound = vals["mn"]
             if upper_bound is None:
                 upper_bound = vals["mx"]
+        if lower_bound is None or upper_bound is None:
+            # empty table: min/max probe returned NULL — a partitioned read
+            # with NULL bounds raises in the JDBC source, and there is
+            # nothing to parallelize anyway, so fall back to a plain read
+            return reader.load()
+        if not user_upper and isinstance(upper_bound, int) \
+                and not isinstance(upper_bound, bool):
+            # upperBound is EXCLUSIVE for the last stride boundary in the
+            # Spark JDBC source; widen probed integral max so the max row
+            # doesn't land alone in the unbounded edge partition. Date/
+            # timestamp/decimal bounds (also valid partitionColumn types)
+            # and explicitly user-passed bounds go through verbatim.
+            upper_bound = upper_bound + 1
         reader = (reader.option("partitionColumn", partition_column)
                   .option("numPartitions", num_partitions or 8)
                   .option("lowerBound", lower_bound)
-                  .option("upperBound", int(upper_bound) + 1))
+                  .option("upperBound", upper_bound))
     return reader.load()

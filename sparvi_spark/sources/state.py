@@ -58,6 +58,77 @@ ENTITIES: dict[str, str] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Pointer-file commit protocol (object-store-safe state swaps).
+#
+# A state rewrite (retention compaction, incremental-sketch refresh) must
+# never be an in-place rmtree+rename: directory rename is not atomic on
+# S3/GCS, and a crash mid-swap loses the only copy. Instead each rewritable
+# dataset lives under versioned subdirectories with a tiny ``_CURRENT``
+# pointer file naming the committed one:
+#
+#     <base>/_CURRENT        -> "v_00000042"
+#     <base>/v_00000042/...  committed data (the only dir readers touch)
+#     <base>/v_00000043/...  in-flight write (invisible until the flip)
+#
+# Commit = write the full new version dir, then atomically replace the
+# pointer (fsync + os.replace here; on an object store the equivalent is a
+# single-key PUT, which IS atomic on S3/GCS — unlike dir renames), then GC
+# unreferenced versions. A crash at ANY point leaves the pointer naming a
+# complete prior version: before the flip the old state is untouched; after
+# it, stray dirs are garbage-collected on the next commit. Hadoop readers
+# ignore ``_``-prefixed files, so the pointer never pollutes a listing.
+# Reference counterpart: Supabase's transactional writes
+# (core/storage/supabase_manager.py).
+# ---------------------------------------------------------------------------
+
+_POINTER = "_CURRENT"
+
+
+def read_pointer(base: str) -> str | None:
+    """Name of the committed version dir under ``base`` (None = none yet)."""
+    try:
+        with open(os.path.join(base, _POINTER)) as f:
+            return f.read().strip() or None
+    except OSError:
+        return None
+
+
+def write_pointer(base: str, version: str) -> None:
+    """Atomically commit ``version`` as the current one (fsync + replace)."""
+    os.makedirs(base, exist_ok=True)
+    tmp = os.path.join(base, _POINTER + "._tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(base, _POINTER))
+
+
+def next_version(base: str) -> str:
+    """Next unused version-dir name under ``base``."""
+    try:
+        taken = [d for d in os.listdir(base) if d.startswith("v_")]
+    except OSError:
+        taken = []
+    n = max((int(d[2:]) for d in taken), default=0) + 1
+    return f"v_{n:08d}"
+
+
+def gc_versions(base: str) -> None:
+    """Drop every version dir except the committed one."""
+    import shutil
+
+    current = read_pointer(base)
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for d in entries:
+        if d.startswith("v_") and d != current:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+
 class StateStore:
     """Parquet-backed state tables under ``root`` (one dir per entity)."""
 
@@ -70,6 +141,28 @@ class StateStore:
             raise KeyError(f"unknown state entity {entity!r}")
         return os.path.join(self.root, entity)
 
+    def _data_path(self, entity: str, create: bool = False) -> str:
+        """Committed data dir for an entity (pointer-resolved). Entities
+        never rewritten keep working from the legacy flat layout; the first
+        append/compaction establishes the pointer."""
+        base = self._path(entity)
+        current = read_pointer(base)
+        if current is None:
+            # no pointer = no version dir was ever committed; any stray
+            # v_* dir is a crashed in-flight write — drop it so a legacy
+            # flat read of ``base`` doesn't trip over the subdirectory
+            gc_versions(base)
+            try:
+                legacy = any(not e.startswith(("_", "."))
+                             for e in os.listdir(base))
+            except OSError:
+                legacy = False
+            if legacy or not create:
+                return base  # legacy flat layout (or nothing yet)
+            current = next_version(base)
+            write_pointer(base, current)
+        return os.path.join(base, current)
+
     def append(self, entity: str, df: DataFrame) -> None:
         """Append rows (stamping run_date for partition pruning)."""
         if "run_date" not in df.columns:
@@ -79,7 +172,7 @@ class StateStore:
             stamp = F.to_date(ts_col) if ts_col else F.current_date()
             df = df.withColumn("run_date", stamp)
         (df.coalesce(4).write.mode("append")
-         .partitionBy("run_date").parquet(self._path(entity)))
+         .partitionBy("run_date").parquet(self._data_path(entity, create=True)))
 
     def append_rows(self, entity: str, rows: list[dict[str, Any]]) -> None:
         """Append plain dicts (values may be strings; cast per the entity
@@ -104,7 +197,7 @@ class StateStore:
         the path check is always False for non-local roots (s3://,
         hdfs://) and would silently return empty state forever, turning
         every engine run into a fresh bootstrap with no error."""
-        path = self._path(entity)
+        path = self._data_path(entity)
         try:
             return self.spark.read.schema(ENTITIES[entity]).parquet(path)
         except Exception as exc:
@@ -136,20 +229,31 @@ class StateStore:
         """Keep the newest n rows per key (supabase_manager.py:275-305),
         rewriting the entity table.
 
-        The retained frame writes DISTRIBUTED to a side directory (source
-        and destination don't overlap, so no driver collect — the old
-        implementation pulled every retained row through the driver), and
-        only then swaps. The rmtree+rename swap assumes a local/posix
-        state root; an object-store root needs a FileSystem.rename-based
-        swap (documented limitation of this local StateStore)."""
+        The retained frame writes DISTRIBUTED into a fresh version dir
+        (source and destination never overlap, so no driver collect), and
+        the swap is the pointer-file commit above: a crash before the
+        pointer flip leaves the previous version fully readable, and old
+        versions are GC'd only after the flip. Pointer I/O here is posix
+        (open/fsync/os.replace); on an object store substitute the SDK's
+        atomic single-key PUT."""
         from sparvi_spark.operators.trends import retain_latest as _retain
 
-        path = self._path(entity)
+        base = self._path(entity)
         kept = _retain(self.read(entity), keys, order_col, n)
+        version = next_version(base)
         kept.select(*[f.strip().split(" ")[0]
                       for f in ENTITIES[entity].split(",")]) \
             .coalesce(4).write.mode("overwrite").partitionBy("run_date") \
-            .parquet(path + "._tmp")
+            .parquet(os.path.join(base, version))
+        # migrating a legacy flat layout: the new version dir sits beside
+        # the old flat files, which become unreferenced once the pointer
+        # exists — clear them so future reads don't double-count
+        legacy = [e for e in os.listdir(base)
+                  if not e.startswith(("_", ".", "v_"))]
+        write_pointer(base, version)
         import shutil
-        shutil.rmtree(path)
-        os.rename(path + "._tmp", path)
+        for e in legacy:
+            p = os.path.join(base, e)
+            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
+                else os.remove(p)
+        gc_versions(base)

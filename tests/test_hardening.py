@@ -1,0 +1,385 @@
+"""Round-5 hardening regressions: pointer-file state commits, NULL
+partition keys in incremental profiling, grouped anomaly fan-out, the V3
+auto-appended row-growth rule, the hash-projection duplicate count, empty-
+column percentiles, JDBC bound edge cases, and auto-detected media decoders.
+"""
+
+import os
+import re
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparvi_spark.operators.multimodal import pillow_available
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    from sparvi_spark.engine import Engine
+
+    return Engine(spark, str(tmp_path / "warehouse"))
+
+
+# ---------------------------------------------------------------------------
+# pointer-file state commits
+# ---------------------------------------------------------------------------
+
+def test_state_pointer_commit_crash_safe(spark, tmp_path):
+    """A crash between writing a new version dir and flipping the pointer
+    must leave the previously committed state fully readable; the stray
+    dir is GC'd by the next commit."""
+    from sparvi_spark.sources.state import (
+        StateStore,
+        next_version,
+        read_pointer,
+    )
+
+    st = StateStore(spark, str(tmp_path / "wh"))
+    st.append_rows("engine_events", [
+        {"event_type": "e", "table_name": f"t{i}", "details": "d",
+         "detected_at": f"2026-01-0{i + 1} 00:00:00"} for i in range(3)])
+    st.retain_latest("engine_events", ["table_name"], "detected_at", 2)
+    base = st._path("engine_events")
+    assert read_pointer(base) is not None
+    before = sorted(r["table_name"] for r in st.read("engine_events").collect())
+    assert before == ["t0", "t1", "t2"]
+
+    # simulated crash: in-flight version dir exists, pointer never flipped
+    stray = os.path.join(base, next_version(base))
+    os.makedirs(stray)
+    with open(os.path.join(stray, "part-00000.parquet"), "wb") as f:
+        f.write(b"garbage-half-written")
+    after = sorted(r["table_name"] for r in st.read("engine_events").collect())
+    assert after == before  # committed state untouched
+
+    # the next commit flips past the stray and GCs it
+    st.retain_latest("engine_events", ["table_name"], "detected_at", 2)
+    assert not os.path.exists(stray)
+    versions = [d for d in os.listdir(base) if d.startswith("v_")]
+    assert versions == [read_pointer(base)]
+
+
+def test_incremental_state_commit_crash_safe(spark, engine):
+    """Same protocol for the incremental sketch families: a stray
+    uncommitted version dir must not shadow committed state or trip the
+    bootstrap probe into a silent full re-scan."""
+    from sparvi_spark.sources.state import next_version, read_pointer
+
+    rows = [(p, float(i)) for p in ("a", "b") for i in range(20)]
+    df = spark.createDataFrame(rows, "part string, v double")
+    engine.run_incremental_profile(df, "tc", "part", ["v"])
+
+    base = os.path.join(engine.state.root, "incremental", "tc", "stats")
+    committed = read_pointer(base)
+    assert committed is not None
+    stray = os.path.join(base, next_version(base))
+    os.makedirs(stray)  # crash: dir created, nothing flipped
+
+    # unchanged rerun: reads committed state, detects nothing, no event
+    n_events = engine.state.read("engine_events").where(
+        F.col("event_type") == "incremental_profile").count()
+    out = engine.run_incremental_profile(df, "tc", "part", ["v"]).collect()
+    assert out[0]["cnt"] == 40
+    assert engine.state.read("engine_events").where(
+        F.col("event_type") == "incremental_profile").count() == n_events
+    assert read_pointer(base) == committed
+
+
+# ---------------------------------------------------------------------------
+# NULL partition keys in incremental profiling
+# ---------------------------------------------------------------------------
+
+def test_incremental_profile_null_partition_keys(spark, engine):
+    """NULL partition values are first-class: they are sketched once (not
+    re-flagged every run) and survive the deleted-partition purge."""
+    from sparvi_spark.operators.incremental import incremental_profile_full
+
+    rows = [("a", 1.0), ("a", 2.0), (None, 5.0), (None, 7.0),
+            ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "part string, v double")
+    p1 = engine.run_incremental_profile(df, "tn", "part", ["v"]).collect()
+    assert p1[0]["cnt"] == 6
+
+    # unchanged rerun: the NULL partition must NOT be re-flagged
+    n_events = engine.state.read("engine_events").where(
+        F.col("event_type") == "incremental_profile").count()
+    engine.run_incremental_profile(df, "tn", "part", ["v"])
+    assert engine.state.read("engine_events").where(
+        F.col("event_type") == "incremental_profile").count() == n_events
+
+    # dropping partition 'b' must purge only 'b' — NULL-keyed state stays
+    shrunk = df.where("part is null or part <> 'b'")
+    got = engine.run_incremental_profile(shrunk, "tn", "part", ["v"]) \
+        .toPandas().sort_values("column_name").reset_index(drop=True)
+    _, scratch = incremental_profile_full(shrunk, "part", ["v"])
+    expect = scratch.toPandas().sort_values("column_name") \
+        .reset_index(drop=True)
+    assert got.equals(expect)
+    assert got.iloc[0]["cnt"] == 4 and got.iloc[0]["max_val"] == 7.0
+
+
+# ---------------------------------------------------------------------------
+# grouped anomaly fan-out
+# ---------------------------------------------------------------------------
+
+def _seed_metric_series(engine):
+    rows = []
+    for t in ("t1", "t2", "t3"):
+        for c in ("c1", "c2", None):
+            for i in range(28):
+                v = 100.0 + (i % 5)
+                if i == 17:
+                    v = 500.0  # the spike every detector should flag
+                rows.append({
+                    "metric_name": "m", "metric_value": v, "metric_type": "x",
+                    "table_name": t, "column_name": c, "source": "s",
+                    "ts": f"2026-01-{i + 2:02d} 00:00:00"})
+    engine.state.append_rows("historical_metrics", rows)
+
+
+def test_anomaly_grouped_fanout_matches_per_config_loop(spark, engine):
+    """The (method, params)-grouped broadcast-join fan-out must emit
+    exactly what the per-config loop did — including duplicate emission
+    when a wildcard and a specific config match the same series."""
+    from sparvi_spark.operators.anomalies import detect_anomalies
+    from sparvi_spark.operators.trends import retain_latest
+
+    _seed_metric_series(engine)
+    as_of = "2026-02-01 00:00:00"
+    configs = [
+        {"metric_name": "m", "table_name": "t1"},                     # wildcard
+        {"metric_name": "m", "table_name": "t1", "column_name": "c1"},  # overlap
+        {"metric_name": "m", "table_name": "t2", "detection_method": "iqr"},
+        {"metric_name": "m", "table_name": "t3", "sensitivity": 2.0},
+        {"metric_name": "m", "table_name": "t9"},                     # no match
+        {"metric_name": "m", "table_name": "t2", "is_active": False},
+    ]
+    def _key(r):
+        return tuple("" if x is None else str(x) for x in r)
+
+    got = engine.run_anomaly_detection(configs, as_of=as_of)
+    got_rows = sorted((tuple(r) for r in got.collect()), key=_key)
+    assert got_rows  # the spikes were found
+
+    # reference loop (the reference's per-config ThreadPool semantics)
+    metrics = engine.state.read("historical_metrics").where(
+        F.col("ts") >= F.lit(as_of).cast("timestamp")
+        - F.expr("interval 30 days"))
+    keys = ["metric_name", "table_name", "column_name"]
+    expect = []
+    for cfg in configs:
+        if not cfg.get("is_active", True):
+            continue
+        series = metrics.where(
+            (F.col("metric_name") == cfg["metric_name"])
+            & (F.col("table_name") == cfg.get("table_name", "")))
+        if cfg.get("column_name"):
+            series = series.where(F.col("column_name") == cfg["column_name"])
+        series = retain_latest(series, keys, "ts", 1000).select(
+            *keys, "ts", F.col("metric_value").alias("value"))
+        det = detect_anomalies(series, keys, config=cfg,
+                               order_col="ts", value_col="value")
+        expect += [tuple(r) for r in det.where(F.col("is_anomaly")).select(
+            *keys, "method", "ts", "value", "score", "threshold",
+            "severity").collect()]
+    assert got_rows == sorted(expect, key=_key)
+    # the t1 spike appears TWICE per matched series overlap (wildcard +
+    # specific config), as the loop emitted it
+    t1c1 = [r for r in got_rows if r[1] == "t1" and r[2] == "c1"]
+    assert len(t1c1) == 2
+
+
+def test_anomaly_200_configs_one_group_stays_cheap(spark, engine):
+    """200 same-method configs = ONE broadcast config table and one window
+    subtree — wall time stays flat where the per-config loop built 200
+    filtered subtrees (linear Catalyst analysis + 200 unions)."""
+    _seed_metric_series(engine)
+    configs = [
+        {"metric_name": "m", "table_name": f"t{(i % 3) + 1}",
+         "column_name": ["c1", "c2", None][i % 3]}
+        for i in range(200)
+    ]
+    t0 = time.time()
+    res = engine.run_anomaly_detection(configs, as_of="2026-02-01 00:00:00")
+    n = res.count()
+    elapsed = time.time() - t0
+    assert n > 0
+    assert elapsed < 20, f"200-config grouped run took {elapsed:.1f}s"
+
+
+# ---------------------------------------------------------------------------
+# V3 row growth auto-wired into Engine.run_validations
+# ---------------------------------------------------------------------------
+
+def test_row_growth_rule_auto_appended(spark, engine):
+    df10 = spark.createDataFrame([(i,) for i in range(10)], "id int")
+    # no prior row_count metric -> no growth rule generated
+    res0 = engine.run_validations(df10, "growth_t", rules=None,
+                                  run_at="2026-01-01 00:00:00")
+    assert res0.where(
+        F.col("rule_name") == "check_growth_t_row_growth").count() == 0
+
+    engine.state.append_rows("historical_metrics", [{
+        "metric_name": "row_count", "metric_value": 10.0,
+        "metric_type": "profile", "table_name": "growth_t",
+        "source": "profiler", "ts": "2026-01-01 00:00:00"}])
+
+    # +40% jump -> rule present and failing
+    df14 = spark.createDataFrame([(i,) for i in range(14)], "id int")
+    res1 = engine.run_validations(df14, "growth_t", rules=None,
+                                  run_at="2026-01-02 00:00:00")
+    row = res1.where(
+        F.col("rule_name") == "check_growth_t_row_growth").collect()
+    assert len(row) == 1 and row[0]["is_valid"] is False
+
+    # +10% -> rule present and passing
+    df11 = spark.createDataFrame([(i,) for i in range(11)], "id int")
+    res2 = engine.run_validations(df11, "growth_t", rules=None,
+                                  run_at="2026-01-03 00:00:00")
+    row = res2.where(
+        F.col("rule_name") == "check_growth_t_row_growth").collect()
+    assert len(row) == 1 and row[0]["is_valid"] is True
+
+
+# ---------------------------------------------------------------------------
+# hash-projection duplicate count (P9 scale path)
+# ---------------------------------------------------------------------------
+
+def test_duplicate_count_hash_matches_exact_with_null_positions(spark):
+    from sparvi_spark.operators.profile import duplicate_count
+
+    # (NULL,'a') vs ('a',NULL) must stay DISTINCT (xxhash64 skips nulls;
+    # the position markers keep them apart)
+    rows = [("a", None), (None, "a"), ("a", None), ("x", "y"), ("x", "y")]
+    df = spark.createDataFrame(rows, "c1 string, c2 string")
+    assert duplicate_count(df) == 2
+    assert duplicate_count(df, exact=True) == 2
+
+
+def test_p01_duplicate_shuffle_carries_hash_only(spark):
+    """The fused P1+P9 check must shuffle the 8-byte hash, never
+    full-width rows: no exchange key list contains a payload column."""
+    from sparvi_spark.checks.profile_checks import q_row_counts
+
+    q = q_row_counts(spark, SF_DIR)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "l_comment" not in m.group(1)
+        assert "o_comment" not in m.group(1)
+    # correctness unchanged vs the exact oracle formulation
+    got = {r["table_name"]: (r["row_count"], r["duplicate_cnt"])
+           for r in q.collect()}
+    from sparvi_spark.testdata import load_table
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    exact_dups = li.count() - li.dropDuplicates().count()
+    assert got["lineitem"] == (li.count(), exact_dups)
+
+
+# ---------------------------------------------------------------------------
+# empty-column exact percentiles
+# ---------------------------------------------------------------------------
+
+def test_exact_percentiles_all_null_column_surfaces(spark):
+    from sparvi_spark.operators.profile import exact_percentiles
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (3.0, None)], "a double, b double")
+    out = {r["column_name"]: r for r in
+           exact_percentiles(df, ["a", "b"]).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["p50"] == 2.0
+    assert out["b"]["p25"] is None and out["b"]["p50"] is None
+
+
+# ---------------------------------------------------------------------------
+# JDBC bound edge cases
+# ---------------------------------------------------------------------------
+
+def test_read_table_jdbc_empty_table_bounds(spark):
+    """A partitioned read whose bounds probe returns NULL (empty table)
+    must fall back to an unpartitioned read instead of raising."""
+    from sparvi_spark.sources import read_table
+    from sparvi_spark.sources.readers import _jdbc_url
+
+    conn = {"type": "derby", "path": "memory:sparvi_empty",
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = spark.range(0).selectExpr("id AS k", "id AS v")
+    (src.write.format("jdbc").option("url", _jdbc_url(conn))
+     .option("dbtable", "empty_t").option("driver", conn["driver"])
+     .mode("overwrite").save())
+    df = read_table(spark, conn, "empty_t",
+                    partition_column="k", num_partitions=4)
+    assert df.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# broadcast threshold parsing with unit suffixes
+# ---------------------------------------------------------------------------
+
+def test_broadcast_threshold_join_parses_unit_suffix(spark):
+    from sparvi_spark.operators.joins import broadcast_threshold_join
+
+    fact = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    dim = spark.range(10).selectExpr("id AS k", "id + 1 AS d")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        j = broadcast_threshold_join(fact, dim, "k")
+        assert "ResolvedHint" in j._jdf.queryExecution().analyzed().toString()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j2 = broadcast_threshold_join(fact, dim, "k")
+        assert "ResolvedHint" not in j2._jdf.queryExecution().analyzed().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ---------------------------------------------------------------------------
+# opportunistic real decoders
+# ---------------------------------------------------------------------------
+
+def _media(spark, n=20):
+    from sparvi_spark.operators.multimodal import documents_as_media
+    from sparvi_spark.testdata import load_table
+
+    return documents_as_media(load_table(spark, "documents", SF_DIR).limit(n))
+
+
+def test_multimodal_auto_mode_falls_back_or_decodes(spark):
+    from sparvi_spark.operators.multimodal import extract_image_features
+
+    media = _media(spark)
+    if not pillow_available():
+        # no library -> auto == deterministic fake, never NotImplementedError
+        auto = sorted(map(tuple, extract_image_features(media, fake="auto").collect()))
+        fake = sorted(map(tuple, extract_image_features(media, fake=True).collect()))
+        assert auto == fake
+
+    # an injected decoder always wins on auto
+    def dec(payload):
+        return 1, 2, 3.0
+
+    rows = extract_image_features(media, fake="auto", decoder=dec).collect()
+    assert rows and all(r["width"] == 1 and r["height"] == 2 for r in rows)
+
+
+@pytest.mark.skipif(not pillow_available(), reason="Pillow not installed")
+def test_real_image_decode_with_pillow(spark):
+    """Runs only where Pillow exists: real decode of a generated PNG."""
+    import io
+
+    from PIL import Image
+
+    from sparvi_spark.operators.multimodal import extract_image_features
+
+    buf = io.BytesIO()
+    Image.new("L", (4, 3), color=128).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "image", "png")],
+        "media_id long, payload binary, media_type string, format string")
+    row = extract_image_features(media, fake="auto").collect()[0]
+    assert (row["width"], row["height"]) == (4, 3)
+    assert abs(row["mean_intensity"] - 128.0) < 0.01
