@@ -81,15 +81,30 @@ def main() -> None:
     # busy. This is the number to compare against DuckDB's serial total:
     # both answer "how long until every result is in hand".
     from concurrent.futures import ThreadPoolExecutor
+    from threading import get_ident
 
     fns = [fn for _n, (fn, _sql)
            in sorted(collect_all_checks(prepared=False).items())]
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        list(ex.map(lambda f: f(spark, SF_DIR).toPandas(), fns))
-    concurrent_wall = round(time.perf_counter() - t0, 4)
-    print(f"# concurrent wall (50 queries, 8 threads): {concurrent_wall:.2f}s",
-          file=sys.stderr)
+
+    def run_one(f):
+        # per-thread FAIR pool: queries share executor slots instead of
+        # queueing stage-FIFO behind whichever job submitted first
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"suite-{get_ident()}")
+        return f(spark, SF_DIR).toPandas()
+
+    # best-of-2, same as the per-query protocol: a single shot is hostage
+    # to neighbor load spikes on a shared machine; both runs build all 50
+    # plans fresh inside the timer.
+    concurrent_wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(run_one, fns))
+        concurrent_wall = min(concurrent_wall,
+                              round(time.perf_counter() - t0, 4))
+    print(f"# concurrent wall (50 queries, 16 threads, best of 2): "
+          f"{concurrent_wall:.2f}s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "oracle_suite_total",

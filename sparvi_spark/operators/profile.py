@@ -177,18 +177,16 @@ def exact_percentiles(
     )
     counts = melted.groupBy("column_name", "v").agg(
         F.count(F.lit(1)).alias("cnt"))
-    # Per-column n/min/max from ONE cheap agg over the source scan, stacked
-    # to a k-row frame and broadcast. (An unbounded `sum OVER (PARTITION BY
-    # column_name)` window for n would buffer the whole column partition —
-    # measured as a straggler task dominating the plan.)
-    wide_n = df.agg(*[e for i, c in enumerate(cols) for e in (
-        F.count(F.col(c)).alias(f"__n_{i}"),
-        F.min(F.col(c)).cast("double").alias(f"__mn_{i}"),
-        F.max(F.col(c)).cast("double").alias(f"__mx_{i}"))])
-    total_tuples = ", ".join(
-        f"'{c}', __n_{i}, __mn_{i}, __mx_{i}" for i, c in enumerate(cols))
-    totals = wide_n.selectExpr(
-        f"stack({len(cols)}, {total_tuples}) as (column_name, n, mn, mx)")
+    # Per-column n/min/max folded FROM THE COUNTS FRAME (sum of counts is
+    # the non-null count; min/max of grouped values are the column's) — no
+    # second scan of the source, and the counts exchange feeding both this
+    # aggregate and the bucketed join below is computed once
+    # (ReusedExchange). An unbounded per-column window for n would instead
+    # buffer one column's values in one task — a measured straggler.
+    totals = (counts.groupBy("column_name")
+              .agg(F.sum("cnt").alias("n"),
+                   F.min("v").alias("mn"),
+                   F.max("v").alias("mx")))
     # Two-phase distributed prefix sum — exact quantiles need a total order
     # somewhere, but NOT a single-task sort: bucket values by a monotonic
     # (linear in [mn, mx]) key, run the cumulative sum inside each
@@ -234,14 +232,15 @@ def exact_percentiles(
         interp = F.when(F.ceil(posv) == F.floor(posv), lo_v).otherwise(
             (F.ceil(posv) - posv) * lo_v + (posv - F.floor(posv)) * hi_v)
         out.append(F.round(interp, round_to).alias(f"p{int(p * 100)}"))
-    # right-join onto the totals frame (always one row per requested
-    # column): a column with ZERO non-null values vanishes in the melt and
-    # would otherwise be missing from the output entirely — the replaced
-    # `percentile` aggregate returned NULL quantiles for it, and callers
-    # iterate expected columns
+    # right-join onto a literal frame of the REQUESTED columns: a column
+    # with zero non-null values vanishes in the melt and would otherwise
+    # be missing from the output entirely — the replaced `percentile`
+    # aggregate returned NULL quantiles for it, and callers iterate
+    # expected columns
     agged = pre.groupBy("column_name").agg(*aggs)
-    return (totals.select("column_name")
-            .join(agged, "column_name", "left")
+    requested = df.sparkSession.createDataFrame(
+        [(c,) for c in cols], "column_name string")
+    return (requested.join(agged, "column_name", "left")
             .select("column_name", *out))
 
 
@@ -331,7 +330,10 @@ def top_values(df: DataFrame, columns: Iterable[str], k: int = 10) -> DataFrame:
     Output: (column_name, value: string, cnt, pct) with pct of table rows.
     """
     cols = list(columns)
-    total = df.count()
+    # the table total rides as a broadcast one-row aggregate instead of an
+    # eager df.count(): building the frame costs no job, and the whole
+    # top-K (total + counts + window) executes as ONE action
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
     stack_expr = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
     melted = df.select(
         F.expr(f"stack({len(cols)}, {stack_expr}) as (column_name, value)")
@@ -341,7 +343,8 @@ def top_values(df: DataFrame, columns: Iterable[str], k: int = 10) -> DataFrame:
     return (
         counted.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
-        .withColumn("pct", F.round(F.col("cnt") * 100.0 / F.lit(total), 4))
+        .crossJoin(F.broadcast(total))
+        .withColumn("pct", F.round(F.col("cnt") * 100.0 / F.col("__total"), 4))
         .select("column_name", "value", "cnt", "pct")
     )
 

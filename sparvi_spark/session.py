@@ -53,6 +53,12 @@ def get_spark(app_name: str = "sparvi_spark", shuffle_partitions: int | None = N
         # profiling showed ~1.5s of pure driver-side overhead building one
         # wide validation plan. We build thousands of Columns per run.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # FAIR scheduler: concurrent submitters (the engine's check sweeps
+        # mirror the reference's 10-thread rule executor) each set their
+        # own spark.scheduler.pool and share executor slots fairly instead
+        # of queueing behind one long job. Single-caller behavior is
+        # unchanged — jobs without a pool land in the default FIFO pool.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         # Session-catalog warehouse for bucketed tables (sources/bucketing).
         .config("spark.sql.warehouse.dir",

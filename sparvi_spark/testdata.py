@@ -55,6 +55,12 @@ _REPARTITION_MIN_BYTES = 64 << 10
 _CACHE_MAX_BYTES = 256 << 20
 _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
+# Tables whose parquet byte size wildly understates their COMPUTE cost:
+# compressed prose and float arrays feed CPU-bound operators (shingling,
+# MinHash, cosine scans), so they keep full core-count parallelism even
+# under the small-data profile's partition cap below.
+_CPU_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+
 # Shuffle machinery should be sized to the data, not the cluster: below
 # _SMALL_DATA_BYTES of total input the right setting is a handful of shuffle
 # partitions and NO adaptive re-planning — AQE's per-stage replan rounds and
@@ -71,17 +77,17 @@ _SMALL_DATA_SHUFFLE_PARTITIONS = 8
 _TUNED: dict[int, str] = {}
 
 
-def _tune_for_dir(spark: SparkSession, sf_dir: str) -> None:
+def _tune_for_dir(spark: SparkSession, sf_dir: str) -> str:
     try:
         total = sum(
             os.path.getsize(os.path.join(sf_dir, f))
             for f in os.listdir(sf_dir))
     except OSError:
-        return
+        return _TUNED.get(id(spark._jsparkSession), "cluster")
     profile = "small" if total < _SMALL_DATA_BYTES else "cluster"
     sid = id(spark._jsparkSession)
     if _TUNED.get(sid) == profile:
-        return
+        return profile
     _TUNED[sid] = profile
     if profile == "small":
         spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -96,6 +102,7 @@ def _tune_for_dir(spark: SparkSession, sf_dir: str) -> None:
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(spark.sparkContext.defaultParallelism))
+    return profile
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
@@ -134,7 +141,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         spark.conf.set("spark.sql.codegen.maxFields", "500")
     except Exception:
         pass
-    _tune_for_dir(spark, sf_dir)
+    profile = _tune_for_dir(spark, sf_dir)
     df = spark.read.parquet(path)
     for c in _NANOS_TS.get(name, ()):
         if isinstance(df.schema[c].dataType, LongType):
@@ -157,6 +164,20 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         size = 0
     par = spark.sparkContext.defaultParallelism
     max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b"))
+    if profile == "small" and name not in _CPU_HEAVY_TABLES:
+        # partitions sized to the DATA, not the core count: a 10 MB table
+        # split 32 ways is 32 scheduler events per stage for ~20k rows of
+        # work each — with ~50 queries per session the DAGScheduler's
+        # single-threaded event loop becomes the bottleneck, especially
+        # under concurrent submission. Floor at the small profile's
+        # shuffle width (8): parquet bytes UNDERESTIMATE compute for
+        # compressed text/embedding columns (measured: 2-partition
+        # documents made the shingle-join contamination screen 5x
+        # slower), so never go below one task per shuffle slot. The
+        # cluster profile (>= 1 GB input) is untouched and still fans
+        # out to full parallelism.
+        par = max(_SMALL_DATA_SHUFFLE_PARTITIONS,
+                  min(par, int(size // (2 << 20)) + 1))
     if size >= _REPARTITION_MIN_BYTES and size // max_split < par:
         df = df.repartition(par)
     if cache_on and size < _CACHE_MAX_BYTES:
