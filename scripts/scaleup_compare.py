@@ -30,9 +30,22 @@ MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 SCALE_DIR = f"/tmp/sparvi_scaleup_x{MULT}"
 
 
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
 def build_scaled(spark) -> None:
     """documents / lineitem duplicated MULT x with remapped ids (each copy
-    offset so keys stay unique) — written once, reused across runs."""
+    offset so keys stay unique) — written once, reused across runs.
+
+    Document TEXT is rotated through a per-copy alphabet substitution
+    (Caesar-style translate): a character bijection applied uniformly
+    within a copy preserves every within-copy shingle/Jaccard relationship
+    EXACTLY while making cross-copy texts dissimilar. Without it, a
+    duplicate clique of k docs in the base becomes one clique of MULT*k in
+    the scaled set, candidate pairs grow with MULT² and the "10x data"
+    benchmark silently times a 100x candidate workload in both engines
+    (this is what made the originally recorded crossover table
+    irreproducible — the structure, not the engines, had changed)."""
     from pyspark.sql import functions as F
 
     from sparvi_spark.testdata import load_table
@@ -50,6 +63,10 @@ def build_scaled(spark) -> None:
             c = df
             if key is not None:
                 c = c.withColumn(key, F.col(key) + F.lit(i * n * 10))
+            if table == "documents" and i > 0:
+                rot = _ALPHA[i:] + _ALPHA[:i]
+                c = c.withColumn("text", F.translate(
+                    "text", _ALPHA + _ALPHA.upper(), rot + rot.upper()))
             copies.append(c)
         big = copies[0]
         for c in copies[1:]:
@@ -171,8 +188,13 @@ SELECT count(*) FROM verified
 WHERE shared * cast(1 as double) / (sa + sb - shared) >= 0.8""",
     }
 
+    from sparvi_spark.testdata import _tune_for_dir
+
     results: dict[str, dict[str, float]] = {}
     for tag, sf_dir in (("1x", BASE), (f"{MULT}x", SCALE_DIR)):
+        # size the session's shuffle width to THIS dir (the queries below
+        # read raw parquet, so the load_table-side tuner never sees it)
+        _tune_for_dir(spark, sf_dir)
         con = duckdb.connect()
         for t in ("documents", "lineitem"):
             p = f"{sf_dir}/{t}.parquet"
@@ -187,12 +209,13 @@ WHERE shared * cast(1 as double) / (sa + sb - shared) >= 0.8""",
                 t0 = time.perf_counter()
                 con.execute(duck[name]).fetchall()
                 best_d = min(best_d, time.perf_counter() - t0)
+            # symmetric timer boundary: DataFrame build + Catalyst planning
+            # + execution all inside the clock, exactly as DuckDB's
+            # con.execute() pays parse+plan+run inside its clock
             best_s = 1e9
             for _ in range(2):
-                df = sq[name]()
-                df._jdf.queryExecution().executedPlan()
                 t0 = time.perf_counter()
-                df.toPandas()
+                sq[name]().toPandas()
                 best_s = min(best_s, time.perf_counter() - t0)
             r = results.setdefault(name, {})
             r[f"spark_{tag}"] = round(best_s, 3)

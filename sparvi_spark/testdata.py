@@ -84,15 +84,24 @@ def _tune_for_dir(spark: SparkSession, sf_dir: str) -> str:
             for f in os.listdir(sf_dir))
     except OSError:
         return _TUNED.get(id(spark._jsparkSession), "cluster")
-    profile = "small" if total < _SMALL_DATA_BYTES else "cluster"
+    if total < _SMALL_DATA_BYTES:
+        # graduated, not binary: shuffle width grows with the data (~8 MB
+        # of input per shuffle partition, floor 8) so a 100 MB dir gets
+        # ~14 partitions instead of being pinned to the sf0.1 setting,
+        # while the scheduling-floor win for tiny dirs is kept
+        width = max(_SMALL_DATA_SHUFFLE_PARTITIONS,
+                    min(spark.sparkContext.defaultParallelism,
+                        int(total // (8 << 20)) + 1))
+        profile = f"small-{width}"
+    else:
+        profile = "cluster"
     sid = id(spark._jsparkSession)
     if _TUNED.get(sid) == profile:
         return profile
     _TUNED[sid] = profile
-    if profile == "small":
+    if profile != "cluster":
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       str(_SMALL_DATA_SHUFFLE_PARTITIONS))
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
     else:
         # two-way: loading a LARGE dir restores the cluster profile a
         # previously-loaded small dir switched off — otherwise a session
@@ -164,7 +173,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         size = 0
     par = spark.sparkContext.defaultParallelism
     max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b"))
-    if profile == "small" and name not in _CPU_HEAVY_TABLES:
+    if profile != "cluster" and name not in _CPU_HEAVY_TABLES:
         # partitions sized to the DATA, not the core count: a 10 MB table
         # split 32 ways is 32 scheduler events per stage for ~20k rows of
         # work each — with ~50 queries per session the DAGScheduler's
