@@ -208,11 +208,43 @@ def main() -> None:
         isolate()
 
     total = round(sum(timings.values()), 4)
+
+    # System-level number alongside the serial per-query timings: ONE wall
+    # clock for the full 50-query oracle suite submitted concurrently
+    # (16-thread driver pool, per-thread FAIR pools, fresh plan builds
+    # inside the timer, best-of-2) — the engine's answer to "run the whole
+    # check suite", directly comparable to DuckDB's serial suite total
+    # (scripts/baseline_duckdb.py). The reference's own rule executor is a
+    # 10-thread pool, so concurrent submission IS its execution model.
+    from concurrent.futures import ThreadPoolExecutor
+    from threading import get_ident
+
+    from sparvi_spark.checks import collect_all_checks
+
+    suite_fns = [fn for _n, (fn, _sql)
+                 in sorted(collect_all_checks(prepared=False).items())]
+
+    def run_one(f):
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"suite-{get_ident()}")
+        return f(spark, sf_dir).toPandas()
+
+    suite_wall = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(run_one, suite_fns))
+        suite_wall = min(suite_wall, round(time.perf_counter() - t0, 4))
+    print(f"# oracle suite concurrent wall ({len(suite_fns)} queries, "
+          f"best of 2): {suite_wall:.2f}s", file=sys.stderr)
+
     print(json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "suite_concurrent_wall_sec": suite_wall,
+        "suite_queries": len(suite_fns),
         "sf": sf,
     }))
     spark.stop()

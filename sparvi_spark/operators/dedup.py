@@ -565,20 +565,28 @@ def contamination(
 
     Output: (id, n_shingles, n_contaminated, contamination_frac).
 
-    Scale shape: both sides reduce to distinct (id, shingle) pairs via the
-    shuffle-free per-row ``array_distinct`` path; the only wide ops are the
-    semi-join on shingle (hash join; the ref set is usually the small side
-    -> broadcast) and the per-doc count aggregation. Cost is linear in
-    corpus size — no pairwise comparisons anywhere.
+    Scale shape: the corpus' shingle arrays are computed ONCE — each
+    exploded (id, shingle) row carries its doc's shingle count, so totals
+    and hit counts fold out of a single join + single groupBy (the old
+    two-groupBy formulation evaluated the tokenize+shingle transform
+    twice). The ref side reduces to a distinct shingle set (usually the
+    small side -> broadcast hash join); a left join against distinct ref
+    shingles over per-doc-distinct pairs can never duplicate rows, and
+    counting the hit marker gives n_contaminated while any row carries
+    n_shingles. Cost is linear in corpus size — no pairwise comparisons
+    anywhere.
     """
-    doc_sh = _doc_shingles(df, id_col, text_col, n)
-    ref_sh = _doc_shingles(ref, id_col, text_col, n).select("shingle").distinct()
-    totals = doc_sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (doc_sh.join(ref_sh, "shingle", "left_semi")
-            .groupBy("__id").agg(F.count(F.lit(1)).alias("n_contaminated")))
+    doc_sh = _doc_gram_arrays(df, id_col, text_col, n).select(
+        "__id", F.size("__grams").alias("n_shingles"),
+        F.explode("__grams").alias("shingle"))
+    ref_sh = (_doc_shingles(ref, id_col, text_col, n)
+              .select("shingle").distinct()
+              .withColumn("__hit", F.lit(1)))
     return (
-        totals.join(hits, "__id", "left")
-        .na.fill({"n_contaminated": 0})
+        doc_sh.join(ref_sh, "shingle", "left")
+        .groupBy("__id")
+        .agg(F.first("n_shingles").alias("n_shingles"),
+             F.count("__hit").alias("n_contaminated"))
         .select(
             F.col("__id").alias(id_col),
             "n_shingles",
