@@ -9,6 +9,9 @@ with event-time watermarks so late data is bounded and state is pruned.
 from sparvi_spark.streaming.monitor import (
     events_stream,
     freshness,
+    kafka_stream,
+    parse_event_payload,
+    stream_source,
     windowed_counts,
     windowed_quality,
 )
@@ -21,6 +24,7 @@ from sparvi_spark.streaming.detect import streaming_detection
 from sparvi_spark.streaming.sessions import streaming_sessions
 
 __all__ = ["events_stream", "windowed_counts", "windowed_quality", "freshness",
+           "stream_source", "kafka_stream", "parse_event_payload",
            "streaming_sessions",
            "running_metrics", "streaming_detection",
            "streaming_dedup_exact", "streaming_dedup_fingerprint"]

@@ -45,6 +45,67 @@ def events_stream(spark: SparkSession, path: str,
     return df
 
 
+def parse_event_payload(df: DataFrame, schema: str = EVENTS_DDL,
+                        value_col: str = "value") -> DataFrame:
+    """Kafka-record frame -> events frame: JSON in ``value`` parsed against
+    ``schema`` (JVM-side from_json — no UDF), Kafka's own ingest timestamp
+    kept as ``kafka_ts`` for lag monitoring.
+
+    Pure DataFrame logic over the standard Kafka source shape (key/value
+    binary, topic, partition, offset, timestamp), so it is testable on a
+    BATCH frame of the same shape without a broker — the seam the
+    streaming source swap runs through.
+    """
+    parsed = df.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("e"),
+        F.col("timestamp").alias("kafka_ts"))
+    return parsed.select("e.*", "kafka_ts")
+
+
+def kafka_stream(spark: SparkSession, bootstrap_servers: str, topic: str,
+                 schema: str = EVENTS_DDL,
+                 starting_offsets: str = "latest",
+                 max_offsets_per_trigger: int | None = None) -> DataFrame:
+    """Kafka source -> parsed events stream (the config swap SCALING.md
+    promises: same downstream operators, different readStream source).
+
+    Requires the spark-sql-kafka package on the classpath (not bundled in
+    this container — the reader raises on load() without it; the payload
+    parsing seam is covered broker-free by ``parse_event_payload``).
+    ``maxOffsetsPerTrigger`` is the Kafka-side backpressure bound, the
+    analogue of the file source's maxFilesPerTrigger.
+    """
+    reader = (spark.readStream.format("kafka")
+              .option("kafka.bootstrap.servers", bootstrap_servers)
+              .option("subscribe", topic)
+              .option("startingOffsets", starting_offsets))
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger",
+                               str(max_offsets_per_trigger))
+    return parse_event_payload(reader.load(), schema)
+
+
+def stream_source(spark: SparkSession, conf: dict) -> DataFrame:
+    """Uniform stream entry point (mirrors sources.read_table for batch):
+    ``{"type": "files", "path": dir}`` or ``{"type": "kafka",
+    "bootstrap_servers": ..., "topic": ...}`` — downstream operators
+    (windowed_counts/quality, freshness, dedup, detect) are source-
+    agnostic."""
+    ctype = conf["type"].lower()
+    if ctype == "files":
+        return events_stream(
+            spark, conf["path"], schema=conf.get("schema", EVENTS_DDL),
+            max_files_per_trigger=conf.get("max_files_per_trigger", 4),
+            nanos_ts=conf.get("nanos_ts", False))
+    if ctype == "kafka":
+        return kafka_stream(
+            spark, conf["bootstrap_servers"], conf["topic"],
+            schema=conf.get("schema", EVENTS_DDL),
+            starting_offsets=conf.get("starting_offsets", "latest"),
+            max_offsets_per_trigger=conf.get("max_offsets_per_trigger"))
+    raise NotImplementedError(f"stream source type {ctype!r}")
+
+
 def windowed_counts(stream: DataFrame, window: str = "1 hour",
                     watermark: str = "2 hours",
                     ts_col: str = "ts", key_col: str = "event_type") -> DataFrame:

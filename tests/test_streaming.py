@@ -270,3 +270,51 @@ def test_streaming_quality_filter_matches_batch(spark, tmp_path):
                             "doc_id", min_words=10).collect()}
     assert got == batch and len(got) == 4
     assert got[2][0] is False and got[1][0] in (True, False)
+
+
+def test_kafka_payload_seam_and_source_dispatch(spark, tmp_path):
+    """The Kafka seam, broker-free: parse_event_payload recovers typed
+    event rows from the standard Kafka record shape on a BATCH frame, and
+    stream_source dispatches files/kafka/unknown correctly."""
+    import datetime as dt
+    import json as _json
+
+    from sparvi_spark.streaming.monitor import (
+        parse_event_payload,
+        stream_source,
+    )
+
+    events = [
+        {"event_id": 1, "ts": "2026-01-01 00:00:00", "user_id": 7,
+         "event_type": "click", "value": 1.5, "props": None},
+        {"event_id": 2, "ts": "2026-01-01 01:00:00", "user_id": 8,
+         "event_type": "view", "value": None, "props": "{\"k\": 1}"},
+    ]
+    kafka_shaped = spark.createDataFrame(
+        [(None, bytearray(_json.dumps(e).encode()), "t", 0, i,
+          dt.datetime(2026, 1, 1, 2, 0, 0))
+         for i, e in enumerate(events)],
+        "key binary, value binary, topic string, partition int, "
+        "offset bigint, timestamp timestamp")
+    rows = {r["event_id"]: r
+            for r in parse_event_payload(kafka_shaped).collect()}
+    assert rows[1]["event_type"] == "click" and rows[1]["value"] == 1.5
+    assert rows[1]["ts"] == dt.datetime(2026, 1, 1, 0, 0, 0)
+    assert rows[2]["value"] is None and rows[2]["props"] == '{"k": 1}'
+    assert rows[1]["kafka_ts"] == dt.datetime(2026, 1, 1, 2, 0, 0)
+
+    # dispatcher: files path builds a streaming frame with events schema
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    drop = tmp_path / "drops"
+    drop.mkdir()
+    pq.write_table(pa.table({
+        "event_id": [1], "ts": [dt.datetime(2026, 1, 1)], "user_id": [1],
+        "event_type": ["click"], "value": [1.0], "props": [None]}),
+        str(drop / "a.parquet"))
+    st = stream_source(spark, {"type": "files", "path": str(drop)})
+    assert st.isStreaming and "event_type" in st.columns
+
+    with pytest.raises(NotImplementedError):
+        stream_source(spark, {"type": "pulsar"})
