@@ -58,13 +58,14 @@ def read_table(
 ) -> DataFrame:
     """Read one monitored table as a DataFrame.
 
-    conn["type"]: ``parquet`` | ``csv`` | ``json`` (path-based lakes; conn
-    ["path"] is the directory) or ``postgresql`` | ``snowflake`` | ``duckdb``
-    (JDBC). For JDBC, pass partition_column + bounds to parallelize the read
-    across executors; defaults would funnel the whole table through one task.
+    conn["type"]: ``parquet`` | ``orc`` | ``csv`` | ``json`` (path-based
+    lakes; conn["path"] is the directory) or ``postgresql`` | ``snowflake``
+    | ``duckdb`` (JDBC). For JDBC, pass partition_column + bounds to
+    parallelize the read across executors; defaults would funnel the whole
+    table through one task.
     """
     ctype = conn["type"].lower()
-    if ctype in ("parquet", "csv", "json"):
+    if ctype in ("parquet", "orc", "csv", "json"):
         path = f"{conn['path']}/{table}.{ctype}"
         reader = spark.read
         if ctype == "csv":

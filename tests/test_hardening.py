@@ -383,3 +383,19 @@ def test_real_image_decode_with_pillow(spark):
     row = extract_image_features(media, fake="auto").collect()[0]
     assert (row["width"], row["height"]) == (4, 3)
     assert abs(row["mean_intensity"] - 128.0) < 0.01
+
+
+def test_read_table_orc_roundtrip(spark, tmp_path):
+    """ORC lake source (predicate pushdown + column pruning built in,
+    like parquet) round-trips through read_table."""
+    from sparvi_spark.sources import read_table
+    from sparvi_spark.testdata import load_table
+
+    nation = load_table(spark, "nation", SF_DIR)
+    nation.coalesce(1).write.mode("overwrite").orc(str(tmp_path / "nation.orc"))
+    got = read_table(spark, {"type": "orc", "path": str(tmp_path)}, "nation")
+    expect = {(r["n_nationkey"], r["n_name"]) for r in nation.collect()}
+    assert {(r["n_nationkey"], r["n_name"]) for r in got.collect()} == expect
+    plan = (got.where(F.col("n_nationkey") == 3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan or "pushedFilters" in plan

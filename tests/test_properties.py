@@ -211,3 +211,57 @@ def test_bloom_never_false_negative(spark, members, probes):
             pdf, bloom, "s", n_bits=1 << 10, k=3,
             portable=portable).collect()}
         assert members <= kept
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.tuples(st.one_of(st.none(), st.text(alphabet="ab", max_size=2)),
+              st.one_of(st.none(), st.integers(min_value=0, max_value=3))),
+    min_size=0, max_size=25))
+def test_duplicate_count_hash_matches_exact(spark, rows):
+    """The 8-byte hash-projection duplicate count equals the exact
+    full-row count on arbitrary small frames — including NULL-heavy rows
+    and (NULL, x) vs (x, NULL) position swaps, where a naive
+    null-skipping hash would collide."""
+    from sparvi_spark.operators.profile import duplicate_count
+
+    df = spark.createDataFrame(rows, "s string, i int") if rows else \
+        spark.createDataFrame([], "s string, i int")
+    assert duplicate_count(df) == duplicate_count(df, exact=True)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.booleans(), min_size=1, max_size=8))
+def test_pointer_protocol_reads_last_complete_commit(crashes):
+    """For ANY interleaving of completed commits and crashes-before-flip,
+    the pointer names the newest COMPLETED commit and GC never removes
+    it: the invariant the state store's crash safety rests on."""
+    import os
+    import tempfile
+
+    from sparvi_spark.sources.state import (
+        gc_versions,
+        next_version,
+        read_pointer,
+        write_pointer,
+    )
+
+    with tempfile.TemporaryDirectory() as base:
+        last_committed = None
+        for i, crash in enumerate(crashes):
+            v = next_version(base)
+            os.makedirs(os.path.join(base, v))
+            with open(os.path.join(base, v, "data.txt"), "w") as f:
+                f.write(f"payload-{i}")
+            if not crash:
+                write_pointer(base, v)
+                gc_versions(base)
+                last_committed = v
+        assert read_pointer(base) == last_committed
+        if last_committed is not None:
+            with open(os.path.join(base, last_committed, "data.txt")) as f:
+                assert f.read().startswith("payload-")
+        # final GC leaves exactly the committed version
+        gc_versions(base)
+        left = [d for d in os.listdir(base) if d.startswith("v_")]
+        assert left == ([last_committed] if last_committed else [])
