@@ -1315,8 +1315,36 @@ FROM events, s WHERE event_id < {ZORDER_CAP}
 """.strip()
 
 
+def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable top-K sketch (incremental P8): per-source truncated value
+    counts folded to the global top-5 languages. Exact here because each
+    partition's kept set (k*oversample = 40) covers its distinct langs —
+    the documented exactness condition — so the DuckDB oracle is the plain
+    global top-k with the profiler's tie-break."""
+    from sparvi_spark.operators.incremental import (
+        partition_topk_sketch,
+        sketch_topk,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sk = partition_topk_sketch(docs, "source", ["lang"], k=5, oversample=8)
+    return sketch_topk(sk, k=5)
+
+
+SQL_TOPK_SKETCH = """
+SELECT column_name, value, cnt, rank FROM (
+  SELECT 'lang' AS column_name, cast(lang AS varchar) AS value,
+         cast(count(*) AS bigint) AS cnt,
+         cast(row_number() OVER (ORDER BY count(*) DESC,
+              cast(lang AS varchar) ASC) AS int) AS rank
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang) t
+WHERE rank <= 5
+""".strip()
+
+
 EXTRA_CHECKS = {
     "d04_simhash_pairs": (q_simhash_pairs, None),
+    "e04_topk_sketch": (q_topk_sketch, SQL_TOPK_SKETCH),
     "x18_bloom_contamination": (q_bloom_contamination,
                                 _sql_bloom_contamination()),
     "x19_pq_adc": (q_pq_adc, _sql_pq_adc()),

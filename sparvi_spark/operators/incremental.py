@@ -351,6 +351,74 @@ def sketch_distinct(sketch: DataFrame, p: int = HLL_P) -> DataFrame:
         "column_name", F.round(est).cast("bigint").alias("distinct_est"))
 
 
+# ---------------------------------------------------------------------------
+# Mergeable top-K sketch: per-partition truncated value counts.
+#
+# P8 (top-K frequent values) is the one profile element the three families
+# above cannot maintain incrementally — frequency needs per-value counts.
+# Keeping EVERY (partition, column, value, count) row is exact but
+# unbounded; the classic distributed compromise (space-saving / "local
+# top-k' then merge") keeps only the k' = k × oversample most frequent
+# values per (partition, column). Merging is the same
+# replace-refreshed-partitions rule + a groupBy-sum fold; the result is
+# EXACT whenever each partition's kept set covers every value that is
+# globally top-k (guaranteed when per-partition distinct <= k', the normal
+# case for categorical/skewed columns), and otherwise each reported count
+# is a LOWER bound that can under-count a value by at most (sum over
+# partitions of that partition's k'-th count) — the standard TPUT bound.
+# At 100 TB: state is O(partitions × columns × k') tiny rows, refresh cost
+# is one groupBy over the changed partitions only.
+# ---------------------------------------------------------------------------
+
+TOPK_SCHEMA = ("partition_value string, column_name string, value string, "
+               "cnt bigint")
+
+
+def partition_topk_sketch(
+    df: DataFrame, partition_col: str, cols: list[str],
+    k: int = 10, oversample: int = 8,
+) -> DataFrame:
+    """Per-partition truncated value counts -> (partition_value,
+    column_name, value, cnt), keeping the k*oversample most frequent
+    values per (partition, column) with the profiler's deterministic
+    tie-break (cnt DESC, value ASC)."""
+    from pyspark.sql import Window
+
+    stack = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    melted = (df.select(
+        partition_key(partition_col).alias("partition_value"),
+        F.expr(f"stack({len(cols)}, {stack}) as (column_name, value)"))
+        .where(F.col("value").isNotNull()))
+    counted = (melted.groupBy("partition_value", "column_name", "value")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("partition_value", "column_name") \
+        .orderBy(F.desc("cnt"), F.asc("value"))
+    return (counted.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k * oversample).drop("__rn"))
+
+
+def merge_topk_sketches(state: DataFrame, fresh: DataFrame) -> DataFrame:
+    """Replace refreshed partitions' rows (same contract as
+    merge_partition_stats)."""
+    refreshed = fresh.select("partition_value").distinct()
+    kept = state.join(refreshed, "partition_value", "left_anti")
+    return kept.unionByName(fresh)
+
+
+def sketch_topk(sketch: DataFrame, k: int = 10) -> DataFrame:
+    """Table-level top-K from a (merged) sketch -> (column_name, value,
+    cnt, rank), counts folded across partitions, deterministic tie-break —
+    the same output contract as profile.top_values minus pct."""
+    from pyspark.sql import Window
+
+    folded = (sketch.groupBy("column_name", "value")
+              .agg(F.sum("cnt").alias("cnt")))
+    w = Window.partitionBy("column_name").orderBy(F.desc("cnt"), F.asc("value"))
+    return (folded.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("column_name", "value", "cnt", "rank"))
+
+
 def incremental_profile_full(
     df: DataFrame,
     partition_col: str,

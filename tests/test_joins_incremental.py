@@ -269,3 +269,71 @@ def test_review_fixes_asof_nulls_and_negative_keys(spark):
     assert hashes.where("h < 0").count() == 0
     kept = hash_sample(ids, "id", 10).count()
     assert kept < 350, kept  # ~10% expected; the bug kept all 500 negatives
+
+
+def test_topk_sketch_exact_and_incremental(spark):
+    """The mergeable top-K family: exact vs profile.top_values when each
+    partition's kept set covers its distincts, and a partition refresh
+    merges to the same answer as a from-scratch sketch."""
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.incremental import (
+        merge_topk_sketches,
+        partition_topk_sketch,
+        sketch_topk,
+    )
+    from sparvi_spark.operators.profile import top_values
+
+    rows = [(p, f"v{i % 7}", f"w{i % 3}")
+            for p in ("a", "b", "c") for i in range(40)]
+    df = spark.createDataFrame(rows, "part string, c1 string, c2 string")
+
+    sk = partition_topk_sketch(df, "part", ["c1", "c2"], k=5, oversample=2)
+    got = {(r["column_name"], r["value"]): (r["cnt"], r["rank"])
+           for r in sketch_topk(sk, k=5).collect()}
+    exact = {(r["column_name"], r["value"]):
+             (r["cnt"], i % 5 + 1)
+             for i, r in enumerate(top_values(df, ["c1", "c2"], k=5)
+                                   .orderBy("column_name", "rn" if False else
+                                            F.desc("cnt"), "value").collect())}
+    # compare counts per (column, value) — ranks follow the same tiebreak
+    assert {k_: v[0] for k_, v in got.items()} == \
+           {k_: v[0] for k_, v in exact.items()}
+
+    # refresh partition 'b' with different data; merged == from-scratch
+    df2 = df.where("part <> 'b'").unionByName(
+        spark.createDataFrame([("b", "v9", "w9")] * 11 + [("b", "v1", "w0")],
+                              "part string, c1 string, c2 string"))
+    fresh_b = partition_topk_sketch(
+        df2.where("part = 'b'"), "part", ["c1", "c2"], k=5, oversample=2)
+    merged = merge_topk_sketches(sk, fresh_b)
+    scratch = partition_topk_sketch(df2, "part", ["c1", "c2"], k=5,
+                                    oversample=2)
+    a = sorted(map(tuple, sketch_topk(merged, k=6).collect()))
+    b = sorted(map(tuple, sketch_topk(scratch, k=6).collect()))
+    assert a == b
+    top_c1 = [r for r in a if r[0] == "c1"]
+    assert any(v == "v9" and c == 11 for _, v, c, _r in top_c1)
+
+
+def test_topk_sketch_null_partition_and_lower_bound(spark):
+    """NULL partitions key on the sentinel, and truncation only ever
+    UNDER-counts (the TPUT lower-bound property)."""
+    from sparvi_spark.operators.incremental import (
+        NULL_PARTITION,
+        partition_topk_sketch,
+        sketch_topk,
+    )
+
+    rows = [(None, "x")] * 5 + [("a", "x")] * 3 + \
+           [("a", f"y{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "part string, c string")
+    sk = partition_topk_sketch(df, "part", ["c"], k=1, oversample=1)
+    assert sk.where(
+        sk["partition_value"] == NULL_PARTITION).count() == 1
+    got = {r["value"]: r["cnt"] for r in sketch_topk(sk, k=3).collect()}
+    exact = {r["c"]: r["cnt"] for r in
+             df.groupBy("c").agg(F.count("*").alias("cnt")).collect()}
+    for v, cnt in got.items():
+        assert cnt <= exact[v]
+    assert got["x"] == 8  # kept in both partitions -> exact here
