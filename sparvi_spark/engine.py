@@ -374,7 +374,10 @@ class Engine:
         )
 
         root = os.path.join(self.state.root, "incremental", table_name)
-        families = ("stats", "quantiles", "distincts")
+        # note: adding a family (r5: "topvalues") makes a pre-existing
+        # warehouse probe as "no state" once — one full re-bootstrap on
+        # upgrade, then incremental again
+        families = ("stats", "quantiles", "distincts", "topvalues")
         bases = {k: os.path.join(root, k) for k in families}
 
         def _committed(k: str) -> str | None:
@@ -442,3 +445,23 @@ class Engine:
 
         return profile_from_states(
             {k: self.spark.read.parquet(_committed(k)) for k in families})
+
+    def incremental_top_values(self, table_name: str, k: int = 10) -> DataFrame:
+        """Folded global top-K frequent values from the durable "topvalues"
+        sketch family run_incremental_profile maintains — P8 without
+        rescanning unchanged partitions (exact under the sketch's
+        documented coverage condition, else per-value lower bounds)."""
+        import os
+
+        from sparvi_spark.operators.incremental import sketch_topk
+        from sparvi_spark.sources.state import read_pointer
+
+        base = os.path.join(self.state.root, "incremental", table_name,
+                            "topvalues")
+        current = read_pointer(base)
+        if current is None:
+            raise FileNotFoundError(
+                f"no committed topvalues state for {table_name!r}; "
+                f"run run_incremental_profile first")
+        return sketch_topk(
+            self.spark.read.parquet(os.path.join(base, current)), k=k)

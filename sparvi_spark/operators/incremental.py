@@ -429,9 +429,10 @@ def incremental_profile_full(
     """One incremental round over ALL mergeable state families ->
     (states, table_profile).
 
-    ``states`` holds three frames — "stats" (count/null/sum/sumsq/min/max),
-    "quantiles" (log-histogram), "distincts" (HLL registers) — each merged
-    by the replace-refreshed-partitions rule. The returned profile joins
+    ``states`` holds four frames — "stats" (count/null/sum/sumsq/min/max),
+    "quantiles" (log-histogram), "distincts" (HLL registers), "topvalues"
+    (truncated per-partition value counts) — each merged by the
+    replace-refreshed-partitions rule. The returned profile joins
     exact fold-out stats with approximate quantiles (bounded relative
     error) and distinct estimates (~1.6% sigma): a FULL per-column profile
     whose per-round cost is proportional to the changed partitions, never
@@ -449,11 +450,14 @@ def incremental_profile_full(
                                                numeric_cols),
         "distincts": partition_distinct_sketch(scan, partition_col,
                                                numeric_cols),
+        "topvalues": partition_topk_sketch(scan, partition_col,
+                                           numeric_cols),
     }
     mergers = {
         "stats": merge_partition_stats,
         "quantiles": merge_quantile_sketches,
         "distincts": merge_distinct_sketches,
+        "topvalues": merge_topk_sketches,
     }
     new_states = {
         k: (fresh[k] if states is None else mergers[k](states[k], fresh[k]))

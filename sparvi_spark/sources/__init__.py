@@ -5,10 +5,10 @@ from sparvi_spark.sources.layout import (
     write_zordered,
     zorder_key_expr,
 )
-from sparvi_spark.sources.readers import read_table
+from sparvi_spark.sources.readers import read_corpus, read_table
 from sparvi_spark.sources.state import StateStore
 
 __all__ = [
-    "read_table", "StateStore",
+    "read_table", "read_corpus", "StateStore",
     "zorder_key_expr", "write_zordered", "file_column_spans",
 ]

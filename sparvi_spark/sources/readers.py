@@ -128,3 +128,60 @@ def read_table(
                   .option("lowerBound", lower_bound)
                   .option("upperBound", upper_bound))
     return reader.load()
+
+
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "jsonl",
+    text_col: str = "text",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Raw-corpus ingestion: a directory/glob of ``.jsonl`` or plain-text
+    files -> (doc_id, text, source_file) — the entry point of the
+    dedup/quality/contamination pipeline for corpora that arrive as dumps
+    rather than tables.
+
+    - ``jsonl``: one JSON object per line (``spark.read.json`` line mode);
+      ``text_col`` names the text field, ``id_col`` (when the dump carries
+      one) is used verbatim as doc_id.
+    - ``text``: one document per LINE (the crawl-dump shape).
+
+    Without a supplied id, doc_id = xxhash64(source_file, text) —
+    deterministic across runs, partitionings, and cluster sizes (unlike
+    ``monotonically_increasing_id``, which depends on partition layout).
+    Byte-identical lines within one file would share that id, so they are
+    collapsed on read (they are exact duplicates; every downstream dedup
+    would drop them anyway, and id uniqueness is what joins rely on).
+
+    Scale: both readers are splittable line sources — a 100 TB dump fans
+    out across executors at maxPartitionBytes granularity; the id
+    projection and the within-file dedup (one shuffle on the 8-byte id)
+    are the only added cost.
+    """
+    from pyspark.sql import functions as F
+
+    fmt = fmt.lower()
+    if fmt == "jsonl":
+        raw = spark.read.json(path)
+        if text_col not in raw.columns:
+            raise ValueError(
+                f"read_corpus: field {text_col!r} not in {sorted(raw.columns)}")
+        text = F.col(text_col).cast("string")
+    elif fmt == "text":
+        raw = spark.read.text(path)
+        text = F.col("value")
+    else:
+        raise NotImplementedError(f"corpus format {fmt!r}")
+    out = raw.select(
+        text.alias("text"),
+        F.input_file_name().alias("source_file"),
+    )
+    if id_col is not None and fmt == "jsonl":
+        ids = raw.select(F.col(id_col).cast("long").alias("doc_id"),
+                         text.alias("text"),
+                         F.input_file_name().alias("source_file"))
+        return ids.select("doc_id", "text", "source_file")
+    return (out.dropDuplicates(["source_file", "text"])
+            .select(F.xxhash64("source_file", "text").alias("doc_id"),
+                    "text", "source_file"))

@@ -399,3 +399,75 @@ def test_read_table_orc_roundtrip(spark, tmp_path):
     plan = (got.where(F.col("n_nationkey") == 3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters" in plan or "pushedFilters" in plan
+
+
+def test_incremental_top_values_durable(spark, engine):
+    """The durable topvalues family: engine-maintained top-K matches a
+    direct groupBy over the current data, across a partition refresh."""
+    rows = [("a", float(i % 3)) for i in range(30)] + \
+           [("b", float(i % 5)) for i in range(20)]
+    df = spark.createDataFrame(rows, "part string, v double")
+    engine.run_incremental_profile(df, "tv", "part", ["v"])
+
+    def exact_top(d, k=10):
+        return {r["v"]: r["cnt"] for r in
+                d.groupBy(F.col("v").cast("string").alias("v"))
+                .agg(F.count("*").alias("cnt")).collect()}
+
+    got = {r["value"]: r["cnt"]
+           for r in engine.incremental_top_values("tv").collect()}
+    assert got == exact_top(df)
+
+    # refresh partition 'b' only; folded top-K tracks the new data
+    df2 = df.where("part <> 'b'").unionByName(
+        spark.createDataFrame([("b", 9.0)] * 7, "part string, v double"))
+    engine.run_incremental_profile(df2, "tv", "part", ["v"])
+    got2 = {r["value"]: r["cnt"]
+            for r in engine.incremental_top_values("tv").collect()}
+    assert got2 == exact_top(df2)
+    assert got2["9.0"] == 7
+
+    with pytest.raises(FileNotFoundError):
+        engine.incremental_top_values("never_profiled")
+
+
+def test_read_corpus_jsonl_and_text(spark, tmp_path):
+    """Corpus ingestion: jsonl and line-text dumps -> (doc_id, text,
+    source_file) with deterministic unique ids."""
+    import json as _json
+
+    from sparvi_spark.sources import read_corpus
+
+    jd = tmp_path / "dump"
+    jd.mkdir()
+    with open(jd / "a.jsonl", "w") as f:
+        for i, t in enumerate(["hello world", "zweite zeile", "hello world"]):
+            f.write(_json.dumps({"id": i, "text": t}) + "\n")
+    with open(jd / "b.jsonl", "w") as f:
+        f.write(_json.dumps({"id": 9, "text": "hello world"}) + "\n")
+
+    # content-hash ids: in-file exact dups collapse, cross-file survive
+    docs = read_corpus(spark, str(jd / "*.jsonl"), fmt="jsonl")
+    rows = docs.collect()
+    assert len(rows) == 3  # a: 2 distinct, b: 1
+    assert len({r["doc_id"] for r in rows}) == 3
+    assert sorted(r["text"] for r in rows) == \
+        ["hello world", "hello world", "zweite zeile"]
+    again = {r["doc_id"] for r in
+             read_corpus(spark, str(jd / "*.jsonl"), fmt="jsonl").collect()}
+    assert again == {r["doc_id"] for r in rows}  # ids are deterministic
+
+    # dump-supplied ids pass through verbatim (no dedup)
+    withids = read_corpus(spark, str(jd / "*.jsonl"), fmt="jsonl",
+                          id_col="id")
+    assert sorted(r["doc_id"] for r in withids.collect()) == [0, 1, 2, 9]
+
+    with open(jd / "c.txt", "w") as f:
+        f.write("line one\nline two\n")
+    txt = read_corpus(spark, str(jd / "*.txt"), fmt="text")
+    assert sorted(r["text"] for r in txt.collect()) == ["line one", "line two"]
+
+    with pytest.raises(ValueError):
+        read_corpus(spark, str(jd / "*.jsonl"), fmt="jsonl", text_col="nope")
+    with pytest.raises(NotImplementedError):
+        read_corpus(spark, str(jd), fmt="avro")
