@@ -1315,6 +1315,109 @@ FROM events, s WHERE event_id < {ZORDER_CAP}
 """.strip()
 
 
+def q_neardup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup pairs (near-dup-level decontamination),
+    portable-hash mode: candidate = non-src0 docs, reference = src0 docs.
+    The oracle recomputes the identical polynomial/affine/band pipeline
+    with the two sides split by source."""
+    from sparvi_spark.operators.dedup import minhash_lsh_pairs_cross
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    cand = docs.where(F.col("source") != "src0")
+    ref = docs.where(F.col("source") == "src0")
+    return minhash_lsh_pairs_cross(
+        cand, ref, "doc_id", "text", n=1, num_hashes=MH_HASHES,
+        bands=MH_BANDS, threshold=JACCARD_T, hash_fn="portable")
+
+
+def _sql_neardup_cross() -> str:
+    from sparvi_spark.operators.dedup import (
+        PORTABLE_BAND_M as M,
+        PORTABLE_P as P,
+        _affine_params,
+    )
+
+    rpb = MH_HASHES // MH_BANDS
+    mins = ", ".join(
+        "min(({a} * x + {b}) % {p}) AS h{i}".format(
+            a=_affine_params(i)[0], b=_affine_params(i)[1], p=P, i=i)
+        for i in range(MH_HASHES)
+    )
+    band_selects = []
+    for bnd in range(MH_BANDS):
+        expr = "0"
+        for k in range(bnd * rpb, (bnd + 1) * rpb):
+            expr = f"(({expr}) * {M} + h{k}) % {P}"
+        band_selects.append(
+            f"SELECT id, src, {bnd} AS band, {expr} AS bh FROM sig")
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sh AS (SELECT DISTINCT doc_id AS id, source AS src,
+              unnest({_DUCK_TOKS}) AS shingle
+            FROM documents WHERE doc_id < {DOC_CAP}),
+hx AS (SELECT id, src, list_reduce(list_prepend(cast(0 as bigint),
+         list_transform(range(1, strlen(shingle) + 1),
+           i -> cast(ascii(substring(shingle, i, 1)) as bigint))),
+         (acc, c) -> (acc * 131 + c) % {P}) AS x FROM sh),
+sig AS (SELECT id, src, {mins} FROM hx GROUP BY id, src),
+banded AS ({banded}),
+cands AS (SELECT DISTINCT a.id AS id, b.id AS ref_id
+          FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+          WHERE a.src <> 'src0' AND b.src = 'src0'),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+shared AS (SELECT c.id, c.ref_id, count(*) AS shared
+           FROM cands c
+           JOIN sh a ON a.id = c.id
+           JOIN sh b ON b.id = c.ref_id AND b.shingle = a.shingle
+           GROUP BY c.id, c.ref_id)
+SELECT shared.id AS id, shared.ref_id AS ref_id,
+  round(shared * cast(1 as double) / (x.sz + y.sz - shared), 6) AS jaccard
+FROM shared JOIN sz x ON shared.id = x.id JOIN sz y ON shared.ref_id = y.id
+WHERE round(shared * cast(1 as double) / (x.sz + y.sz - shared), 6)
+      >= {JACCARD_T}
+""".strip()
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction parity: deterministic PII spans are appended to each
+    doc (both engines build the identical input), then the chained
+    regexp_replace pipeline must rewrite them identically and agree on the
+    insertion count."""
+    from sparvi_spark.operators.text import redact_pii
+
+    docs = (load_table(spark, "documents", sf_dir)
+            .where(F.col("doc_id") < 100)
+            .select("doc_id", F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" contact a"), F.col("doc_id").cast("string"),
+                F.lit("@ex.org or https://ex.org/p"),
+                F.col("doc_id").cast("string"),
+                F.lit(" ip 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+            ).alias("text")))
+    return redact_pii(docs, "text").select(
+        "doc_id", "text_redacted", "n_redactions")
+
+
+def _sql_pii_redact() -> str:
+    from sparvi_spark.operators.text import PII_PATTERNS
+
+    order = ["email", "ipv4", "phone", "url"]
+    inner = ("concat(coalesce(text, ''), ' contact a', cast(doc_id as varchar), "
+             "'@ex.org or https://ex.org/p', cast(doc_id as varchar), "
+             "' ip 10.0.0.', cast(doc_id % 256 as varchar))")
+    redacted, counts = inner, []
+    for name in order:
+        rx = PII_PATTERNS[name].replace("'", "''")
+        counts.append(
+            f"cast(len(regexp_extract_all({redacted}, '{rx}')) as bigint)")
+        redacted = f"regexp_replace({redacted}, '{rx}', '<{name}>', 'g')"
+    return (
+        f"SELECT doc_id, {redacted} AS text_redacted, "
+        f"({' + '.join(counts)}) AS n_redactions "
+        f"FROM documents WHERE doc_id < 100"
+    )
+
+
 def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable top-K sketch (incremental P8): per-source truncated value
     counts folded to the global top-5 languages. Exact here because each
@@ -1345,6 +1448,8 @@ WHERE rank <= 5
 EXTRA_CHECKS = {
     "d04_simhash_pairs": (q_simhash_pairs, None),
     "e04_topk_sketch": (q_topk_sketch, SQL_TOPK_SKETCH),
+    "e05_neardup_cross": (q_neardup_cross, _sql_neardup_cross()),
+    "e06_pii_redact": (q_pii_redact, _sql_pii_redact()),
     "x18_bloom_contamination": (q_bloom_contamination,
                                 _sql_bloom_contamination()),
     "x19_pq_adc": (q_pq_adc, _sql_pq_adc()),

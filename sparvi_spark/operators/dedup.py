@@ -433,6 +433,86 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_cross(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora (candidate x reference) —
+    MinHash banding + exact-Jaccard verification, the near-dup level of
+    benchmark decontamination (the shingle-overlap screens catch verbatim
+    contamination; this catches lightly-edited copies).
+
+    Output: (id, ref_id, jaccard >= threshold). Same machinery as
+    ``minhash_lsh_pairs`` — both sides signed with the IDENTICAL hash
+    family so their band hashes collide exactly when a self-join's would —
+    but the bucket join is a two-sided equi-join, so cost is
+    O(colliding cross pairs), never candidate-side quadratic. At 100 TB
+    the reference side (a benchmark suite) is small: its banded frame
+    broadcasts, leaving the candidate side one map-side join + the
+    verification joins. To drop near-dup-contaminated docs:
+    ``df.join(pairs.select("id").distinct(), id_col, "left_anti")``.
+    """
+    rows_per_band = num_hashes // bands
+    if hash_fn == "portable":
+        band_hash = (f"aggregate(slice(sig, b * {rows_per_band} + 1, "
+                     f"{rows_per_band}), 0L, "
+                     f"(acc, v) -> (acc * {PORTABLE_BAND_M} + v) % {PORTABLE_P})")
+    else:
+        band_hash = f"xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band}))"
+
+    def _base(frame: DataFrame) -> DataFrame:
+        # sig inside the persisted projection for the same
+        # re-evaluation-per-band reason as minhash_lsh_pairs
+        return (
+            _with_sig(_doc_gram_arrays(frame, id_col, text_col, n),
+                      num_hashes, hash_fn)
+            .withColumn("__sz", F.size("__grams"))
+            .select("__id", "__grams", "__sz", "sig")
+            .persist()
+        )
+
+    def _banded(base: DataFrame, out_id: str) -> DataFrame:
+        return base.select(
+            F.col("__id").alias(out_id),
+            F.explode(
+                F.expr(f"transform(sequence(0, {bands - 1}), "
+                       f"b -> struct(b as band, {band_hash} as bh))")
+            ).alias("bb"),
+        ).select(out_id, F.col("bb.band").alias("band"),
+                 F.col("bb.bh").alias("bh"))
+
+    base_a, base_b = _base(df), _base(ref)
+    cands = (
+        _banded(base_a, "id").join(
+            F.broadcast(_banded(base_b, "ref_id")), ["band", "bh"])
+        .select("id", "ref_id").distinct()
+    )
+    ga = base_a.select(F.col("__id").alias("id"),
+                       F.col("__grams").alias("__ga"),
+                       F.col("__sz").alias("sz_a"))
+    gb = base_b.select(F.col("__id").alias("ref_id"),
+                       F.col("__grams").alias("__gb"),
+                       F.col("__sz").alias("sz_b"))
+    return (
+        cands.join(ga, "id").join(F.broadcast(gb), "ref_id")
+        .withColumn("shared", F.size(F.array_intersect("__ga", "__gb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") * F.lit(1.0)
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id", "ref_id", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str,
             hash_fn: str = "xxhash64", bits: int = 64) -> DataFrame:
     """SimHash fingerprint per document (JVM-side bit votes).

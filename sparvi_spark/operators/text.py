@@ -274,6 +274,39 @@ def pattern_counts(
     )
 
 
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+    tag_format: str = "<{name}>",
+) -> DataFrame:
+    """Replace every match of the named patterns with its tag (default
+    ``<email>``, ``<ipv4>``, ...) — the REMEDIATION step paired with
+    ``pattern_counts``'s detection, the standard pre-training scrub.
+
+    One chained ``regexp_replace`` projection, JVM-side and codegen'd —
+    zero shuffle, scan-bound at any scale. Patterns apply in dict order
+    (insertion order), so put more-specific shapes first when they overlap
+    (e.g. ``url`` before a bare-host pattern: once a span is rewritten to
+    a tag, later patterns see the tag, not the original text). Adds
+    ``{text_col}_redacted`` plus ``n_redactions`` — total matches
+    rewritten, each pattern counted on the text as it stands right before
+    its own rewrite (i.e. after earlier patterns'), so the count equals
+    the number of tag insertions.
+    """
+    pats = patterns if patterns is not None else {
+        k: v for k, v in PII_PATTERNS.items() if k != "long_word"}
+    out = F.col(text_col)
+    n = F.lit(0).cast("long")
+    staged = df
+    for name, rx in pats.items():
+        n = n + F.coalesce(
+            F.regexp_count(out, F.lit(rx)).cast("long"), F.lit(0))
+        out = F.regexp_replace(out, rx, tag_format.format(name=name))
+    return (staged.withColumn(f"{text_col}_redacted", out)
+            .withColumn("n_redactions", n))
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -769,3 +769,53 @@ def test_review_fixes_null_and_string_id_paths(spark):
         F2.coalesce(F2.col("b").cast("string"), F2.lit("<<NULL>>")))
         .alias("k")).collect()
     assert keys[0]["k"] != keys[1]["k"]
+
+
+def test_redact_pii_rewrites_and_counts(spark):
+    from sparvi_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail me at bob@example.com or visit https://x.org/a"),
+        (2, "server 192.168.0.1 call +1 (555) 123-4567"),
+        (3, "nothing sensitive here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    assert out[1]["text_redacted"] == "mail me at <email> or visit <url>"
+    assert out[1]["n_redactions"] == 2
+    assert out[2]["text_redacted"] == "server <ipv4> call <phone>"
+    assert out[2]["n_redactions"] == 2
+    assert out[3]["text_redacted"] == "nothing sensitive here"
+    assert out[3]["n_redactions"] == 0
+    assert out[4]["text_redacted"] is None and out[4]["n_redactions"] == 0
+
+
+def test_minhash_cross_finds_planted_near_dups(spark):
+    """Cross-corpus near-dup pairs: planted lightly-edited copies of ref
+    docs are flagged; unrelated docs are not; no within-corpus pairs."""
+    from sparvi_spark.operators.dedup import minhash_lsh_pairs_cross
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    ref = spark.createDataFrame(
+        [(100, base), (101, "completely different reference content here "
+                            "about cooking pasta with fresh tomatoes")],
+        "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(1, base.replace("tonight", "today")),      # near-dup of 100
+         (2, base),                                   # exact dup of 100
+         (3, "unrelated candidate text about orbital mechanics and "
+             "satellite telemetry downlink budgets")],
+        "doc_id long, text string")
+    pairs = minhash_lsh_pairs_cross(cand, ref, "doc_id", "text",
+                                    n=2, num_hashes=32, bands=16,
+                                    threshold=0.6)
+    got = {(r["id"], r["ref_id"]): r["jaccard"] for r in pairs.collect()}
+    assert (2, 100) in got and got[(2, 100)] == 1.0
+    assert (1, 100) in got and got[(1, 100)] >= 0.6
+    assert all(i != 3 for i, _ in got)
+    # decontamination shape: anti-join drops the flagged candidates
+    kept = cand.join(pairs.select("id").distinct(),
+                     cand["doc_id"] == F.col("id"), "left_anti")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
