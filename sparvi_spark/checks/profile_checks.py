@@ -624,10 +624,53 @@ CHECKS = {
     "p14_preview": (q_preview, SQL_PREVIEW),
 }
 
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.profile import correlation_matrix
+
+    return correlation_matrix(load_table(spark, "lineitem", sf_dir), CORR_COLS)
+
+
+def _sql_correlation() -> str:
+    """Same decimal-exact sums + identical double fold as the operator —
+    NOT DuckDB's corr() (float accumulation order would hash-differ)."""
+    pairs = [(a, b) for i, a in enumerate(CORR_COLS)
+             for b in CORR_COLS[i + 1:]]
+    aggs, rows = [], []
+    for i, (a, b) in enumerate(pairs):
+        both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        aggs += [
+            f"count(case when {both} then 1 end) AS n_{i}",
+            f"sum(case when {both} then cast({a} as decimal(28,8)) end) AS sx_{i}",
+            f"sum(case when {both} then cast({b} as decimal(28,8)) end) AS sy_{i}",
+            f"sum(case when {both} then cast({a} as decimal(19,4)) "
+            f"* cast({b} as decimal(18,4)) end) AS sxy_{i}",
+            f"sum(case when {both} then cast({a} as decimal(19,4)) "
+            f"* cast({a} as decimal(18,4)) end) AS sxx_{i}",
+            f"sum(case when {both} then cast({b} as decimal(19,4)) "
+            f"* cast({b} as decimal(18,4)) end) AS syy_{i}",
+        ]
+        n = f"cast(n_{i} as double)"
+        sx, sy = f"cast(sx_{i} as double)", f"cast(sy_{i} as double)"
+        sxy = f"cast(sxy_{i} as double)"
+        sxx, syy = f"cast(sxx_{i} as double)", f"cast(syy_{i} as double)"
+        denom = (f"sqrt(({n} * {sxx} - {sx} * {sx}) "
+                 f"* ({n} * {syy} - {sy} * {sy}))")
+        r = (f"case when n_{i} > 1 and {denom} > 0 then "
+             f"round(({n} * {sxy} - {sx} * {sy}) / {denom}, 6) end")
+        rows.append(f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                    f"n_{i} AS n_pairs, {r} AS pearson FROM w")
+    return (f"WITH w AS (SELECT {', '.join(aggs)} FROM lineitem) "
+            + " UNION ALL ".join(rows))
+
+
 # not registered (cap): standalone shapes of ops folded into p01/p06/p12,
 # kept for scripts/check_oracle.py local verification
 EXTRA_CHECKS = {
     "p09_duplicate_counts": (q_duplicate_counts, SQL_DUPLICATE_COUNTS),
     "p10_freshness": (q_freshness, SQL_FRESHNESS),
     "p13_health_scores": (q_health_scores, SQL_HEALTH_SCORES),
+    "e07_correlation": (q_correlation, _sql_correlation()),
 }

@@ -504,6 +504,62 @@ def profile_table(
     return profile
 
 
+def correlation_matrix(
+    df: DataFrame, cols: list[str], round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns, ONE scan ->
+    (col_a, col_b, n_pairs, pearson) for every unordered pair.
+
+    Pairwise-complete semantics: each pair's sums run over rows where BOTH
+    columns are non-null (`when` guards inside the aggregates), so one
+    sparse column doesn't poison the whole matrix. All sums go through
+    DECIMAL (the profiler's cross-engine determinism rule) and the final
+    r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) folds in one
+    deterministic double expression. k columns = k(k−1)/2 pairs × 6
+    aggregates fused into the single pass — scan-bound at any scale, no
+    shuffle beyond the one-row aggregate. Zero-variance columns -> NULL.
+
+    Beyond the reference's per-column statistics (SURVEY §2.A ends at
+    single-column moments); standard profiling for feature/training data.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    exprs: list[Column] = []
+    for i, (a, b) in enumerate(pairs):
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        xa = F.when(both, F.col(a).cast(DEC))
+        xb = F.when(both, F.col(b).cast(DEC))
+        sq = lambda c: (f"try_multiply(try_cast(`{c}` as decimal(19,4)), "  # noqa: E731
+                        f"try_cast(`{c}` as decimal(18,4)))")
+        xy = (f"case when `{a}` is not null and `{b}` is not null then "
+              f"try_multiply(try_cast(`{a}` as decimal(19,4)), "
+              f"try_cast(`{b}` as decimal(18,4))) end")
+        exprs += [
+            F.count(F.when(both, 1)).alias(f"n_{i}"),
+            F.sum(xa).alias(f"sx_{i}"),
+            F.sum(xb).alias(f"sy_{i}"),
+            F.sum(F.expr(xy)).cast("decimal(38,8)").alias(f"sxy_{i}"),
+            F.sum(F.when(both, F.expr(sq(a)))).cast("decimal(38,8)")
+            .alias(f"sxx_{i}"),
+            F.sum(F.when(both, F.expr(sq(b)))).cast("decimal(38,8)")
+            .alias(f"syy_{i}"),
+        ]
+    wide = df.agg(*exprs)
+    tuples = []
+    for i, (a, b) in enumerate(pairs):
+        n = f"cast(n_{i} as double)"
+        sx, sy = f"cast(sx_{i} as double)", f"cast(sy_{i} as double)"
+        sxy = f"cast(sxy_{i} as double)"
+        sxx, syy = f"cast(sxx_{i} as double)", f"cast(syy_{i} as double)"
+        denom = (f"sqrt(({n} * {sxx} - {sx} * {sx}) "
+                 f"* ({n} * {syy} - {sy} * {sy}))")
+        r = (f"case when n_{i} > 1 and {denom} > 0 then "
+             f"round(({n} * {sxy} - {sx} * {sy}) / {denom}, {round_to}) end")
+        tuples.append(f"'{a}', '{b}', n_{i}, {r}")
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {', '.join(tuples)}) "
+        f"as (col_a, col_b, n_pairs, pearson)")
+
+
 # ---------------------------------------------------------------------------
 # P13 table health score (collector.py:661-687)
 # ---------------------------------------------------------------------------

@@ -119,3 +119,32 @@ def mixture_sample(
         .where(F.col("__rk") <= quota_map[F.col(group_col)])
         .drop("__rk")
     )
+
+
+def temperature_proportions(
+    counts: dict[str, int], tau: float
+) -> dict[str, float]:
+    """Temperature-scaled mixture targets: p_g ∝ n_g^tau — the standard
+    multilingual/data-recipe rebalance (tau=1 keeps natural proportions,
+    tau→0 approaches uniform, intermediate values upsample the tail's
+    SHARE without fabricating rows). Pure driver math over group counts."""
+    if tau < 0:
+        raise ValueError("tau must be >= 0")
+    w = {g: float(n) ** tau for g, n in counts.items() if n > 0}
+    if not w:
+        raise ValueError("no non-empty groups")
+    total = sum(w.values())
+    return {g: v / total for g, v in w.items()}
+
+
+def temperature_sample(
+    df: DataFrame, group_col: str, id_col: str, tau: float
+) -> DataFrame:
+    """Downsample to the temperature-tau mixture: one tiny groupBy count
+    to the driver for the targets, then the deterministic
+    ``mixture_sample`` machinery (hash-order prefixes, one shuffle).
+    tau=1 is a no-op by construction; smaller tau trims dominant groups
+    until shares match n_g^tau / Σ n^tau."""
+    counts = {r[0]: r[1] for r in df.groupBy(group_col).count().collect()}
+    return mixture_sample(df, group_col, id_col,
+                          temperature_proportions(counts, tau))

@@ -819,3 +819,37 @@ def test_minhash_cross_finds_planted_near_dups(spark):
     kept = cand.join(pairs.select("id").distinct(),
                      cand["doc_id"] == F.col("id"), "left_anti")
     assert sorted(r["doc_id"] for r in kept.collect()) == [3]
+
+
+def test_temperature_sampling(spark):
+    """tau=1 keeps everything; tau=0 equalizes to the smallest group;
+    intermediate tau raises the tail's share, all deterministically."""
+    from sparvi_spark.operators.sampling import (
+        temperature_proportions,
+        temperature_sample,
+    )
+
+    rows = [("big", i) for i in range(80)] + [("small", 1000 + i)
+                                             for i in range(20)]
+    df = spark.createDataFrame(rows, "grp string, id long")
+
+    assert temperature_sample(df, "grp", "id", 1.0).count() == 100
+
+    t0 = temperature_sample(df, "grp", "id", 0.0)
+    by = {r[0]: r[1] for r in t0.groupBy("grp").count().collect()}
+    assert by == {"big": 20, "small": 20}
+
+    p = temperature_proportions({"big": 80, "small": 20}, 0.5)
+    assert 0.2 < p["small"] < 0.5 and abs(sum(p.values()) - 1.0) < 1e-12
+    mid = temperature_sample(df, "grp", "id", 0.5)
+    m = {r[0]: r[1] for r in mid.groupBy("grp").count().collect()}
+    assert m["small"] / (m["small"] + m["big"]) > 0.2  # tail share raised
+
+    # determinism across invocations
+    a = sorted(r["id"] for r in mid.collect())
+    b = sorted(r["id"] for r in
+               temperature_sample(df, "grp", "id", 0.5).collect())
+    assert a == b
+
+    with pytest.raises(ValueError):
+        temperature_proportions({"g": 5}, -1.0)

@@ -175,3 +175,26 @@ def test_profile_large_magnitudes_and_single_row(spark):
     one = spark.createDataFrame([(5.0,)], "x double")
     p1 = profile_table(one, "one")
     assert p1["summary_statistics"]["x"]["stddev"] is None
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    """One-pass pairwise Pearson vs numpy, including pairwise-complete
+    NULL handling and a zero-variance column -> NULL."""
+    import numpy as np
+
+    from sparvi_spark.operators.profile import correlation_matrix
+
+    rows = [(1.0, 2.0, 5.0), (2.0, 4.1, 5.0), (3.0, 5.9, 5.0),
+            (4.0, None, 5.0), (5.0, 10.2, 5.0), (None, 7.0, 5.0)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {(r["col_a"], r["col_b"]): r
+           for r in correlation_matrix(df, ["a", "b", "c"]).collect()}
+
+    a = [1.0, 2.0, 3.0, 5.0]
+    b = [2.0, 4.1, 5.9, 10.2]
+    expect_ab = float(np.corrcoef(a, b)[0, 1])
+    assert got[("a", "b")]["n_pairs"] == 4
+    assert abs(got[("a", "b")]["pearson"] - round(expect_ab, 6)) < 2e-6
+    # zero-variance partner -> NULL, not a crash or +-1
+    assert got[("a", "c")]["pearson"] is None
+    assert got[("b", "c")]["pearson"] is None
