@@ -666,6 +666,36 @@ def _sql_correlation() -> str:
             + " UNION ALL ".join(rows))
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.skew import key_skew_profile
+
+    summary, _top = key_skew_profile(
+        load_table(spark, "lineitem", sf_dir), ["l_suppkey"])
+    return summary
+
+
+def _sql_key_skew() -> str:
+    return """
+WITH c AS (SELECT l_suppkey, l_suppkey IS NULL AS nk, count(*) AS cnt
+           FROM lineitem GROUP BY l_suppkey)
+SELECT cast(count(*) as bigint) AS n_keys,
+  cast(sum(cnt) as bigint) AS n_rows,
+  cast(max(cnt) as bigint) AS max_count,
+  round(avg(cnt), 4) AS avg_count,
+  round(quantile_cont(cnt, 0.5), 4) AS p50_count,
+  round(quantile_cont(cnt, 0.9), 4) AS p90_count,
+  round(quantile_cont(cnt, 0.99), 4) AS p99_count,
+  cast(coalesce(sum(case when nk then cnt end), 0) as bigint)
+    AS null_key_rows,
+  round(max(cnt) / (sum(cnt) * cast(1 as double) / count(*)), 4)
+    AS imbalance,
+  cast(least(256, greatest(1, ceil(
+    max(cnt) / (sum(cnt) * cast(1 as double) / count(*))))) as int)
+    AS suggested_salt
+FROM c
+""".strip()
+
+
 # not registered (cap): standalone shapes of ops folded into p01/p06/p12,
 # kept for scripts/check_oracle.py local verification
 EXTRA_CHECKS = {
@@ -673,4 +703,5 @@ EXTRA_CHECKS = {
     "p10_freshness": (q_freshness, SQL_FRESHNESS),
     "p13_health_scores": (q_health_scores, SQL_HEALTH_SCORES),
     "e07_correlation": (q_correlation, _sql_correlation()),
+    "e08_key_skew": (q_key_skew, _sql_key_skew()),
 }

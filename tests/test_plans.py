@@ -310,3 +310,60 @@ def test_pq_encode_and_zorder_key_are_map_only(spark):
     plan = _plan(keyed)
     assert "Exchange" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_key_skew_profile(spark):
+    from sparvi_spark.operators.skew import key_skew_profile
+
+    rows = [(1, "x")] * 90 + [(k, "y") for k in range(2, 12)] + [(None, "z")] * 5
+    df = spark.createDataFrame(rows, "k int, v string")
+    summary, heaviest = key_skew_profile(df, ["k"], top=3)
+    s = summary.collect()[0]
+    assert s["n_keys"] == 12 and s["n_rows"] == 105
+    assert s["max_count"] == 90 and s["null_key_rows"] == 5
+    # avg = 105/12 = 8.75 -> imbalance = 90/8.75 ≈ 10.29 -> salt 11
+    assert abs(s["imbalance"] - 10.2857) < 1e-3
+    assert s["suggested_salt"] == 11
+    top = heaviest.collect()
+    assert top[0]["k"] == 1 and top[0]["cnt"] == 90 and top[0]["rank"] == 1
+
+    # a balanced key needs no salt
+    flat = spark.createDataFrame([(i % 4, i) for i in range(40)],
+                                 "k int, v int")
+    s2 = key_skew_profile(flat, ["k"])[0].collect()[0]
+    assert s2["imbalance"] == 1.0 and s2["suggested_salt"] == 1
+
+
+def test_plan_audit_and_assertions(spark, tmp_path):
+    from sparvi_spark.plans.audit import assert_plan, plan_audit
+    from tests.conftest import SF_DIR
+
+    src = f"{SF_DIR}/lineitem.parquet"
+    df = (spark.read.parquet(src)
+          .where(F.col("l_orderkey") == 7)
+          .select("l_orderkey", "l_quantity"))
+    a = plan_audit(df)
+    assert a["scans"] and a["scans"][0]["format"].lower() == "parquet"
+    assert any("l_orderkey" in f for f in a["scans"][0]["pushed_filters"])
+    assert set(a["scans"][0]["read_columns"]) == {"l_orderkey", "l_quantity"}
+    assert a["python_nodes"] == [] and not a["has_cartesian"]
+    assert_plan(df, max_exchanges=0, no_python=True, no_cartesian=True,
+                pushed_filter_on="l_orderkey")
+
+    # a Python stage is flagged
+    from pyspark.sql.types import StructField, StructType, LongType
+
+    def ident(it):
+        yield from it
+
+    pydf = spark.read.parquet(src).select("l_orderkey").mapInPandas(
+        ident, StructType([StructField("l_orderkey", LongType())]))
+    assert "MapInPandas" in plan_audit(pydf)["python_nodes"]
+    with pytest.raises(AssertionError):
+        assert_plan(pydf, no_python=True)
+
+    # a groupBy costs one exchange; the cap catches regressions
+    g = spark.read.parquet(src).groupBy("l_returnflag").count()
+    assert plan_audit(g)["n_exchanges"] >= 1
+    with pytest.raises(AssertionError):
+        assert_plan(g, max_exchanges=0)
