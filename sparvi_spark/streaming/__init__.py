@@ -21,10 +21,12 @@ from sparvi_spark.streaming.dedup import (
     streaming_dedup_fingerprint,
 )
 from sparvi_spark.streaming.detect import streaming_detection
+from sparvi_spark.streaming.profile import streaming_incremental_profile
 from sparvi_spark.streaming.sessions import streaming_sessions
 
 __all__ = ["events_stream", "windowed_counts", "windowed_quality", "freshness",
            "stream_source", "kafka_stream", "parse_event_payload",
            "streaming_sessions",
            "running_metrics", "streaming_detection",
+           "streaming_incremental_profile",
            "streaming_dedup_exact", "streaming_dedup_fingerprint"]

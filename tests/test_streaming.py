@@ -318,3 +318,54 @@ def test_kafka_payload_seam_and_source_dispatch(spark, tmp_path):
 
     with pytest.raises(NotImplementedError):
         stream_source(spark, {"type": "pulsar"})
+
+
+def test_streaming_incremental_profile_matches_batch(spark, tmp_path):
+    """Continuous profiling: drops stream in, each microbatch folds an
+    incremental round, and the final profile equals a from-scratch batch
+    profile over everything ingested."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparvi_spark.engine import Engine
+    from sparvi_spark.operators.incremental import incremental_profile_full
+    from sparvi_spark.streaming.profile import streaming_incremental_profile
+
+    drop = tmp_path / "in"
+    drop.mkdir()
+    table_path = str(tmp_path / "acc")
+    engine = Engine(spark, str(tmp_path / "wh"))
+
+    def write_drop(name, parts, vals):
+        pq.write_table(pa.table({"part": parts, "v": vals}),
+                       str(drop / name))
+
+    write_drop("b1.parquet", ["a"] * 3 + ["b"] * 2,
+               [1.0, 2.0, 3.0, 10.0, 20.0])
+
+    stream = (spark.readStream.schema("part string, v double")
+              .option("maxFilesPerTrigger", 1).parquet(str(drop)))
+    seen = []
+    q = streaming_incremental_profile(
+        stream, engine, "st", table_path, "part", ["v"],
+        on_profile=lambda df, bid: seen.append(bid))
+    try:
+        q.processAllAvailable()
+        write_drop("b2.parquet", ["b", "c"], [30.0, 7.0])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert seen  # profiles were produced
+    accumulated = spark.read.parquet(table_path)
+    got = engine.run_incremental_profile(accumulated, "st", "part", ["v"]) \
+        .toPandas().sort_values("column_name").reset_index(drop=True)
+    _, scratch = incremental_profile_full(accumulated, "part", ["v"])
+    expect = scratch.toPandas().sort_values("column_name") \
+        .reset_index(drop=True)
+    assert got.equals(expect)
+    assert got.iloc[0]["cnt"] == 7 and got.iloc[0]["max_val"] == 30.0
+    # the engine recorded incremental rounds, not full re-scans
+    events = engine.state.read("engine_events").where(
+        F.col("event_type") == "incremental_profile")
+    assert events.count() >= 2
