@@ -77,37 +77,46 @@ def _num_agg_sql(c: str) -> str:
 # ---------------------------------------------------------------------------
 
 def q_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE job, ~3 stages for all ten tables: every table projects to a
+    # (table_name, __h) row — an 8-byte xxhash64 of the full row for P9
+    # dup-counted tables (SCALING.md's hash-projection prescription; the
+    # shuffle never carries payload columns), NULL for count-only tables —
+    # then two keyed aggregations produce every row_count and
+    # duplicate_cnt at once. The previous per-table union built 2+ stages
+    # per table (22 stages total), and stage-scheduling latency — not
+    # compute — dominated this check. Literal position markers keep NULL
+    # columns position-distinct: xxhash64 skips NULL inputs, so without
+    # them (NULL,'a') and ('a',NULL) would collide structurally. The
+    # exact full-row path lives in p09_duplicate_counts.
+    # NOTE: a zero-row table contributes no union rows, so it would be
+    # absent from the output (the per-table agg form emitted 0). Fine
+    # here: the driver's testdata tables are never empty, and the engine
+    # API path (operators/profile.row_count) keeps per-table semantics.
     out = None
     for t in TABLES:
         df = load_table(spark, t, sf_dir)
         if t in DUP_TABLES:
-            # P9 scale path: project every row to an 8-byte xxhash64 FIRST,
-            # then dedup on the hash — the shuffle carries (hash, partial
-            # count), never full-width rows (SCALING.md's prescription; the
-            # exact full-row path lives in p09_duplicate_counts). Literal
-            # position markers keep NULL columns position-distinct:
-            # xxhash64 skips NULL inputs, so without them (NULL,'a') and
-            # ('a',NULL) would collide structurally.
             parts = []
             for i, c in enumerate(df.columns):
                 parts.append(F.lit(i))
                 parts.append(F.col(c))
-            d = (
-                df.select(F.xxhash64(*parts).alias("__h"))
-                .groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
-                .agg(F.coalesce(F.sum("__c"), F.lit(0)).alias("row_count"),
-                     F.coalesce(F.sum("__c") - F.count(F.lit(1)), F.lit(0))
-                     .alias("duplicate_cnt"))
-                .select(F.lit(t).alias("table_name"),
-                        F.col("row_count").cast("bigint").alias("row_count"),
-                        F.col("duplicate_cnt").cast("bigint").alias("duplicate_cnt"))
-            )
+            h = F.xxhash64(*parts)
         else:
-            d = df.agg(F.count(F.lit(1)).alias("row_count")).select(
-                F.lit(t).alias("table_name"), "row_count",
-                F.lit(None).cast("bigint").alias("duplicate_cnt"))
+            h = F.lit(None).cast("bigint")
+        d = df.select(F.lit(t).alias("table_name"), h.alias("__h"))
         out = d if out is None else out.unionAll(d)
-    return out
+    dup_tables = F.col("table_name").isin(DUP_TABLES)
+    per_hash = out.groupBy("table_name", "__h").agg(
+        F.count(F.lit(1)).alias("__c"))
+    return (
+        per_hash.groupBy("table_name")
+        .agg(F.sum("__c").alias("__rows"),
+             (F.sum("__c") - F.count(F.lit(1))).alias("__dups"))
+        .select("table_name",
+                F.col("__rows").cast("bigint").alias("row_count"),
+                F.when(dup_tables, F.col("__dups")).cast("bigint")
+                .alias("duplicate_cnt"))
+    )
 
 
 SQL_ROW_COUNTS = " UNION ALL ".join(
@@ -499,7 +508,9 @@ def q_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             counts[b] = counts.get(b, 0) + 1
         for b, n in counts.items():
             rows.append((t, b, n))
-    return spark.createDataFrame(rows, "table_name string, bucket string, n_cols long")
+    from sparvi_spark.functions import local_df
+
+    return local_df(spark, rows, "table_name string, bucket string, n_cols long")
 
 
 _DUCK_BUCKET_CASE = (
@@ -533,25 +544,37 @@ SQL_TYPE_DISTRIBUTION = _sql_type_distribution()
 # the shared TableSpec on both sides, row count from data)
 # ---------------------------------------------------------------------------
 
+def _schema_penalty(t: str) -> int:
+    spec = SCHEMAS[t]
+    pk_pen = 0 if spec.primary_keys else 20
+    n_cols = len(spec.columns)
+    nullable_pen = 15 if n_cols and sum(c.nullable for c in spec.columns) / n_cols > 0.8 else 0
+    width_pen = 10 if n_cols > 50 else 0
+    return pk_pen + nullable_pen + width_pen
+
+
 def q_health_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One job / two stages for all ten tables: union (table_name) literal
+    # projections, count per table in ONE keyed aggregation, then apply the
+    # per-table schema penalty with a literal CASE. The per-table
+    # agg-union form was 2 stages per table and scheduling-bound.
+    # (Zero-row tables would be absent — see q_row_counts NOTE.)
     out = None
     for t in TABLES:
-        spec = SCHEMAS[t]
-        pk_pen = 0 if spec.primary_keys else 20
-        n_cols = len(spec.columns)
-        nullable_pen = 15 if n_cols and sum(c.nullable for c in spec.columns) / n_cols > 0.8 else 0
-        width_pen = 10 if n_cols > 50 else 0
-        df = load_table(spark, t, sf_dir)
-        d = df.agg(F.count(F.lit(1)).alias("__n")).select(
-            F.lit(t).alias("table_name"),
-            F.greatest(
-                F.lit(100 - pk_pen - nullable_pen - width_pen)
-                - F.when(F.col("__n") == 0, 30).otherwise(0),
-                F.lit(0),
-            ).cast("bigint").alias("health_score"),
-        )
+        d = load_table(spark, t, sf_dir).select(F.lit(t).alias("table_name"))
         out = d if out is None else out.unionAll(d)
-    return out
+    case = None
+    for t in TABLES:
+        cond = F.when(F.col("table_name") == t, F.lit(100 - _schema_penalty(t)))
+        case = cond if case is None else case.when(
+            F.col("table_name") == t, F.lit(100 - _schema_penalty(t)))
+    return (
+        out.groupBy("table_name").agg(F.count(F.lit(1)).alias("__n"))
+        .select("table_name",
+                F.greatest(
+                    case - F.when(F.col("__n") == 0, 30).otherwise(0),
+                    F.lit(0)).cast("bigint").alias("health_score"))
+    )
 
 
 def _sql_health_scores() -> str:

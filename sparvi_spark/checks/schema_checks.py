@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sparvi_spark.functions import local_df
 from sparvi_spark.operators.schema_diff import compare_schemas
 from sparvi_spark.testdata import SCHEMAS
 
@@ -55,12 +56,10 @@ def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_rows, new_rows = snapshot_rows()
     schema = ("table_name string, column_name string, col_type string, "
               "nullable boolean, pk_ordinal int")
-    # snapshots are metadata-sized; 1 partition avoids 32 near-empty tasks
-    # (repartition, NOT coalesce: coalesce(1) collapses the LocalTableScan
-    # into one serial task and measured ~8s/run; repartition keeps the local
-    # scan parallel-free and runs ~0.8s)
-    old = spark.createDataFrame(old_rows, schema).repartition(1)
-    new = spark.createDataFrame(new_rows, schema).repartition(1)
+    # snapshots are metadata-sized: build them single-partition at the
+    # source (local_df) — no 32-slice parallelize, no repartition shuffle
+    old = local_df(spark, old_rows, schema)
+    new = local_df(spark, new_rows, schema)
     return compare_schemas(old, new)
 
 

@@ -233,7 +233,9 @@ class Engine:
             cfg0 = members[0][1]
             rows = [(i, c["metric_name"], c.get("table_name", ""),
                      c.get("column_name") or None) for i, c in members]
-            cfgdf = self.spark.createDataFrame(
+            from sparvi_spark.functions import local_df
+            cfgdf = local_df(
+                self.spark,
                 rows, "cfg_id int, c_metric string, c_table string, "
                       "c_column string")
             # broadcast-hash join on the equi keys with the wildcard-column

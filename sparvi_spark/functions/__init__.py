@@ -20,7 +20,20 @@ __all__ = [
     "datediff_hours",
     "generate_series_days",
     "time_bucket",
+    "local_df",
 ]
+
+
+def local_df(spark, rows, schema):
+    """Metadata-sized local DataFrame in ONE partition.
+
+    ``spark.createDataFrame(list, ...)`` parallelizes to
+    defaultParallelism slices — 32 near-empty scheduler events per stage
+    for a 30-row snapshot/config frame, and every shuffle or join over it
+    inherits the width. All engine metadata frames (schema snapshots,
+    rule configs, spec rows) go through here instead."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema)
 
 
 def time_bucket(ts, width_seconds: int):

@@ -51,25 +51,30 @@ def zscore_anomalies(
     window: int | None = None,
 ) -> DataFrame:
     """A1 global / A2 rolling z-score (algorithms.py:10-61)."""
+    # Plan-build cost note (applies to every detector here): each
+    # ``withColumn`` is its own py4j round trip projecting the whole plan
+    # (~6 ms measured); chained 10+ deep they dominated the suite's
+    # GIL-serialized build floor. Columns are therefore added in LAYERED
+    # ``withColumns`` batches — one round trip per dependency layer —
+    # reusing Column EXPRESSION objects (free) where a batch member would
+    # otherwise need a column materialized in the same batch.
     threshold = ZSCORE_BASE_THRESHOLD / sensitivity
     v = F.col(value_col)
     if window is None:
         w = _w(keys)
-        out = (
-            df.withColumn("__mean", F.avg(v).over(w))
-            .withColumn("__std", F.stddev_pop(v).over(w))
-            .withColumn("__cnt", F.count(v).over(w))
-            .where(F.col("__cnt") >= 2)
-        )
+        out = df.withColumns({
+            "__mean": F.avg(v).over(w),
+            "__std": F.stddev_pop(v).over(w),
+            "__cnt": F.count(v).over(w),
+        }).where(F.col("__cnt") >= 2)
         score = F.when(F.col("__std") == 0, F.lit(0.0)).otherwise(
             F.abs((v - F.col("__mean")) / F.col("__std"))
         )
-        return (
-            out.withColumn("score", score)
-            .withColumn("is_anomaly", F.col("score") > threshold)
-            .withColumn("threshold", F.lit(float(threshold)))
-            .drop("__mean", "__std", "__cnt")
-        )
+        return out.withColumns({
+            "score": score,
+            "is_anomaly": score > threshold,
+            "threshold": F.lit(float(threshold)),
+        }).drop("__mean", "__std", "__cnt")
     else:
         # Reference fallback (algorithms.py:30): window >= len(values) ->
         # GLOBAL stats over the whole series (all points scored); rolling
@@ -79,33 +84,26 @@ def zscore_anomalies(
         # row_number filter (filtering first would shrink early windows).
         wf = _w_ord(keys, order_col).rowsBetween(-window, -1)
         wg = _w(keys)
-        out = (
-            df.withColumn("__rn", F.row_number().over(_w_ord(keys, order_col)))
-            .withColumn("__npts", F.count(v).over(wg))
-            .withColumn(
-                "__mean",
-                F.when(F.col("__npts") <= window, F.avg(v).over(wg))
-                .otherwise(F.avg(v).over(wf)),
-            )
-            .withColumn(
-                "__std",
-                F.when(F.col("__npts") <= window, F.stddev_pop(v).over(wg))
-                .otherwise(F.stddev_pop(v).over(wf)),
-            )
-            .where(
-                ((F.col("__npts") <= window) & (F.col("__npts") >= 2))
-                | ((F.col("__npts") > window) & (F.col("__rn") > window))
-            )
+        npts = F.count(v).over(wg)
+        out = df.withColumns({
+            "__rn": F.row_number().over(_w_ord(keys, order_col)),
+            "__npts": npts,
+            "__mean": F.when(npts <= window, F.avg(v).over(wg))
+            .otherwise(F.avg(v).over(wf)),
+            "__std": F.when(npts <= window, F.stddev_pop(v).over(wg))
+            .otherwise(F.stddev_pop(v).over(wf)),
+        }).where(
+            ((F.col("__npts") <= window) & (F.col("__npts") >= 2))
+            | ((F.col("__npts") > window) & (F.col("__rn") > window))
         )
         score = F.when(F.col("__std") == 0, F.lit(0.0)).otherwise(
             F.abs((v - F.col("__mean")) / F.col("__std"))
         )
-        return (
-            out.withColumn("score", score)
-            .withColumn("is_anomaly", F.col("score") > threshold)
-            .withColumn("threshold", F.lit(float(threshold)))
-            .drop("__rn", "__npts", "__mean", "__std")
-        )
+        return out.withColumns({
+            "score": score,
+            "is_anomaly": score > threshold,
+            "threshold": F.lit(float(threshold)),
+        }).drop("__rn", "__npts", "__mean", "__std")
 
 
 def _interp_sorted(arr: Column, p: float) -> Column:
@@ -154,33 +152,30 @@ def iqr_anomalies(
         wf = _w_ord(keys, order_col).rowsBetween(-window, -1)
         wg = _w(keys)
         arr = F.sort_array(F.collect_list(v).over(wf))
-        short = F.col("__npts") <= window
-        out = (
-            df.withColumn("__rn", F.row_number().over(_w_ord(keys, order_col)))
-            .withColumn("__npts", F.count(v).over(wg))
-            .withColumn("__gq1", F.expr(f"percentile({value_col}, 0.25)").over(wg))
-            .withColumn("__gq3", F.expr(f"percentile({value_col}, 0.75)").over(wg))
-            .withColumn(
-                "__q1", F.when(short, F.col("__gq1")).otherwise(_interp_sorted(arr, 0.25))
-            )
-            .withColumn(
-                "__q3", F.when(short, F.col("__gq3")).otherwise(_interp_sorted(arr, 0.75))
-            )
-            .where((short & (F.col("__npts") >= 4)) | (~short & (F.col("__rn") > window)))
-            .drop("__rn", "__npts", "__gq1", "__gq3")
-        )
+        npts = F.count(v).over(wg)
+        short = npts <= window
+        out = df.withColumns({
+            "__rn": F.row_number().over(_w_ord(keys, order_col)),
+            "__npts": npts,
+            "__q1": F.when(short, F.expr(f"percentile({value_col}, 0.25)")
+                           .over(wg)).otherwise(_interp_sorted(arr, 0.25)),
+            "__q3": F.when(short, F.expr(f"percentile({value_col}, 0.75)")
+                           .over(wg)).otherwise(_interp_sorted(arr, 0.75)),
+        }).where(
+            ((F.col("__npts") <= window) & (F.col("__npts") >= 4))
+            | ((F.col("__npts") > window) & (F.col("__rn") > window))
+        ).drop("__rn", "__npts")
     iqr = F.col("__q3") - F.col("__q1")
     lower = F.col("__q1") - iqr * threshold
     upper = F.col("__q3") + iqr * threshold
     past_low = F.when(iqr > 0, F.abs((lower - v) / iqr)).otherwise(_inf())
     past_high = F.when(iqr > 0, F.abs((v - upper) / iqr)).otherwise(_inf())
     score = F.when(v < lower, past_low).when(v > upper, past_high).otherwise(F.lit(0.0))
-    return (
-        out.withColumn("score", score)
-        .withColumn("is_anomaly", (v < lower) | (v > upper))
-        .withColumn("threshold", F.lit(float(threshold)))
-        .drop("__q1", "__q3", "__cnt")
-    )
+    return out.withColumns({
+        "score": score,
+        "is_anomaly": (v < lower) | (v > upper),
+        "threshold": F.lit(float(threshold)),
+    }).drop("__q1", "__q3", "__cnt")
 
 
 def moving_average_anomalies(
@@ -203,45 +198,36 @@ def moving_average_anomalies(
     threshold = MA_BASE_THRESHOLD / sensitivity
     v = F.col(value_col)
     ma = F.avg(v).over(_w_ord(keys, order_col).rowsBetween(-window, -1))
-    base = (
-        df.withColumn("__rn", F.row_number().over(_w_ord(keys, order_col)))
-        .withColumn("__ma", ma)
-        .where(F.col("__rn") > window)
-    )
+    base = df.withColumns({
+        "__rn": F.row_number().over(_w_ord(keys, order_col)),
+        "__ma": ma,
+    }).where(F.col("__rn") > window)
     w_ma = _w_ord(keys, order_col)
-    n_ma = F.count(F.lit(1)).over(_w(keys))
-    mi = F.row_number().over(w_ma)
-    fwd_std = F.stddev_pop(F.col("__ma")).over(w_ma.rowsBetween(0, sw - 1))
-    global_std = F.stddev_pop(F.col("__ma")).over(_w(keys))
-    base = (
-        base.withColumn("__n_ma", n_ma)
-        .withColumn("__mi", mi)
-        .withColumn("__fwd_std", fwd_std)
-        .withColumn("__global_std", global_std)
-    )
+    base = base.withColumns({
+        "__n_ma": F.count(F.lit(1)).over(_w(keys)),
+        "__mi": F.row_number().over(w_ma),
+        "__fwd_std": F.stddev_pop(F.col("__ma")).over(w_ma.rowsBetween(0, sw - 1)),
+        "__global_std": F.stddev_pop(F.col("__ma")).over(_w(keys)),
+    })
     # last full forward window std (covers MAs[n-sw+1..n], 1-based)
     tail_std = F.max(
         F.when(F.col("__mi") == F.col("__n_ma") - sw + 1, F.col("__fwd_std"))
     ).over(_w(keys))
-    base = base.withColumn(
-        "__std",
-        F.when(F.col("__n_ma") < sw, F.col("__global_std")).otherwise(
-            F.when(F.col("__mi") <= F.col("__n_ma") - sw + 1, F.col("__fwd_std"))
-            .otherwise(tail_std)
-        ),
+    std = F.when(F.col("__n_ma") < sw, F.col("__global_std")).otherwise(
+        F.when(F.col("__mi") <= F.col("__n_ma") - sw + 1, F.col("__fwd_std"))
+        .otherwise(tail_std)
     )
+    base = base.withColumn("__std", std)
     score = F.when(F.col("__std") == 0, F.lit(0.0)).otherwise(
         F.abs((v - F.col("__ma")) / F.col("__std"))
     )
-    return (
-        base.withColumn("score", score)
-        .withColumn(
-            "is_anomaly", F.when(F.col("__std") == 0, F.lit(False)).otherwise(F.col("score") > threshold)
-        )
-        .withColumn("threshold", F.lit(float(threshold)))
-        .withColumn("moving_avg", F.col("__ma"))
-        .drop("__rn", "__ma", "__n_ma", "__mi", "__fwd_std", "__global_std", "__std")
-    )
+    return base.withColumns({
+        "score": score,
+        "is_anomaly": F.when(F.col("__std") == 0, F.lit(False))
+        .otherwise(score > threshold),
+        "threshold": F.lit(float(threshold)),
+        "moving_avg": F.col("__ma"),
+    }).drop("__rn", "__ma", "__n_ma", "__mi", "__fwd_std", "__global_std", "__std")
 
 
 def cusum_anomalies(
@@ -274,29 +260,27 @@ def cusum_anomalies(
     # the previous drift score — drop such rows up front instead (stats
     # are unchanged: avg/stddev/count already ignore nulls)
     df = df.where(v.isNotNull())
-    out = (
-        df.withColumn("__mean", F.avg(v).over(wg))
-        .withColumn("__std", F.stddev_pop(v).over(wg))
-        .withColumn("__cnt", F.count(v).over(wg))
-        .where(F.col("__cnt") >= 2)
-        .withColumn("__k", F.lit(float(slack)) * F.col("__std"))
-        .withColumn("__Sp", F.sum(v - F.col("__mean") - F.col("__k")).over(run))
-        .withColumn("__Sn", F.sum(F.col("__mean") - v - F.col("__k")).over(run))
-    )
-    out = (
-        out.withColumn(
-            "__sp", F.col("__Sp") - F.least(F.lit(0.0), F.min("__Sp").over(run)))
-        .withColumn(
-            "__sn", F.col("__Sn") - F.least(F.lit(0.0), F.min("__Sn").over(run)))
-    )
+    out = df.withColumns({
+        "__mean": F.avg(v).over(wg),
+        "__std": F.stddev_pop(v).over(wg),
+        "__cnt": F.count(v).over(wg),
+    }).where(F.col("__cnt") >= 2)
+    k = F.lit(float(slack)) * F.col("__std")
+    out = out.withColumns({
+        "__Sp": F.sum(v - F.col("__mean") - k).over(run),
+        "__Sn": F.sum(F.col("__mean") - v - k).over(run),
+    })
+    out = out.withColumns({
+        "__sp": F.col("__Sp") - F.least(F.lit(0.0), F.min("__Sp").over(run)),
+        "__sn": F.col("__Sn") - F.least(F.lit(0.0), F.min("__Sn").over(run)),
+    })
     score = F.when(F.col("__std") == 0, F.lit(0.0)).otherwise(
         F.greatest(F.col("__sp"), F.col("__sn")) / F.col("__std"))
-    return (
-        out.withColumn("score", score)
-        .withColumn("is_anomaly", F.col("score") > threshold)
-        .withColumn("threshold", F.lit(float(threshold)))
-        .drop("__mean", "__std", "__cnt", "__k", "__Sp", "__Sn", "__sp", "__sn")
-    )
+    return out.withColumns({
+        "score": score,
+        "is_anomaly": score > threshold,
+        "threshold": F.lit(float(threshold)),
+    }).drop("__mean", "__std", "__cnt", "__Sp", "__Sn", "__sp", "__sn")
 
 
 def severity(score_col: Column, method: str) -> Column:
@@ -324,10 +308,10 @@ def format_anomalies(
     """A6: keep anomalies only, attach severity + method (algorithms.py:243-279)."""
     return (
         df.where(F.col("is_anomaly"))
-        .withColumn("method", F.lit(method))
-        .withColumn("severity", severity(F.col("score"), method))
         .select(*keys, order_col, F.col(value_col).alias("value"),
-                "score", "is_anomaly", "threshold", "method", "severity")
+                "score", "is_anomaly", "threshold",
+                F.lit(method).alias("method"),
+                severity(F.col("score"), method).alias("severity"))
     )
 
 

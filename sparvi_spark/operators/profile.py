@@ -238,8 +238,10 @@ def exact_percentiles(
     # aggregate returned NULL quantiles for it, and callers iterate
     # expected columns
     agged = pre.groupBy("column_name").agg(*aggs)
-    requested = df.sparkSession.createDataFrame(
-        [(c,) for c in cols], "column_name string")
+    from sparvi_spark.functions import local_df
+
+    requested = local_df(df.sparkSession, [(c,) for c in cols],
+                         "column_name string")
     return (requested.join(agged, "column_name", "left")
             .select("column_name", *out))
 

@@ -36,7 +36,9 @@ def snapshot_from_specs(spark: SparkSession, specs: list[TableSpec]) -> DataFram
         pk_pos = {c: i + 1 for i, c in enumerate(spec.primary_keys)}
         for c in spec.columns:
             rows.append((spec.name, c.name, c.bucket, c.nullable, pk_pos.get(c.name)))
-    return spark.createDataFrame(rows, SNAPSHOT_SCHEMA)
+    from sparvi_spark.functions import local_df
+
+    return local_df(spark, rows, SNAPSHOT_SCHEMA)
 
 
 def snapshot_from_dataframe(spark: SparkSession, df: DataFrame, table: str,
@@ -48,7 +50,9 @@ def snapshot_from_dataframe(spark: SparkSession, df: DataFrame, table: str,
         (table, f.name, type_bucket(f.dataType), f.nullable, pk_pos.get(f.name))
         for f in df.schema.fields
     ]
-    return spark.createDataFrame(rows, SNAPSHOT_SCHEMA)
+    from sparvi_spark.functions import local_df
+
+    return local_df(spark, rows, SNAPSHOT_SCHEMA)
 
 
 def compare_schemas(old: DataFrame, new: DataFrame) -> DataFrame:

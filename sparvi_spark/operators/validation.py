@@ -808,7 +808,9 @@ def collect_rule_jobs(
         StructField("expected_hi", DoubleType()),
         StructField("actual_value", DoubleType()),
     ])
-    return (spark.createDataFrame(rows, schema)
+    from sparvi_spark.functions import local_df
+
+    return (local_df(spark, rows, schema)
             .withColumn("is_valid", F.expr(IS_VALID_CASE))
             .select(tag_col, "rule_name", "operator", "expected_lo",
                     "expected_hi", "actual_value", "is_valid"))
