@@ -1445,6 +1445,48 @@ WHERE rank <= 5
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# e07 sequence packing (concat-and-chop context windows, shard-local)
+# ---------------------------------------------------------------------------
+
+PACK_CTX = 128
+PACK_SHARDS = 3
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.text import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "shard_key", F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)))
+    packed = pack_sequences(docs, PACK_CTX, shard_col="shard_key")
+    return packed.withColumn("n_tokens", F.col("n_tokens").cast("int"))
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (SELECT doc_id % {PACK_SHARDS} AS shard, doc_id,
+             len({_DUCK_TOKS}) AS n_tokens
+           FROM documents WHERE text IS NOT NULL),
+c AS (SELECT shard, doc_id, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t WHERE n_tokens > 0),
+s AS (SELECT shard, doc_id, n_tokens, cum,
+        unnest(generate_series(cast((cum - n_tokens) // {PACK_CTX} as bigint),
+                               cast((cum - 1) // {PACK_CTX} as bigint)))
+          AS pack_id
+      FROM c)
+SELECT shard, doc_id, cast(n_tokens as int) AS n_tokens,
+  cast(pack_id as bigint) AS pack_id,
+  cast(pack_id - (cum - n_tokens) // {PACK_CTX} as int) AS seg_idx,
+  cast(greatest(pack_id * {PACK_CTX}, cum - n_tokens) - (cum - n_tokens)
+       as bigint) AS seg_start,
+  cast(least((pack_id + 1) * {PACK_CTX}, cum)
+       - greatest(pack_id * {PACK_CTX}, cum - n_tokens) as bigint)
+    AS seg_tokens
+FROM s
+""".strip()
+
+
 EXTRA_CHECKS = {
     "d04_simhash_pairs": (q_simhash_pairs, None),
     "e04_topk_sketch": (q_topk_sketch, SQL_TOPK_SKETCH),
@@ -1461,4 +1503,5 @@ EXTRA_CHECKS = {
     "m02_audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
     "e02_mixture_sample": (q_mixture_sample, _sql_mixture_sample()),
     "e03_chunking": (q_chunking, SQL_CHUNKING),
+    "e09_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
 }

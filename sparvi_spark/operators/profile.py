@@ -217,14 +217,14 @@ def exact_percentiles(
            .withColumn("cum", F.col("off") + F.col("lcum")))
     # A row (v, cnt, cum) covers sorted positions [cum-cnt, cum); quantile p
     # needs positions floor(p*(n-1)) and ceil(p*(n-1)).
-    pre, aggs, out = cum, [], []
+    marker_cols, aggs, out = {}, [], []
     for i, p in enumerate(ps):
         pos = F.lit(float(p)) * (F.col("n") - F.lit(1)).cast("double")
         lo_i, hi_i = F.floor(pos), F.ceil(pos)
         covers = lambda idx: (F.col("cum") - F.col("cnt") <= idx) & (idx < F.col("cum"))  # noqa: E731
-        pre = (pre.withColumn(f"__lo{i}", F.when(covers(lo_i), F.col("v")))
-               .withColumn(f"__hi{i}", F.when(covers(hi_i), F.col("v")))
-               .withColumn(f"__pos{i}", pos))
+        marker_cols[f"__lo{i}"] = F.when(covers(lo_i), F.col("v"))
+        marker_cols[f"__hi{i}"] = F.when(covers(hi_i), F.col("v"))
+        marker_cols[f"__pos{i}"] = pos
         aggs += [F.max(f"__lo{i}").alias(f"__lov{i}"),
                  F.max(f"__hi{i}").alias(f"__hiv{i}"),
                  F.max(f"__pos{i}").alias(f"__p{i}")]
@@ -232,6 +232,7 @@ def exact_percentiles(
         interp = F.when(F.ceil(posv) == F.floor(posv), lo_v).otherwise(
             (F.ceil(posv) - posv) * lo_v + (posv - F.floor(posv)) * hi_v)
         out.append(F.round(interp, round_to).alias(f"p{int(p * 100)}"))
+    pre = cum.withColumns(marker_cols)
     # right-join onto a literal frame of the REQUESTED columns: a column
     # with zero non-null values vanishes in the melt and would otherwise
     # be missing from the output entirely — the replaced `percentile`

@@ -474,3 +474,96 @@ def dedup_lines_expr(text_col: str) -> Column:
     kept = (f"filter({lines}, (l, i) -> "
             f"not array_contains(slice({lines}, 1, i), l))")
     return F.expr(f"array_join({kept}, '\\n')")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chop documents into fixed context windows —
+# the step that turns a filtered corpus into training batches. Standard
+# GPT-style packing: lay tokens out in a deterministic document order and
+# cut every ctx_len tokens; a document that straddles a boundary is split
+# across consecutive packs (no padding waste except the final pack).
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str | None = None,
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Assign each document its context-window segments under
+    concat-and-chop packing -> (shard, doc_id, n_tokens, pack_id,
+    seg_idx, seg_start, seg_tokens), one row per (document, pack) overlap.
+
+    Token layout: documents ordered by ``id_col`` within a shard;
+    document d with token count n(d) occupies global positions
+    [cum(d) - n(d), cum(d)) where cum is the running token sum in that
+    order. Its segments are the intersections with the ctx_len grid:
+    pack_id = position div ctx_len, seg_start = offset of the segment
+    INSIDE the document, seg_tokens = its length. Zero-token documents
+    are dropped (they occupy no positions).
+
+    Scale (100 TB): packing is shard-local by construction — pass
+    ``shard_col`` (e.g. ``pmod(xxhash64(id), n_shards)`` or the output
+    file key) and every shard packs independently in parallel: the
+    cumulative sum partitions by shard, ONE shuffle, no global order.
+    Without a shard the whole corpus is one ordered series (exact
+    single-stream layout — the oracle-parity path; one task holds the
+    running sum, the same caveat as exact_percentiles).
+
+    ``token_count_col`` uses a precomputed count (the usual case: counts
+    come from the tokenizer that will consume the packs); default counts
+    whitespace tokens of ``text_col``.
+    """
+    from pyspark.sql import Window
+
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+    ntok = (F.col(token_count_col) if token_count_col
+            else F.size(F.expr(tokens_expr(text_col))))
+    shard = F.col(shard_col) if shard_col else F.lit(0)
+    base = (
+        df.select(shard.alias("shard"), F.col(id_col).alias("doc_id"),
+                  ntok.alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .withColumn("cum", F.sum("n_tokens").over(
+            Window.partitionBy("shard").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    # document spans packs floor(start/ctx) .. floor((cum-1)/ctx),
+    # start = cum - n_tokens
+    segs = F.expr(
+        f"transform(sequence((cum - n_tokens) div {ctx_len}, "
+        f"(cum - 1) div {ctx_len}), p -> named_struct("
+        f"'pack_id', p, "
+        # segment inside the document: tokens [max(p*ctx, start) .. 
+        # min((p+1)*ctx, cum)) shifted to doc-local offsets
+        f"'seg_start', greatest(p * {ctx_len}, cum - n_tokens) - (cum - n_tokens), "
+        f"'seg_tokens', least((p + 1) * {ctx_len}, cum) "
+        f"- greatest(p * {ctx_len}, cum - n_tokens)))"
+    )
+    return (
+        base.select("shard", "doc_id", "n_tokens",
+                    F.posexplode(segs).alias("seg_idx", "__s"))
+        .select("shard", "doc_id", "n_tokens",
+                F.col("__s.pack_id").cast("bigint").alias("pack_id"),
+                F.col("seg_idx").cast("int").alias("seg_idx"),
+                F.col("__s.seg_start").cast("bigint").alias("seg_start"),
+                F.col("__s.seg_tokens").cast("bigint").alias("seg_tokens"))
+    )
+
+
+def pack_summary(packed: DataFrame, ctx_len: int) -> DataFrame:
+    """Fill accounting per pack -> (shard, pack_id, n_docs, n_tokens,
+    fill_ratio). Every pack is exactly full except each shard's last
+    (concat-and-chop wastes nothing mid-stream) — the summary exists to
+    verify that and to size training runs (packs × ctx_len = step
+    tokens)."""
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("seg_tokens").alias("n_tokens"))
+        .withColumn("fill_ratio",
+                    F.round(F.col("n_tokens") / F.lit(float(ctx_len)), 6))
+    )

@@ -853,3 +853,41 @@ def test_temperature_sampling(spark):
 
     with pytest.raises(ValueError):
         temperature_proportions({"g": 5}, -1.0)
+
+
+def test_pack_sequences_concat_and_chop(spark):
+    """Packing lays tokens out in doc_id order and cuts every ctx_len:
+    segments tile each document, packs are exactly full except the last,
+    and a straddling document splits with correct offsets."""
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.text import pack_sequences, pack_summary
+
+    rows = [(1, "a " * 5), (2, "b " * 7), (3, "c " * 3), (4, "")]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows],
+                               "doc_id long, text string")
+    packed = pack_sequences(df, ctx_len=8).orderBy("doc_id", "seg_idx")
+    got = [(r.doc_id, r.pack_id, r.seg_idx, r.seg_start, r.seg_tokens)
+           for r in packed.collect()]
+    # layout: doc1 tokens 0-4 (pack 0), doc2 tokens 5-11 (packs 0+1),
+    # doc3 tokens 12-14 (pack 1); doc4 is empty -> "" tokenizes to one
+    # empty token under split semantics, so it occupies one slot (pack 1)
+    assert got == [
+        (1, 0, 0, 0, 5),
+        (2, 0, 0, 0, 3), (2, 1, 1, 3, 4),
+        (3, 1, 0, 0, 3),
+        (4, 1, 0, 0, 1),
+    ]
+    summ = {(r.pack_id): (r.n_docs, r.n_tokens, r.fill_ratio)
+            for r in pack_summary(packed, 8).collect()}
+    assert summ[0] == (2, 8, 1.0)       # full pack (doc1 + doc2 head)
+    assert summ[1] == (3, 8, 1.0)       # doc2 tail + doc3 + doc4
+
+    # shard-local: identical docs in two shards pack independently
+    sharded = df.withColumn("sh", F.pmod(F.col("doc_id"), F.lit(2)))
+    p2 = pack_sequences(sharded, ctx_len=8, shard_col="sh")
+    per_shard = {(r.shard, r.doc_id, r.pack_id) for r in p2.collect()}
+    # shard 1 holds docs 1,3 (5+3 tokens = one pack 0)
+    assert (1, 1, 0) in per_shard and (1, 3, 0) in per_shard
+    # shard 0 holds docs 2,4: doc2 7 tokens pack 0, doc4 token -> pack 0
+    assert (0, 2, 0) in per_shard and (0, 4, 0) in per_shard
