@@ -9,7 +9,8 @@ becomes a single Spark job, SURVEY §3.4).
 Exact semantic ports (SURVEY §7 hard parts):
 - np.std is POPULATION stddev -> stddev_pop (not stddev_samp).
 - Rolling windows are values[i-w:i] — trailing, EXCLUDING the current point,
-  emitted only for i >= w -> rowsBetween(-w, -1) + row_number guard.
+  emitted only for i >= w -> ROWS BETWEEN w PRECEDING AND 1 PRECEDING +
+  row_number guard.
 - np.percentile uses linear interpolation -> exact ``percentile`` /
   sorted-array interpolation for rolling IQR (never percentile_approx).
 - Guards: zscore needs >=2 points, IQR >=4, moving-average >= window+1;
@@ -17,11 +18,20 @@ Exact semantic ports (SURVEY §7 hard parts):
 - Moving-average: std is computed over the MOVING AVERAGES, not raw values
   (algorithms.py:165-173), with a forward-looking std window and
   last-window fill for the tail.
+
+Plan-build cost note: every ``F.col``/``F.when``/``withColumn`` is its own
+py4j round trip (~0.5 ms each); the original Column-object builders spent
+830+ round trips (≈0.45 s, GIL-serialized) constructing one detection-run
+plan. Each detector therefore assembles its expressions as SQL TEXT
+(f-strings) and ships them through a few ``selectExpr`` calls — the whole
+layer parses JVM-side in ONE round trip, and Catalyst sees exactly the
+same resolved plan (identical window specs, identical operation order, so
+scores stay bit-for-bit equal to the Column form).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ZSCORE_BASE_THRESHOLD = 3.0
@@ -29,17 +39,16 @@ IQR_BASE_THRESHOLD = 1.5
 MA_BASE_THRESHOLD = 2.0
 CUSUM_BASE_THRESHOLD = 5.0
 
-def _inf() -> Column:
-    # built lazily — Column construction needs an active SparkContext
-    return F.expr("cast('Infinity' as double)")
+_INF = "cast('Infinity' as double)"
 
 
-def _w(keys: list[str]):
-    return Window.partitionBy(*keys)
+def _d(x: float) -> str:
+    """Double literal — bare ``3.0`` parses as DECIMAL in Spark SQL."""
+    return f"cast({float(x)!r} as double)"
 
 
-def _w_ord(keys: list[str], order_col: str):
-    return Window.partitionBy(*keys).orderBy(order_col)
+def _pk(keys: list[str]) -> str:
+    return ", ".join(f"`{k}`" for k in keys)
 
 
 def zscore_anomalies(
@@ -51,77 +60,62 @@ def zscore_anomalies(
     window: int | None = None,
 ) -> DataFrame:
     """A1 global / A2 rolling z-score (algorithms.py:10-61)."""
-    # Plan-build cost note (applies to every detector here): each
-    # ``withColumn`` is its own py4j round trip projecting the whole plan
-    # (~6 ms measured); chained 10+ deep they dominated the suite's
-    # GIL-serialized build floor. Columns are therefore added in LAYERED
-    # ``withColumns`` batches — one round trip per dependency layer —
-    # reusing Column EXPRESSION objects (free) where a batch member would
-    # otherwise need a column materialized in the same batch.
     threshold = ZSCORE_BASE_THRESHOLD / sensitivity
-    v = F.col(value_col)
+    v = f"`{value_col}`"
+    wg = f"(PARTITION BY {_pk(keys)})"
+    score = f"case when __std = {_d(0)} then {_d(0)} " \
+            f"else abs(({v} - __mean) / __std) end"
+    outs = [f"{score} AS score", f"{score} > {_d(threshold)} AS is_anomaly",
+            f"{_d(threshold)} AS threshold"]
     if window is None:
-        w = _w(keys)
-        out = df.withColumns({
-            "__mean": F.avg(v).over(w),
-            "__std": F.stddev_pop(v).over(w),
-            "__cnt": F.count(v).over(w),
-        }).where(F.col("__cnt") >= 2)
-        score = F.when(F.col("__std") == 0, F.lit(0.0)).otherwise(
-            F.abs((v - F.col("__mean")) / F.col("__std"))
-        )
-        return out.withColumns({
-            "score": score,
-            "is_anomaly": score > threshold,
-            "threshold": F.lit(float(threshold)),
-        }).drop("__mean", "__std", "__cnt")
-    else:
-        # Reference fallback (algorithms.py:30): window >= len(values) ->
-        # GLOBAL stats over the whole series (all points scored); rolling
-        # frames only when the series is strictly longer than the window.
-        # Both stat sets share the same partition keys -> one shuffle; the
-        # rolling stats are computed over the trailing frame BEFORE the
-        # row_number filter (filtering first would shrink early windows).
-        wf = _w_ord(keys, order_col).rowsBetween(-window, -1)
-        wg = _w(keys)
-        npts = F.count(v).over(wg)
-        out = df.withColumns({
-            "__rn": F.row_number().over(_w_ord(keys, order_col)),
-            "__npts": npts,
-            "__mean": F.when(npts <= window, F.avg(v).over(wg))
-            .otherwise(F.avg(v).over(wf)),
-            "__std": F.when(npts <= window, F.stddev_pop(v).over(wg))
-            .otherwise(F.stddev_pop(v).over(wf)),
-        }).where(
-            ((F.col("__npts") <= window) & (F.col("__npts") >= 2))
-            | ((F.col("__npts") > window) & (F.col("__rn") > window))
-        )
-        score = F.when(F.col("__std") == 0, F.lit(0.0)).otherwise(
-            F.abs((v - F.col("__mean")) / F.col("__std"))
-        )
-        return out.withColumns({
-            "score": score,
-            "is_anomaly": score > threshold,
-            "threshold": F.lit(float(threshold)),
-        }).drop("__rn", "__npts", "__mean", "__std")
+        out = df.selectExpr(
+            "*",
+            f"avg({v}) OVER {wg} AS __mean",
+            f"stddev_pop({v}) OVER {wg} AS __std",
+            f"count({v}) OVER {wg} AS __cnt",
+        ).where("__cnt >= 2")
+        return out.selectExpr("*", *outs).drop("__mean", "__std", "__cnt")
+    # Reference fallback (algorithms.py:30): window >= len(values) ->
+    # GLOBAL stats over the whole series (all points scored); rolling
+    # frames only when the series is strictly longer than the window.
+    # Both stat sets share the same partition keys -> one shuffle; the
+    # rolling stats are computed over the trailing frame BEFORE the
+    # row_number filter (filtering first would shrink early windows).
+    wf = (f"(PARTITION BY {_pk(keys)} ORDER BY `{order_col}` "
+          f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)")
+    wo = f"(PARTITION BY {_pk(keys)} ORDER BY `{order_col}`)"
+    out = df.selectExpr(
+        "*",
+        f"row_number() OVER {wo} AS __rn",
+        f"count({v}) OVER {wg} AS __npts",
+        f"case when count({v}) OVER {wg} <= {window} "
+        f"then avg({v}) OVER {wg} else avg({v}) OVER {wf} end AS __mean",
+        f"case when count({v}) OVER {wg} <= {window} "
+        f"then stddev_pop({v}) OVER {wg} "
+        f"else stddev_pop({v}) OVER {wf} end AS __std",
+    ).where(
+        f"(__npts <= {window} and __npts >= 2) "
+        f"or (__npts > {window} and __rn > {window})"
+    )
+    return out.selectExpr("*", *outs).drop("__rn", "__npts", "__mean", "__std")
 
 
-def _interp_sorted(arr: Column, p: float) -> Column:
-    """np.percentile linear interpolation over a sorted array, positions
-    from the array's RUNTIME size: collect_list drops NULL values, so a
-    trailing window with nulls yields a shorter array than the window
-    width — indexing by the static width would read past the end (wrong
-    quartiles, or INVALID_ARRAY_INDEX under ANSI). For null-free windows
-    the arithmetic is value-identical to the static form ((n-1)*p is the
-    same double either way, and frac=0 makes lo + 0*(hi-lo) == lo).
-    An all-null window returns NULL."""
-    n = F.size(arr)
-    q = (n - F.lit(1)).cast("double") * F.lit(p)
-    lo = F.floor(q)
-    frac = q - lo.cast("double")
-    lo_val = F.element_at(arr, (lo + 1).cast("int"))
-    hi_val = F.element_at(arr, F.least(lo + 2, n.cast("bigint")).cast("int"))
-    return F.when(n > 0, lo_val + frac * (hi_val - lo_val))
+def _interp_sorted(arr: str, p: float) -> str:
+    """np.percentile linear interpolation over a sorted array (SQL text),
+    positions from the array's RUNTIME size: collect_list drops NULL
+    values, so a trailing window with nulls yields a shorter array than
+    the window width — indexing by the static width would read past the
+    end (wrong quartiles, or INVALID_ARRAY_INDEX under ANSI). For
+    null-free windows the arithmetic is value-identical to the static form
+    ((n-1)*p is the same double either way, and frac=0 makes
+    lo + 0*(hi-lo) == lo). An all-null window returns NULL."""
+    n = f"size({arr})"
+    q = f"(cast({n} - 1 as double) * {_d(p)})"
+    lo = f"floor({q})"
+    lo_val = f"element_at({arr}, cast({lo} + 1 as int))"
+    hi_val = f"element_at({arr}, cast(least({lo} + 2, cast({n} as bigint)) as int))"
+    return (f"case when {n} > 0 then "
+            f"{lo_val} + ({q} - cast({lo} as double)) * ({hi_val} - {lo_val}) end")
 
 
 def iqr_anomalies(
@@ -135,13 +129,13 @@ def iqr_anomalies(
     """A3 IQR (algorithms.py:64-132): global via exact percentile, rolling
     via sorted-array interpolation (JVM-side, no UDF)."""
     threshold = IQR_BASE_THRESHOLD / sensitivity
-    v = F.col(value_col)
+    v = f"`{value_col}`"
     if window is None:
         qs = (
             df.groupBy(*keys).agg(
-                F.expr(f"percentile({value_col}, 0.25)").alias("__q1"),
-                F.expr(f"percentile({value_col}, 0.75)").alias("__q3"),
-                F.count(value_col).alias("__cnt"),
+                F.expr(f"percentile({v}, 0.25)").alias("__q1"),
+                F.expr(f"percentile({v}, 0.75)").alias("__q3"),
+                F.expr(f"count({v})").alias("__cnt"),
             ).where(F.col("__cnt") >= 4)
         )
         out = df.join(F.broadcast(qs), keys)
@@ -149,33 +143,40 @@ def iqr_anomalies(
         # Reference fallback (algorithms.py:84): window >= len(values) ->
         # GLOBAL percentiles over the whole series (>= 4 points); rolling
         # frames only when the series is strictly longer than the window.
-        wf = _w_ord(keys, order_col).rowsBetween(-window, -1)
-        wg = _w(keys)
-        arr = F.sort_array(F.collect_list(v).over(wf))
-        npts = F.count(v).over(wg)
-        short = npts <= window
-        out = df.withColumns({
-            "__rn": F.row_number().over(_w_ord(keys, order_col)),
-            "__npts": npts,
-            "__q1": F.when(short, F.expr(f"percentile({value_col}, 0.25)")
-                           .over(wg)).otherwise(_interp_sorted(arr, 0.25)),
-            "__q3": F.when(short, F.expr(f"percentile({value_col}, 0.75)")
-                           .over(wg)).otherwise(_interp_sorted(arr, 0.75)),
-        }).where(
-            ((F.col("__npts") <= window) & (F.col("__npts") >= 4))
-            | ((F.col("__npts") > window) & (F.col("__rn") > window))
+        wg = f"(PARTITION BY {_pk(keys)})"
+        wf = (f"(PARTITION BY {_pk(keys)} ORDER BY `{order_col}` "
+              f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)")
+        wo = f"(PARTITION BY {_pk(keys)} ORDER BY `{order_col}`)"
+        arr = f"sort_array(collect_list({v}) OVER {wf})"
+        out = df.selectExpr(
+            "*",
+            f"row_number() OVER {wo} AS __rn",
+            f"count({v}) OVER {wg} AS __npts",
+            f"case when count({v}) OVER {wg} <= {window} "
+            f"then percentile({v}, 0.25) OVER {wg} "
+            f"else {_interp_sorted(arr, 0.25)} end AS __q1",
+            f"case when count({v}) OVER {wg} <= {window} "
+            f"then percentile({v}, 0.75) OVER {wg} "
+            f"else {_interp_sorted(arr, 0.75)} end AS __q3",
+        ).where(
+            f"(__npts <= {window} and __npts >= 4) "
+            f"or (__npts > {window} and __rn > {window})"
         ).drop("__rn", "__npts")
-    iqr = F.col("__q3") - F.col("__q1")
-    lower = F.col("__q1") - iqr * threshold
-    upper = F.col("__q3") + iqr * threshold
-    past_low = F.when(iqr > 0, F.abs((lower - v) / iqr)).otherwise(_inf())
-    past_high = F.when(iqr > 0, F.abs((v - upper) / iqr)).otherwise(_inf())
-    score = F.when(v < lower, past_low).when(v > upper, past_high).otherwise(F.lit(0.0))
-    return out.withColumns({
-        "score": score,
-        "is_anomaly": (v < lower) | (v > upper),
-        "threshold": F.lit(float(threshold)),
-    }).drop("__q1", "__q3", "__cnt")
+    iqr = "(__q3 - __q1)"
+    lower = f"(__q1 - {iqr} * {_d(threshold)})"
+    upper = f"(__q3 + {iqr} * {_d(threshold)})"
+    past_low = (f"case when {iqr} > {_d(0)} "
+                f"then abs(({lower} - {v}) / {iqr}) else {_INF} end")
+    past_high = (f"case when {iqr} > {_d(0)} "
+                 f"then abs(({v} - {upper}) / {iqr}) else {_INF} end")
+    score = (f"case when {v} < {lower} then {past_low} "
+             f"when {v} > {upper} then {past_high} else {_d(0)} end")
+    return out.selectExpr(
+        "*",
+        f"{score} AS score",
+        f"({v} < {lower}) or ({v} > {upper}) AS is_anomaly",
+        f"{_d(threshold)} AS threshold",
+    ).drop("__q1", "__q3", "__cnt")
 
 
 def moving_average_anomalies(
@@ -196,38 +197,43 @@ def moving_average_anomalies(
     """
     sw = std_window or window
     threshold = MA_BASE_THRESHOLD / sensitivity
-    v = F.col(value_col)
-    ma = F.avg(v).over(_w_ord(keys, order_col).rowsBetween(-window, -1))
-    base = df.withColumns({
-        "__rn": F.row_number().over(_w_ord(keys, order_col)),
-        "__ma": ma,
-    }).where(F.col("__rn") > window)
-    w_ma = _w_ord(keys, order_col)
-    base = base.withColumns({
-        "__n_ma": F.count(F.lit(1)).over(_w(keys)),
-        "__mi": F.row_number().over(w_ma),
-        "__fwd_std": F.stddev_pop(F.col("__ma")).over(w_ma.rowsBetween(0, sw - 1)),
-        "__global_std": F.stddev_pop(F.col("__ma")).over(_w(keys)),
-    })
+    v = f"`{value_col}`"
+    wg = f"(PARTITION BY {_pk(keys)})"
+    wo = f"(PARTITION BY {_pk(keys)} ORDER BY `{order_col}`)"
+    wf = (f"(PARTITION BY {_pk(keys)} ORDER BY `{order_col}` "
+          f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)")
+    wfwd = (f"(PARTITION BY {_pk(keys)} ORDER BY `{order_col}` "
+            f"ROWS BETWEEN CURRENT ROW AND {sw - 1} FOLLOWING)")
+    base = df.selectExpr(
+        "*",
+        f"row_number() OVER {wo} AS __rn",
+        f"avg({v}) OVER {wf} AS __ma",
+    ).where(f"__rn > {window}")
+    base = base.selectExpr(
+        "*",
+        f"count(1) OVER {wg} AS __n_ma",
+        f"row_number() OVER {wo} AS __mi",
+        f"stddev_pop(__ma) OVER {wfwd} AS __fwd_std",
+        f"stddev_pop(__ma) OVER {wg} AS __global_std",
+    )
     # last full forward window std (covers MAs[n-sw+1..n], 1-based)
-    tail_std = F.max(
-        F.when(F.col("__mi") == F.col("__n_ma") - sw + 1, F.col("__fwd_std"))
-    ).over(_w(keys))
-    std = F.when(F.col("__n_ma") < sw, F.col("__global_std")).otherwise(
-        F.when(F.col("__mi") <= F.col("__n_ma") - sw + 1, F.col("__fwd_std"))
-        .otherwise(tail_std)
-    )
-    base = base.withColumn("__std", std)
-    score = F.when(F.col("__std") == 0, F.lit(0.0)).otherwise(
-        F.abs((v - F.col("__ma")) / F.col("__std"))
-    )
-    return base.withColumns({
-        "score": score,
-        "is_anomaly": F.when(F.col("__std") == 0, F.lit(False))
-        .otherwise(score > threshold),
-        "threshold": F.lit(float(threshold)),
-        "moving_avg": F.col("__ma"),
-    }).drop("__rn", "__ma", "__n_ma", "__mi", "__fwd_std", "__global_std", "__std")
+    tail_std = (f"max(case when __mi = __n_ma - {sw} + 1 "
+                f"then __fwd_std end) OVER {wg}")
+    std = (f"case when __n_ma < {sw} then __global_std "
+           f"when __mi <= __n_ma - {sw} + 1 then __fwd_std "
+           f"else {tail_std} end")
+    base = base.selectExpr("*", f"{std} AS __std")
+    score = (f"case when __std = {_d(0)} then {_d(0)} "
+             f"else abs(({v} - __ma) / __std) end")
+    return base.selectExpr(
+        "*",
+        f"{score} AS score",
+        f"case when __std = {_d(0)} then false "
+        f"else {score} > {_d(threshold)} end AS is_anomaly",
+        f"{_d(threshold)} AS threshold",
+        "__ma AS moving_avg",
+    ).drop("__rn", "__ma", "__n_ma", "__mi", "__fwd_std", "__global_std",
+           "__std")
 
 
 def cusum_anomalies(
@@ -252,47 +258,53 @@ def cusum_anomalies(
     Score = max(s+, s−)/std (0 when std = 0); threshold 5.0/sensitivity.
     """
     threshold = CUSUM_BASE_THRESHOLD / sensitivity
-    v = F.col(value_col)
-    wg = _w(keys)
-    run = _w_ord(keys, order_col).rowsBetween(Window.unboundedPreceding, 0)
+    v = f"`{value_col}`"
+    wg = f"(PARTITION BY {_pk(keys)})"
+    run = (f"(PARTITION BY {_pk(keys)} ORDER BY `{order_col}` "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     # NULL values: the other detectors score them NULL (never anomalous);
     # here the prefix sums would SKIP the null and the row would inherit
     # the previous drift score — drop such rows up front instead (stats
     # are unchanged: avg/stddev/count already ignore nulls)
-    df = df.where(v.isNotNull())
-    out = df.withColumns({
-        "__mean": F.avg(v).over(wg),
-        "__std": F.stddev_pop(v).over(wg),
-        "__cnt": F.count(v).over(wg),
-    }).where(F.col("__cnt") >= 2)
-    k = F.lit(float(slack)) * F.col("__std")
-    out = out.withColumns({
-        "__Sp": F.sum(v - F.col("__mean") - k).over(run),
-        "__Sn": F.sum(F.col("__mean") - v - k).over(run),
-    })
-    out = out.withColumns({
-        "__sp": F.col("__Sp") - F.least(F.lit(0.0), F.min("__Sp").over(run)),
-        "__sn": F.col("__Sn") - F.least(F.lit(0.0), F.min("__Sn").over(run)),
-    })
-    score = F.when(F.col("__std") == 0, F.lit(0.0)).otherwise(
-        F.greatest(F.col("__sp"), F.col("__sn")) / F.col("__std"))
-    return out.withColumns({
-        "score": score,
-        "is_anomaly": score > threshold,
-        "threshold": F.lit(float(threshold)),
-    }).drop("__mean", "__std", "__cnt", "__Sp", "__Sn", "__sp", "__sn")
+    out = df.where(f"{v} is not null").selectExpr(
+        "*",
+        f"avg({v}) OVER {wg} AS __mean",
+        f"stddev_pop({v}) OVER {wg} AS __std",
+        f"count({v}) OVER {wg} AS __cnt",
+    ).where("__cnt >= 2")
+    k = f"{_d(slack)} * __std"
+    # note: names stay case-DISTINCT (__psum vs __sp) — Spark SQL resolves
+    # identifiers case-insensitively, so __Sp/__sp would be ambiguous
+    out = out.selectExpr(
+        "*",
+        f"sum({v} - __mean - {k}) OVER {run} AS __psum",
+        f"sum(__mean - {v} - {k}) OVER {run} AS __nsum",
+    )
+    out = out.selectExpr(
+        "*",
+        f"__psum - least({_d(0)}, min(__psum) OVER {run}) AS __sp",
+        f"__nsum - least({_d(0)}, min(__nsum) OVER {run}) AS __sn",
+    )
+    score = (f"case when __std = {_d(0)} then {_d(0)} "
+             f"else greatest(__sp, __sn) / __std end")
+    return out.selectExpr(
+        "*",
+        f"{score} AS score",
+        f"{score} > {_d(threshold)} AS is_anomaly",
+        f"{_d(threshold)} AS threshold",
+    ).drop("__mean", "__std", "__cnt", "__psum", "__nsum", "__sp", "__sn")
+
+
+_SEVERITY_CUTS = {
+    "zscore": (5.0, 3.5),
+    "iqr": (3.0, 1.5),
+    "moving_average": (4.0, 2.5),
+}
 
 
 def severity(score_col: Column, method: str) -> Column:
     """A5 severity mapping (algorithms.py:201-240)."""
-    if method == "zscore":
-        hi, med = 5.0, 3.5
-    elif method == "iqr":
-        hi, med = 3.0, 1.5
-    elif method == "moving_average":
-        hi, med = 4.0, 2.5
-    else:
-        hi, med = 5.0, 2.5
+    hi, med = _SEVERITY_CUTS.get(method, (5.0, 2.5))
     return (
         F.when(score_col > hi, "high").when(score_col > med, "medium").otherwise("low")
     )
@@ -306,12 +318,15 @@ def format_anomalies(
     value_col: str = "value",
 ) -> DataFrame:
     """A6: keep anomalies only, attach severity + method (algorithms.py:243-279)."""
-    return (
-        df.where(F.col("is_anomaly"))
-        .select(*keys, order_col, F.col(value_col).alias("value"),
-                "score", "is_anomaly", "threshold",
-                F.lit(method).alias("method"),
-                severity(F.col("score"), method).alias("severity"))
+    hi, med = _SEVERITY_CUTS.get(method, (5.0, 2.5))
+    return df.where("is_anomaly").selectExpr(
+        *(f"`{k}`" for k in keys),
+        f"`{order_col}`",
+        f"`{value_col}` AS value",
+        "score", "is_anomaly", "threshold",
+        f"'{method}' AS method",
+        f"case when score > {_d(hi)} then 'high' "
+        f"when score > {_d(med)} then 'medium' else 'low' end AS severity",
     )
 
 
@@ -331,9 +346,10 @@ def detect_anomalies(
     sens = float(cfg["sensitivity"])
     params = cfg.get("config_params") or {}
 
-    eligible = df.withColumn("__npts", F.count(value_col).over(_w(keys))).where(
-        F.col("__npts") >= int(cfg["min_data_points"])
-    ).drop("__npts")
+    eligible = df.selectExpr(
+        "*",
+        f"count(`{value_col}`) OVER (PARTITION BY {_pk(keys)}) AS __npts",
+    ).where(f"__npts >= {int(cfg['min_data_points'])}").drop("__npts")
 
     if method == "zscore":
         res = zscore_anomalies(eligible, keys, order_col, value_col, sens,

@@ -169,14 +169,18 @@ def exact_percentiles(
     one pass, mergeable) is the intended path; this operator is the
     oracle-parity / final-verification path.
     """
+    # Plan-build note: expressions are SQL TEXT parsed JVM-side in a few
+    # selectExpr/expr calls — the Column-object form of this plan cost ~690
+    # py4j round trips (~0.2 s, GIL-serialized) per build (see anomalies.py
+    # module docstring for the measurement; the resolved plan is identical).
     n_buckets = 32
     stack = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
     melted = (
         df.selectExpr(f"stack({len(cols)}, {stack}) as (column_name, v)")
-        .where(F.col("v").isNotNull())
+        .where("v is not null")
     )
     counts = melted.groupBy("column_name", "v").agg(
-        F.count(F.lit(1)).alias("cnt"))
+        F.expr("count(1)").alias("cnt"))
     # Per-column n/min/max folded FROM THE COUNTS FRAME (sum of counts is
     # the non-null count; min/max of grouped values are the column's) — no
     # second scan of the source, and the counts exchange feeding both this
@@ -184,55 +188,52 @@ def exact_percentiles(
     # (ReusedExchange). An unbounded per-column window for n would instead
     # buffer one column's values in one task — a measured straggler.
     totals = (counts.groupBy("column_name")
-              .agg(F.sum("cnt").alias("n"),
-                   F.min("v").alias("mn"),
-                   F.max("v").alias("mx")))
+              .agg(F.expr("sum(cnt)").alias("n"),
+                   F.expr("min(v)").alias("mn"),
+                   F.expr("max(v)").alias("mx")))
     # Two-phase distributed prefix sum — exact quantiles need a total order
     # somewhere, but NOT a single-task sort: bucket values by a monotonic
     # (linear in [mn, mx]) key, run the cumulative sum inside each
     # (column, bucket) in parallel, then shift each bucket by the total of
     # the buckets before it (a per-bucket aggregate, k x n_buckets rows,
     # broadcast back). Bucket skew affects balance, never correctness.
-    span = F.col("mx") - F.col("mn")
-    bucket = F.when(span > 0, F.least(
-        F.floor((F.col("v") - F.col("mn")) / span * n_buckets),
-        F.lit(n_buckets - 1))).otherwise(F.lit(0))
+    bucket = (f"case when mx - mn > 0 then "
+              f"least(floor((v - mn) / (mx - mn) * {n_buckets}), "
+              f"{n_buckets - 1}) else 0 end")
     bucketed = (counts.join(F.broadcast(totals), "column_name")
-                .withColumn("b", bucket))
-    loc = bucketed.withColumn(
-        "lcum",
-        F.sum("cnt").over(
-            Window.partitionBy("column_name", "b").orderBy("v")))
+                .selectExpr("*", f"{bucket} AS b"))
+    loc = bucketed.selectExpr(
+        "*",
+        "sum(cnt) OVER (PARTITION BY column_name, b ORDER BY v) AS lcum")
     offs = (
         bucketed.groupBy("column_name", "b")
-        .agg(F.sum("cnt").alias("bsum"))
-        .withColumn(
-            "off",
-            F.sum("bsum").over(
-                Window.partitionBy("column_name").orderBy("b"))
-            - F.col("bsum"))
-        .select("column_name", "b", "off")
+        .agg(F.expr("sum(cnt)").alias("bsum"))
+        .selectExpr(
+            "column_name", "b",
+            "sum(bsum) OVER (PARTITION BY column_name ORDER BY b) - bsum "
+            "AS off")
     )
     cum = (loc.join(F.broadcast(offs), ["column_name", "b"])
-           .withColumn("cum", F.col("off") + F.col("lcum")))
+           .selectExpr("*", "off + lcum AS cum"))
     # A row (v, cnt, cum) covers sorted positions [cum-cnt, cum); quantile p
     # needs positions floor(p*(n-1)) and ceil(p*(n-1)).
-    marker_cols, aggs, out = {}, [], []
+    marker_cols, aggs, out = [], [], []
     for i, p in enumerate(ps):
-        pos = F.lit(float(p)) * (F.col("n") - F.lit(1)).cast("double")
-        lo_i, hi_i = F.floor(pos), F.ceil(pos)
-        covers = lambda idx: (F.col("cum") - F.col("cnt") <= idx) & (idx < F.col("cum"))  # noqa: E731
-        marker_cols[f"__lo{i}"] = F.when(covers(lo_i), F.col("v"))
-        marker_cols[f"__hi{i}"] = F.when(covers(hi_i), F.col("v"))
-        marker_cols[f"__pos{i}"] = pos
-        aggs += [F.max(f"__lo{i}").alias(f"__lov{i}"),
-                 F.max(f"__hi{i}").alias(f"__hiv{i}"),
-                 F.max(f"__pos{i}").alias(f"__p{i}")]
-        lo_v, hi_v, posv = F.col(f"__lov{i}"), F.col(f"__hiv{i}"), F.col(f"__p{i}")
-        interp = F.when(F.ceil(posv) == F.floor(posv), lo_v).otherwise(
-            (F.ceil(posv) - posv) * lo_v + (posv - F.floor(posv)) * hi_v)
-        out.append(F.round(interp, round_to).alias(f"p{int(p * 100)}"))
-    pre = cum.withColumns(marker_cols)
+        pos = f"(cast({float(p)!r} as double) * cast(n - 1 as double))"
+        covers = lambda idx: f"(cum - cnt <= {idx} and {idx} < cum)"  # noqa: E731
+        marker_cols += [
+            f"case when {covers(f'floor({pos})')} then v end AS __lo{i}",
+            f"case when {covers(f'ceil({pos})')} then v end AS __hi{i}",
+            f"{pos} AS __pos{i}",
+        ]
+        aggs += [F.expr(f"max(__lo{i})").alias(f"__lov{i}"),
+                 F.expr(f"max(__hi{i})").alias(f"__hiv{i}"),
+                 F.expr(f"max(__pos{i})").alias(f"__p{i}")]
+        interp = (f"case when ceil(__p{i}) = floor(__p{i}) then __lov{i} "
+                  f"else (ceil(__p{i}) - __p{i}) * __lov{i} "
+                  f"+ (__p{i} - floor(__p{i})) * __hiv{i} end")
+        out.append(f"round({interp}, {round_to}) AS p{int(p * 100)}")
+    pre = cum.selectExpr("*", *marker_cols)
     # right-join onto a literal frame of the REQUESTED columns: a column
     # with zero non-null values vanishes in the melt and would otherwise
     # be missing from the output entirely — the replaced `percentile`
@@ -244,7 +245,7 @@ def exact_percentiles(
     requested = local_df(df.sparkSession, [(c,) for c in cols],
                          "column_name string")
     return (requested.join(agged, "column_name", "left")
-            .select("column_name", *out))
+            .selectExpr("column_name", *out))
 
 
 def numeric_exprs(c: str) -> list[Column]:
