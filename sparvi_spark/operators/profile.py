@@ -146,34 +146,46 @@ def exact_percentiles(
     cols: list[str],
     ps: tuple[float, ...] = (0.25, 0.5, 0.75),
     round_to: int = 6,
+    strategy: str = "bucketed",
 ) -> DataFrame:
     """Exact linear-interpolation percentiles for many numeric columns at
     once -> (column_name, p25, p50, p75, ...) — P5 (app.py:3416-3421
     MEDIAN/quartiles semantics; identical math to Spark's ``percentile``
     aggregate: position = p*(n-1), value = (hi_idx-pos)*lo + (pos-lo_idx)*hi).
 
-    ``percentile(c, array(...))`` buffers a value->count OpenHashMap per
-    partition per column and merges ALL of them on one reducer — measured
-    4-7s on 4 x 600k-row columns (the merge is single-threaded and
-    proportional to partials x distinct values). This plan instead melts the
-    columns into (column_name, value) rows, groupBys to (column, value,
-    cnt) with map-side partial aggregation, takes a running sum ordered by
-    value inside each column, and picks the two interpolation neighbors per
-    requested quantile with conditional aggregates — every step whole-stage
-    codegen, shuffle size O(sum of column cardinalities), nothing buffered
-    on a single reducer. Measured 4.8s -> ~0.4s at sf0.1.
+    Naive ``percentile(c, array(...))`` over the RAW rows buffers a
+    value->count OpenHashMap per partition per column and merges all of
+    them on one reducer — measured 4-7s on 4 x 600k-row columns (the merge
+    is single-threaded and proportional to partials x distinct values).
+    Both strategies here first melt the columns into (column_name, value)
+    rows and dedup to (column, value, cnt) with map-side partial
+    aggregation — O(sum of column cardinalities) from there on — then
+    assign every value its sorted position (cumulative count) and pick
+    each quantile's two interpolation neighbors with conditional
+    aggregates. They differ in how the cumulative count is produced:
 
-    Scale note: the per-column cumulative window puts one column's distinct
-    values in one task — exact quantiles need a total order somewhere. At
-    100 TB the profiler's ``exact=False`` mode (percentile_approx sketches,
-    one pass, mergeable) is the intended path; this operator is the
-    oracle-parity / final-verification path.
+    - ``bucketed`` (default): fully distributed two-phase prefix sum —
+      bucket values by a linear key, cumulative-sum inside (column,
+      bucket) tasks in parallel, shift by broadcast per-bucket offsets.
+      No single task ever holds a whole column; bucket skew affects
+      balance, never correctness.
+    - ``ordered``: one running-sum window per column (PARTITION BY column
+      ORDER BY v) — a shorter chain (~9 vs ~18 stages, 2 vs 3 jobs) but
+      ONE sort task per column, so a high-cardinality column serializes
+      on one core (measured 2x slower than bucketed on a 583k-distinct
+      column at sf0.1). Right when profiling many low-cardinality
+      columns where chain latency dominates.
+
+    Scale note: at 100 TB the profiler's ``exact=False`` mode
+    (percentile_approx sketches, one pass, mergeable) is the intended
+    path; this operator is the oracle-parity / final-verification path.
     """
     # Plan-build note: expressions are SQL TEXT parsed JVM-side in a few
     # selectExpr/expr calls — the Column-object form of this plan cost ~690
     # py4j round trips (~0.2 s, GIL-serialized) per build (see anomalies.py
     # module docstring for the measurement; the resolved plan is identical).
-    n_buckets = 32
+    from sparvi_spark.functions import local_df
+
     stack = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
     melted = (
         df.selectExpr(f"stack({len(cols)}, {stack}) as (column_name, v)")
@@ -181,40 +193,66 @@ def exact_percentiles(
     )
     counts = melted.groupBy("column_name", "v").agg(
         F.expr("count(1)").alias("cnt"))
-    # Per-column n/min/max folded FROM THE COUNTS FRAME (sum of counts is
-    # the non-null count; min/max of grouped values are the column's) — no
-    # second scan of the source, and the counts exchange feeding both this
-    # aggregate and the bucketed join below is computed once
-    # (ReusedExchange). An unbounded per-column window for n would instead
-    # buffer one column's values in one task — a measured straggler.
-    totals = (counts.groupBy("column_name")
-              .agg(F.expr("sum(cnt)").alias("n"),
-                   F.expr("min(v)").alias("mn"),
-                   F.expr("max(v)").alias("mx")))
-    # Two-phase distributed prefix sum — exact quantiles need a total order
-    # somewhere, but NOT a single-task sort: bucket values by a monotonic
-    # (linear in [mn, mx]) key, run the cumulative sum inside each
-    # (column, bucket) in parallel, then shift each bucket by the total of
-    # the buckets before it (a per-bucket aggregate, k x n_buckets rows,
-    # broadcast back). Bucket skew affects balance, never correctness.
-    bucket = (f"case when mx - mn > 0 then "
-              f"least(floor((v - mn) / (mx - mn) * {n_buckets}), "
-              f"{n_buckets - 1}) else 0 end")
-    bucketed = (counts.join(F.broadcast(totals), "column_name")
-                .selectExpr("*", f"{bucket} AS b"))
-    loc = bucketed.selectExpr(
-        "*",
-        "sum(cnt) OVER (PARTITION BY column_name, b ORDER BY v) AS lcum")
-    offs = (
-        bucketed.groupBy("column_name", "b")
-        .agg(F.expr("sum(cnt)").alias("bsum"))
-        .selectExpr(
-            "column_name", "b",
-            "sum(bsum) OVER (PARTITION BY column_name ORDER BY b) - bsum "
-            "AS off")
-    )
-    cum = (loc.join(F.broadcast(offs), ["column_name", "b"])
-           .selectExpr("*", "off + lcum AS cum"))
+    # One zero-weight sentinel row per REQUESTED column, unioned into the
+    # counts frame: a column with no non-null values vanishes in the melt
+    # and would otherwise be missing from the output entirely (callers
+    # iterate expected columns). cnt=0 + v=NULL is inert everywhere
+    # downstream — adds 0 to every cumulative sum, is ignored by min/max,
+    # and produces NULL markers — but guarantees the final groupBy emits a
+    # row per column. Cheaper than the alternative (a right-join onto a
+    # literal frame): no broadcast job, no join stage.
+    sentinels = local_df(
+        df.sparkSession, [(c, None, 0) for c in cols],
+        "column_name string, v double, cnt bigint")
+    counts = counts.unionAll(sentinels)
+    if strategy == "ordered":
+        # One running-sum window per column over the DEDUPED counts: the
+        # groupBy collapses the sort volume to the column's cardinality,
+        # and the running ROWS frame streams (O(1) frame memory; the
+        # partition buffer is Spark's spillable window array). One sort
+        # task per column — columns parallelize, a single 10^9-distinct
+        # column would serialize and belongs on `bucketed`.
+        totals = (counts.groupBy("column_name")
+                  .agg(F.expr("sum(cnt)").alias("n")))
+        cum = (counts.join(F.broadcast(totals), "column_name")
+               .selectExpr(
+                   "*",
+                   "sum(cnt) OVER (PARTITION BY column_name ORDER BY v "
+                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                   "AS cum"))
+    else:
+        # Two-phase distributed prefix sum — bucket values by a key that
+        # is (weakly) MONOTONE in v, run the cumulative sum inside each
+        # (column, bucket) in parallel, then shift each bucket by the
+        # total of the buckets before it (a per-bucket aggregate,
+        # broadcast back). The key is floor(asinh(v) * 8): asinh is
+        # strictly monotone over all reals (sign-symmetric log-compress,
+        # no min/max statistics needed — which saves the stats aggregate
+        # + broadcast join a linear (v-mn)/(mx-mn) key requires), spans
+        # ~±5.7k buckets over the full double range with ~37 buckets per
+        # decade-ish of spread. NaN (sorts LAST in Spark) maps to a
+        # sentinel top bucket; NULL (the zero-weight sentinel rows) to
+        # bucket 0 where its cnt=0 is inert. Bucket skew affects
+        # BALANCE, never correctness. Per-column totals ride along in
+        # the offsets frame (sum over the whole column partition) — one
+        # broadcast carries off + n both.
+        bkey = ("coalesce(cast(floor(nanvl(asinh(v) * 8, "
+                "cast(1.0e18 as double))) as bigint), 0)")
+        bucketed = counts.selectExpr("*", f"{bkey} AS b")
+        loc = bucketed.selectExpr(
+            "*",
+            "sum(cnt) OVER (PARTITION BY column_name, b ORDER BY v) AS lcum")
+        offs = (
+            bucketed.groupBy("column_name", "b")
+            .agg(F.expr("sum(cnt)").alias("bsum"))
+            .selectExpr(
+                "column_name", "b",
+                "sum(bsum) OVER (PARTITION BY column_name ORDER BY b) - bsum "
+                "AS off",
+                "sum(bsum) OVER (PARTITION BY column_name) AS n")
+        )
+        cum = (loc.join(F.broadcast(offs), ["column_name", "b"])
+               .selectExpr("*", "off + lcum AS cum"))
     # A row (v, cnt, cum) covers sorted positions [cum-cnt, cum); quantile p
     # needs positions floor(p*(n-1)) and ceil(p*(n-1)).
     marker_cols, aggs, out = [], [], []
@@ -234,17 +272,7 @@ def exact_percentiles(
                   f"+ (__p{i} - floor(__p{i})) * __hiv{i} end")
         out.append(f"round({interp}, {round_to}) AS p{int(p * 100)}")
     pre = cum.selectExpr("*", *marker_cols)
-    # right-join onto a literal frame of the REQUESTED columns: a column
-    # with zero non-null values vanishes in the melt and would otherwise
-    # be missing from the output entirely — the replaced `percentile`
-    # aggregate returned NULL quantiles for it, and callers iterate
-    # expected columns
-    agged = pre.groupBy("column_name").agg(*aggs)
-    from sparvi_spark.functions import local_df
-
-    requested = local_df(df.sparkSession, [(c,) for c in cols],
-                         "column_name string")
-    return (requested.join(agged, "column_name", "left")
+    return (pre.groupBy("column_name").agg(*aggs)
             .selectExpr("column_name", *out))
 
 

@@ -165,13 +165,15 @@ def test_exact_percentiles_match_numpy(spark, vals):
     from sparvi_spark.operators.profile import exact_percentiles
 
     df = spark.createDataFrame([(float(v),) for v in vals], "x double")
-    got = exact_percentiles(df, ["x"]).collect()[0]
-    for p, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
-        expect = float(np.percentile(np.array(vals, dtype="float64"), p * 100,
-                                     method="linear"))
-        assert got[name] is not None
-        assert math.isclose(got[name], round(expect, 6), rel_tol=1e-9,
-                            abs_tol=2e-6), (vals, p, got[name], expect)
+    for strategy in ("ordered", "bucketed"):
+        got = exact_percentiles(df, ["x"], strategy=strategy).collect()[0]
+        for p, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            expect = float(np.percentile(np.array(vals, dtype="float64"),
+                                         p * 100, method="linear"))
+            assert got[name] is not None
+            assert math.isclose(got[name], round(expect, 6), rel_tol=1e-9,
+                                abs_tol=2e-6), (strategy, vals, p,
+                                                got[name], expect)
 
 
 @settings(max_examples=10, deadline=None)
