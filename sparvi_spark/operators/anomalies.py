@@ -131,14 +131,17 @@ def iqr_anomalies(
     threshold = IQR_BASE_THRESHOLD / sensitivity
     v = f"`{value_col}`"
     if window is None:
-        qs = (
-            df.groupBy(*keys).agg(
-                F.expr(f"percentile({v}, 0.25)").alias("__q1"),
-                F.expr(f"percentile({v}, 0.75)").alias("__q3"),
-                F.expr(f"count({v})").alias("__cnt"),
-            ).where(F.col("__cnt") >= 4)
-        )
-        out = df.join(F.broadcast(qs), keys)
+        # whole-partition window, not agg + broadcast join back: one job
+        # and half the stages. A metric series partition is bounded (one
+        # point per collection interval), so the window buffer is small
+        # at any data scale.
+        wg = f"(PARTITION BY {_pk(keys)})"
+        out = df.selectExpr(
+            "*",
+            f"percentile({v}, {_d(0.25)}) OVER {wg} AS __q1",
+            f"percentile({v}, {_d(0.75)}) OVER {wg} AS __q3",
+            f"count({v}) OVER {wg} AS __cnt",
+        ).where("__cnt >= 4")
     else:
         # Reference fallback (algorithms.py:84): window >= len(values) ->
         # GLOBAL percentiles over the whole series (>= 4 points); rolling
