@@ -77,15 +77,18 @@ def headline_queries():
         return contamination(cand, ref, "doc_id", "text", n=3)
 
     def ivf_trained_full(spark, sf_dir):
-        # end-to-end: Lloyd's training (3 iterations, map+groupBy each)
-        # then 2-probe search for 20 queries over the full corpus
+        # end-to-end: sample-trained quantizer (one Spark job: hash-sample
+        # collect + numpy Lloyd's, the FAISS-style production path) then
+        # 2-probe search for 20 queries over the full corpus. The
+        # distributed trainer (kmeans_train, one job per iteration) stays
+        # the full-data path and is recall-tested in the suite.
         from sparvi_spark.operators.similarity import (
             ivf_topk_trained,
-            kmeans_train,
+            kmeans_train_sampled,
         )
 
         emb = load_table(spark, "embeddings", sf_dir)
-        cents = kmeans_train(emb, k=8, iters=3)
+        cents = kmeans_train_sampled(emb, k=8, sample_size=2048, iters=10)
         queries = emb.where(F.col("vec_id") < 20)
         return ivf_topk_trained(emb, queries, cents, k=10, nprobe=2)
 

@@ -175,26 +175,36 @@ def centroid_probe_expr(
     """Array of the ``nprobe`` nearest centroid ids for each row's vector,
     best first — the IVF coarse-quantizer assignment as ONE projection.
 
-    The trained centroids (nlist × dim doubles — kilobytes) are inlined as
-    literals with their inverse norms, so assignment is a map-only pass:
-    no join, no shuffle, no broadcast variable to ship. Cosine argmax uses
-    dot(v, c)·(1/|c|) — |v| is constant per row, so it never affects the
-    ranking. Ties break toward the smaller centroid id (struct comparison
-    on (score, -id))."""
-    scored = []
-    for bucket, vec in centroids:
-        inv = 1.0 / (sum(x * x for x in vec) ** 0.5 or 1.0)
-        lits = ", ".join(_f(x) for x in vec)
-        dot = (
-            f"aggregate(zip_with({vec_col}, array({lits}), "
-            f"(x, y) -> cast(x as double) * y), cast(0 as double), "
-            f"(acc, v) -> acc + v)"
-        )
-        scored.append(
-            f"struct({dot} * {_f(inv)} as s, {-int(bucket)} as nb)")
-    arr = f"array({', '.join(scored)})"
+    The trained centroids (nlist × dim doubles — kilobytes) ride along as
+    ONE nested array literal (a single Literal node, not nlist × dim
+    unrolled literal terms — the unrolled form cost ~0.3s of analysis +
+    codegen per fresh plan at nlist=8, dim=64), so assignment is a
+    map-only pass: no join, no shuffle, no broadcast variable to ship.
+    Cosine argmax uses dot(v, c)·(1/|c|) — |v| is constant per row, so it
+    never affects the ranking; the element order (sum first, then · inv)
+    is identical to the unrolled form, so scores are bit-for-bit
+    unchanged. Ties break toward the smaller centroid id (struct
+    comparison on (score, -id))."""
+    ids = [int(b) for b, _ in centroids]
+    vecs = [[float(x) for x in v] for _, v in centroids]
+    invs = [1.0 / (sum(x * x for x in v) ** 0.5 or 1.0) for v in vecs]
+    # SQL text, not Column-API lits: PySpark expands a Python list literal
+    # into one py4j Literal call PER ELEMENT (512 round trips for 8x64),
+    # where this whole expression parses JVM-side in one call and
+    # ConstantFolding collapses each foldable array(...) to a single
+    # Literal node before codegen.
+    cents = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(_f(x) for x in v) for v in vecs)
+    invl = "array(%s)" % ", ".join(_f(x) for x in invs)
+    idl = "array(%s)" % ", ".join(str(i) for i in ids)
+    dot = (f"aggregate(zip_with({vec_col}, element_at({cents}, i + 1), "
+           f"(x, y) -> cast(x as double) * y), cast(0 as double), "
+           f"(acc, v) -> acc + v)")
+    scored = (f"transform(sequence(0, {len(ids) - 1}), i -> "
+              f"struct({dot} * element_at({invl}, i + 1) as s, "
+              f"-element_at({idl}, i + 1) as nb))")
     return F.expr(
-        f"transform(slice(reverse(array_sort({arr})), 1, {nprobe}), "
+        f"transform(slice(reverse(array_sort({scored})), 1, {nprobe}), "
         f"p -> -p.nb)")
 
 
@@ -292,6 +302,59 @@ def kmeans_train(
         merged.update(dict(new))
         cents = sorted(merged.items())
     return cents
+
+
+def kmeans_train_sampled(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 65536,
+    iters: int = 10,
+) -> list[tuple[int, list[float]]]:
+    """Sample-trained k-means — the production IVF quantizer trainer.
+
+    Coarse-quantizer quality depends on the DISTRIBUTION, not the row
+    count: training on a uniform sample is the standard practice for IVF
+    indexes (FAISS trains on ~max(10k, 256*nlist) points regardless of
+    corpus size). One cluster pass: the `sample_size` rows with the
+    smallest portable affine id-hash — `orderBy(hash).limit(n)` compiles
+    to TakeOrderedAndProject (per-partition top-k merged on the driver,
+    no global sort), deterministic across engines and partitionings.
+    Lloyd's iterations then run driver-side in numpy over the sample
+    (KB-MB scale), so the WHOLE training is one Spark job, against the
+    one-job-per-iteration lower bound any distributed Lloyd's carries
+    (`kmeans_train`, kept for full-data training). Init mirrors
+    `kmeans_train`: the k smallest-hash rows of the sample. Centroids
+    round to 9dp like `bucket_centroids` so downstream literal plans are
+    stable.
+    """
+    import numpy as np
+
+    from sparvi_spark.operators.sampling import hash_expr
+
+    rows = (df.select(F.col(id_col), F.col(vec_col))
+            .orderBy(hash_expr(id_col), F.col(id_col))
+            .limit(sample_size)
+            .collect())
+    x = np.array([[float(v) for v in r[1]] for r in rows], dtype="float64")
+    cents = x[:k].copy()  # rows arrive in hash order — same init rule
+    xsq = (x ** 2).sum(axis=1)[:, None]
+    for _ in range(iters):
+        # |x-c|^2 = |x|^2 - 2 x.c + |c|^2 via one matmul — O(n*k) memory,
+        # not the O(n*k*dim) of broadcasting the difference tensor
+        d2 = xsq - 2.0 * (x @ cents.T) + (cents ** 2).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        new = cents.copy()  # empty cells keep their previous centroid
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        if np.allclose(new, cents, rtol=0, atol=1e-12):
+            cents = new
+            break
+        cents = new
+    return [(i, [float(round(v, 9)) for v in cents[i]]) for i in range(k)]
 
 
 def bucket_centroids(

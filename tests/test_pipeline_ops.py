@@ -284,6 +284,47 @@ def test_kmeans_ivf_trained_search(spark):
     assert kmeans_train(emb, k=6, iters=3) == trained
 
 
+def test_kmeans_sampled_trainer_matches_search_quality(spark):
+    """The one-job sample trainer (numpy Lloyd's over a deterministic
+    hash-sample) gives the same trained-IVF search quality as the
+    distributed trainer, and is partitioning-invariant."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_trained,
+        kmeans_train_sampled,
+    )
+
+    rng = random.Random(11)
+    cents = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(6)]
+    rows = []
+    vid = 0
+    for cent in cents:
+        for _ in range(25):
+            rows.append((vid, [float(x + rng.gauss(0, 0.05)) for x in cent]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    trained = kmeans_train_sampled(emb, k=6, sample_size=100, iters=10)
+    assert len(trained) == 6 and all(len(v) == 16 for _, v in trained)
+
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    exact = {r["query_id"]: r["neighbor_id"]
+             for r in cosine_topk(emb, queries, k=1).collect()}
+    approx = {r["query_id"]: r["neighbor_id"]
+              for r in ivf_topk_trained(emb, queries, trained, k=1,
+                                        nprobe=2).collect()}
+    hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+    assert hits >= 5  # >=5/6 top-1 recall with 2-probe on tight clusters
+
+    # partitioning-invariant: the hash-ordered sample is a total order
+    assert kmeans_train_sampled(
+        emb.repartition(7), k=6, sample_size=100, iters=10) == trained
+
+
 def test_sessionize_gap_rule(spark):
     from sparvi_spark.operators.sessions import session_stats, sessionize
 
