@@ -1487,7 +1487,111 @@ FROM s
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# x24/x25: distribution drift between snapshots (operators/drift.py) —
+# baseline = orders before 1998, current = 1998+. tvd/chi2 are pure IEEE
+# basic arithmetic over exact integer counts (decimal-routed sums), so they
+# value-hash; psi (transcendental ln) is dropped from the oracle projection
+# and covered by the numpy unit test instead.
+# ---------------------------------------------------------------------------
+
+DRIFT_SPLIT = "1998-01-01 00:00:00"
+DRIFT_COLS = ["o_totalprice", "o_custkey"]
+DRIFT_BINS = 10
+
+
+def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.drift import numeric_drift
+
+    orders = load_table(spark, "orders", sf_dir)
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    return numeric_drift(
+        orders.where(F.col("o_orderdate") < split),
+        orders.where(F.col("o_orderdate") >= split),
+        DRIFT_COLS, bins=DRIFT_BINS,
+    ).select("column_name", "n_expected", "n_actual", "tvd", "chi2")
+
+
+def _sql_numeric_drift() -> str:
+    b = DRIFT_BINS
+    melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, cast({c} as double) AS v, "
+        f"CASE WHEN o_orderdate < TIMESTAMP '{DRIFT_SPLIT}' "
+        f"THEN 'e' ELSE 'a' END AS side "
+        f"FROM orders WHERE {c} IS NOT NULL"
+        for c in DRIFT_COLS)
+    pe = f"((ce + 0.5) / (ne + 0.5 * {b}))"
+    pa = f"((ca + 0.5) / (na + 0.5 * {b}))"
+    return f"""
+WITH m AS ({melt}),
+edges AS (SELECT column_name,
+    min(CASE WHEN side = 'e' THEN v END) AS mn,
+    max(CASE WHEN side = 'e' THEN v END) AS mx
+  FROM m GROUP BY 1),
+binned AS (SELECT m.column_name, side,
+    CASE WHEN mx > mn
+         THEN greatest(least(floor((v - mn) / (mx - mn) * {b}), {b} - 1), 0)
+         ELSE 0 END AS bkt
+  FROM m JOIN edges USING (column_name)),
+counts AS (SELECT column_name, bkt,
+    count(CASE WHEN side = 'e' THEN 1 END) AS ce,
+    count(CASE WHEN side = 'a' THEN 1 END) AS ca
+  FROM binned GROUP BY 1, 2),
+terms AS (SELECT column_name, ce, ca,
+    sum(ce) OVER (PARTITION BY column_name) AS ne,
+    sum(ca) OVER (PARTITION BY column_name) AS na
+  FROM counts),
+t2 AS (SELECT column_name, ne, na,
+    cast(round(abs({pa} - {pe}), 15) as decimal(38,18)) AS tvd_t,
+    cast(round(({pa} - {pe}) * ({pa} - {pe}) / {pe}, 15)
+         as decimal(38,18)) AS chi2_t
+  FROM terms)
+SELECT column_name,
+  cast(max(ne) as bigint) AS n_expected,
+  cast(max(na) as bigint) AS n_actual,
+  round(cast(sum(tvd_t) * 0.5 as double), 9) AS tvd,
+  round(cast(sum(chi2_t) as double), 9) AS chi2
+FROM t2 GROUP BY 1
+""".strip()
+
+
+def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.drift import categorical_drift
+
+    orders = load_table(spark, "orders", sf_dir)
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    return categorical_drift(
+        orders.where(F.col("o_orderdate") < split),
+        orders.where(F.col("o_orderdate") >= split),
+        "o_orderpriority")
+
+
+def _sql_categorical_drift() -> str:
+    return f"""
+WITH e AS (SELECT coalesce(cast(o_orderpriority as varchar), '<<NULL>>')
+      AS category, count(*) AS c_e
+    FROM orders WHERE o_orderdate < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1),
+a AS (SELECT coalesce(cast(o_orderpriority as varchar), '<<NULL>>')
+      AS category, count(*) AS c_a
+    FROM orders WHERE o_orderdate >= TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1),
+b AS (SELECT category,
+    coalesce(c_e, 0) AS c_e, coalesce(c_a, 0) AS c_a
+  FROM e FULL OUTER JOIN a USING (category)),
+w AS (SELECT category, c_e, c_a,
+    sum(c_e) OVER () AS ne, sum(c_a) OVER () AS na FROM b),
+p AS (SELECT category,
+    round(cast(c_e as double) / ne, 9) AS p_expected,
+    round(cast(c_a as double) / na, 9) AS p_actual,
+    round(cast(c_a as double) / na - cast(c_e as double) / ne, 9) AS delta
+  FROM w)
+SELECT category, p_expected, p_actual, delta, abs(delta) AS abs_delta
+FROM p ORDER BY abs_delta DESC, category
+""".strip()
+
+
 EXTRA_CHECKS = {
+    "x24_numeric_drift": (q_numeric_drift, _sql_numeric_drift()),
+    "x25_categorical_drift": (q_categorical_drift, _sql_categorical_drift()),
     "d04_simhash_pairs": (q_simhash_pairs, None),
     "e04_topk_sketch": (q_topk_sketch, SQL_TOPK_SKETCH),
     "e05_neardup_cross": (q_neardup_cross, _sql_neardup_cross()),

@@ -193,6 +193,92 @@ class Engine:
                                    ",".join(sorted(set(important))), as_of)
         return changes
 
+    def save_drift_baseline(self, df: DataFrame, table_name: str,
+                            cols: list[str], bins: int = 10,
+                            as_of: str | None = None) -> None:
+        """Store the columns × bins numeric histogram of ``df`` as the
+        drift baseline for ``table_name``. The artifact is kilobytes at
+        any snapshot size — later drift checks never touch the baseline's
+        rows again (the stored-histogram design a 100 TB snapshot
+        requires). Latest baseline wins at check time."""
+        from sparvi_spark.operators.drift import numeric_histogram
+
+        as_of = as_of or _utcnow()
+        hist = numeric_histogram(df, cols, bins)
+        self.state.append("drift_baselines", hist.select(
+            F.lit(table_name).alias("table_name"),
+            "column_name", "b", "cnt", "mn", "mx",
+            F.lit(bins).cast("int").alias("bins"),
+            F.lit(as_of).cast("timestamp").alias("collected_at")))
+
+    def run_drift_check(self, df: DataFrame, table_name: str,
+                        psi_alert: float = 0.2,
+                        as_of: str | None = None) -> DataFrame | None:
+        """Distribution drift of ``df`` against the stored baseline
+        histogram: (column_name, n_expected, n_actual, tvd, chi2, psi).
+
+        The baseline's columns/bins/edges come from the stored rows (a
+        driver-side O(columns × bins) read, like the other engine
+        scalar paths); the current snapshot is melted once, binned
+        map-side against the stored edges, and full-outer-joined with
+        the stored counts. Column psi/tvd land in historical_metrics
+        (metric_type='drift') so the trend and anomaly machinery sees
+        them like any other metric; psi above ``psi_alert`` publishes a
+        distribution_drift engine event. Returns None with no baseline."""
+        from sparvi_spark.functions import local_df
+        from sparvi_spark.operators.drift import bucket_expr, drift_metrics
+
+        as_of = as_of or _utcnow()
+        base_rows = (self.state.read("drift_baselines")
+                     .where(F.col("table_name") == table_name)
+                     .selectExpr("*", "max(collected_at) OVER () AS __latest")
+                     .where("collected_at = __latest")
+                     .collect())
+        if not base_rows:
+            return None
+        bins = int(base_rows[0]["bins"])
+        edges = local_df(
+            self.spark,
+            sorted({(r["column_name"], float(r["mn"]), float(r["mx"]))
+                    for r in base_rows}),
+            "column_name string, mn double, mx double")
+        cols = [r[0] for r in edges.collect()]
+        stack = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+        cur = (df.selectExpr(f"stack({len(cols)}, {stack}) as (column_name, v)")
+               .where("v is not null")
+               .join(F.broadcast(edges), "column_name")
+               .selectExpr("column_name", f"{bucket_expr(bins)} AS b")
+               .groupBy("column_name", "b")
+               .agg(F.expr("count(1)").alias("ca")))
+        base = local_df(
+            self.spark,
+            [(r["column_name"], int(r["b"]), int(r["cnt"]))
+             for r in base_rows],
+            "column_name string, b bigint, ce bigint")
+        counts = (base.join(cur, ["column_name", "b"], "full")
+                  .selectExpr("column_name", "b",
+                              "coalesce(ce, 0) AS ce",
+                              "coalesce(ca, 0) AS ca"))
+        out = drift_metrics(counts, bins)
+        rows = out.collect()
+        self.state.append_rows("historical_metrics", [
+            {"metric_name": m, "metric_value": r[m], "metric_type": "drift",
+             "table_name": table_name, "column_name": r["column_name"],
+             "source": "drift_check", "ts": as_of}
+            for r in rows for m in ("psi", "tvd")])
+        drifted = sorted(r["column_name"] for r in rows
+                         if r["psi"] is not None and r["psi"] > psi_alert)
+        if drifted:
+            self.publish_event("distribution_drift", table_name,
+                               ",".join(drifted), as_of)
+        # hand back the already-computed rows as a local frame — a caller
+        # action must not re-run the melt the collect above just paid for
+        return local_df(
+            self.spark,
+            [tuple(r) for r in rows],
+            "column_name string, n_expected bigint, n_actual bigint, "
+            "tvd double, chi2 double, psi double")
+
     # ------------------------------------------------------------------ §3.4
     def run_anomaly_detection(self, configs: list[dict[str, Any]],
                               history_days: int = 30,

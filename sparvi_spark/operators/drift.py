@@ -1,0 +1,186 @@
+"""Distribution drift between two table snapshots (baseline vs current).
+
+Extends the reference's STRUCTURAL drift detection (schema diff,
+core/schema_detection/schema_worker.py semantics — column add/drop/type
+change) with DISTRIBUTIONAL drift: the "same schema, different data"
+failures a training-data pipeline must catch before a model refresh — a
+feature's histogram shifting between crawls, a category exploding, a
+numeric column sliding off its training range.
+
+Per column, against the BASELINE's bin edges:
+
+- ``tvd``  — total variation distance, 0.5·Σ|p_a − p_e|, in [0, 1]
+- ``chi2`` — χ² divergence Σ(p_a − p_e)²/p_e (Laplace-smoothed)
+- ``psi``  — population stability index Σ(p_a − p_e)·ln(p_a/p_e)
+  (industry convention: >0.1 moderate, >0.2 major shift)
+
+Oracle-determinism note: tvd and chi2 are pure IEEE-754 basic arithmetic
+over ratios of exact integer counts (divide/multiply/add are
+correctly-rounded by spec, hence bit-identical across engines), with the
+cross-bin sums routed through DECIMAL so summation order cannot matter —
+both are value-hash oracle-checked. psi's ln is a transcendental whose
+last-ulp rounding is libm-dependent, so psi is unit-tested against
+numpy/python math instead of hash-compared.
+
+Shape at scale: one melt + (column, bin) groupBy per snapshot — the
+profiler's melt pattern, count-bounded shuffles (≤ columns × bins rows
+out) — then a full-outer join of two KB-sized count frames. The baseline
+min/max ride along as a broadcast aggregate; no driver collect, the
+whole comparison is one lazy DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# decimal(38,18): wide enough that per-bin terms in [0, 1e4] sum exactly
+# for any realistic bin count; scale 18 keeps ~3 guard digits past the
+# 15dp term rounding.
+_DEC = "decimal(38,18)"
+
+
+def _melt(df: DataFrame, cols: list[str], side: str) -> DataFrame:
+    stack = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    return (df.selectExpr(f"stack({len(cols)}, {stack}) as (column_name, v)")
+            .where("v is not null")
+            .selectExpr("column_name", "v", f"'{side}' as side"))
+
+
+def numeric_drift(
+    expected: DataFrame,
+    actual: DataFrame,
+    cols: list[str],
+    bins: int = 10,
+    round_to: int = 9,
+) -> DataFrame:
+    """(column_name, n_expected, n_actual, tvd, chi2, psi) per column.
+
+    Equal-width bins over the EXPECTED snapshot's [min, max]; actual
+    values outside that range clamp into the edge bins (mass leaving the
+    training range lands in bins 0 / bins-1, which is exactly the signal
+    wanted). Both snapshots' per-bin proportions use Laplace smoothing
+    ((cnt + 0.5) / (n + 0.5·bins)) so empty bins never divide by zero and
+    psi's log is always finite. A constant baseline column (min = max)
+    puts everything in bin 0.
+    """
+    melted = _melt(expected, cols, "e").unionAll(_melt(actual, cols, "a"))
+    # Baseline-only min/max, broadcast onto both sides' melted rows. The
+    # conditional aggregate keeps this a single pass over the union.
+    edges = (melted.groupBy("column_name")
+             .agg(F.expr("min(case when side = 'e' then v end)").alias("mn"),
+                  F.expr("max(case when side = 'e' then v end)").alias("mx")))
+    binned = (melted.join(F.broadcast(edges), "column_name")
+              .selectExpr("column_name", "side",
+                          f"{bucket_expr(bins)} AS b"))
+    counts = (binned.groupBy("column_name", "b")
+              .agg(F.expr("count(case when side = 'e' then 1 end)").alias("ce"),
+                   F.expr("count(case when side = 'a' then 1 end)").alias("ca")))
+    return drift_metrics(counts, bins, round_to)
+
+
+def bucket_expr(bins: int) -> str:
+    """Equal-width bin index of ``v`` against broadcast edges ``mn``/``mx``
+    (baseline range; out-of-range values clamp into the edge bins)."""
+    return (f"case when mx > mn then "
+            f"greatest(least(floor((v - mn) / (mx - mn) * {bins}), "
+            f"{bins} - 1), 0) else 0 end")
+
+
+def drift_metrics(counts: DataFrame, bins: int,
+                  round_to: int = 9) -> DataFrame:
+    """(column_name, b, ce, ca) per-bin counts -> the drift metric frame —
+    shared by the two-snapshot compare above and the engine's
+    stored-histogram baseline path (Engine.run_drift_check).
+    """
+    # smoothed per-bin proportions: exact-integer ratios through IEEE
+    # double division (correctly rounded, engine-portable)
+    pe = (f"((cast(ce as double) + 0.5d) / "
+          f"(cast(ne as double) + 0.5d * {bins}))")
+    pa = (f"((cast(ca as double) + 0.5d) / "
+          f"(cast(na as double) + 0.5d * {bins}))")
+    terms = (counts
+             .selectExpr("column_name", "ce", "ca",
+                         "sum(ce) OVER (PARTITION BY column_name) AS ne",
+                         "sum(ca) OVER (PARTITION BY column_name) AS na")
+             .selectExpr(
+                 "column_name", "ne", "na",
+                 # per-term round to 15dp then DECIMAL: the per-bin terms
+                 # are engine-identical doubles, and the decimal sum makes
+                 # the cross-bin total order-independent
+                 f"cast(round(abs({pa} - {pe}), 15) as {_DEC}) AS __tvd_t",
+                 # (d)*(d), not pow(d, 2): basic * is IEEE
+                 # correctly-rounded in every engine, pow is libm-bound
+                 f"cast(round(({pa} - {pe}) * ({pa} - {pe}) / {pe}, 15) "
+                 f"as {_DEC}) AS __chi2_t",
+                 f"({pa} - {pe}) * ln({pa} / {pe}) AS __psi_t",
+             ))
+    return (terms.groupBy("column_name")
+            .agg(F.expr("max(ne)").alias("n_expected"),
+                 F.expr("max(na)").alias("n_actual"),
+                 F.expr(f"round(cast(sum(__tvd_t) * 0.5 as double), "
+                        f"{round_to})").alias("tvd"),
+                 F.expr(f"round(cast(sum(__chi2_t) as double), "
+                        f"{round_to})").alias("chi2"),
+                 F.expr(f"round(sum(__psi_t), {round_to})").alias("psi")))
+
+
+def categorical_drift(
+    expected: DataFrame,
+    actual: DataFrame,
+    col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-category drift for one categorical column -> (category,
+    p_expected, p_actual, delta, abs_delta) ordered by |delta| desc.
+
+    The category set is the UNION of both snapshots (full-outer count
+    join, zero-filled): a category that appears or vanishes outright is
+    the most important row in the output. NULL is a first-class category
+    (sentinel '<<NULL>>'). Proportions are UNsmoothed — per-category
+    deltas are the report, not a divergence statistic.
+    """
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (df.selectExpr(
+            f"coalesce(cast(`{col}` as string), '<<NULL>>') AS category")
+            .groupBy("category")
+            .agg(F.expr("count(1)").alias(f"c_{name}")))
+
+    both = (side(expected, "e").join(side(actual, "a"), "category", "full")
+            .selectExpr("category",
+                        "coalesce(c_e, 0) AS c_e", "coalesce(c_a, 0) AS c_a"))
+    return (both.selectExpr(
+        "category", "c_e", "c_a",
+        "sum(c_e) OVER () AS ne", "sum(c_a) OVER () AS na")
+        .selectExpr(
+            "category",
+            f"round(cast(c_e as double) / ne, {round_to}) AS p_expected",
+            f"round(cast(c_a as double) / na, {round_to}) AS p_actual",
+            f"round(cast(c_a as double) / na - cast(c_e as double) / ne, "
+            f"{round_to}) AS delta")
+        .selectExpr("category", "p_expected", "p_actual", "delta",
+                    "abs(delta) AS abs_delta")
+        .orderBy(F.desc("abs_delta"), "category"))
+
+
+def numeric_histogram(
+    df: DataFrame,
+    cols: list[str],
+    bins: int = 10,
+) -> DataFrame:
+    """(column_name, b, cnt, mn, mx) equal-width histogram over the df's
+    OWN per-column [min, max] — the stored-baseline artifact for
+    ``Engine.save_drift_baseline``. Kilobytes per table at any data scale
+    (columns × bins rows), which is the point: drift checks against a
+    STORED HISTOGRAM need no access to the baseline snapshot's rows.
+    """
+    melted = _melt(df, cols, "x")
+    edges = (melted.groupBy("column_name")
+             .agg(F.expr("min(v)").alias("mn"), F.expr("max(v)").alias("mx")))
+    binned = (melted.join(F.broadcast(edges), "column_name")
+              .selectExpr("column_name", "mn", "mx",
+                          f"{bucket_expr(bins)} AS b"))
+    return (binned.groupBy("column_name", "b")
+            .agg(F.expr("count(1)").alias("cnt"),
+                 F.expr("first(mn)").alias("mn"),
+                 F.expr("first(mx)").alias("mx")))

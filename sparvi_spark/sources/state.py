@@ -55,6 +55,13 @@ ENTITIES: dict[str, str] = {
         "corpus_name string, n_docs bigint, keep_rate double, "
         "dup_rate double, contamination_rate double, "
         "screened_at timestamp, run_date date"),
+    # stored numeric-histogram baselines for distribution-drift checks
+    # (Engine.save_drift_baseline / run_drift_check): columns x bins rows
+    # per table — kilobytes regardless of the snapshot's size
+    "drift_baselines": (
+        "table_name string, column_name string, b bigint, cnt bigint, "
+        "mn double, mx double, bins int, collected_at timestamp, "
+        "run_date date"),
 }
 
 

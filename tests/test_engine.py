@@ -338,3 +338,46 @@ def test_run_incremental_profile_purges_deleted_partitions(spark, engine):
         .reset_index(drop=True)
     assert got.equals(expect)
     assert got.iloc[0]["cnt"] == 30
+
+
+def test_drift_baseline_and_check(spark, tmp_path):
+    """Stored-histogram drift flow: baseline once, check a shifted
+    snapshot — metrics land in historical_metrics, the alert event fires,
+    and an unshifted snapshot stays quiet."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    rng = random.Random(3)
+    base_rows = [(i, rng.gauss(100, 10), rng.random()) for i in range(400)]
+    base = spark.createDataFrame(base_rows, "id long, x double, y double")
+    eng.save_drift_baseline(base, "t", ["x", "y"], bins=10,
+                            as_of="2026-01-01 00:00:00")
+
+    # no baseline for an unknown table
+    assert eng.run_drift_check(base, "nope") is None
+
+    # identical snapshot: zero drift, no event
+    same = {r["column_name"]: r for r in
+            eng.run_drift_check(base, "t", as_of="2026-01-02 00:00:00")
+            .collect()}
+    assert same["x"]["tvd"] == 0.0 and same["x"]["psi"] == 0.0
+    assert eng.state.read("engine_events").where(
+        F.col("event_type") == "distribution_drift").count() == 0
+
+    # x shifted by +3 sigma, y untouched: only x alerts
+    shifted = base.withColumn("x", F.col("x") + 30.0)
+    out = {r["column_name"]: r for r in
+           eng.run_drift_check(shifted, "t", as_of="2026-01-03 00:00:00")
+           .collect()}
+    assert out["x"]["psi"] > 0.2 and out["x"]["tvd"] > 0.2
+    assert out["y"]["psi"] < 0.05
+    ev = eng.state.read("engine_events").where(
+        F.col("event_type") == "distribution_drift").collect()
+    assert len(ev) == 1 and ev[0]["details"] == "x"
+    # metrics recorded for the trend machinery (2 runs x 2 cols x 2 metrics)
+    assert eng.state.read("historical_metrics").where(
+        F.col("metric_type") == "drift").count() == 8

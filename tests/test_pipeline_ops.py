@@ -932,3 +932,59 @@ def test_pack_sequences_concat_and_chop(spark):
     assert (1, 1, 0) in per_shard and (1, 3, 0) in per_shard
     # shard 0 holds docs 2,4: doc2 7 tokens pack 0, doc4 token -> pack 0
     assert (0, 2, 0) in per_shard and (0, 4, 0) in per_shard
+
+
+def test_numeric_drift_matches_numpy(spark):
+    """tvd/chi2/psi against a straight numpy implementation of the same
+    smoothed-histogram formulas, plus the clamp and no-drift behaviors."""
+    import math
+    import random
+
+    import numpy as np
+
+    from sparvi_spark.operators.drift import numeric_drift
+
+    rng = random.Random(7)
+    base = [rng.gauss(50, 10) for _ in range(500)]
+    shifted = [v + 15 for v in base]  # mean shift: every metric must fire
+    e = spark.createDataFrame([(v,) for v in base], "x double")
+    a = spark.createDataFrame([(v,) for v in shifted], "x double")
+
+    row = numeric_drift(e, a, ["x"], bins=10).collect()[0]
+    assert row["n_expected"] == 500 and row["n_actual"] == 500
+
+    bins = 10
+    mn, mx = min(base), max(base)
+    def hist(vals):
+        h = np.zeros(bins)
+        for v in vals:
+            b = int(min(max(math.floor((v - mn) / (mx - mn) * bins), 0),
+                        bins - 1))
+            h[b] += 1
+        return (h + 0.5) / (len(vals) + 0.5 * bins)
+    pe, pa = hist(base), hist(shifted)
+    assert abs(row["tvd"] - 0.5 * np.abs(pa - pe).sum()) < 1e-6
+    assert abs(row["chi2"] - (((pa - pe) ** 2) / pe).sum()) < 1e-6
+    assert abs(row["psi"] - ((pa - pe) * np.log(pa / pe)).sum()) < 1e-6
+    assert row["tvd"] > 0.3 and row["psi"] > 0.2  # major shift flagged
+
+    # identical snapshots: all three metrics are exactly zero
+    same = numeric_drift(e, e, ["x"], bins=10).collect()[0]
+    assert same["tvd"] == 0.0 and same["chi2"] == 0.0 and same["psi"] == 0.0
+
+
+def test_categorical_drift_full_outer_categories(spark):
+    from sparvi_spark.operators.drift import categorical_drift
+
+    e = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [(None,)], "c string")
+    a = spark.createDataFrame(
+        [("a",)] * 2 + [("b",)] * 6 + [("new",)] * 2, "c string")
+    rows = {r["category"]: r for r in categorical_drift(e, a, "c").collect()}
+    assert set(rows) == {"a", "b", "new", "<<NULL>>"}
+    assert rows["new"]["p_expected"] == 0.0 and rows["new"]["p_actual"] == 0.2
+    assert rows["<<NULL>>"]["p_actual"] == 0.0
+    assert abs(rows["a"]["delta"] - (0.2 - 0.6)) < 1e-9
+    # ordered by |delta| desc
+    ordered = [r["category"] for r in categorical_drift(e, a, "c").collect()]
+    assert ordered[0] == "a"
