@@ -1589,9 +1589,37 @@ FROM p ORDER BY abs_delta DESC, category
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# x26: training-data shard plan (sources/export.py) — portable-hash shard
+# assignment recomputed bit-for-bit by DuckDB, per-shard counts + id spans.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.sources.export import shard_plan
+
+    docs = load_table(spark, "documents", sf_dir)
+    return shard_plan(docs, "doc_id", N_SHARDS, method="portable")
+
+
+def _sql_shard_plan() -> str:
+    from sparvi_spark.operators.sampling import HASH_A, HASH_B, HASH_M
+
+    shard = (f"cast(((doc_id * {HASH_A} + {HASH_B}) % {HASH_M}) "
+             f"% {N_SHARDS} as int)")
+    return f"""
+SELECT {shard} AS shard, cast(count(*) as bigint) AS n_rows,
+  min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY 1 ORDER BY 1
+""".strip()
+
+
 EXTRA_CHECKS = {
     "x24_numeric_drift": (q_numeric_drift, _sql_numeric_drift()),
     "x25_categorical_drift": (q_categorical_drift, _sql_categorical_drift()),
+    "x26_shard_plan": (q_shard_plan, _sql_shard_plan()),
     "d04_simhash_pairs": (q_simhash_pairs, None),
     "e04_topk_sketch": (q_topk_sketch, SQL_TOPK_SKETCH),
     "e05_neardup_cross": (q_neardup_cross, _sql_neardup_cross()),

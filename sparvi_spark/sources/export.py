@@ -1,0 +1,82 @@
+"""Training-data export: deterministic sharding + reproducible writes.
+
+The last stage of a training-data pipeline is a GLOBAL SHUFFLE into a
+fixed number of shards that the training loader streams — shard
+assignment must be deterministic (re-runs and incremental top-ups land
+rows in the same shard), shards must be balanced (loader throughput is
+hostage to the largest shard), and file contents must be reproducible
+(byte-identical re-export ⇒ resumable runs, diffable artifacts).
+
+Spark-first shape: assignment is a map-only hash projection (no shuffle);
+the export is ONE repartition on the shard key + an in-partition sort, so
+the only wide exchange moves each row exactly once no matter how many
+shards; the manifest is the groupBy the write already paid for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparvi_spark.operators.sampling import hash_expr
+
+
+def shard_expr(id_col: str, n_shards: int, method: str = "xxhash") -> Column:
+    """Deterministic shard of an id column, in [0, n_shards).
+
+    ``xxhash`` (default): xxhash64 — engine-native, avalanche-quality
+    mixing at any key structure. ``portable``: the affine 32-bit hash
+    shared with the sampling operators — identical integer arithmetic in
+    DuckDB, which is what lets the oracle recompute shard assignment
+    bit-for-bit (valid for \\|key\\| < 3.47e9, see sampling.hash_expr).
+    Both are pure projections: assignment never shuffles.
+    """
+    if method == "portable":
+        return F.pmod(hash_expr(id_col), F.lit(n_shards)).cast("int")
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+
+
+def shard_plan(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    method: str = "xxhash",
+) -> DataFrame:
+    """(shard, n_rows, min_id, max_id) — the balance report for an export
+    before running it. One groupBy over the hash projection."""
+    return (df.select(shard_expr(id_col, n_shards, method).alias("shard"),
+                      F.col(id_col))
+            .groupBy("shard")
+            .agg(F.expr("count(1)").alias("n_rows"),
+                 F.expr(f"min(`{id_col}`)").alias("min_id"),
+                 F.expr(f"max(`{id_col}`)").alias("max_id"))
+            .orderBy("shard"))
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    fmt: str = "parquet",
+    method: str = "xxhash",
+) -> DataFrame:
+    """Shard ``df`` by ``id_col`` and write ``path/shard=N/...``;
+    returns the (shard, n_rows) manifest.
+
+    ``repartition(n_shards, shard)`` moves every row exactly ONCE
+    (hashing the shard key means a partition may carry a few shards —
+    partitionBy splits them into their own directories at write, without
+    a second exchange); ``sortWithinPartitions(shard, id)`` makes file
+    contents deterministic, so a re-export of the same input is
+    byte-comparable. The loader-facing layout is the standard
+    ``shard=N`` hive dir per shard.
+    """
+    sharded = df.withColumn("shard", shard_expr(id_col, n_shards, method))
+    (sharded.repartition(n_shards, F.col("shard"))
+     .sortWithinPartitions("shard", id_col)
+     .write.mode("overwrite").format(fmt)
+     .partitionBy("shard").save(path))
+    return (df.sparkSession.read.format(fmt).load(path)
+            .groupBy("shard").agg(F.expr("count(1)").alias("n_rows"))
+            .orderBy("shard"))

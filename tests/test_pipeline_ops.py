@@ -988,3 +988,41 @@ def test_categorical_drift_full_outer_categories(spark):
     # ordered by |delta| desc
     ordered = [r["category"] for r in categorical_drift(e, a, "c").collect()]
     assert ordered[0] == "a"
+
+
+def test_shard_export_roundtrip_and_determinism(spark, tmp_path):
+    """Sharded export: every row lands in exactly one shard dir, shard
+    assignment is partitioning-invariant, re-export is row-identical, and
+    the manifest matches the plan."""
+    from sparvi_spark.sources.export import export_shards, shard_plan
+
+    df = spark.range(0, 500).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text")
+    plan = {r["shard"]: r["n_rows"]
+            for r in shard_plan(df, "doc_id", 8).collect()}
+    assert sum(plan.values()) == 500 and set(plan) <= set(range(8))
+    assert max(plan.values()) < 3 * 500 / 8  # hash balance, no mega-shard
+
+    out = str(tmp_path / "shards")
+    manifest = {r["shard"]: r["n_rows"]
+                for r in export_shards(df, out, "doc_id", 8).collect()}
+    assert manifest == plan
+
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    assert back.select("doc_id").distinct().count() == 500
+
+    # determinism: different input partitioning, identical shard contents
+    out2 = str(tmp_path / "shards2")
+    export_shards(df.repartition(13), out2, "doc_id", 8)
+    a = spark.read.parquet(out).select("shard", "doc_id", "text")
+    b = spark.read.parquet(out2).select("shard", "doc_id", "text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # portable method matches the oracle-side affine arithmetic
+    from sparvi_spark.operators.sampling import HASH_A, HASH_B, HASH_M
+    rows = shard_plan(df, "doc_id", 4, method="portable").collect()
+    import collections
+    expect = collections.Counter(
+        ((i * HASH_A + HASH_B) % HASH_M) % 4 for i in range(500))
+    assert {r["shard"]: r["n_rows"] for r in rows} == dict(expect)
