@@ -1616,10 +1616,66 @@ FROM documents GROUP BY 1 ORDER BY 1
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# x27: hashed linear classifier scoring (operators/classify.py) — a
+# deterministic pseudo-model (weights from an affine generator, so both
+# sides build the identical quantized table); margins are exact integer
+# sums + one IEEE division, so they value-hash bit-for-bit.
+# ---------------------------------------------------------------------------
+
+CLF_DIM = 256
+CLF_BIAS = 0.05
+
+
+def _clf_weights() -> list[float]:
+    return [(((j + 1) * 2654435761) % 1000003) / 1000003 - 0.5
+            for j in range(CLF_DIM)]
+
+
+def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.classify import linear_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return linear_scores(docs, _clf_weights(), bias=CLF_BIAS)
+
+
+def _sql_classifier_scores() -> str:
+    from sparvi_spark.operators.classify import (
+        WEIGHT_SCALE,
+        quantize_weights,
+    )
+    from sparvi_spark.operators.dedup import PORTABLE_P
+
+    qw = quantize_weights(_clf_weights())
+    wlist = "[%s]" % ", ".join(str(w) for w in qw)
+    tok_hash = (f"list_reduce(list_prepend(cast(0 as bigint), "
+                f"list_transform(range(1, strlen(t) + 1), "
+                f"i -> cast(ascii(substring(t, i, 1)) as bigint))), "
+                f"(acc, c) -> (acc * 131 + c) % {PORTABLE_P})")
+    return f"""
+WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, len(toks) AS n_tokens,
+        list_reduce(list_prepend(cast(0 as bigint),
+          list_transform(toks, t ->
+            cast({wlist}[cast(({tok_hash}) % {CLF_DIM} as int) + 1]
+                 as bigint))),
+          (a, b) -> a + b) AS fsum
+      FROM d),
+m AS (SELECT doc_id, n_tokens,
+        {CLF_BIAS} + cast(fsum as double)
+          / (cast(n_tokens as double) * {WEIGHT_SCALE}.0) AS margin
+      FROM s)
+SELECT doc_id, cast(n_tokens as int) AS n_tokens,
+  round(margin, 9) AS margin, margin > 0.0 AS label
+FROM m
+""".strip()
+
+
 EXTRA_CHECKS = {
     "x24_numeric_drift": (q_numeric_drift, _sql_numeric_drift()),
     "x25_categorical_drift": (q_categorical_drift, _sql_categorical_drift()),
     "x26_shard_plan": (q_shard_plan, _sql_shard_plan()),
+    "x27_classifier_scores": (q_classifier_scores, _sql_classifier_scores()),
     "d04_simhash_pairs": (q_simhash_pairs, None),
     "e04_topk_sketch": (q_topk_sketch, SQL_TOPK_SKETCH),
     "e05_neardup_cross": (q_neardup_cross, _sql_neardup_cross()),

@@ -1026,3 +1026,47 @@ def test_shard_export_roundtrip_and_determinism(spark, tmp_path):
     expect = collections.Counter(
         ((i * HASH_A + HASH_B) % HASH_M) % 4 for i in range(500))
     assert {r["shard"]: r["n_rows"] for r in rows} == dict(expect)
+
+
+def test_linear_classifier_scores_match_python(spark):
+    """The hashed linear scorer equals a pure-Python replay of the same
+    quantized arithmetic, and the sign/label behaviors hold."""
+    from sparvi_spark.operators.classify import (
+        WEIGHT_SCALE,
+        linear_scores,
+        quantize_weights,
+        sigmoid_expr,
+    )
+    from sparvi_spark.operators.dedup import PORTABLE_P
+
+    dim = 64
+    weights = [(((j + 1) * 2654435761) % 1000003) / 1000003 - 0.5
+               for j in range(dim)]
+    qw = quantize_weights(weights)
+
+    rows = [(1, "good clean text here"), (2, "Spam SPAM buy now"),
+            (3, ""), (4, "one")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in
+           linear_scores(docs, weights, bias=0.1).collect()}
+
+    def tok_hash(t):
+        acc = 0
+        for ch in t:
+            acc = (acc * 131 + ord(ch)) % PORTABLE_P
+        return acc
+
+    import re
+    for doc_id, text in rows:
+        toks = re.split(r"\s+", text.strip().lower())
+        s = sum(qw[tok_hash(t) % dim] for t in toks)
+        margin = 0.1 + s / (len(toks) * float(WEIGHT_SCALE))
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks), (doc_id, toks)
+        assert abs(r["margin"] - round(margin, 9)) < 1e-12, doc_id
+        assert r["label"] == (margin > 0), doc_id
+
+    probs = docs.select("doc_id").join(
+        linear_scores(docs, weights, bias=0.1), "doc_id").select(
+        "doc_id", sigmoid_expr("margin").alias("p")).collect()
+    assert all(0.0 < r["p"] < 1.0 for r in probs)
