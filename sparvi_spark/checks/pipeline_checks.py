@@ -1671,11 +1671,42 @@ FROM m
 """.strip()
 
 
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x28: self-scored bigram LM (operators/lm.py) — probabilities are
+    exact-integer ratios; per-doc means route through decimal."""
+    from sparvi_spark.operators.lm import self_lm_score
+
+    return self_lm_score(load_table(spark, "documents", sf_dir))
+
+
+SQL_LM_SCORE = f"""
+WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+bg0 AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)),
+            i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS p
+        FROM d WHERE len(toks) >= 2),
+bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg0),
+cb AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+cx AS (SELECT w1, sum(c12) AS c1 FROM cb GROUP BY 1),
+vz AS (SELECT count(DISTINCT w) AS v
+       FROM (SELECT unnest(toks) AS w FROM d)),
+s AS (SELECT b.doc_id,
+        cast(round((c12 + 0.5) / (c1 + 0.5 * v), 15)
+             as decimal(38,18)) AS p
+      FROM bg b JOIN cb USING (w1, w2) JOIN cx USING (w1) CROSS JOIN vz)
+SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+  round(cast(sum(p) as double) / count(*), 9) AS avg_p
+FROM s GROUP BY 1
+""".strip()
+
+
 EXTRA_CHECKS = {
     "x24_numeric_drift": (q_numeric_drift, _sql_numeric_drift()),
     "x25_categorical_drift": (q_categorical_drift, _sql_categorical_drift()),
     "x26_shard_plan": (q_shard_plan, _sql_shard_plan()),
     "x27_classifier_scores": (q_classifier_scores, _sql_classifier_scores()),
+    "x28_lm_score": (q_lm_score, SQL_LM_SCORE),
     "d04_simhash_pairs": (q_simhash_pairs, None),
     "e04_topk_sketch": (q_topk_sketch, SQL_TOPK_SKETCH),
     "e05_neardup_cross": (q_neardup_cross, _sql_neardup_cross()),

@@ -1,0 +1,115 @@
+"""Corpus-trained bigram language-model scoring — CCNet-style quality
+filtering (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data", public): score each document by how
+typical its word transitions are of a reference corpus, then filter or
+bucket by score. The reference corpus here can be the corpus itself
+(self-scoring surfaces outlier documents: boilerplate, gibberish,
+wrong-language) or a curated reference (cross-scoring).
+
+Model = bigram transition counts with add-a smoothing:
+
+    p(w2 | w1) = (c(w1,w2) + a) / (c(w1·) + a·V)
+
+where c(w1·) = Σ_w2 c(w1,w2) (context count) and V = vocabulary size.
+A document's score is the MEAN transition probability over its bigrams
+(not log-perplexity: the mean of exact-ratio probabilities keeps every
+compared number inside IEEE basic arithmetic — ln is libm-bound — so
+the DuckDB oracle replays scores bit-for-bit; a log-space variant is a
+consumer-side `ln()` away and ranks identically for filtering).
+
+Spark shape at 100 TB: training is one explode + two groupBys (bigram
+counts are corpus-wide aggregates — the shuffle carries (w1, w2, cnt),
+bounded by distinct bigrams, with map-side partial aggregation);
+scoring joins each document's bigrams against the model on (w1, w2) —
+a plain shuffle join both sides of which are already keyed, no driver
+state, model never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SMOOTH_A = 0.5
+_DEC = "decimal(38,18)"
+
+
+def _toks(text_col: str) -> str:
+    return f"split(lower(trim(`{text_col}`)), '\\\\s+')"
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per ADJACENT token pair, order-preserving."""
+    toks = _toks(text_col)
+    pairs = (f"transform(sequence(1, size({toks}) - 1), "
+             f"i -> struct(element_at({toks}, i) as w1, "
+             f"element_at({toks}, i + 1) as w2))")
+    return (df.where(f"size({toks}) >= 2")
+            .selectExpr(f"`{id_col}` as __id", f"explode({pairs}) as p")
+            .selectExpr("__id", "p.w1 as w1", "p.w2 as w2"))
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """Train on a corpus -> {'bigrams': (w1, w2, c12), 'contexts':
+    (w1, c1), 'vocab': one-row (v)} — all lazy frames, never collected;
+    reuse across many scoring calls."""
+    toks = _toks(text_col)
+    bigrams = (_doc_bigrams(df.selectExpr(f"monotonically_increasing_id() "
+                                          f"as __rid", f"`{text_col}`"),
+                            "__rid", text_col)
+               .groupBy("w1", "w2").agg(F.expr("count(1)").alias("c12")))
+    contexts = bigrams.groupBy("w1").agg(F.expr("sum(c12)").alias("c1"))
+    vocab = (df.selectExpr(f"explode({toks}) as w")
+             .agg(F.expr("count(distinct w)").alias("v")))
+    return {"bigrams": bigrams, "contexts": contexts, "vocab": vocab}
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    model: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smooth_a: float = SMOOTH_A,
+    round_to: int = 9,
+) -> DataFrame:
+    """(id, n_bigrams, avg_p) per document with >= 2 tokens — mean
+    smoothed transition probability under the model (higher = more
+    typical of the training corpus). Unseen bigrams/contexts fall back
+    to the smoothing floor via zero-filled left joins.
+
+    Determinism: each probability is exact-integer ratios through IEEE
+    division; the per-document mean routes the (rounded) terms through
+    DECIMAL so in-document summation order cannot matter.
+    """
+    a = float(smooth_a)
+    doc_bg = _doc_bigrams(df, id_col, text_col)
+    scored = (doc_bg
+              .join(model["bigrams"], ["w1", "w2"], "left")
+              .join(model["contexts"], ["w1"], "left")
+              .join(F.broadcast(model["vocab"])))
+    prob = (f"((cast(coalesce(c12, 0) as double) + {a!r}d) / "
+            f"(cast(coalesce(c1, 0) as double) + {a!r}d * cast(v as double)))")
+    return (scored
+            .selectExpr("__id",
+                        f"cast(round({prob}, 15) as {_DEC}) as __p")
+            .groupBy("__id")
+            .agg(F.expr("count(1)").alias("n_bigrams"),
+                 F.expr(f"round(cast(sum(__p) as double) / count(1), "
+                        f"{round_to})").alias("avg_p"))
+            .withColumnRenamed("__id", id_col))
+
+
+def self_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 9,
+) -> DataFrame:
+    """Score a corpus against its own bigram statistics — the outlier
+    screen: documents whose transitions are rare in-corpus (gibberish,
+    boilerplate explosions, wrong language) land at the bottom."""
+    return bigram_lm_score(df, train_bigram_lm(df, text_col),
+                           id_col, text_col, round_to=round_to)

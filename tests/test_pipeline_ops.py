@@ -1070,3 +1070,43 @@ def test_linear_classifier_scores_match_python(spark):
         linear_scores(docs, weights, bias=0.1), "doc_id").select(
         "doc_id", sigmoid_expr("margin").alias("p")).collect()
     assert all(0.0 < r["p"] < 1.0 for r in probs)
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Self-scored bigram LM equals a pure-Python replay of the smoothed
+    transition math, and the gibberish doc ranks at the bottom."""
+    import re
+    from collections import Counter
+
+    from sparvi_spark.operators.lm import self_lm_score
+
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the cat sat on the rug"),
+            (3, "zx qv pk wq"),  # transitions seen nowhere else
+            (4, "one"),          # single token: no bigrams, excluded
+            (5, "the cat sat on the mat"),
+            (6, "the cat sat on the mat")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in self_lm_score(docs).collect()}
+    assert set(got) == {1, 2, 3, 5, 6}
+
+    tok = lambda t: re.split(r"\s+", t.strip().lower())  # noqa: E731
+    bgs, ctx, vocab = Counter(), Counter(), set()
+    for _i, t in rows:
+        ts = tok(t)
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            bgs[(a, b)] += 1
+            ctx[a] += 1
+    V = len(vocab)
+    for doc_id, t in rows[:3]:
+        ts = tok(t)
+        ps = [(bgs[(a, b)] + 0.5) / (ctx[a] + 0.5 * V)
+              for a, b in zip(ts, ts[1:])]
+        r = got[doc_id]
+        assert r["n_bigrams"] == len(ps)
+        assert abs(r["avg_p"] - round(sum(round(p, 15) for p in ps)
+                                      / len(ps), 9)) < 1e-12, doc_id
+    # common-transition docs outrank the gibberish doc
+    assert got[1]["avg_p"] > got[3]["avg_p"]
+    assert got[2]["avg_p"] > got[3]["avg_p"]
