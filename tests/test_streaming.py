@@ -369,3 +369,55 @@ def test_streaming_incremental_profile_matches_batch(spark, tmp_path):
     events = engine.state.read("engine_events").where(
         F.col("event_type") == "incremental_profile")
     assert events.count() >= 2
+
+
+def test_streaming_drift_monitor_alerts_on_shift(spark, tmp_path):
+    """Continuous drift: an in-distribution microbatch stays quiet, a
+    shifted one raises the distribution_drift event within its batch;
+    tiny batches are skipped entirely."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.engine import Engine
+    from sparvi_spark.streaming.drift import streaming_drift_monitor
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    rng = random.Random(5)
+    base_vals = [rng.gauss(100, 10) for _ in range(400)]
+    base = spark.createDataFrame([(v,) for v in base_vals], "x double")
+    engine.save_drift_baseline(base, "feed", ["x"], bins=10,
+                               as_of="2026-01-01 00:00:00")
+
+    drop = tmp_path / "in"
+    drop.mkdir()
+
+    def write_drop(name, vals):
+        pq.write_table(pa.table({"x": vals}), str(drop / name))
+
+    write_drop("b1.parquet", base_vals[:200])            # in-distribution
+    stream = (spark.readStream.schema("x double")
+              .option("maxFilesPerTrigger", 1).parquet(str(drop)))
+    seen = []
+    q = streaming_drift_monitor(
+        stream, engine, "feed", min_rows=50,
+        on_drift=lambda df, bid: seen.append(
+            {r["column_name"]: r["psi"] for r in df.collect()}))
+    try:
+        q.processAllAvailable()
+        assert len(seen) == 1 and seen[0]["x"] < 0.05
+        assert engine.state.read("engine_events").where(
+            F.col("event_type") == "distribution_drift").count() == 0
+
+        write_drop("b2.parquet", [v + 40 for v in base_vals[200:]])  # shifted
+        write_drop("b3.parquet", base_vals[:10])          # below min_rows
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) == 2  # the 10-row batch was skipped
+    assert seen[1]["x"] > 0.2
+    assert engine.state.read("engine_events").where(
+        F.col("event_type") == "distribution_drift").count() == 1
