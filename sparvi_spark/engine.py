@@ -362,7 +362,10 @@ class Engine:
                       min_keep_rate: float = 0.5,
                       max_dup_rate: float = 0.2,
                       max_contamination_rate: float = 0.05,
-                      contamination_threshold: float = 0.5) -> dict[str, Any]:
+                      contamination_threshold: float = 0.5,
+                      classifier_weights: list[float] | None = None,
+                      classifier_bias: float = 0.0,
+                      min_classifier_pass_rate: float = 0.5) -> dict[str, Any]:
         """Training-corpus ingest gate: ONE summary from three screens —
         Gopher-rule quality pass rate, exact-duplicate rate, and (given a
         reference/benchmark corpus) the fraction of docs whose shingle
@@ -401,6 +404,19 @@ class Engine:
         dup_rate = ((n_nonnull - n_distinct) / n_nonnull
                     if n_nonnull else 0.0)
 
+        # optional model gate: fraction of docs a trained quality
+        # classifier labels positive (operators/classify.py — map-only
+        # scoring, one extra scan + scalar agg)
+        classifier_pass_rate = None
+        if classifier_weights is not None:
+            from sparvi_spark.operators.classify import linear_scores
+
+            passed = linear_scores(
+                docs, classifier_weights, id_col, text_col,
+                bias=classifier_bias,
+            ).agg(F.count(F.when(F.col("label"), 1)).alias("p")).first()["p"]
+            classifier_pass_rate = passed / n_docs
+
         contamination_rate = None
         if ref is not None:
             flagged = contamination_bloom(
@@ -416,6 +432,8 @@ class Engine:
             "dup_rate": round(dup_rate, 6),
             "contamination_rate": (None if contamination_rate is None
                                    else round(contamination_rate, 6)),
+            "classifier_pass_rate": (None if classifier_pass_rate is None
+                                     else round(classifier_pass_rate, 6)),
             "screened_at": run_at,
         }
         self.state.append_rows("corpus_screens", [summary])
@@ -430,6 +448,11 @@ class Engine:
             breaches.append(
                 f"contamination_rate {contamination_rate:.3f} "
                 f"> {max_contamination_rate}")
+        if (classifier_pass_rate is not None
+                and classifier_pass_rate < min_classifier_pass_rate):
+            breaches.append(
+                f"classifier_pass_rate {classifier_pass_rate:.3f} "
+                f"< {min_classifier_pass_rate}")
         if breaches:
             self.publish_event("corpus_gate_failure", corpus_name,
                                "; ".join(breaches), run_at)

@@ -54,6 +54,7 @@ ENTITIES: dict[str, str] = {
     "corpus_screens": (
         "corpus_name string, n_docs bigint, keep_rate double, "
         "dup_rate double, contamination_rate double, "
+        "classifier_pass_rate double, "
         "screened_at timestamp, run_date date"),
     # stored numeric-histogram baselines for distribution-drift checks
     # (Engine.save_drift_baseline / run_drift_check): columns x bins rows

@@ -272,6 +272,22 @@ def test_screen_corpus_gate_and_state(spark, engine):
                               run_at="2026-01-02 01:00:00")
     assert s2["gate_passed"] is True
 
+    # optional classifier gate: an all-negative model fails every doc,
+    # breaching min_classifier_pass_rate; the rate lands in state
+    s3 = engine.screen_corpus(docs, "crawl1", max_dup_rate=0.5,
+                              min_keep_rate=0.0,
+                              classifier_weights=[-1.0] * 32,
+                              run_at="2026-01-02 02:00:00")
+    assert s3["classifier_pass_rate"] == 0.0
+    assert s3["gate_passed"] is False
+    ev = engine.state.read("engine_events").where(
+        F.col("event_type") == "corpus_gate_failure").orderBy(
+        F.col("detected_at").desc()).first()
+    assert "classifier_pass_rate" in ev["details"]
+    latest = engine.state.read("corpus_screens").orderBy(
+        F.col("screened_at").desc()).first()
+    assert latest["classifier_pass_rate"] == 0.0
+
 
 def test_run_incremental_profile_durable(spark, engine):
     """Durable incremental profiling: bootstrap persists sketch state;
