@@ -418,8 +418,43 @@ FROM cs
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# a09 robust median/MAD modified z-score (EXTRA) — transcendental-free,
+# so scores replay bit-for-bit via DuckDB quantile_cont
+# ---------------------------------------------------------------------------
+
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.anomalies import mad_anomalies
+
+    return _finalize(mad_anomalies(metric_series(spark, sf_dir),
+                                   ["metric_name"]))
+
+
+SQL_MAD = f"""
+{SERIES_CTE},
+med AS (SELECT metric_name, ts, value,
+  quantile_cont(value, 0.5) OVER (PARTITION BY metric_name) AS med,
+  count(value) OVER (PARTITION BY metric_name) AS n
+ FROM series),
+md AS (SELECT metric_name, ts, value, med,
+  quantile_cont(abs(value - med), 0.5)
+    OVER (PARTITION BY metric_name) AS mad
+ FROM med WHERE n >= 4)
+SELECT metric_name, strftime(ts, '%Y-%m-%d') AS ts_day, value,
+  round(case when mad = 0 then 0.0 else
+    abs(value - med) / (cast(1.4826022185056018 as double) * mad) end, 4)
+    AS score,
+  case when mad = 0 then false else
+    abs(value - med) / (cast(1.4826022185056018 as double) * mad) > 3.5 end
+    AS is_anomaly,
+  cast(3.5 as double) AS threshold
+FROM md
+""".strip()
+
+
 # not registered (cap): kept for scripts/check_oracle.py local verification
 EXTRA_CHECKS = {
     "a05_severity": (q_severity, SQL_SEVERITY),
     "a08_cusum_scores": (q_cusum_scores, SQL_CUSUM_SCORES),
+    "a09_mad_scores": (q_mad, SQL_MAD),
 }

@@ -38,6 +38,8 @@ ZSCORE_BASE_THRESHOLD = 3.0
 IQR_BASE_THRESHOLD = 1.5
 MA_BASE_THRESHOLD = 2.0
 CUSUM_BASE_THRESHOLD = 5.0
+MAD_BASE_THRESHOLD = 3.5  # Iglewicz-Hoban modified-z-score convention
+MAD_K = 1.4826022185056018  # 1 / Phi^-1(3/4): MAD -> sigma for normals
 
 _INF = "cast('Infinity' as double)"
 
@@ -237,6 +239,47 @@ def moving_average_anomalies(
         "__ma AS moving_avg",
     ).drop("__rn", "__ma", "__n_ma", "__mi", "__fwd_std", "__global_std",
            "__std")
+
+
+def mad_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str = "ts",
+    value_col: str = "value",
+    sensitivity: float = 1.0,
+) -> DataFrame:
+    """Robust median/MAD detector (Iglewicz-Hoban modified z-score,
+    public convention) — an extension beyond the reference's mean/std
+    detectors: a single extreme spike inflates mean AND std enough to
+    mask a second spike from the z-score, while median and MAD barely
+    move. score = |v - med| / (MAD_K * mad), threshold 3.5/sensitivity.
+
+    Whole-partition windows like the global z-score/IQR (a metric series
+    partition is bounded at any scale); the second window reuses the
+    first's exchange+sort — one shuffle total. Degenerate mad = 0 (over
+    half the points identical) scores 0, matching the std = 0 rule; the
+    guard needs >= 4 points like IQR. Transcendental-free: every op is
+    IEEE basic arithmetic, so scores replay bit-for-bit in the oracle.
+    """
+    threshold = MAD_BASE_THRESHOLD / sensitivity
+    v = f"`{value_col}`"
+    wg = f"(PARTITION BY {_pk(keys)})"
+    out = df.selectExpr(
+        "*",
+        f"percentile({v}, {_d(0.5)}) OVER {wg} AS __med",
+        f"count({v}) OVER {wg} AS __cnt",
+    ).where("__cnt >= 4").selectExpr(
+        "*",
+        f"percentile(abs({v} - __med), {_d(0.5)}) OVER {wg} AS __mad",
+    )
+    score = (f"case when __mad = {_d(0)} then {_d(0)} "
+             f"else abs({v} - __med) / ({_d(MAD_K)} * __mad) end")
+    return out.selectExpr(
+        "*",
+        f"{score} AS score",
+        f"{score} > {_d(threshold)} AS is_anomaly",
+        f"{_d(threshold)} AS threshold",
+    ).drop("__med", "__cnt", "__mad")
 
 
 def cusum_anomalies(

@@ -1110,3 +1110,31 @@ def test_bigram_lm_scores_hand_computed(spark):
     # common-transition docs outrank the gibberish doc
     assert got[1]["avg_p"] > got[3]["avg_p"]
     assert got[2]["avg_p"] > got[3]["avg_p"]
+
+
+def test_mad_detector_catches_masked_spike(spark):
+    """Median/MAD robustness: one extreme spike inflates mean/std enough
+    to hide a second moderate spike from the z-score; MAD flags both."""
+    from sparvi_spark.operators.anomalies import mad_anomalies, zscore_anomalies
+
+    vals = [100.0 + (i % 3) for i in range(30)]
+    vals[10] = 10000.0  # extreme spike
+    vals[20] = 160.0    # moderate spike, masked for the z-score
+    rows = [("m", f"2026-01-{i + 1:02d}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "metric_name string, ts string, value double")
+
+    z = {r["ts"]: r["is_anomaly"]
+         for r in zscore_anomalies(df, ["metric_name"]).collect()}
+    m = {r["ts"]: r["is_anomaly"]
+         for r in mad_anomalies(df, ["metric_name"]).collect()}
+    assert z["2026-01-11"] and m["2026-01-11"]     # both see the big one
+    assert not z["2026-01-21"] and m["2026-01-21"]  # only MAD sees the masked one
+    assert not any(m[f"2026-01-{i + 1:02d}"] for i in range(30)
+                   if i not in (10, 20))  # no false positives
+
+    # degenerate: constant series -> mad 0 -> all scores 0
+    const = spark.createDataFrame(
+        [("c", str(i), 5.0) for i in range(6)],
+        "metric_name string, ts string, value double")
+    out = mad_anomalies(const, ["metric_name"]).collect()
+    assert all(r["score"] == 0.0 and not r["is_anomaly"] for r in out)
