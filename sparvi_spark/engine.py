@@ -459,6 +459,75 @@ class Engine:
         summary["gate_passed"] = not breaches
         return summary
 
+    def export_training_corpus(self, docs: DataFrame, corpus_name: str,
+                               path: str, n_shards: int = 64,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               ref: DataFrame | None = None,
+                               classifier_weights: list[float] | None = None,
+                               classifier_bias: float = 0.0,
+                               require_gate: bool = True,
+                               run_at: str | None = None,
+                               **gate_kwargs: Any) -> dict[str, Any]:
+        """End-to-end corpus publication: what ``screen_corpus`` MEASURES,
+        this APPLIES — gate, then filter (Gopher quality rules + optional
+        trained classifier), deterministically dedup (min-id survivor per
+        exact text), and shard-export for the training loader.
+
+        Flow: (1) the ingest gate runs with the same thresholds/kwargs as
+        ``screen_corpus``; a breach with ``require_gate`` aborts BEFORE any
+        write (summary returns ``exported=False``) — a corpus that fails
+        its gate must never silently reach the loader path. (2) Surviving
+        docs = quality ``keep`` ∧ classifier ``label`` (when a model is
+        given). (3) Exact dedup keeps the SMALLEST id per text (window on
+        the text hash — deterministic, unlike dropDuplicates, so re-runs
+        publish identical shards). (4) ``sources/export.export_shards``
+        writes the ``shard=N`` layout and the manifest; counts + a
+        ``corpus_exported`` event land in state.
+
+        Every stage is scan-parallel; only gate scalars and the manifest
+        (n_shards rows) reach the driver.
+        """
+        from sparvi_spark.operators.text import quality_filter
+        from sparvi_spark.sources.export import export_shards
+
+        run_at = run_at or _utcnow()
+        summary = self.screen_corpus(
+            docs, corpus_name, text_col=text_col, id_col=id_col, ref=ref,
+            run_at=run_at, classifier_weights=classifier_weights,
+            classifier_bias=classifier_bias, **gate_kwargs)
+        if require_gate and not summary["gate_passed"]:
+            summary["exported"] = False
+            return summary
+
+        keep_ids = quality_filter(docs, text_col, id_col) \
+            .where(F.col("keep")).select(id_col)
+        kept = docs.join(keep_ids, id_col, "left_semi")
+        if classifier_weights is not None:
+            from sparvi_spark.operators.classify import linear_scores
+
+            pos = linear_scores(kept, classifier_weights, id_col, text_col,
+                                bias=classifier_bias) \
+                .where(F.col("label")).select(id_col)
+            kept = kept.join(pos, id_col, "left_semi")
+        deduped = (kept.withColumn(
+            "__rn", F.expr(
+                f"row_number() OVER (PARTITION BY xxhash64(`{text_col}`) "
+                f"ORDER BY `{id_col}`)"))
+            .where("__rn = 1").drop("__rn"))
+
+        manifest = export_shards(deduped, path, id_col, n_shards)
+        rows = manifest.collect()
+        n_exported = int(sum(r["n_rows"] for r in rows))
+        summary.update({
+            "exported": True, "export_path": path,
+            "n_exported": n_exported, "n_shards": len(rows),
+        })
+        self.publish_event(
+            "corpus_exported", corpus_name,
+            f"{n_exported} docs in {len(rows)} shards at {path}", run_at)
+        return summary
+
     # ------------------------------------------------------------------ §3.6
     def run_incremental_profile(self, df: DataFrame, table_name: str,
                                 partition_col: str,

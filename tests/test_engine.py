@@ -397,3 +397,41 @@ def test_drift_baseline_and_check(spark, tmp_path):
     # metrics recorded for the trend machinery (2 runs x 2 cols x 2 metrics)
     assert eng.state.read("historical_metrics").where(
         F.col("metric_type") == "drift").count() == 8
+
+
+def test_export_training_corpus_end_to_end(spark, engine, tmp_path):
+    """Gate -> filter -> deterministic dedup -> sharded export: breaching
+    corpora never write; passing corpora land deduped in shard dirs with
+    the manifest, and re-export is reproducible."""
+    good = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the old barn where it sleeps in the warm hay "
+            "until morning comes and the farmer wakes it for a new day "
+            "of chasing rabbits in the green field by the quiet river")
+    dup = good + " with some extra closing words"
+    rows = [(i, good + f" variant {i}") for i in range(12)]
+    rows += [(100, dup), (101, dup)]             # dup pair: 100 survives
+    rows += [(200, "tiny")]                      # fails quality rules
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # breach path: default max_dup_rate forces... dup_rate here is 1/15,
+    # so breach via an impossible keep-rate gate instead
+    out = str(tmp_path / "c1")
+    s = engine.export_training_corpus(docs, "c1", out, n_shards=4,
+                                      min_keep_rate=1.01,
+                                      run_at="2026-01-05 00:00:00")
+    assert s["exported"] is False
+    import os
+    assert not os.path.exists(out)
+
+    s2 = engine.export_training_corpus(docs, "c1", out, n_shards=4,
+                                       min_keep_rate=0.5, max_dup_rate=0.2,
+                                       run_at="2026-01-05 01:00:00")
+    assert s2["exported"] is True
+    back = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in back.select("doc_id").collect()}
+    assert 200 not in ids          # quality-filtered
+    assert 100 in ids and 101 not in ids  # deterministic min-id survivor
+    assert s2["n_exported"] == len(ids) == 13
+    ev = engine.state.read("engine_events").where(
+        F.col("event_type") == "corpus_exported").collect()
+    assert len(ev) == 1 and "13 docs" in ev[0]["details"]
