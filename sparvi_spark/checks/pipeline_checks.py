@@ -1701,12 +1701,48 @@ FROM s GROUP BY 1
 """.strip()
 
 
+
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x29: deterministic eval-split assignment (sources/export.py),
+    portable-hash cutoffs recomputed bit-for-bit by DuckDB."""
+    from sparvi_spark.sources.export import eval_split_expr
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (docs.select("doc_id",
+                        eval_split_expr("doc_id", SPLIT_FRACTIONS,
+                                        method="portable"))
+            .groupBy("split").agg(F.expr("count(1)").alias("n"),
+                                  F.expr("min(doc_id)").alias("min_id"))
+            .orderBy("split"))
+
+
+def _sql_eval_split() -> str:
+    from sparvi_spark.operators.sampling import HASH_A, HASH_B, HASH_M
+
+    h = f"((doc_id * {HASH_A} + {HASH_B}) % {HASH_M})"
+    names = list(SPLIT_FRACTIONS)
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += SPLIT_FRACTIONS[name]
+        whens.append(f"WHEN {h} < {int(cum * HASH_M)} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"""
+SELECT {case} AS split, cast(count(*) as bigint) AS n,
+  min(doc_id) AS min_id
+FROM documents GROUP BY 1 ORDER BY 1
+""".strip()
+
+
 EXTRA_CHECKS = {
     "x24_numeric_drift": (q_numeric_drift, _sql_numeric_drift()),
     "x25_categorical_drift": (q_categorical_drift, _sql_categorical_drift()),
     "x26_shard_plan": (q_shard_plan, _sql_shard_plan()),
     "x27_classifier_scores": (q_classifier_scores, _sql_classifier_scores()),
     "x28_lm_score": (q_lm_score, SQL_LM_SCORE),
+    "x29_eval_split": (q_eval_split, _sql_eval_split()),
     "d04_simhash_pairs": (q_simhash_pairs, None),
     "e04_topk_sketch": (q_topk_sketch, SQL_TOPK_SKETCH),
     "e05_neardup_cross": (q_neardup_cross, _sql_neardup_cross()),

@@ -80,3 +80,86 @@ def export_shards(
     return (df.sparkSession.read.format(fmt).load(path)
             .groupBy("shard").agg(F.expr("count(1)").alias("n_rows"))
             .orderBy("shard"))
+
+
+def eval_split_expr(
+    id_col: str,
+    fractions: dict[str, float],
+    method: str = "xxhash",
+) -> Column:
+    """Deterministic train/val/test assignment from an id column.
+
+    ``fractions`` maps split name -> fraction (must sum to ~1; the last
+    split absorbs rounding). Cutoffs are INTEGER hash thresholds (no
+    float compare, no ambiguity at boundaries): a row joins split k when
+    ``hash(id) < floor(cum_frac_k * M)`` first holds, so assignment is a
+    pure projection and — with ``method='portable'`` — replayable
+    bit-for-bit by any engine with the same integer arithmetic.
+    """
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions sum to {total}, expected 1")
+    if method == "portable":
+        from sparvi_spark.operators.sampling import HASH_M
+
+        h = hash_expr(id_col)
+
+        def cutoff(cum: float) -> int:
+            return int(cum * HASH_M)
+    else:
+        # xxhash64 spans the full SIGNED 64-bit range; shifting the hash
+        # into unsigned would overflow bigint, so shift the CUTOFFS into
+        # signed space instead (same total order, no runtime arithmetic)
+        h = F.xxhash64(F.col(id_col))
+
+        def cutoff(cum: float) -> int:
+            return int(cum * (1 << 64)) - (1 << 63)
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = h < F.lit(cutoff(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return (last if expr is None else expr.otherwise(names[-1])).alias("split")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    method: str = "xxhash",
+) -> DataFrame:
+    """docs + ``split`` column where NEAR-DUPLICATE documents always land
+    on the same side — the guard against train/test leakage: a test
+    document whose near-copy sits in train is a leaked answer, and a
+    plain per-id split plants exactly those pairs.
+
+    Shape: MinHash+LSH candidate pairs -> connected components (both the
+    banded near-linear paths dedup already uses) -> each doc splits by
+    its CLUSTER REPRESENTATIVE's id (its own id when unclustered, via
+    zero-cost left-join default). The cluster map is |clustered docs|
+    rows — tiny next to the corpus — and everything else is the same
+    map-only hash assignment as ``eval_split_expr``.
+    """
+    from sparvi_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, n=n,
+                              num_hashes=num_hashes, bands=bands,
+                              threshold=threshold)
+    comp = (connected_components(pairs)
+            .withColumnRenamed("node", id_col)
+            .withColumnRenamed("comp", "__rep"))
+    return (docs.join(comp, id_col, "left")
+            .withColumn("__rep", F.coalesce(F.col("__rep"), F.col(id_col)))
+            .withColumn("split", eval_split_expr("__rep", fractions, method))
+            .drop("__rep"))

