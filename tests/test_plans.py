@@ -367,3 +367,32 @@ def test_plan_audit_and_assertions(spark, tmp_path):
     assert plan_audit(g)["n_exchanges"] >= 1
     with pytest.raises(AssertionError):
         assert_plan(g, max_exchanges=0)
+
+
+def test_new_pipeline_operator_plan_shapes(spark):
+    """Plan-quality invariants for the round-5 operators: classifier
+    scoring and shard/split assignment are map-only (ZERO exchanges, no
+    Python nodes); numeric drift is two count-bounded aggregation
+    exchanges + one broadcast-ish edge join and never a cartesian."""
+    from sparvi_spark.operators.classify import linear_scores
+    from sparvi_spark.operators.drift import numeric_drift
+    from sparvi_spark.plans.audit import assert_plan, plan_audit
+    from sparvi_spark.sources.export import eval_split_expr, shard_expr
+
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i}") for i in range(50)],
+        "doc_id long, text string")
+
+    clf = linear_scores(docs, [0.1] * 32)
+    assert_plan(clf, max_exchanges=0, no_python=True, no_cartesian=True)
+
+    assign = docs.select(shard_expr("doc_id", 16),
+                         eval_split_expr("doc_id", {"train": 0.9, "test": 0.1}))
+    assert_plan(assign, max_exchanges=0, no_python=True)
+
+    nums = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    drift = numeric_drift(nums, nums, ["x"])
+    audit = assert_plan(drift, no_python=True, no_cartesian=True)
+    # melt+counts aggs shuffle; the edges join must not add a full shuffle
+    # of the melted rows beyond them
+    assert audit["n_exchanges"] <= 4, audit
