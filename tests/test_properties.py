@@ -267,3 +267,50 @@ def test_pointer_protocol_reads_last_complete_commit(crashes):
         gc_versions(base)
         left = [d for d in os.listdir(base) if d.startswith("v_")]
         assert left == ([last_committed] if last_committed else [])
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.floats(min_value=-1e5, max_value=1e5, allow_nan=False),
+                min_size=1, max_size=40),
+       st.lists(st.floats(min_value=-1e5, max_value=1e5, allow_nan=False),
+                min_size=1, max_size=40))
+def test_drift_metric_invariants(spark, evals, avals):
+    """On arbitrary snapshots: tvd in [0,1], chi2 >= 0, psi >= 0 (Gibbs),
+    and all exactly 0 when the snapshots are identical."""
+    from sparvi_spark.operators.drift import numeric_drift
+
+    e = spark.createDataFrame([(float(v),) for v in evals], "x double")
+    a = spark.createDataFrame([(float(v),) for v in avals], "x double")
+    r = numeric_drift(e, a, ["x"], bins=8).collect()[0]
+    assert 0.0 <= r["tvd"] <= 1.0
+    assert r["chi2"] >= 0.0
+    assert r["psi"] >= -1e-12
+    same = numeric_drift(e, e, ["x"], bins=8).collect()[0]
+    assert same["tvd"] == 0.0 and same["chi2"] == 0.0 and same["psi"] == 0.0
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**9),
+                min_size=1, max_size=60, unique=True),
+       st.integers(min_value=2, max_value=12))
+def test_shard_and_split_are_total_and_stable(spark, ids, n_shards):
+    """Every id gets exactly one shard in [0, n) and one split label, under
+    both hash methods, independent of partitioning."""
+    from sparvi_spark.sources.export import eval_split_expr, shard_expr
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    for method in ("xxhash", "portable"):
+        out = df.repartition(3).select(
+            "doc_id", shard_expr("doc_id", n_shards, method).alias("shard"),
+            eval_split_expr("doc_id", {"a": 0.55, "b": 0.45}, method))
+        rows = out.collect()
+        assert len(rows) == len(ids)
+        assert all(0 <= r["shard"] < n_shards for r in rows)
+        assert all(r["split"] in ("a", "b") for r in rows)
+        again = {r["doc_id"]: (r["shard"], r["split"])
+                 for r in df.repartition(9).select(
+                     "doc_id",
+                     shard_expr("doc_id", n_shards, method).alias("shard"),
+                     eval_split_expr("doc_id", {"a": 0.55, "b": 0.45},
+                                     method)).collect()}
+        assert {r["doc_id"]: (r["shard"], r["split"]) for r in rows} == again
