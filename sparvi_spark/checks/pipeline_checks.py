@@ -1736,6 +1736,38 @@ FROM documents GROUP BY 1 ORDER BY 1
 """.strip()
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode with num_merges=0 — the degenerate model where every
+    word becomes chars + the end-of-word marker, so n_tokens is exactly
+    SQL-computable (non-whitespace char count + word count) and n_unk
+    must be 0 (vocab trained on the same slice). This oracle-checks the
+    whole Arrow/mapInPandas machinery (normalization, memoized word
+    encode, vocab lookup, output schema); the merge path is covered by
+    unit tests (greedy order is not SQL-expressible)."""
+    from sparvi_spark.operators.tokenize import bpe_encode, train_bpe
+
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("doc_id") < DOC_CAP)
+    model = train_bpe(docs, num_merges=0, text_col="text")
+    enc = bpe_encode(docs, model)
+    return enc.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "cast(size(filter(token_ids, t -> t = 0)) as int) AS n_unk")
+
+
+SQL_BPE_TOKENIZE = f"""
+WITH t AS (SELECT doc_id, lower(trim(coalesce(text, ''))) AS s
+           FROM documents WHERE doc_id < {DOC_CAP})
+SELECT doc_id,
+  cast(length(regexp_replace(s, '\\s', '', 'g'))
+       + len(list_filter(string_split_regex(s, '\\s+'), x -> x <> ''))
+       as int) AS n_tokens,
+  cast(0 as int) AS n_unk
+FROM t
+""".strip()
+
+
 EXTRA_CHECKS = {
     "x24_numeric_drift": (q_numeric_drift, _sql_numeric_drift()),
     "x25_categorical_drift": (q_categorical_drift, _sql_categorical_drift()),
@@ -1759,4 +1791,5 @@ EXTRA_CHECKS = {
     "e02_mixture_sample": (q_mixture_sample, _sql_mixture_sample()),
     "e03_chunking": (q_chunking, SQL_CHUNKING),
     "e09_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "e10_bpe_tokenize": (q_bpe_tokenize, SQL_BPE_TOKENIZE),
 }

@@ -1186,3 +1186,56 @@ def test_eval_split_and_leakage_safety(spark):
         assert safe[g] == safe[1000 + 7 * g], f"pair {g} straddles splits"
     # and the split is not degenerate
     assert len(set(safe.values())) == 2
+
+
+def test_bpe_train_encode_roundtrip(spark):
+    from sparvi_spark.operators.tokenize import (
+        END_OF_WORD, bpe_encode, train_bpe)
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "low lower lowest slow slower",
+        "the low cat sat",
+    ] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+
+    model = train_bpe(df, num_merges=20, text_col="text")
+    assert len(model["merges"]) == 20
+    # frequent whole words should have merged into single tokens
+    assert "the" + END_OF_WORD in model["vocab"]
+    # determinism: retrain gives identical merges and vocab
+    model2 = train_bpe(df, num_merges=20, text_col="text")
+    assert model2 == model
+
+    enc = bpe_encode(df, model).orderBy("doc_id").collect()
+    assert len(enc) == len(texts)
+    inv = {i: s for s, i in model["vocab"].items()}
+    for r in enc:
+        assert r["n_tokens"] == len(r["token_ids"])
+        assert all(t != 0 for t in r["token_ids"])  # no unks: closed corpus
+        # decode: concatenate symbols, split at end-of-word markers
+        decoded = "".join(inv[t] for t in r["token_ids"])
+        words = [w for w in decoded.split(END_OF_WORD) if w]
+        assert words == texts[r["doc_id"]].split()
+    # unknown characters at encode time -> unk_id, never a crash
+    odd = spark.createDataFrame([(0, "zzz éé")],
+                                "doc_id int, text string")
+    out = bpe_encode(odd, model, unk_id=0).collect()[0]
+    assert out["n_tokens"] >= 2 and 0 in out["token_ids"]
+
+
+def test_bpe_merge_order_matches_reference_greedy(spark):
+    # hand-check: corpus where pair frequencies force a known merge order
+    from sparvi_spark.operators.tokenize import train_bpe
+
+    df = spark.createDataFrame(
+        [(0, "aaab aaab aaab ab")], "doc_id int, text string")
+    model = train_bpe(df, num_merges=2, text_col="text")
+    # 'aa' appears 2x per 'aaab' (overlap counted once per adjacent pos:
+    # positions (a,a),(a,a) -> 2) * 3 words = 6; 'ab' appears 4x; so the
+    # first merge is ('a','a'); after it, words are (aa,ab)... next best
+    # is ('a','b') with count 4.
+    assert model["merges"][0] == ("a", "a")
+    assert model["merges"][1] == ("a", "b")
