@@ -197,9 +197,54 @@ SQL_DISTINCT_COUNTS = (
 # P4 numeric stats (lineitem, one scan, decimal-exact sums)
 # ---------------------------------------------------------------------------
 
+def _num_agg_exprs_scaled(c: str) -> list[str]:
+    """Spark-side fast path for `_num_agg_exprs`: identical VALUES, pure
+    long arithmetic per row. The decimal form costs ~10µs/row (sum buffers
+    at scale 8 exceed Spark's compact-long range, so every row update is a
+    BigDecimal allocation — measured 0.65s vs 0.14s for the all-double
+    plan on 600k cached rows). TPC-H money columns are exact cents, so
+    ``s = round(c*100)`` is the exact scaled integer (doubles carry ≤2
+    fractional decimals; exact while |c| < 2^53/100). Σs accumulates in a
+    plain long (exact while Σ|s| < 2^63 ≈ 9.2e18 — ~10^11 rows of prices).
+    Σs² needs ~10^22, so it is SPLIT: per-row q=s² div 2^30 and r=s² mod
+    2^30 sum separately (each bounded by n·2^30 resp. n·10^8 — exact to
+    ~8.6e9 rows) and `_num_finish_scaled` reconstructs the exact decimal
+    Σx² = (Σq·2^30 + Σr)/10^4. Past those row bounds use the generic
+    decimal form (`operators/profile.numeric_stats`)."""
+    s = f"cast(round({c} * 100) as bigint)"
+    return [
+        f"count({c}) as {c}__cnt",
+        f"cast(min({c}) as double) as {c}__min",
+        f"cast(max({c}) as double) as {c}__max",
+        f"sum({s}) as {c}__s1",
+        f"sum(({s} * {s}) div 1073741824) as {c}__sqd",
+        f"sum(({s} * {s}) % 1073741824) as {c}__sqm",
+        f"count(case when {c} = 0 then 1 end) as {c}__zeros",
+        f"count(case when {c} < 0 then 1 end) as {c}__negs",
+        f"count(case when {c} > 0 then 1 end) as {c}__pos",
+    ]
+
+
+def _num_finish_scaled(c: str) -> list[str]:
+    """Rebuild the exact decimal __sum/__ssq from the long partials (runs
+    on the ONE aggregated row — cost-free). Division by a power of ten on
+    a decimal(38,0) yields decimal(38,6), exact for ≤2-decimal inputs;
+    the downstream formulas only ever see `cast(x as double)`, and
+    Decimal→double is value-based, so hashes match the decimal oracle
+    bit-for-bit."""
+    return [
+        f"cast({c}__s1 as decimal(38,0)) / 100 as {c}__sum",
+        f"(cast({c}__sqd as decimal(38,0)) * 1073741824 + {c}__sqm) / 10000 "
+        f"as {c}__ssq",
+    ]
+
+
 def q_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "lineitem", sf_dir)
-    wide = df.selectExpr([e for c in LINEITEM_NUM for e in _num_agg_exprs(c)])
+    wide = (df.selectExpr(
+        [e for c in LINEITEM_NUM for e in _num_agg_exprs_scaled(c)])
+        .selectExpr("*", *[e for c in LINEITEM_NUM
+                           for e in _num_finish_scaled(c)]))
     tuples = ", ".join(
         f"'{c}', {c}__cnt, {c}__min, {c}__max, round(cast({c}__sum as double), 4), "
         f"{_avg_formula(f'{c}__sum', f'{c}__cnt')}, "
@@ -233,14 +278,17 @@ SQL_NUMERIC_STATS = (
 # ---------------------------------------------------------------------------
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # groupBy-counts + cumulative-window exact quantiles: the array-form
-    # `percentile` agg merged every partition's value buffer on one reducer
-    # (measured 4-7s at sf0.1); the melted plan is ~0.4s. Same math, same
-    # rounding — see operators/profile.exact_percentiles.
-    from sparvi_spark.operators.profile import exact_percentiles
+    # sketch-then-refine exact quantiles: pass 1 brackets each quantile
+    # with percentile_approx probes, pass 2 counts below-window and the
+    # tiny in-window histogram, the driver interpolates the exact
+    # neighbors. Same math and rounding as exact_percentiles; both
+    # shuffles carry sketches / O(n/accuracy) groups instead of every
+    # distinct value (the bucketed prefix-sum plan measured ~1.0s at
+    # sf0.1, this ~0.4s) — see operators/profile.exact_percentiles_refine.
+    from sparvi_spark.operators.profile import exact_percentiles_refine
 
     df = load_table(spark, "lineitem", sf_dir)
-    return exact_percentiles(df, PCTL_COLS)
+    return exact_percentiles_refine(df, PCTL_COLS)
 
 
 SQL_PERCENTILES = (

@@ -276,6 +276,134 @@ def exact_percentiles(
             .selectExpr("column_name", *out))
 
 
+def exact_percentiles_refine(
+    df: DataFrame,
+    cols: list[str],
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75),
+    round_to: int = 6,
+    accuracy: int = 2_000,
+) -> DataFrame:
+    """EXACT percentiles via sketch-then-refine — same output contract as
+    ``exact_percentiles`` (identical interpolation math, HALF_UP rounding),
+    two WIDE single-row aggregation passes instead of a melt + full
+    distinct-value prefix sum (melting N cols multiplies the scanned rows
+    N× before any aggregation — measured 0.46s just to stack+count 4
+    columns at sf0.1, more than either whole pass here).
+
+    Pass 1 sketches every column in one row (``percentile_approx`` at
+    probe points p±4/accuracy; GK rank error ≤ n/accuracy) — the shuffle
+    carries partial sketches only. Pass 2, per (column, quantile) window:
+    the count strictly below the window, the duplicate-run lengths of the
+    two window ENDPOINT values, and a ``collect_list`` of the values
+    strictly between them. Counting the endpoint runs separately is what
+    bounds the collect: by construction only ≤ 8n/accuracy rows lie
+    strictly between the brackets (rank width of the probe gap), while an
+    endpoint itself may be a duplicate run of ANY length (a column with 11
+    distinct values puts ~n/11 rows on one value) — runs ride back as one
+    count, never as collected rows. The driver walks the tiny windowed
+    histogram to the exact neighbors at positions floor/ceil(p·(n-1)) and
+    interpolates.
+
+    At 100 TB this is the right exact-quantile shape: two single-scan
+    passes with map-side partials, O(cols·ps·n/accuracy) intermediate
+    values, no full-cardinality shuffle. If a window fails to cover the
+    needed ranks (possible only when 3n/accuracy < 1, i.e. n < ~1.5k rows
+    at the default accuracy) the affected columns fall back to the fully
+    distributed bucketed plan. Reference semantics: P5 app.py:3416-3421
+    (MEDIAN/quartiles).
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from sparvi_spark.functions import local_df
+
+    spark = df.sparkSession
+    eps = 1.0 / accuracy
+    lo_p = {p: max(0.0, p - 4 * eps) for p in ps}
+    hi_p = {p: min(1.0, p + 4 * eps) for p in ps}
+    probes = sorted(set(lo_p.values()) | set(hi_p.values()))
+    probe_arr = ", ".join(repr(q) for q in probes)
+    pidx = {q: i for i, q in enumerate(probes)}
+
+    p1 = df.selectExpr(
+        *[f"count(`{c}`) as `{c}__n`" for c in cols],
+        *[f"percentile_approx(cast(`{c}` as double), array({probe_arr}), "
+          f"{accuracy}) as `{c}__br`" for c in cols]).collect()[0]
+    info = {c: (int(p1[f"{c}__n"]), p1[f"{c}__br"]) for c in cols
+            if p1[f"{c}__n"] > 0 and p1[f"{c}__br"] is not None}
+
+    results: dict[str, list] = {}
+    fallback_cols: list[str] = []
+    if info:
+        exprs, bounds = [], {}
+        for c, (n, br) in info.items():
+            for j, p in enumerate(ps):
+                wlo, whi = float(br[pidx[lo_p[p]]]), float(br[pidx[hi_p[p]]])
+                bounds[(c, j)] = (wlo, whi)
+                v = f"cast(`{c}` as double)"
+                exprs += [
+                    f"count(case when {v} < {wlo!r} then 1 end) "
+                    f"as `{c}__b{j}`",
+                    f"count(case when {v} = {wlo!r} then 1 end) "
+                    f"as `{c}__lo{j}`",
+                    f"count(case when {v} = {whi!r} then 1 end) "
+                    f"as `{c}__hi{j}`",
+                    f"collect_list(case when {v} > {wlo!r} "
+                    f"and {v} < {whi!r} then {v} end) as `{c}__in{j}`",
+                ]
+        p2 = df.selectExpr(exprs).collect()[0]
+
+        def _round(x: float) -> float:
+            q = Decimal(1).scaleb(-round_to)
+            return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+        for c, (n, _br) in info.items():
+            vals_out, ok = [], True
+            for j, p in enumerate(ps):
+                wlo, whi = bounds[(c, j)]
+                below = int(p2[f"{c}__b{j}"])
+                hist = [(wlo, int(p2[f"{c}__lo{j}"]))]
+                for v, cnt in sorted(
+                        __import__("collections").Counter(
+                            p2[f"{c}__in{j}"]).items()):
+                    hist.append((float(v), int(cnt)))
+                if whi != wlo:
+                    hist.append((whi, int(p2[f"{c}__hi{j}"])))
+                pos = float(p) * float(n - 1)
+                k_lo, k_hi = math.floor(pos), math.ceil(pos)
+                lo_v = hi_v = None
+                cum = below
+                for v, cnt in hist:
+                    if cum <= k_lo < cum + cnt:
+                        lo_v = v
+                    if cum <= k_hi < cum + cnt:
+                        hi_v = v
+                    cum += cnt
+                if lo_v is None or hi_v is None:
+                    ok = False
+                    break
+                val = lo_v if k_lo == k_hi else (
+                    (k_hi - pos) * lo_v + (pos - k_lo) * hi_v)
+                vals_out.append(_round(val))
+            if ok:
+                results[c] = vals_out
+            else:
+                fallback_cols.append(c)
+    # all-NULL columns surface with NULL quantiles (same contract as the
+    # bucketed sentinel path); genuinely uncovered windows (tiny n) rerun
+    # through the fully-exact bucketed plan
+    if fallback_cols:
+        exact_rows = exact_percentiles(
+            df, fallback_cols, ps=ps, round_to=round_to).collect()
+        for r in exact_rows:
+            results[r["column_name"]] = [r[f"p{int(p * 100)}"] for p in ps]
+    out_rows = [tuple([c] + (results.get(c) or [None] * len(ps)))
+                for c in cols]
+    schema = ("column_name string, "
+              + ", ".join(f"p{int(p * 100)} double" for p in ps))
+    return local_df(spark, out_rows, schema)
+
+
 def numeric_exprs(c: str) -> list[Column]:
     col = F.col(c)
     dec = col.cast(DEC)

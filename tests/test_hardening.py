@@ -303,6 +303,38 @@ def test_exact_percentiles_all_null_column_surfaces(spark):
     assert out["a"]["p50"] is None
 
 
+def test_exact_percentiles_refine_matches_bucketed(spark):
+    """Sketch-then-refine equals the fully-exact bucketed plan on a big
+    enough column for the refine main path to engage (n >> 3·accuracy),
+    with both a duplicate-run-heavy column (whole window = one endpoint
+    run) and a high-cardinality one; all-NULL and empty inputs surface
+    the same NULL-quantile rows."""
+    import pyspark.sql.functions as F
+
+    from sparvi_spark.operators.profile import (
+        exact_percentiles, exact_percentiles_refine)
+
+    n = 30_000
+    df = (spark.range(n)
+          .select(
+              (F.col("id") % 7).cast("double").alias("dup_heavy"),
+              (F.xxhash64("id") % 100_000).cast("double").alias("spread"),
+              F.lit(None).cast("double").alias("all_null")))
+    cols = ["dup_heavy", "spread", "all_null"]
+    want = {r["column_name"]: r for r in
+            exact_percentiles(df, cols).collect()}
+    got = {r["column_name"]: r for r in
+           exact_percentiles_refine(df, cols, accuracy=2_000).collect()}
+    assert set(got) == set(want)
+    for c in cols:
+        for q in ("p25", "p50", "p75"):
+            assert got[c][q] == want[c][q], (c, q, got[c][q], want[c][q])
+
+    empty = spark.createDataFrame([], "a double")
+    out = exact_percentiles_refine(empty, ["a"]).collect()
+    assert len(out) == 1 and out[0]["p50"] is None
+
+
 # ---------------------------------------------------------------------------
 # JDBC bound edge cases
 # ---------------------------------------------------------------------------
