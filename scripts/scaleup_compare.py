@@ -78,7 +78,8 @@ def spark_queries(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from sparvi_spark.operators.dedup import minhash_lsh_pairs
-    from sparvi_spark.operators.profile import exact_percentiles
+    from sparvi_spark.operators.profile import (
+        exact_percentiles, exact_percentiles_refine)
     from sparvi_spark.operators.text import lang_id_expr, quality_features
 
     def docs():
@@ -95,6 +96,11 @@ def spark_queries(spark, sf_dir):
                       F.sum(F.col(c).cast("decimal(28,8)")).alias(f"{c}_s"),
                       F.min(c).alias(f"{c}_mn"), F.max(c).alias(f"{c}_mx"))]),
         "percentiles": lambda: exact_percentiles(
+            li(), ["l_quantity", "l_extendedprice", "l_discount"]),
+        # same exact result via the sketch-then-refine path — the plan
+        # whose intermediates stay O(n/accuracy) instead of shuffling
+        # every distinct value (operators/profile.exact_percentiles_refine)
+        "percentiles_refine": lambda: exact_percentiles_refine(
             li(), ["l_quantity", "l_extendedprice", "l_discount"]),
         "langid": lambda: (docs().select(lang_id_expr("text").alias("g"))
                            .groupBy("g").count()),
@@ -151,6 +157,7 @@ def main() -> None:
     duck = {
         "profile_numeric": DUCK_SQL["profile_numeric"],
         "percentiles": DUCK_SQL["percentiles"],
+        "percentiles_refine": DUCK_SQL["percentiles"],
         "langid": f"""
 WITH t0 AS (SELECT {_DUCK_TOKS} AS tk FROM documents),
 g AS (SELECT {hit_cols} FROM t0)

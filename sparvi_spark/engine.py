@@ -468,6 +468,8 @@ class Engine:
                                classifier_bias: float = 0.0,
                                require_gate: bool = True,
                                run_at: str | None = None,
+                               tokenize_merges: int | None = None,
+                               pack_ctx: int | None = None,
                                **gate_kwargs: Any) -> dict[str, Any]:
         """End-to-end corpus publication: what ``screen_corpus`` MEASURES,
         this APPLIES — gate, then filter (Gopher quality rules + optional
@@ -523,6 +525,55 @@ class Engine:
             "exported": True, "export_path": path,
             "n_exported": n_exported, "n_shards": len(rows),
         })
+        if tokenize_merges is not None:
+            # (5) optional tokenized export: BPE trained on the PUBLISHED
+            # survivors (a tokenizer fit before filtering learns merges
+            # from documents the loader never sees), docs encoded to ids,
+            # and — with pack_ctx — concat-and-chop context windows
+            # materialized shard-locally (pack_token_ids). The model ships
+            # with the shards so the loader decodes with the exact vocab.
+            import json as _json
+
+            from sparvi_spark.operators.tokenize import (
+                bpe_encode, pack_token_ids, train_bpe)
+
+            model = train_bpe(deduped, num_merges=tokenize_merges,
+                              text_col=text_col)
+            enc = bpe_encode(deduped, model, id_col=id_col,
+                             text_col=text_col)
+            if pack_ctx is not None:
+                # sibling dir, NOT nested under `path`: the doc export is
+                # a shard=N partition tree, and a foreign subdir inside it
+                # breaks partition discovery on the doc read
+                packs = pack_token_ids(
+                    enc.withColumn(
+                        "__shard",
+                        F.expr(f"pmod(xxhash64(`{id_col}`), {n_shards})")),
+                    pack_ctx, id_col=id_col, shard_col="__shard")
+                (packs.repartition("shard").write.mode("overwrite")
+                 .partitionBy("shard").parquet(f"{path}.packs"))
+                summary["packs_path"] = f"{path}.packs"
+                agg = packs.groupBy().agg(
+                    F.expr("count(1)"), F.expr("sum(n_tokens)"),
+                    F.expr("count(distinct shard)")).first()
+                summary.update({
+                    "n_packs": int(agg[0] or 0),
+                    "n_tokens": int(agg[1] or 0),
+                    "pack_ctx": pack_ctx,
+                    "n_pack_shards": int(agg[2] or 0),
+                })
+            else:
+                (enc.write.mode("overwrite")
+                 .parquet(f"{path}.tokens"))
+                agg = enc.groupBy().agg(
+                    F.expr("count(1)"), F.expr("sum(n_tokens)")).first()
+                summary.update({"n_token_docs": int(agg[0] or 0),
+                                "n_tokens": int(agg[1] or 0),
+                                "tokens_path": f"{path}.tokens"})
+            with open(f"{path}.tokenizer.json", "w") as fh:
+                _json.dump({"merges": [list(m) for m in model["merges"]],
+                            "vocab": model["vocab"]}, fh)
+            summary["tokenizer_merges"] = len(model["merges"])
         self.publish_event(
             "corpus_exported", corpus_name,
             f"{n_exported} docs in {len(rows)} shards at {path}", run_at)

@@ -148,3 +148,50 @@ def bpe_encode(
     src_t = dict(df.dtypes)[id_col]
     return df.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} {src_t}, token_ids array<int>, n_tokens int")
+
+
+def pack_token_ids(
+    encoded: DataFrame,
+    ctx_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "token_ids",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Materialize fixed-length training sequences from encoded documents
+    -> (shard, pack_id, token_ids, n_tokens, n_docs) — the actual arrays a
+    training loader reads, not just the layout.
+
+    ``text.pack_sequences`` computes WHERE every document's tokens land
+    under concat-and-chop (one row per document×pack overlap); this joins
+    those segments back to the token arrays, slices each document's
+    contribution (`slice` — JVM HOF, no UDF), and reassembles each pack in
+    document order (`array_sort` on (doc_id, seg) structs + `flatten`).
+    Every pack holds exactly ``ctx_len`` tokens except the final partial
+    pack of each shard.
+
+    Scale: one equi-join on the id (co-partitioned shuffle; a document
+    straddling k packs ships its array k times — k ≤ 1 + n_tokens/ctx_len,
+    so duplication is bounded by total token volume) and one groupBy pack.
+    With ``shard_col`` both shuffles key on (shard, ...) and shards pack
+    independently — the same near-linear layout contract as
+    ``pack_sequences``.
+    """
+    from sparvi_spark.operators.text import pack_sequences
+
+    layout = pack_sequences(
+        encoded, ctx_len, id_col=id_col, shard_col=shard_col,
+        token_count_col="n_tokens")
+    segs = (layout.join(
+        encoded.select(F.col(id_col).alias("doc_id"), tokens_col),
+        "doc_id")
+        .selectExpr(
+            "shard", "pack_id", "doc_id",
+            f"slice(`{tokens_col}`, seg_start + 1, seg_tokens) AS seg"))
+    return (segs.groupBy("shard", "pack_id")
+            .agg(F.expr(
+                "flatten(transform(array_sort(collect_list("
+                "struct(doc_id, seg))), x -> x.seg)) AS token_ids"),
+                F.expr("count(1)").alias("n_docs"))
+            .selectExpr("shard", "pack_id", "token_ids",
+                        "cast(size(token_ids) as int) AS n_tokens",
+                        "cast(n_docs as int) AS n_docs"))

@@ -435,3 +435,61 @@ def test_export_training_corpus_end_to_end(spark, engine, tmp_path):
     ev = engine.state.read("engine_events").where(
         F.col("event_type") == "corpus_exported").collect()
     assert len(ev) == 1 and "13 docs" in ev[0]["details"]
+
+
+def test_export_training_corpus_tokenized_packs(spark, engine, tmp_path):
+    """tokenize_merges + pack_ctx: the export also materializes BPE token
+    shards — packs hold exactly ctx_len tokens (except each shard's final
+    partial), concatenating to the same stream a driver-side reference
+    chop produces, and the tokenizer model lands beside the shards."""
+    import json
+    import os
+
+    from sparvi_spark.operators.tokenize import bpe_encode, train_bpe
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the old barn where it sleeps in the warm hay "
+            "until morning comes and the farmer wakes it for a new day "
+            "of chasing rabbits in the green field by the quiet river")
+    docs = spark.createDataFrame(
+        [(i, base + f" variant number {i}") for i in range(10)],
+        "doc_id int, text string")
+    out = str(tmp_path / "tok")
+    ctx = 32
+    s = engine.export_training_corpus(
+        docs, "tok", out, n_shards=2, min_keep_rate=0.5,
+        tokenize_merges=8, pack_ctx=ctx, run_at="2026-01-06 00:00:00")
+    assert s["exported"] and s["tokenizer_merges"] == 8
+    assert s["n_packs"] > 0 and s["n_tokens"] > ctx
+
+    packs = spark.read.parquet(f"{out}.packs")
+    rows = sorted(packs.collect(), key=lambda r: (int(r["shard"]), r["pack_id"]))
+    # reference: re-encode the published docs with the shipped model and
+    # chop each shard's id-ordered concatenated stream every ctx tokens
+    model = json.load(open(f"{out}.tokenizer.json"))
+    model = {"merges": [tuple(m) for m in model["merges"]],
+             "vocab": model["vocab"]}
+    pub = spark.read.parquet(out)
+    enc = {r["doc_id"]: r["token_ids"]
+           for r in bpe_encode(pub, model).collect()}
+    import collections
+    streams = collections.defaultdict(list)
+    # shard key must match the engine's: pmod(xxhash64(doc_id), n_shards)
+    shard_of = {r["doc_id"]: int(r["s"]) for r in pub.selectExpr(
+        "doc_id", "pmod(xxhash64(doc_id), 2) AS s").collect()}
+    for d in sorted(enc):
+        streams[shard_of[d]].extend(enc[d])
+    expect = {}
+    for sh, stream in streams.items():
+        for p in range(0, (len(stream) + ctx - 1) // ctx):
+            expect[(sh, p)] = stream[p * ctx:(p + 1) * ctx]
+    got = {(int(r["shard"]), int(r["pack_id"])): list(r["token_ids"])
+           for r in rows}
+    assert got == expect
+    # every pack except each shard's last is exactly ctx tokens
+    for (sh, p), toks in got.items():
+        last = max(pp for (s2, pp) in got if s2 == sh)
+        assert len(toks) == (ctx if p < last else len(toks))
+        assert 0 < len(toks) <= ctx
+    assert os.path.exists(f"{out}.tokenizer.json")
+    assert s["n_tokens"] == sum(len(v) for v in enc.values())
