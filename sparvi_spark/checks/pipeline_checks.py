@@ -1768,7 +1768,105 @@ FROM t
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# x30: SemDeDup (dedup.semantic_dedup) — literal pinned centroids so the
+# oracle replays the identical map-only L2 assignment (same fold order as
+# similarity._l2_dists_expr / the x19 ADC oracle), the identical
+# within-cluster fold-cosine pair search, and the identical greedy
+# keep-smallest policy. k-means training itself is covered by unit tests
+# (test_semantic_dedup_matches_numpy_reference trains live).
+# ---------------------------------------------------------------------------
+
+SEM_CAP, SEM_K, SEM_DIM, SEM_T = 150, 4, 64, 0.3
+
+
+def _sem_centroids() -> list[list[float]]:
+    return [[((c * 37 + d * 11) % 19 - 9) / 10.0 for d in range(SEM_DIM)]
+            for c in range(SEM_K)]
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf_dir).where(
+        F.col("vec_id") < SEM_CAP)
+    kept = semantic_dedup(emb, "vec_id", "embedding", threshold=SEM_T,
+                          centroids=_sem_centroids())
+    return kept.select("vec_id", "label")
+
+
+def _sql_semantic_dedup() -> str:
+    cents = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]" for c in _sem_centroids())
+    dists = (
+        f"list_transform([{cents}], c -> "
+        f"list_reduce(list_prepend(cast(0 as double), "
+        f"list_transform(range(1, {SEM_DIM} + 1), i -> "
+        f"(cast(embedding[i] as double) - c[i]) * "
+        f"(cast(embedding[i] as double) - c[i]))), "
+        f"(acc, v) -> acc + v))")
+    return f"""
+WITH v AS (SELECT vec_id, label, embedding FROM embeddings
+           WHERE vec_id < {SEM_CAP}),
+a AS (SELECT vec_id, label, embedding,
+        list_indexof({dists}, list_min({dists})) - 1 AS cl FROM v),
+p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        {_duck_cosine('x.embedding', 'y.embedding')} AS cosine
+      FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id),
+dups AS (SELECT DISTINCT id_b FROM p WHERE cosine >= {SEM_T})
+SELECT vec_id, label FROM v WHERE vec_id NOT IN (SELECT id_b FROM dups)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# x31: exact duplicate-passage spans (dedup.duplicate_spans, ExactSubstr
+# analogue) — gram_mode="exact" keys windows by the token string itself,
+# so the oracle replays the same positional n-grams, corpus-wide counts,
+# and island merge. The 8-byte hash scale path is proven equal to exact
+# mode in test_duplicate_spans_matches_reference.
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8
+
+
+SPAN_CAP = 500  # duplicated docs live across the id range; plan is linear
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("doc_id") < SPAN_CAP)
+    return duplicate_spans(docs, "doc_id", "text", n=SPAN_N,
+                           gram_mode="exact")
+
+
+SQL_DUPLICATE_SPANS = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+           WHERE doc_id < {SPAN_CAP}),
+w AS (SELECT doc_id, cast(i - 1 as int) AS pos,
+        array_to_string(list_slice(tk, i, i + {SPAN_N} - 1), chr(31)) AS key
+      FROM t, unnest(range(1, len(tk) - {SPAN_N} + 2)) AS u(i)
+      WHERE len(tk) >= {SPAN_N}),
+h AS (SELECT key FROM w GROUP BY key HAVING count(*) >= 2),
+r AS (SELECT doc_id, pos FROM w WHERE key IN (SELECT key FROM h)),
+i AS (SELECT doc_id, pos, pos + {SPAN_N} AS e,
+        max(pos + {SPAN_N}) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM r),
+j AS (SELECT *, sum(CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END)
+        OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM i)
+SELECT doc_id, min(pos) AS span_start, cast(max(e) as int) AS span_end,
+  cast(max(e) - min(pos) as int) AS span_tokens, count(*) AS n_windows
+FROM j GROUP BY doc_id, island
+""".strip()
+
+
 EXTRA_CHECKS = {
+    "x30_semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
+    "x31_duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
     "x24_numeric_drift": (q_numeric_drift, _sql_numeric_drift()),
     "x25_categorical_drift": (q_categorical_drift, _sql_categorical_drift()),
     "x26_shard_plan": (q_shard_plan, _sql_shard_plan()),

@@ -675,3 +675,182 @@ def contamination(
             .alias("contamination_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) deduplication. Not in the reference
+# repo (its dedup surface stops at exact duplicates,
+# core/storage/supabase_manager.py:250); standard LLM-corpus curation step.
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+    k: int = 64,
+    keep: str = "min_id",
+    clustering: str = "greedy",
+    sample_size: int = 65536,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding column with k-means, find
+    within-cluster cosine >= ``threshold`` pairs, and keep one survivor
+    per duplicate group. Returns the KEPT rows of ``df`` (all original
+    columns).
+
+    - ``centroids=None`` trains them here (``kmeans_train_sampled``: one
+      Spark job, driver-side Lloyd's on a deterministic hash sample).
+      Pass explicit centroids to reuse a quantizer or pin the oracle.
+    - ``keep="min_id"`` keeps the smallest id of each duplicate group;
+      ``keep="far_from_centroid"`` is the paper's heuristic — the member
+      FARTHEST from its cluster centroid survives (it carries the most
+      information the centroid doesn't), ties to the smaller id.
+    - ``clustering`` forwards to ``dedup_near`` ("greedy" pairwise drop
+      or "components" true transitive closure).
+
+    Scale shape: assignment is a map-only projection over ONE literal
+    centroid array (no shuffle, no lookup join); the pair search is the
+    bucketed ``embedding_neardup_pairs`` path — quadratic only WITHIN a
+    cluster, so cost is Σ|cluster|², controlled by ``k`` (SemDeDup ran
+    k=50k on 600M embeddings for exactly this reason). At 100 TB: raise
+    ``k`` so clusters stay ~10⁴-10⁵ rows; everything else is linear.
+    """
+    from sparvi_spark.operators.similarity import (
+        _l2_dists_expr, l2_argmin_expr)
+
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    if centroids is None:
+        from sparvi_spark.operators.similarity import kmeans_train_sampled
+
+        centroids = [c for _i, c in kmeans_train_sampled(
+            df, k, id_col=id_col, vec_col=vec_col, sample_size=sample_size)]
+    dists = _l2_dists_expr(f"`{vec_col}`", centroids)
+    assigned = (df.withColumn("__sem_d", F.expr(dists))
+                .withColumn("__sem_cluster", l2_argmin_expr("__sem_d")))
+    prefer = None
+    if keep == "far_from_centroid":
+        assigned = assigned.withColumn(
+            "__sem_pref",
+            F.expr("element_at(__sem_d, __sem_cluster + 1)"))
+        prefer = "__sem_pref"
+    pairs = embedding_neardup_pairs(
+        assigned, id_col, vec_col, threshold=threshold,
+        bucket_col="__sem_cluster")
+    kept = dedup_near(assigned, pairs, id_col,
+                      prefer_col=prefer, clustering=clustering)
+    return kept.drop("__sem_d", "__sem_cluster", "__sem_pref")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-passage detection (ExactSubstr-style). The suffix array
+# of Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better", arXiv:2107.06499) is replaced by the Spark-native equivalent:
+# positional n-gram keys + corpus-wide counts + per-doc interval merging.
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_count: int = 2,
+    scope: str = "corpus",
+    gram_mode: str = "hash",
+) -> DataFrame:
+    """Maximal duplicated passages -> (id, span_start, span_end,
+    span_tokens, n_windows), token-index bounds [start, end).
+
+    A length-``n`` token window is "duplicated" when its exact token
+    sequence occurs >= ``min_count`` times corpus-wide
+    (``scope="corpus"``, counts every occurrence incl. within one doc) or
+    in >= 2 distinct documents (``scope="cross_doc"``). Overlapping and
+    adjacent duplicated windows merge into one span per document — the
+    maximal regions ExactSubstr would cut.
+
+    Plan: tokenize once, emit every window's (id, pos, key) via one
+    higher-order ``transform`` + explode (no UDF); one groupBy on the key
+    finds repeated windows (map-side partial counts); a semi-join brings
+    repeated keys back to positions; a per-doc running-max window merges
+    intervals (islands: new span when pos > max(end) of everything
+    before). ``gram_mode="hash"`` keys windows by xxhash64 so every
+    shuffle row is (8-byte key, id, pos) — the 100 TB path (a 64-bit
+    collision can only ADD a false duplicate window, expected n²/2⁶⁵);
+    ``gram_mode="exact"`` keys by the token string itself
+    (collision-free; the oracle-parity path).
+    """
+    if scope not in ("corpus", "cross_doc"):
+        raise ValueError(f"unknown scope {scope!r}")
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.expr(tokens_expr(text_col)).alias("__toks"))
+    # \x1f separator: without it ('ab','c') and ('a','bc') key identically
+    gram = f"concat_ws('\\u001f', slice(__toks, i + 1, {n}))"
+    key = f"xxhash64({gram})" if gram_mode == "hash" else gram
+    pos = (toks.where(F.size("__toks") >= n)
+           .select("__id", F.explode(F.expr(
+               f"transform(sequence(0, size(__toks) - {n}), "
+               f"i -> struct(i as pos, {key} as key))")).alias("w"))
+           .select("__id", F.col("w.pos").alias("pos"),
+                   F.col("w.key").alias("key")))
+    if scope == "corpus":
+        hot = (pos.groupBy("key").agg(F.count(F.lit(1)).alias("__c"))
+               .where(F.col("__c") >= min_count))
+    else:
+        hot = (pos.groupBy("key")
+               .agg(F.countDistinct("__id").alias("__c"))
+               .where(F.col("__c") >= 2))
+    rep = pos.join(hot.select("key"), "key", "left_semi")
+    w = Window.partitionBy("__id").orderBy("pos")
+    islands = (
+        rep.withColumn("__end", F.col("pos") + F.lit(n))
+        .withColumn("__prev_max", F.max("__end").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("__new", (F.col("__prev_max").isNull()
+                              | (F.col("pos") > F.col("__prev_max")))
+                    .cast("int"))
+        .withColumn("__island", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (islands.groupBy("__id", "__island")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max("__end").alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .select(F.col("__id").alias(id_col), "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start"))
+                    .alias("span_tokens"), "n_windows"))
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Apply ``duplicate_spans`` output: drop every token inside a span
+    and rebuild the text. Adds ``out_col`` (single-space joined — the
+    tokenizer already collapsed whitespace) and ``n_tokens_removed``.
+
+    One groupBy packs each doc's spans into an array, one equi-join ships
+    it to the doc (span lists are tiny next to text), and a per-row
+    ``filter`` HOF keeps tokens outside every span — no UDF, no explode
+    of the token stream. Docs with no spans pass through unchanged.
+    """
+    packed = spans.groupBy(F.col(id_col).alias("__sid")).agg(
+        F.expr("collect_list(struct(span_start, span_end))").alias("__spans"))
+    toks = tokens_expr(text_col)
+    keep = (
+        f"transform(filter("
+        f"zip_with({toks}, sequence(0, size({toks}) - 1), "
+        f"(t, i) -> struct(t as t, i as i)), "
+        f"s -> __spans is null or not exists(__spans, "
+        f"sp -> s.i >= sp.span_start and s.i < sp.span_end)), x -> x.t)")
+    return (df.join(packed, df[id_col] == F.col("__sid"), "left")
+            .withColumn(out_col, F.expr(f"concat_ws(' ', {keep})"))
+            .withColumn(
+                "n_tokens_removed",
+                F.expr("coalesce(aggregate(__spans, 0, (acc, sp) -> "
+                       "acc + int(sp.span_end - sp.span_start)), 0)"))
+            .drop("__sid", "__spans"))

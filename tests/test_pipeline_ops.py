@@ -1239,3 +1239,158 @@ def test_bpe_merge_order_matches_reference_greedy(spark):
     # is ('a','b') with count 4.
     assert model["merges"][0] == ("a", "a")
     assert model["merges"][1] == ("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (dedup.semantic_dedup)
+# ---------------------------------------------------------------------------
+
+def _semdedup_fixture(spark):
+    # three tight groups around distinct anchors + two isolated points;
+    # vectors normalized so cosine is the inner product
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    anchors = rng.normal(size=(3, 8))
+    rows = []
+    vid = 0
+    for g, a in enumerate(anchors):
+        for _ in range(4):  # 4 near-identical members per group
+            v = a + rng.normal(scale=0.01, size=8)
+            rows.append((vid, g, [float(x) for x in v / np.linalg.norm(v)]))
+            vid += 1
+    for _ in range(2):  # isolated points
+        v = rng.normal(size=8)
+        rows.append((vid, -1, [float(x) for x in v / np.linalg.norm(v)]))
+        vid += 1
+    return rows, spark.createDataFrame(
+        rows, "vec_id int, grp int, embedding array<float>")
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    import numpy as np
+
+    from sparvi_spark.operators.dedup import semantic_dedup
+
+    rows, df = _semdedup_fixture(spark)
+    kept = semantic_dedup(df, "vec_id", "embedding",
+                          threshold=0.98, k=4, sample_size=1000)
+    kept_ids = sorted(r["vec_id"] for r in kept.collect())
+    # numpy reference with the SAME policy: brute pairs >= .98 (spark-side
+    # clustering only PARTITIONS the pair search; every true near-dup pair
+    # sits in one tight cluster so no pair is lost), greedy keep-smallest
+    x = np.array([r[2] for r in rows], dtype="float64")
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sim = x @ x.T
+    dups = {j for i in range(len(rows)) for j in range(i + 1, len(rows))
+            if sim[i, j] >= 0.98}
+    expect = sorted(set(range(len(rows))) - dups)
+    assert kept_ids == expect
+    # each 4-member group collapsed to its smallest id; isolated survive
+    assert kept_ids == [0, 4, 8, 12, 13]
+    assert set(kept.columns) == {"vec_id", "grp", "embedding"}
+
+
+def test_semantic_dedup_far_from_centroid_keeps_outlier(spark):
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.dedup import semantic_dedup
+
+    # one duplicate group where member 2 is FARTHEST from the centroid:
+    # far_from_centroid must keep 2, min_id would keep 0
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.9999, 0.0141, 0.0, 0.0]
+    far = [0.999, 0.0447, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far), (9, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id int, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    kept = semantic_dedup(df, "vec_id", "embedding", threshold=0.999,
+                          centroids=cents, keep="far_from_centroid",
+                          clustering="components")
+    assert sorted(r["vec_id"] for r in kept.collect()) == [2, 9]
+    kept_min = semantic_dedup(df, "vec_id", "embedding", threshold=0.999,
+                              centroids=cents, clustering="components")
+    assert sorted(r["vec_id"] for r in kept_min.collect()) == [0, 9]
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-passage spans (dedup.duplicate_spans)
+# ---------------------------------------------------------------------------
+
+def _spans_reference(texts: dict, n: int, min_count: int, scope: str):
+    """Driver-side reference: positional n-grams, counts, interval merge."""
+    import collections
+
+    grams = collections.defaultdict(list)  # gram -> [(doc, pos)]
+    toks = {d: t.lower().split() for d, t in texts.items()}
+    for d, tt in toks.items():
+        for i in range(len(tt) - n + 1):
+            grams[tuple(tt[i:i + n])].append((d, i))
+    hot = set()
+    for g, occ in grams.items():
+        if scope == "corpus" and len(occ) >= min_count:
+            hot.add(g)
+        if scope == "cross_doc" and len({d for d, _ in occ}) >= 2:
+            hot.add(g)
+    spans = []
+    for d, tt in toks.items():
+        marks = sorted(i for i in range(len(tt) - n + 1)
+                       if tuple(tt[i:i + n]) in hot)
+        cur = None
+        for i in marks:
+            if cur and i <= cur[1]:
+                cur[1] = max(cur[1], i + n)
+                cur[2] += 1
+            else:
+                if cur:
+                    spans.append((d, cur[0], cur[1], cur[1] - cur[0], cur[2]))
+                cur = [i, i + n, 1]
+        if cur:
+            spans.append((d, cur[0], cur[1], cur[1] - cur[0], cur[2]))
+    return sorted(spans)
+
+
+def test_duplicate_spans_matches_reference(spark):
+    from sparvi_spark.operators.dedup import duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy dog every single day"
+    texts = {
+        0: f"alpha beta {shared} gamma delta epsilon zeta eta theta",
+        1: f"one two three {shared} four five six seven eight nine ten",
+        2: "totally unrelated words that never repeat anywhere at all kept",
+        # self-repetition inside one doc (corpus scope catches, cross not)
+        3: "x y z repeat me now x y z repeat me now tail words here end",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    for scope in ("corpus", "cross_doc"):
+        for mode in ("hash", "exact"):
+            got = sorted(
+                (r["doc_id"], r["span_start"], r["span_end"],
+                 r["span_tokens"], r["n_windows"])
+                for r in duplicate_spans(
+                    df, "doc_id", "text", n=5, scope=scope,
+                    gram_mode=mode).collect())
+            assert got == _spans_reference(texts, 5, 2, scope), (scope, mode)
+    # corpus scope found doc 3's self-repeat; cross_doc did not
+    corpus_docs = {s[0] for s in _spans_reference(texts, 5, 2, "corpus")}
+    cross_docs = {s[0] for s in _spans_reference(texts, 5, 2, "cross_doc")}
+    assert 3 in corpus_docs and 3 not in cross_docs
+
+
+def test_remove_duplicate_spans_rebuilds_text(spark):
+    from sparvi_spark.operators.dedup import (
+        duplicate_spans, remove_duplicate_spans)
+
+    shared = "a b c d e f g h"
+    texts = {0: f"pre1 pre2 {shared} post1 post2",
+             1: f"left {shared} right mid end",
+             2: "untouched words stay exactly as they are here"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    spans = duplicate_spans(df, "doc_id", "text", n=8)
+    out = {r["doc_id"]: (r["text_clean"], r["n_tokens_removed"])
+           for r in remove_duplicate_spans(
+               df, spans, "doc_id", "text").collect()}
+    assert out[0] == ("pre1 pre2 post1 post2", 8)
+    assert out[1] == ("left right mid end", 8)
+    assert out[2] == ("untouched words stay exactly as they are here", 0)
