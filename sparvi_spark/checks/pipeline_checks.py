@@ -1378,6 +1378,78 @@ WHERE round(shared * cast(1 as double) / (x.sz + y.sz - shared), 6)
 """.strip()
 
 
+SIG_EST_T = 0.25
+
+
+def q_sig_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only cross pairs (Engine.dedup_corpus_incremental's
+    stage-2 estimator, dedup.minhash_pairs_from_sigs), portable mode: the
+    oracle recomputes the identical signatures, band hashes, AND the
+    matching-component fraction bit-for-bit — proving the stateless
+    estimator path end to end."""
+    from sparvi_spark.operators.dedup import (
+        minhash_pairs_from_sigs, minhash_signatures)
+
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.col("doc_id") < DOC_CAP)
+    new_sigs = minhash_signatures(
+        docs.where(F.col("source") != "src0"), "doc_id", "text",
+        n=1, num_hashes=MH_HASHES, hash_fn="portable").select(
+        F.col("doc_id").alias("id"), "sig")
+    ref_sigs = minhash_signatures(
+        docs.where(F.col("source") == "src0"), "doc_id", "text",
+        n=1, num_hashes=MH_HASHES, hash_fn="portable").select(
+        F.col("doc_id").alias("ref_id"), "sig")
+    return minhash_pairs_from_sigs(
+        new_sigs, ref_sigs, num_hashes=MH_HASHES, bands=MH_BANDS,
+        threshold=SIG_EST_T, hash_fn="portable")
+
+
+def _sql_sig_pairs() -> str:
+    from sparvi_spark.operators.dedup import (
+        PORTABLE_BAND_M as M,
+        PORTABLE_P as P,
+        _affine_params,
+    )
+
+    rpb = MH_HASHES // MH_BANDS
+    mins = ", ".join(
+        "min(({a} * x + {b}) % {p}) AS h{i}".format(
+            a=_affine_params(i)[0], b=_affine_params(i)[1], p=P, i=i)
+        for i in range(MH_HASHES)
+    )
+    band_selects = []
+    for bnd in range(MH_BANDS):
+        expr = "0"
+        for k in range(bnd * rpb, (bnd + 1) * rpb):
+            expr = f"(({expr}) * {M} + h{k}) % {P}"
+        band_selects.append(
+            f"SELECT id, src, {bnd} AS band, {expr} AS bh FROM sig")
+    banded = " UNION ALL ".join(band_selects)
+    match = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(MH_HASHES))
+    return f"""
+WITH sh AS (SELECT DISTINCT doc_id AS id, source AS src,
+              unnest({_DUCK_TOKS}) AS shingle
+            FROM documents WHERE doc_id < {DOC_CAP}),
+hx AS (SELECT id, src, list_reduce(list_prepend(cast(0 as bigint),
+         list_transform(range(1, strlen(shingle) + 1),
+           i -> cast(ascii(substring(shingle, i, 1)) as bigint))),
+         (acc, c) -> (acc * 131 + c) % {P}) AS x FROM sh),
+sig AS (SELECT id, src, {mins} FROM hx GROUP BY id, src),
+banded AS ({banded}),
+cands AS (SELECT DISTINCT a.id AS id, b.id AS ref_id
+          FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+          WHERE a.src <> 'src0' AND b.src = 'src0'),
+est AS (SELECT c.id, c.ref_id,
+          round(({match}) / cast({MH_HASHES} as double), 6) AS est_jaccard
+        FROM cands c JOIN sig a ON a.id = c.id AND a.src <> 'src0'
+        JOIN sig b ON b.id = c.ref_id AND b.src = 'src0')
+SELECT id, ref_id, est_jaccard FROM est WHERE est_jaccard >= {SIG_EST_T}
+""".strip()
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction parity: deterministic PII spans are appended to each
     doc (both engines build the identical input), then the chained
@@ -1876,6 +1948,7 @@ EXTRA_CHECKS = {
     "d04_simhash_pairs": (q_simhash_pairs, None),
     "e04_topk_sketch": (q_topk_sketch, SQL_TOPK_SKETCH),
     "e05_neardup_cross": (q_neardup_cross, _sql_neardup_cross()),
+    "e11_sig_pairs": (q_sig_pairs, _sql_sig_pairs()),
     "e06_pii_redact": (q_pii_redact, _sql_pii_redact()),
     "x18_bloom_contamination": (q_bloom_contamination,
                                 _sql_bloom_contamination()),

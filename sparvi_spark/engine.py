@@ -579,6 +579,81 @@ class Engine:
             f"{n_exported} docs in {len(rows)} shards at {path}", run_at)
         return summary
 
+    def dedup_corpus_incremental(self, docs: DataFrame, corpus_name: str,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 n: int = 3, num_hashes: int = 64,
+                                 bands: int = 16, threshold: float = 0.5,
+                                 hash_fn: str = "xxhash64",
+                                 run_at: str | None = None) -> dict[str, Any]:
+        """Near-dedup a NEW batch against everything already admitted to
+        ``corpus_name`` — without rereading a byte of past batches. The
+        admitted corpus is represented by its stored MinHash signatures
+        (``corpus_signatures`` state: num_hashes longs per doc — a billion
+        docs is ~0.5 TB of signatures vs the corpus' ~100 TB of text).
+
+        Three stages, each the linear LSH shape:
+        (1) in-batch near-dedup — ``minhash_lsh_pairs`` (banding + EXACT
+            gram verification; the batch's grams are in hand) +
+            ``dedup_near`` keep-smallest;
+        (2) cross-dedup vs state — ``minhash_pairs_from_sigs`` band join
+            of batch signatures against stored signatures, verified by the
+            signature-agreement estimator (the state holds no gram sets);
+        (3) survivors' signatures appended to state, so the NEXT batch
+            dedups against them too.
+
+        The kept frame is ``localCheckpoint``-pinned before the append:
+        its plan reads the same state files the append extends, and a lazy
+        re-evaluation after the write would see the batch's own just-
+        written signatures and drop everything. Returns {"kept": frame,
+        "n_in", "n_in_batch_dups", "n_vs_corpus_dups", "n_kept"}.
+        """
+        from sparvi_spark.operators.dedup import (
+            dedup_near, minhash_lsh_pairs, minhash_pairs_from_sigs,
+            minhash_signatures)
+
+        run_at = run_at or _utcnow()
+        pairs = minhash_lsh_pairs(docs, id_col, text_col, n=n,
+                                  num_hashes=num_hashes, bands=bands,
+                                  threshold=threshold, hash_fn=hash_fn)
+        batch_kept = dedup_near(docs, pairs, id_col)
+        sigs = minhash_signatures(batch_kept, id_col, text_col, n=n,
+                                  num_hashes=num_hashes, hash_fn=hash_fn)
+        state_sigs = (self.state.read("corpus_signatures")
+                      .where(F.col("corpus_name") == corpus_name)
+                      .select(F.col("doc_id").alias("ref_id"), "sig"))
+        cross = minhash_pairs_from_sigs(
+            sigs.select(F.col(id_col).alias("id"), "sig"), state_sigs,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+            hash_fn=hash_fn)
+        contaminated = cross.select(F.col("id").alias("__dup")).distinct()
+        kept = (batch_kept.join(
+            contaminated, batch_kept[id_col] == F.col("__dup"),
+            "left_anti").localCheckpoint())
+        n_in, n_batch_kept, n_kept = (
+            docs.count(), batch_kept.count(), kept.count())
+        kept_sigs = (sigs.join(
+            kept.select(id_col), id_col)
+            .select(
+                F.lit(corpus_name).alias("corpus_name"),
+                F.col(id_col).cast("string").alias("doc_id"),
+                "sig",
+                F.lit(run_at).cast("timestamp").alias("added_at")))
+        self.state.append("corpus_signatures", kept_sigs)
+        summary = {
+            "kept": kept, "n_in": n_in,
+            "n_in_batch_dups": n_in - n_batch_kept,
+            "n_vs_corpus_dups": n_batch_kept - n_kept,
+            "n_kept": n_kept,
+        }
+        n_ib = summary["n_in_batch_dups"]
+        n_vc = summary["n_vs_corpus_dups"]
+        self.publish_event(
+            "corpus_incremental_dedup", corpus_name,
+            f"{n_kept}/{n_in} kept ({n_ib} in-batch, {n_vc} vs corpus)",
+            run_at)
+        return summary
+
     # ------------------------------------------------------------------ §3.6
     def run_incremental_profile(self, df: DataFrame, table_name: str,
                                 partition_col: str,

@@ -513,6 +513,66 @@ def minhash_lsh_pairs_cross(
     )
 
 
+def minhash_pairs_from_sigs(
+    new_sigs: DataFrame,
+    ref_sigs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate pairs between two SIGNATURE sets -> (id, ref_id,
+    est_jaccard) — no text, no gram sets. Inputs: ``new_sigs`` as
+    (id, sig), ``ref_sigs`` as (ref_id, sig), both signed by the SAME
+    hash family (``minhash_signatures`` with identical num_hashes /
+    hash_fn).
+
+    Verification here is the MinHash estimator itself: the fraction of
+    matching signature components is an unbiased estimate of Jaccard
+    (stderr = sqrt(J(1-J)/num_hashes) ≈ 0.06 at J=0.5, num_hashes=64).
+    That is the price of statelessness — incremental dedup against a
+    stored corpus keeps only signatures (num_hashes longs/doc), never the
+    gram sets an exact verify would need; see
+    ``Engine.dedup_corpus_incremental``. Banding is identical to
+    ``minhash_lsh_pairs``, so candidate recall matches the self-join's;
+    the band join is two-sided equi (cost = colliding cross pairs), and
+    the ref side of the verify join broadcasts when small.
+    """
+    rows_per_band = num_hashes // bands
+    if hash_fn == "portable":
+        band_hash = (f"aggregate(slice(sig, b * {rows_per_band} + 1, "
+                     f"{rows_per_band}), 0L, "
+                     f"(acc, v) -> (acc * {PORTABLE_BAND_M} + v) % {PORTABLE_P})")
+    else:
+        band_hash = f"xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band}))"
+
+    def _banded(frame: DataFrame, in_id: str, out_id: str) -> DataFrame:
+        return frame.select(
+            F.col(in_id).alias(out_id), "sig").select(
+            out_id,
+            F.explode(
+                F.expr(f"transform(sequence(0, {bands - 1}), "
+                       f"b -> struct(b as band, {band_hash} as bh))")
+            ).alias("bb"),
+        ).select(out_id, F.col("bb.band").alias("band"),
+                 F.col("bb.bh").alias("bh"))
+
+    cands = (_banded(new_sigs, "id", "id")
+             .join(_banded(ref_sigs, "ref_id", "ref_id"), ["band", "bh"])
+             .select("id", "ref_id").distinct())
+    est = (f"round(size(filter(zip_with(__sa, __sb, (x, y) -> x = y), "
+           f"m -> m)) / cast({num_hashes} as double), 6)")
+    return (
+        cands.join(new_sigs.select(F.col("id"), F.col("sig").alias("__sa")),
+                   "id")
+        .join(ref_sigs.select(F.col("ref_id"), F.col("sig").alias("__sb")),
+              "ref_id")
+        .withColumn("est_jaccard", F.expr(est))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id", "ref_id", "est_jaccard")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str,
             hash_fn: str = "xxhash64", bits: int = 64) -> DataFrame:
     """SimHash fingerprint per document (JVM-side bit votes).

@@ -63,6 +63,13 @@ ENTITIES: dict[str, str] = {
         "table_name string, column_name string, b bigint, cnt bigint, "
         "mn double, mx double, bins int, collected_at timestamp, "
         "run_date date"),
+    # MinHash signatures of every doc admitted to a corpus
+    # (Engine.dedup_corpus_incremental): num_hashes longs per doc — the
+    # corpus' dedup state WITHOUT the corpus (a billion docs ≈ 0.5 TB of
+    # signatures vs the corpus' 100 TB of text)
+    "corpus_signatures": (
+        "corpus_name string, doc_id string, sig array<bigint>, "
+        "added_at timestamp, run_date date"),
 }
 
 

@@ -493,3 +493,48 @@ def test_export_training_corpus_tokenized_packs(spark, engine, tmp_path):
         assert 0 < len(toks) <= ctx
     assert os.path.exists(f"{out}.tokenizer.json")
     assert s["n_tokens"] == sum(len(v) for v in enc.values())
+
+
+def test_dedup_corpus_incremental_across_batches(spark, engine):
+    """Batch 2 near-dups of batch-1 survivors are dropped WITHOUT re-reading
+    batch 1 (signature state only); in-batch dups drop first; disjoint docs
+    pass untouched; survivor signatures accumulate for the next batch."""
+    base = ("the quick brown fox jumps over the lazy dog near the old barn "
+            "by the quiet river where tall green reeds sway in the wind")
+    b1 = spark.createDataFrame(
+        [(1, base),
+         (2, base + " extra tail words here"),      # near-dup of 1
+         (3, "completely different text about compilers and parse trees "
+             "emitting bytecode for a stack machine with constant folding")],
+        "doc_id int, text string")
+    s1 = engine.dedup_corpus_incremental(b1, "c1", threshold=0.5)
+    assert s1["n_in"] == 3 and s1["n_in_batch_dups"] == 1
+    assert s1["n_vs_corpus_dups"] == 0 and s1["n_kept"] == 2
+    assert sorted(r["doc_id"] for r in s1["kept"].collect()) == [1, 3]
+
+    b2 = spark.createDataFrame(
+        [(10, base + " tiny edit at the end"),       # near-dup of stored 1
+         (11, "fresh unseen prose about sailing boats across a cold sea "
+              "under grey skies while gulls wheel and cry above the mast")],
+        "doc_id int, text string")
+    s2 = engine.dedup_corpus_incremental(b2, "c1", threshold=0.5)
+    assert s2["n_in_batch_dups"] == 0 and s2["n_vs_corpus_dups"] == 1
+    assert [r["doc_id"] for r in s2["kept"].collect()] == [11]
+
+    # state now holds signatures for survivors 1, 3, 11 — and a THIRD
+    # batch duplicating batch 2's survivor is caught too
+    sigs = engine.state.read("corpus_signatures").where(
+        F.col("corpus_name") == "c1")
+    assert sorted(r["doc_id"] for r in sigs.collect()) == ["1", "11", "3"]
+    b3 = spark.createDataFrame(
+        [(20, "fresh unseen prose about sailing boats across a cold sea "
+              "under grey skies while gulls wheel and cry above the deck")],
+        "doc_id int, text string")
+    s3 = engine.dedup_corpus_incremental(b3, "c1", threshold=0.5)
+    assert s3["n_kept"] == 0 and s3["n_vs_corpus_dups"] == 1
+    # a different corpus name shares nothing
+    s4 = engine.dedup_corpus_incremental(b3, "other", threshold=0.5)
+    assert s4["n_kept"] == 1
+    ev = engine.state.read("engine_events").where(
+        F.col("event_type") == "corpus_incremental_dedup").count()
+    assert ev == 4
