@@ -1450,6 +1450,40 @@ SELECT id, ref_id, est_jaccard FROM est WHERE est_jaccard >= {SIG_EST_T}
 """.strip()
 
 
+NB_DIM = 512
+
+
+def q_token_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed half of NB classifier training
+    (classify.token_bucket_counts): per-hash-bucket class counts, label =
+    (lang = 'en'). Exact integers — the oracle replays the identical
+    portable token hash and grouping bit-for-bit. The driver-side log-odds
+    math on top is engine-independent Python
+    (test_train_nb_classifier_separates_and_matches_reference)."""
+    from sparvi_spark.operators.classify import token_bucket_counts
+
+    docs = (load_table(spark, "documents", sf_dir)
+            .where(F.col("doc_id") < DOC_CAP)
+            .selectExpr("text", "cast(lang = 'en' as int) AS y"))
+    return token_bucket_counts(docs, "y", dim=NB_DIM)
+
+
+def _sql_token_buckets() -> str:
+    from sparvi_spark.operators.dedup import PORTABLE_P as P
+
+    return f"""
+WITH t AS (SELECT cast(lang = 'en' as int) AS y, unnest({_DUCK_TOKS}) AS tk
+           FROM documents WHERE doc_id < {DOC_CAP}),
+h AS (SELECT y, cast(list_reduce(list_prepend(cast(0 as bigint),
+        list_transform(range(1, strlen(tk) + 1),
+          i -> cast(ascii(substring(tk, i, 1)) as bigint))),
+        (acc, c) -> (acc * 131 + c) % {P}) % {NB_DIM} as int) AS bucket
+      FROM t)
+SELECT bucket, cast(sum(y) as bigint) AS n_pos,
+  cast(sum(1 - y) as bigint) AS n_neg FROM h GROUP BY bucket
+""".strip()
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction parity: deterministic PII spans are appended to each
     doc (both engines build the identical input), then the chained
@@ -1949,6 +1983,7 @@ EXTRA_CHECKS = {
     "e04_topk_sketch": (q_topk_sketch, SQL_TOPK_SKETCH),
     "e05_neardup_cross": (q_neardup_cross, _sql_neardup_cross()),
     "e11_sig_pairs": (q_sig_pairs, _sql_sig_pairs()),
+    "e12_token_buckets": (q_token_buckets, _sql_token_buckets()),
     "e06_pii_redact": (q_pii_redact, _sql_pii_redact()),
     "x18_bloom_contamination": (q_bloom_contamination,
                                 _sql_bloom_contamination()),

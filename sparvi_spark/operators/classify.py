@@ -92,3 +92,74 @@ def sigmoid_expr(margin_col: str) -> Column:
     want calibrated-ish probabilities; exp() is libm-bound, so this is
     deliberately NOT part of the oracle-compared projection."""
     return F.expr(f"1.0d / (1.0d + exp(-`{margin_col}`))")
+
+
+def token_bucket_counts(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    dim: int = 4096,
+) -> DataFrame:
+    """Per-feature-bucket class counts -> (bucket, n_pos, n_neg) — the
+    distributed HALF of classifier training. Tokens hash into ``dim``
+    buckets with the same portable fold ``linear_scores`` uses, so the
+    trained table plugs straight into the scorer.
+
+    One explode + one groupBy on an int key with map-side partials; the
+    result is dim-bounded (KBs) regardless of corpus size — the shape
+    that trains on 100 TB of labeled text in a single pass. Buckets no
+    token hit are absent (the trainer fills them with the prior).
+    """
+    toks = f"split(lower(trim(`{text_col}`)), '\\\\s+')"
+    return (df.selectExpr(
+        f"cast(`{label_col}` as int) AS __y",
+        f"explode({toks}) AS __t")
+        .selectExpr(f"cast({_tok_hash('__t')} % {dim} as int) AS bucket",
+                    "__y")
+        .groupBy("bucket")
+        .agg(F.expr("sum(__y)").alias("n_pos"),
+             F.expr("sum(1 - __y)").alias("n_neg"))
+    )
+
+
+def train_nb_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    dim: int = 4096,
+    alpha: float = 1.0,
+) -> tuple[list[float], float]:
+    """Train a multinomial-Naive-Bayes linear classifier over hashed
+    bag-of-tokens features -> (weights, bias) ready for ``linear_scores``
+    (NB's log-odds IS a linear model over token counts; the scorer's
+    per-token mean normalization only scales the margin, never its sign).
+
+    w[b] = log((pos_b + α)/(Σpos + α·dim)) − log((neg_b + α)/(Σneg + α·dim));
+    bias = log(n_pos_docs / n_neg_docs). The heavy half (token counts) is
+    ONE distributed pass (``token_bucket_counts``), plus a scalar
+    doc-label agg; the log math runs driver-side over the dim-bounded
+    count table, so the returned floats are engine-independent Python
+    doubles — no transcendental ever evaluates inside a compared Spark
+    plan.
+    """
+    import math
+
+    counts = {r["bucket"]: (int(r["n_pos"]), int(r["n_neg"]))
+              for r in token_bucket_counts(
+                  df, label_col, text_col, dim).collect()}
+    doc = df.selectExpr(
+        f"sum(cast(`{label_col}` as long)) AS p",
+        f"sum(1 - cast(`{label_col}` as long)) AS n").first()
+    n_pos_docs, n_neg_docs = int(doc["p"] or 0), int(doc["n"] or 0)
+    if n_pos_docs == 0 or n_neg_docs == 0:
+        raise ValueError("training data must contain both classes")
+    tot_pos = sum(p for p, _ in counts.values())
+    tot_neg = sum(n for _, n in counts.values())
+    dp = tot_pos + alpha * dim
+    dn = tot_neg + alpha * dim
+    weights = []
+    for b in range(dim):
+        p, n = counts.get(b, (0, 0))
+        weights.append(math.log((p + alpha) / dp)
+                       - math.log((n + alpha) / dn))
+    return weights, math.log(n_pos_docs / n_neg_docs)

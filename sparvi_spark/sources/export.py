@@ -60,6 +60,7 @@ def export_shards(
     n_shards: int,
     fmt: str = "parquet",
     method: str = "xxhash",
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Shard ``df`` by ``id_col`` and write ``path/shard=N/...``;
     returns the (shard, n_rows) manifest.
@@ -71,10 +72,21 @@ def export_shards(
     contents deterministic, so a re-export of the same input is
     byte-comparable. The loader-facing layout is the standard
     ``shard=N`` hive dir per shard.
+
+    ``shuffle_seed`` replaces the id order INSIDE each shard with a
+    deterministic pseudo-random one (sort by ``xxhash64(id, seed)``) — a
+    training loader that streams shards sequentially then sees a global
+    shuffle of the corpus without any loader-side buffer: the shard
+    assignment randomizes ACROSS shards, the seed-keyed sort randomizes
+    WITHIN them. Different seeds give different epoch orders from the
+    same export; same seed re-exports byte-identically.
     """
     sharded = df.withColumn("shard", shard_expr(id_col, n_shards, method))
+    order = [F.col("shard")] + (
+        [F.xxhash64(F.col(id_col), F.lit(shuffle_seed)), F.col(id_col)]
+        if shuffle_seed is not None else [F.col(id_col)])
     (sharded.repartition(n_shards, F.col("shard"))
-     .sortWithinPartitions("shard", id_col)
+     .sortWithinPartitions(*order)
      .write.mode("overwrite").format(fmt)
      .partitionBy("shard").save(path))
     return (df.sparkSession.read.format(fmt).load(path)

@@ -1394,3 +1394,82 @@ def test_remove_duplicate_spans_rebuilds_text(spark):
     assert out[0] == ("pre1 pre2 post1 post2", 8)
     assert out[1] == ("left right mid end", 8)
     assert out[2] == ("untouched words stay exactly as they are here", 0)
+
+
+def test_train_nb_classifier_separates_and_matches_reference(spark):
+    """Trainer: weights match a pure-Python recomputation exactly (same
+    driver-side math over the same exact counts), and the trained model
+    pushed through linear_scores separates held-out docs by vocabulary."""
+    import math
+
+    from sparvi_spark.operators.classify import (
+        linear_scores, train_nb_classifier)
+
+    good = ["the study presents careful analysis of measured results",
+            "we evaluate methods with rigorous experiments and data",
+            "analysis of the measured data shows careful methods"]
+    bad = ["click here buy now cheap deal wow offer",
+           "free prize click now buy cheap wow bonus",
+           "cheap deal free bonus prize offer click"]
+    df = spark.createDataFrame(
+        [(i, t, 1) for i, t in enumerate(good)]
+        + [(10 + i, t, 0) for i, t in enumerate(bad)],
+        "doc_id int, text string, y int")
+    dim, alpha = 64, 1.0
+    weights, bias = train_nb_classifier(df, "y", dim=dim, alpha=alpha)
+    assert len(weights) == dim and bias == 0.0  # balanced classes
+
+    # pure-Python reference over the same hash
+    P = 1_000_000_007
+    def th(t):
+        acc = 0
+        for ch in t:
+            acc = (acc * 131 + ord(ch)) % P
+        return acc % dim
+    cnt = {}
+    for t, y in [(t, 1) for t in good] + [(t, 0) for t in bad]:
+        for w in t.lower().split():
+            b = th(w)
+            c = cnt.setdefault(b, [0, 0])
+            c[0 if y else 1] += 1
+    tp = sum(v[0] for v in cnt.values())
+    tn = sum(v[1] for v in cnt.values())
+    expect = [
+        math.log((cnt.get(b, (0, 0))[0] + alpha) / (tp + alpha * dim))
+        - math.log((cnt.get(b, (0, 0))[1] + alpha) / (tn + alpha * dim))
+        for b in range(dim)]
+    assert weights == expect
+
+    held = spark.createDataFrame(
+        [(100, "careful measured experiments data analysis"),
+         (101, "buy cheap prize click wow")],
+        "doc_id int, text string")
+    got = {r["doc_id"]: r["label"]
+           for r in linear_scores(held, weights, bias=bias).collect()}
+    assert got == {100: True, 101: False}
+
+
+def test_shard_export_shuffle_seed_epoch_orders(spark, tmp_path):
+    """shuffle_seed randomizes within-shard order deterministically:
+    same seed re-exports byte-identically, different seeds permute, and
+    membership/manifest never change."""
+    from sparvi_spark.sources.export import export_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id int, text string")
+    p1, p2, p3 = (str(tmp_path / d) for d in ("e1", "e2", "e3"))
+    m1 = export_shards(df, p1, "doc_id", 4, shuffle_seed=1).collect()
+    m2 = export_shards(df, p2, "doc_id", 4, shuffle_seed=1).collect()
+    m3 = export_shards(df, p3, "doc_id", 4, shuffle_seed=2).collect()
+    assert [tuple(r) for r in m1] == [tuple(r) for r in m2] \
+        == [tuple(r) for r in m3]
+
+    def order(p, shard):
+        # parquet row order within the shard dir IS the loader's order
+        return [r["doc_id"] for r in
+                spark.read.parquet(f"{p}/shard={shard}").collect()]
+
+    assert order(p1, 0) == order(p2, 0)          # same seed -> same order
+    assert order(p1, 0) != sorted(order(p1, 0))  # actually shuffled
+    assert order(p1, 0) != order(p3, 0)          # seed changes the epoch
+    assert sorted(order(p1, 0)) == sorted(order(p3, 0))  # same membership

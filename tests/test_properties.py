@@ -321,3 +321,56 @@ def test_shard_and_split_are_total_and_stable(spark, ids, n_shards):
                      eval_split_expr("doc_id", {"a": 0.55, "b": 0.45},
                                      method)).collect()}
         assert {r["doc_id"]: (r["shard"], r["split"]) for r in rows} == again
+
+
+_span_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=25),
+    min_size=1, max_size=6)
+
+
+def _ref_spans(texts, n, scope):
+    import collections
+
+    grams = collections.defaultdict(list)
+    toks = {d: t.lower().split() for d, t in texts.items()}
+    for d, tt in toks.items():
+        for i in range(len(tt) - n + 1):
+            grams[tuple(tt[i:i + n])].append((d, i))
+    hot = {g for g, occ in grams.items()
+           if (len(occ) >= 2 if scope == "corpus"
+               else len({d for d, _ in occ}) >= 2)}
+    out = []
+    for d, tt in toks.items():
+        cur = None
+        for i in sorted(i for i in range(len(tt) - n + 1)
+                        if tuple(tt[i:i + n]) in hot):
+            if cur and i <= cur[1]:
+                cur[1] = max(cur[1], i + n)
+                cur[2] += 1
+            else:
+                if cur:
+                    out.append((d, cur[0], cur[1], cur[1] - cur[0], cur[2]))
+                cur = [i, i + n, 1]
+        if cur:
+            out.append((d, cur[0], cur[1], cur[1] - cur[0], cur[2]))
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_span_docs, st.sampled_from([2, 3]), st.sampled_from(["corpus", "cross_doc"]))
+def test_duplicate_spans_property(spark, docs, n, scope):
+    """duplicate_spans == the driver-side ExactSubstr reference on random
+    tiny-vocab corpora (where repeated windows are dense and adversarial:
+    overlapping/adjacent/self-repeating), in both gram modes."""
+    from sparvi_spark.operators.dedup import duplicate_spans
+
+    texts = {i: " ".join(t) for i, t in enumerate(docs)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    expect = _ref_spans(texts, n, scope)
+    for mode in ("hash", "exact"):
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"],
+             r["span_tokens"], r["n_windows"])
+            for r in duplicate_spans(df, "doc_id", "text", n=n,
+                                     scope=scope, gram_mode=mode).collect())
+        assert got == expect, (mode, texts)
