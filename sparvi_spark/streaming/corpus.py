@@ -1,0 +1,69 @@
+"""Continuous corpus intake: stream -> near-dedup against everything
+already admitted -> append survivors.
+
+Glues the streaming sources to ``Engine.dedup_corpus_incremental`` with
+``foreachBatch``: each microbatch near-dedups in-batch (exact-verified
+MinHash LSH), then against the corpus' stored signature state — never
+rereading a byte of admitted text — and survivors land in the corpus
+directory while their signatures extend the state for the NEXT batch.
+This is the shape that keeps a 100 TB corpus duplicate-free at ingest
+time: per-batch cost is the batch's LSH band join against a signature
+table of num_hashes longs/doc, not a join against the corpus.
+
+The reference has no streaming surface (batch Flask tasks only); this is
+the extension mandated alongside the batch dedup family (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def streaming_corpus_intake(
+    stream: DataFrame,
+    engine,
+    corpus_name: str,
+    corpus_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    on_batch: Callable[[dict, int], None] | None = None,
+):
+    """Start a query that admits each microbatch's near-dedup survivors
+    into ``corpus_path`` (parquet append). Returns the StreamingQuery.
+
+    ``on_batch(summary, batch_id)`` receives the
+    ``dedup_corpus_incremental`` summary (counts only — the kept frame is
+    already localCheckpoint-pinned by the engine, and this writes it out
+    before the callback). Batch-parity: admitting the same data in any
+    microbatch partitioning yields the same survivor SET as one batch
+    call whenever duplicates arrive after their originals (streaming
+    keep-first == batch keep-smallest when ids are arrival-ordered);
+    the test asserts exactly that equivalence.
+    """
+
+    def admit(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            if batch.isEmpty():
+                return
+            summary = engine.dedup_corpus_incremental(
+                batch, corpus_name, id_col=id_col, text_col=text_col,
+                n=n, num_hashes=num_hashes, bands=bands,
+                threshold=threshold)
+            if summary["n_kept"]:
+                summary["kept"].write.mode("append").parquet(corpus_path)
+            if on_batch is not None:
+                on_batch({k: v for k, v in summary.items() if k != "kept"},
+                         batch_id)
+        finally:
+            batch.unpersist()
+
+    return (stream.writeStream.foreachBatch(admit)
+            .option("checkpointLocation", corpus_path + "_checkpoint")
+            .start())

@@ -396,3 +396,51 @@ def test_new_pipeline_operator_plan_shapes(spark):
     # melt+counts aggs shuffle; the edges join must not add a full shuffle
     # of the melted rows beyond them
     assert audit["n_exchanges"] <= 4, audit
+
+
+def test_semantic_dedup_assignment_is_map_only(spark):
+    """The cluster-assignment HALF of semantic_dedup must be a pure
+    projection over literal centroids: zero exchanges, zero Python nodes
+    (the downstream pair join adds its bucketed shuffles; assignment
+    itself must not)."""
+    from sparvi_spark.operators.similarity import (
+        _l2_dists_expr, l2_argmin_expr)
+    from sparvi_spark.plans.audit import assert_plan
+    from sparvi_spark.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    cents = [[0.1 * ((i + j) % 7) for j in range(64)] for i in range(4)]
+    assigned = emb.withColumn(
+        "__d", F.expr(_l2_dists_expr("`embedding`", cents))
+    ).withColumn("cl", l2_argmin_expr("__d")).select("vec_id", "cl")
+    assert_plan(assigned, max_exchanges=0, no_python=True,
+                no_cartesian=True)
+
+
+def test_semantic_dedup_plan_no_cartesian_no_python(spark):
+    """End-to-end semantic_dedup plan: the pair join is cluster-bucketed
+    (equi-join, never a cartesian) and everything stays JVM-side."""
+    from sparvi_spark.operators.dedup import semantic_dedup
+    from sparvi_spark.plans.audit import assert_plan
+    from sparvi_spark.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    cents = [[0.1 * ((i + j) % 7) for j in range(64)] for i in range(4)]
+    kept = semantic_dedup(emb, "vec_id", "embedding", threshold=0.3,
+                          centroids=cents)
+    assert_plan(kept, no_python=True, no_cartesian=True)
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """duplicate_spans (hash mode): JVM-only, no cartesian, and the wide
+    stages are bounded — gram count groupBy, the repeated-key semi-join,
+    and the per-doc island window (plus AQE reuse), never a doc×doc
+    join."""
+    from sparvi_spark.operators.dedup import duplicate_spans
+    from sparvi_spark.plans.audit import assert_plan, plan_audit
+    from sparvi_spark.testdata import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    spans = duplicate_spans(docs, "doc_id", "text", n=8)
+    a = assert_plan(spans, no_python=True, no_cartesian=True)
+    assert a["n_exchanges"] <= 5, a

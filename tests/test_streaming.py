@@ -421,3 +421,63 @@ def test_streaming_drift_monitor_alerts_on_shift(spark, tmp_path):
     assert seen[1]["x"] > 0.2
     assert engine.state.read("engine_events").where(
         F.col("event_type") == "distribution_drift").count() == 1
+
+
+def test_streaming_corpus_intake_matches_batch_dedup(spark, tmp_path):
+    """Corpus intake stream: per-microbatch near-dedup against signature
+    state admits the same survivor set one batch call would (duplicates
+    arriving after their originals), and cross-batch dups are caught
+    from state alone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparvi_spark.engine import Engine
+    from sparvi_spark.streaming.corpus import streaming_corpus_intake
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "barn by the quiet river where tall green reeds sway")
+    other = ("compilers parse source text into syntax trees then emit "
+             "bytecode for a stack machine with constant folding passes")
+    drop = tmp_path / "in"
+    drop.mkdir()
+    corpus_path = str(tmp_path / "corpus")
+    engine = Engine(spark, str(tmp_path / "wh"))
+
+    def write_drop(name, rows):
+        ids, texts = zip(*rows)
+        pq.write_table(pa.table({"doc_id": list(ids), "text": list(texts)}),
+                       str(drop / name))
+
+    # batch 1: original + in-batch near-dup + distinct
+    write_drop("b1.parquet", [(1, base), (2, base + " tail"), (3, other)])
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(drop)))
+    summaries = []
+    q = streaming_corpus_intake(
+        stream, engine, "sc", corpus_path,
+        on_batch=lambda s, bid: summaries.append(s))
+    try:
+        q.processAllAvailable()
+        # batch 2: near-dup of ADMITTED doc 1 (caught via state, the
+        # text of batch 1 is never reread) + one fresh doc
+        write_drop("b2.parquet", [(10, base + " edited end"),
+                                  (11, "fresh sailing prose across a cold "
+                                       "sea under grey skies and gulls")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted = sorted(r["doc_id"]
+                      for r in spark.read.parquet(corpus_path).collect())
+    assert admitted == [1, 3, 11]
+    assert summaries[0]["n_in_batch_dups"] == 1
+    assert summaries[1]["n_vs_corpus_dups"] == 1
+    # equivalence: one batch call over everything admits the same set
+    all_docs = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, other),
+         (10, base + " edited end"),
+         (11, "fresh sailing prose across a cold sea under grey skies "
+              "and gulls")], "doc_id long, text string")
+    eng2 = Engine(spark, str(tmp_path / "wh2"))
+    s = eng2.dedup_corpus_incremental(all_docs, "sc")
+    assert sorted(r["doc_id"] for r in s["kept"].collect()) == admitted
