@@ -1484,6 +1484,45 @@ SELECT bucket, cast(sum(y) as bigint) AS n_pos,
 """.strip()
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (C4 boilerplate rule, text.dedup_lines_corpus)
+    — the testdata text is single-line, so both engines build the SAME
+    deterministic 3-line docs (content prefix + a shared footer + the lang
+    tag): the footer is hot everywhere, lang lines are hot per language
+    group, content lines are mostly unique. exact mode (string keys); the
+    8-byte-hash scale path is proven equal in test_dedup_lines_corpus_c4_rule."""
+    from sparvi_spark.operators.text import dedup_lines_corpus
+
+    docs = (load_table(spark, "documents", sf_dir)
+            .where(F.col("doc_id") < DOC_CAP)
+            .selectExpr(
+                "doc_id",
+                "concat(substring(coalesce(text, ''), 1, 40), '\\n', "
+                "'standard footer line', '\\n', lang) AS text"))
+    return dedup_lines_corpus(docs, "doc_id", "text", min_count=3,
+                              hash_mode="exact").select(
+        "doc_id", "text_clean", "n_lines_removed")
+
+
+SQL_DEDUP_LINES = f"""
+WITH d AS (SELECT doc_id,
+             concat(substring(coalesce(text, ''), 1, 40), chr(10),
+                    'standard footer line', chr(10), lang) AS s
+           FROM documents WHERE doc_id < {DOC_CAP}),
+l AS (SELECT doc_id, cast(i as int) AS li,
+        list_extract(string_split(s, chr(10)), i) AS line
+      FROM d, unnest(range(1, len(string_split(s, chr(10))) + 1)) u(i)),
+hot AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 3)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN line NOT IN (SELECT line FROM hot)
+                           THEN line END, chr(10) ORDER BY li), '')
+    AS text_clean,
+  cast(count(CASE WHEN line IN (SELECT line FROM hot) THEN 1 END) as int)
+    AS n_lines_removed
+FROM l GROUP BY doc_id
+""".strip()
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction parity: deterministic PII spans are appended to each
     doc (both engines build the identical input), then the chained
@@ -1984,6 +2023,7 @@ EXTRA_CHECKS = {
     "e05_neardup_cross": (q_neardup_cross, _sql_neardup_cross()),
     "e11_sig_pairs": (q_sig_pairs, _sql_sig_pairs()),
     "e12_token_buckets": (q_token_buckets, _sql_token_buckets()),
+    "e13_dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "e06_pii_redact": (q_pii_redact, _sql_pii_redact()),
     "x18_bloom_contamination": (q_bloom_contamination,
                                 _sql_bloom_contamination()),

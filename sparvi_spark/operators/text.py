@@ -476,6 +476,50 @@ def dedup_lines_expr(text_col: str) -> Column:
     return F.expr(f"array_join({kept}, '\\n')")
 
 
+def dedup_lines_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 3,
+    out_col: str = "text_clean",
+    hash_mode: str = "hash",
+) -> DataFrame:
+    """CORPUS-WIDE line dedup (the C4 rule: drop any line occurring
+    ``min_count``+ times across the whole corpus — boilerplate nav bars,
+    cookie banners, license footers). Adds ``out_col`` (surviving lines
+    re-joined with newlines, order preserved) and ``n_lines_removed``.
+    Complements ``dedup_lines_expr`` (within-doc, no shuffle).
+
+    Plan: posexplode lines once; ONE groupBy finds hot lines
+    (``hash_mode="hash"``: 8-byte xxhash64 keys — the shuffle never
+    carries line text; ``"exact"``: the line string, collision-free
+    oracle parity); a semi-join marks each doc's hot positions; a
+    groupBy packs them into a per-doc drop-list rejoined to the doc
+    (docs with no hot lines never enter the join — left join passes
+    them through). Reassembly is one ``filter`` HOF over the line
+    array. Strictly linear; both shuffles are map-side-partial
+    aggregations on (key8) / (id, pos).
+    """
+    lines = f"split(`{text_col}`, '\\n')"
+    key = "xxhash64(l)" if hash_mode == "hash" else "l"
+    pos = (df.selectExpr(f"`{id_col}` AS __lid",
+                         f"posexplode({lines}) AS (pos, l)")
+           .selectExpr("__lid", "pos", f"{key} AS k"))
+    hot = (pos.groupBy("k").agg(F.expr("count(1)").alias("__c"))
+           .where(F.col("__c") >= min_count).select("k"))
+    drops = (pos.join(hot, "k", "left_semi")
+             .groupBy("__lid")
+             .agg(F.expr("sort_array(collect_list(pos))").alias("__drop")))
+    # filter's lambda index is 0-based, same basis as posexplode's pos
+    keep = (f"filter({lines}, (l, i) -> "
+            f"__drop is null or not array_contains(__drop, i))")
+    return (df.join(drops, df[id_col] == F.col("__lid"), "left")
+            .withColumn(out_col, F.expr(f"array_join({keep}, '\\n')"))
+            .withColumn("n_lines_removed",
+                        F.expr("coalesce(size(__drop), 0)"))
+            .drop("__lid", "__drop"))
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing: concat-and-chop documents into fixed context windows —
 # the step that turns a filtered corpus into training batches. Standard

@@ -1473,3 +1473,37 @@ def test_shard_export_shuffle_seed_epoch_orders(spark, tmp_path):
     assert order(p1, 0) != sorted(order(p1, 0))  # actually shuffled
     assert order(p1, 0) != order(p3, 0)          # seed changes the epoch
     assert sorted(order(p1, 0)) == sorted(order(p3, 0))  # same membership
+
+
+def test_dedup_lines_corpus_c4_rule(spark):
+    """Corpus-wide line dedup: a line repeated >= min_count times across
+    the corpus vanishes from EVERY doc (including its first occurrence —
+    the C4 rule), rarer lines survive, order is preserved, and hash mode
+    equals exact mode."""
+    from sparvi_spark.operators.text import dedup_lines_corpus
+
+    boiler = "accept our cookies to continue"
+    texts = {
+        0: f"{boiler}\nunique alpha content\nshared twice line",
+        1: f"intro beta words\n{boiler}\nmore beta text",
+        2: f"{boiler}\nshared twice line\ngamma closing remark",
+        3: "entirely unrelated document with no repeats at all",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    for mode in ("hash", "exact"):
+        out = {r["doc_id"]: (r["text_clean"], r["n_lines_removed"])
+               for r in dedup_lines_corpus(
+                   df, "doc_id", "text", min_count=3,
+                   hash_mode=mode).collect()}
+        # boiler occurs 3x -> dropped everywhere; "shared twice line"
+        # occurs 2x -> kept
+        assert out[0] == ("unique alpha content\nshared twice line", 1), mode
+        assert out[1] == ("intro beta words\nmore beta text", 1), mode
+        assert out[2] == ("shared twice line\ngamma closing remark", 1), mode
+        assert out[3] == (texts[3], 0), mode
+    # min_count=2 also removes the twice-shared line
+    out2 = {r["doc_id"]: r["text_clean"]
+            for r in dedup_lines_corpus(df, "doc_id", "text",
+                                        min_count=2).collect()}
+    assert out2[0] == "unique alpha content"
+    assert out2[2] == "gamma closing remark"
