@@ -908,7 +908,10 @@ def remove_duplicate_spans(
         f"s -> __spans is null or not exists(__spans, "
         f"sp -> s.i >= sp.span_start and s.i < sp.span_end)), x -> x.t)")
     return (df.join(packed, df[id_col] == F.col("__sid"), "left")
-            .withColumn(out_col, F.expr(f"concat_ws(' ', {keep})"))
+            # concat_ws('') would turn a NULL text into '' — keep NULL NULL
+            .withColumn(out_col, F.expr(
+                f"case when `{text_col}` is null then null "
+                f"else concat_ws(' ', {keep}) end"))
             .withColumn(
                 "n_tokens_removed",
                 F.expr("coalesce(aggregate(__spans, 0, (acc, sp) -> "

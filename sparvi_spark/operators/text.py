@@ -514,7 +514,9 @@ def dedup_lines_corpus(
     keep = (f"filter({lines}, (l, i) -> "
             f"__drop is null or not array_contains(__drop, i))")
     return (df.join(drops, df[id_col] == F.col("__lid"), "left")
-            .withColumn(out_col, F.expr(f"array_join({keep}, '\\n')"))
+            .withColumn(out_col, F.expr(
+                f"case when `{text_col}` is null then null "
+                f"else array_join({keep}, '\\n') end"))
             .withColumn("n_lines_removed",
                         F.expr("coalesce(size(__drop), 0)"))
             .drop("__lid", "__drop"))
