@@ -470,6 +470,9 @@ class Engine:
                                run_at: str | None = None,
                                tokenize_merges: int | None = None,
                                pack_ctx: int | None = None,
+                               dedup_lines_min_count: int | None = None,
+                               strip_duplicate_spans_n: int | None = None,
+                               shuffle_seed: int | None = None,
                                **gate_kwargs: Any) -> dict[str, Any]:
         """End-to-end corpus publication: what ``screen_corpus`` MEASURES,
         this APPLIES — gate, then filter (Gopher quality rules + optional
@@ -487,6 +490,15 @@ class Engine:
         writes the ``shard=N`` layout and the manifest; counts + a
         ``corpus_exported`` event land in state.
 
+        Optional text-rewrite stages run between filter and dedup, each
+        the linear corpus-curation shape: ``dedup_lines_min_count`` strips
+        corpus-wide repeated lines (the C4 boilerplate rule,
+        text.dedup_lines_corpus); ``strip_duplicate_spans_n`` cuts exact
+        duplicated passages (ExactSubstr analogue, dedup.duplicate_spans +
+        remove_duplicate_spans). Docs rewritten to emptiness drop out.
+        ``shuffle_seed`` forwards to the shard export (deterministic
+        within-shard epoch order).
+
         Every stage is scan-parallel; only gate scalars and the manifest
         (n_shards rows) reach the driver.
         """
@@ -502,6 +514,30 @@ class Engine:
             summary["exported"] = False
             return summary
 
+        # text-rewrite curation runs BEFORE quality judging: boilerplate
+        # lines and duplicated passages distort every quality signal the
+        # filter reads (lengths, stopword ratios, repetition), so the
+        # filter must see the text the loader would
+        if dedup_lines_min_count is not None:
+            from sparvi_spark.operators.text import dedup_lines_corpus
+
+            docs = (dedup_lines_corpus(
+                docs, id_col, text_col, min_count=dedup_lines_min_count)
+                .drop(text_col, "n_lines_removed")
+                .withColumnRenamed("text_clean", text_col))
+        if strip_duplicate_spans_n is not None:
+            from sparvi_spark.operators.dedup import (
+                duplicate_spans, remove_duplicate_spans)
+
+            spans = duplicate_spans(docs, id_col, text_col,
+                                    n=strip_duplicate_spans_n)
+            docs = (remove_duplicate_spans(docs, spans, id_col, text_col)
+                    .drop(text_col, "n_tokens_removed")
+                    .withColumnRenamed("text_clean", text_col))
+        if dedup_lines_min_count is not None \
+                or strip_duplicate_spans_n is not None:
+            docs = docs.where(
+                f"`{text_col}` is not null and trim(`{text_col}`) <> ''")
         keep_ids = quality_filter(docs, text_col, id_col) \
             .where(F.col("keep")).select(id_col)
         kept = docs.join(keep_ids, id_col, "left_semi")
@@ -518,7 +554,8 @@ class Engine:
                 f"ORDER BY `{id_col}`)"))
             .where("__rn = 1").drop("__rn"))
 
-        manifest = export_shards(deduped, path, id_col, n_shards)
+        manifest = export_shards(deduped, path, id_col, n_shards,
+                                 shuffle_seed=shuffle_seed)
         rows = manifest.collect()
         n_exported = int(sum(r["n_rows"] for r in rows))
         summary.update({

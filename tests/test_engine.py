@@ -538,3 +538,45 @@ def test_dedup_corpus_incremental_across_batches(spark, engine):
     ev = engine.state.read("engine_events").where(
         F.col("event_type") == "corpus_incremental_dedup").count()
     assert ev == 4
+
+
+def test_export_training_corpus_curation_stages(spark, engine, tmp_path):
+    """dedup_lines_min_count + strip_duplicate_spans_n rewrite text before
+    the exact dedup: boilerplate lines vanish corpus-wide, duplicated
+    passages are cut, docs scrubbed to nothing drop out, and the published
+    text is the cleaned text."""
+    footer = "subscribe to our newsletter for updates today"
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # enough natural prose to clear the Gopher word-count/stopword gates;
+    # each pad is UNIQUE (a shared pad would itself be a duplicated span)
+    def pad(k):
+        words = ["farmer", "market", "morning", "bread", "people", "town",
+                 "sun", "hills", "river", "mill", "children", "games",
+                 "shade", "trees", "wind", "stone", "wagon", "field"]
+        out = []
+        for i in range(55):
+            out.append("the" if i % 3 == 0
+                       else words[(k * 7 + i * (k + 2)) % len(words)]
+                       + f"{k}{i}")
+        return " ".join(out)
+
+    docs = spark.createDataFrame(
+        [(1, f"first document real content words here {pad(1)}\n{footer}"),
+         (2, f"second document other content tokens {pad(2)}\n{footer}"),
+         (3, f"third document {passage} trailing unique words {pad(3)}"),
+         (4, f"fourth document {passage} different ending here {pad(4)}"),
+         (5, footer)],  # nothing but boilerplate -> dropped
+        "doc_id int, text string")
+    s = engine.export_training_corpus(
+        docs, "cur", str(tmp_path / "cur"), n_shards=2,
+        min_keep_rate=0.0, require_gate=False,
+        dedup_lines_min_count=3, strip_duplicate_spans_n=10,
+        shuffle_seed=7, run_at="2026-01-07 00:00:00")
+    assert s["exported"]
+    pub = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(str(tmp_path / "cur")).collect()}
+    assert sorted(pub) == [1, 2, 3, 4]
+    assert footer not in pub[1] and footer not in pub[2]
+    assert passage not in pub[3] and passage not in pub[4]
+    assert "first document real content" in pub[1]
+    assert "trailing unique words" in pub[3]
