@@ -215,7 +215,7 @@ def main() -> None:
     # System-level number alongside the serial per-query timings: ONE wall
     # clock for the full 50-query oracle suite submitted concurrently
     # (16-thread driver pool, per-thread FAIR pools, fresh plan builds
-    # inside the timer, best-of-2) — the engine's answer to "run the whole
+    # inside the timer, best-of-3) — the engine's answer to "run the whole
     # check suite", directly comparable to DuckDB's serial suite total
     # (scripts/baseline_duckdb.py). The reference's own rule executor is a
     # 10-thread pool, so concurrent submission IS its execution model.
@@ -232,14 +232,17 @@ def main() -> None:
             "spark.scheduler.pool", f"suite-{get_ident()}")
         return f(spark, sf_dir).toPandas()
 
+    # best-of-3: measured co-tenant load on this machine swings run
+    # walls by 20-40% (SCALING.md round-5 spread); one extra sample keeps
+    # a single noisy window from being recorded as the engine's number
     suite_wall = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=16) as ex:
             list(ex.map(run_one, suite_fns))
         suite_wall = min(suite_wall, round(time.perf_counter() - t0, 4))
     print(f"# oracle suite concurrent wall ({len(suite_fns)} queries, "
-          f"best of 2): {suite_wall:.2f}s", file=sys.stderr)
+          f"best of 3): {suite_wall:.2f}s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_total",
