@@ -1523,6 +1523,44 @@ FROM l GROUP BY doc_id
 """.strip()
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/corpus.py): both engines derive
+    old (doc_id < 400) and new (100 <= doc_id < 500, every 7th doc's
+    text rewritten) from the same base table, so added/removed/modified
+    statuses must agree exactly. The Spark side compares 8-byte xxhash64
+    projections (the join never carries text); the oracle compares the
+    text itself — equal verdicts unless a 64-bit collision hides a
+    modification."""
+    from sparvi_spark.operators.corpus import corpus_diff
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.where(F.col("doc_id") < 400).select("doc_id", "text")
+    new = (docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 500))
+           .selectExpr(
+               "doc_id",
+               "case when doc_id % 7 = 0 then concat(coalesce(text, ''), "
+               "' rewritten') else text end AS text"))
+    return corpus_diff(old, new)
+
+
+SQL_CORPUS_DIFF = """
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+new AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+               THEN concat(coalesce(text, ''), ' rewritten')
+               ELSE text END AS text
+        FROM documents WHERE doc_id >= 100 AND doc_id < 500),
+j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        o.doc_id IS NULL AS is_added, n.doc_id IS NULL AS is_removed,
+        coalesce(o.text, chr(1)) <> coalesce(n.text, chr(1)) AS is_mod
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT doc_id, CASE WHEN is_added THEN 'added'
+                    WHEN is_removed THEN 'removed'
+                    WHEN is_mod THEN 'modified' END AS status
+FROM j WHERE is_added OR is_removed OR is_mod
+""".strip()
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction parity: deterministic PII spans are appended to each
     doc (both engines build the identical input), then the chained
@@ -2024,6 +2062,7 @@ EXTRA_CHECKS = {
     "e11_sig_pairs": (q_sig_pairs, _sql_sig_pairs()),
     "e12_token_buckets": (q_token_buckets, _sql_token_buckets()),
     "e13_dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
+    "e14_corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
     "e06_pii_redact": (q_pii_redact, _sql_pii_redact()),
     "x18_bloom_contamination": (q_bloom_contamination,
                                 _sql_bloom_contamination()),

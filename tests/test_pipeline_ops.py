@@ -1507,3 +1507,26 @@ def test_dedup_lines_corpus_c4_rule(spark):
                                         min_count=2).collect()}
     assert out2[0] == "unique alpha content"
     assert out2[2] == "gamma closing remark"
+
+
+def test_corpus_diff_statuses_and_summary(spark):
+    from sparvi_spark.operators.corpus import corpus_diff, corpus_diff_summary
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, None), (5, "eps")],
+        "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(2, "beta"),            # unchanged
+         (3, "gamma edited"),    # modified
+         (4, ""),                # NULL -> '' counts as modified
+         (5, None),              # '' ... -> NULL also modified
+         (6, "zeta")],           # added
+        "doc_id int, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 3: "modified", 4: "modified",
+                   5: "modified", 6: "added"}
+    summ = {r["status"]: r["n_docs"]
+            for r in corpus_diff_summary(old, new).collect()}
+    assert summ == {"added": 1, "removed": 1, "modified": 3,
+                    "unchanged": 1}
