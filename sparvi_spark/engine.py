@@ -490,7 +490,9 @@ class Engine:
         writes the ``shard=N`` layout and the manifest; counts + a
         ``corpus_exported`` event land in state.
 
-        Optional text-rewrite stages run between filter and dedup, each
+        Optional text-rewrite stages run FIRST — before quality judging
+        (boilerplate lines and duplicated passages distort every quality
+        signal the filter reads) — each
         the linear corpus-curation shape: ``dedup_lines_min_count`` strips
         corpus-wide repeated lines (the C4 boilerplate rule,
         text.dedup_lines_corpus); ``strip_duplicate_spans_n`` cuts exact
@@ -569,14 +571,20 @@ class Engine:
             # and — with pack_ctx — concat-and-chop context windows
             # materialized shard-locally (pack_token_ids). The model ships
             # with the shards so the loader decodes with the exact vocab.
+            # Everything here reads the JUST-WRITTEN shards back rather
+            # than re-deriving `deduped`: the gate→filter→curation→dedup
+            # plan would otherwise re-execute once per action below
+            # (train, encode+write, summary aggs).
             import json as _json
 
             from sparvi_spark.operators.tokenize import (
                 bpe_encode, pack_token_ids, train_bpe)
+            from sparvi_spark.sources.writers import write_text_file
 
-            model = train_bpe(deduped, num_merges=tokenize_merges,
+            pub = self.spark.read.parquet(path)
+            model = train_bpe(pub, num_merges=tokenize_merges,
                               text_col=text_col)
-            enc = bpe_encode(deduped, model, id_col=id_col,
+            enc = bpe_encode(pub, model, id_col=id_col,
                              text_col=text_col)
             if pack_ctx is not None:
                 # sibling dir, NOT nested under `path`: the doc export is
@@ -587,10 +595,20 @@ class Engine:
                         "__shard",
                         F.expr(f"pmod(xxhash64(`{id_col}`), {n_shards})")),
                     pack_ctx, id_col=id_col, shard_col="__shard")
-                (packs.repartition("shard").write.mode("overwrite")
+                # deterministic file order (byte-comparable re-exports);
+                # shuffle_seed randomizes the pack STREAM order the same
+                # way it randomizes doc order in the shards — packs are
+                # what the loader actually reads
+                pack_order = [F.col("shard")] + (
+                    [F.xxhash64(F.col("pack_id"), F.lit(shuffle_seed)),
+                     F.col("pack_id")]
+                    if shuffle_seed is not None else [F.col("pack_id")])
+                (packs.repartition("shard")
+                 .sortWithinPartitions(*pack_order)
+                 .write.mode("overwrite")
                  .partitionBy("shard").parquet(f"{path}.packs"))
                 summary["packs_path"] = f"{path}.packs"
-                agg = packs.groupBy().agg(
+                agg = self.spark.read.parquet(f"{path}.packs").groupBy().agg(
                     F.expr("count(1)"), F.expr("sum(n_tokens)"),
                     F.expr("count(distinct shard)")).first()
                 summary.update({
@@ -602,14 +620,18 @@ class Engine:
             else:
                 (enc.write.mode("overwrite")
                  .parquet(f"{path}.tokens"))
-                agg = enc.groupBy().agg(
+                agg = self.spark.read.parquet(f"{path}.tokens") \
+                    .groupBy().agg(
                     F.expr("count(1)"), F.expr("sum(n_tokens)")).first()
                 summary.update({"n_token_docs": int(agg[0] or 0),
                                 "n_tokens": int(agg[1] or 0),
                                 "tokens_path": f"{path}.tokens"})
-            with open(f"{path}.tokenizer.json", "w") as fh:
-                _json.dump({"merges": [list(m) for m in model["merges"]],
-                            "vocab": model["vocab"]}, fh)
+            # Hadoop-FS sidecar write: works on every root the shard
+            # writes themselves work on (s3a/gs/hdfs), unlike open()
+            write_text_file(
+                self.spark, f"{path}.tokenizer.json",
+                _json.dumps({"merges": [list(m) for m in model["merges"]],
+                             "vocab": model["vocab"]}))
             summary["tokenizer_merges"] = len(model["merges"])
         self.publish_event(
             "corpus_exported", corpus_name,
@@ -622,7 +644,8 @@ class Engine:
                                  n: int = 3, num_hashes: int = 64,
                                  bands: int = 16, threshold: float = 0.5,
                                  hash_fn: str = "xxhash64",
-                                 run_at: str | None = None) -> dict[str, Any]:
+                                 run_at: str | None = None,
+                                 sink: Any | None = None) -> dict[str, Any]:
         """Near-dedup a NEW batch against everything already admitted to
         ``corpus_name`` — without rereading a byte of past batches. The
         admitted corpus is represented by its stored MinHash signatures
@@ -644,16 +667,31 @@ class Engine:
         re-evaluation after the write would see the batch's own just-
         written signatures and drop everything. Returns {"kept": frame,
         "n_in", "n_in_batch_dups", "n_vs_corpus_dups", "n_kept"}.
+
+        ``sink(kept_frame)`` — when given — runs BEFORE the signature
+        append, which makes at-least-once replays safe: if the sink (or
+        anything earlier) fails, no signatures were written and the replay
+        recomputes cleanly; if the replay comes AFTER a completed call,
+        every doc matches its own stored signature, n_kept=0, and the sink
+        is skipped — no duplicate output either way. A caller that writes
+        the survivors AFTER this returns (sink=None) loses that ordering
+        and a crash between the append and its own write strands the
+        batch's docs as self-duplicates (the streaming intake always uses
+        sink).
         """
         from sparvi_spark.operators.dedup import (
             dedup_near, minhash_lsh_pairs, minhash_pairs_from_sigs,
             minhash_signatures)
 
         run_at = run_at or _utcnow()
+        # the batch plan feeds the pair search, the signatures, the kept
+        # anti-join, and two counts — persist so the in-batch LSH pipeline
+        # runs once, not once per consumer (streaming hot path)
+        docs = docs.persist()
         pairs = minhash_lsh_pairs(docs, id_col, text_col, n=n,
                                   num_hashes=num_hashes, bands=bands,
                                   threshold=threshold, hash_fn=hash_fn)
-        batch_kept = dedup_near(docs, pairs, id_col)
+        batch_kept = dedup_near(docs, pairs, id_col).persist()
         sigs = minhash_signatures(batch_kept, id_col, text_col, n=n,
                                   num_hashes=num_hashes, hash_fn=hash_fn)
         state_sigs = (self.state.read("corpus_signatures")
@@ -669,6 +707,8 @@ class Engine:
             "left_anti").localCheckpoint())
         n_in, n_batch_kept, n_kept = (
             docs.count(), batch_kept.count(), kept.count())
+        if sink is not None and n_kept:
+            sink(kept)
         kept_sigs = (sigs.join(
             kept.select(id_col), id_col)
             .select(
@@ -677,6 +717,8 @@ class Engine:
                 "sig",
                 F.lit(run_at).cast("timestamp").alias("added_at")))
         self.state.append("corpus_signatures", kept_sigs)
+        batch_kept.unpersist()
+        docs.unpersist()
         summary = {
             "kept": kept, "n_in": n_in,
             "n_in_batch_dups": n_in - n_batch_kept,

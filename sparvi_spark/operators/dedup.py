@@ -890,27 +890,33 @@ def remove_duplicate_spans(
     out_col: str = "text_clean",
 ) -> DataFrame:
     """Apply ``duplicate_spans`` output: drop every token inside a span
-    and rebuild the text. Adds ``out_col`` (single-space joined — the
-    tokenizer already collapsed whitespace) and ``n_tokens_removed``.
+    and rebuild the text. Adds ``out_col`` and ``n_tokens_removed``.
 
     One groupBy packs each doc's spans into an array, one equi-join ships
     it to the doc (span lists are tiny next to text), and a per-row
     ``filter`` HOF keeps tokens outside every span — no UDF, no explode
-    of the token stream. Docs with no spans pass through unchanged.
+    of the token stream. Docs with no spans pass through VERBATIM (the
+    case expression short-circuits before any tokenization). Rewritten
+    docs keep their ORIGINAL casing: the rebuild splits the raw text on
+    whitespace — the same boundaries ``duplicate_spans``' lowercased
+    tokenizer produced, so span indices line up — and only whitespace
+    runs collapse to single spaces (a \\s+ split cannot round-trip them).
     """
     packed = spans.groupBy(F.col(id_col).alias("__sid")).agg(
         F.expr("collect_list(struct(span_start, span_end))").alias("__spans"))
-    toks = tokens_expr(text_col)
+    # case-preserving split; identical token boundaries to tokens_expr
+    # (lower() never changes \s runs), so duplicate_spans' indices apply
+    toks = f"split(trim(`{text_col}`), '\\\\s+')"
     keep = (
         f"transform(filter("
         f"zip_with({toks}, sequence(0, size({toks}) - 1), "
         f"(t, i) -> struct(t as t, i as i)), "
-        f"s -> __spans is null or not exists(__spans, "
+        f"s -> not exists(__spans, "
         f"sp -> s.i >= sp.span_start and s.i < sp.span_end)), x -> x.t)")
     return (df.join(packed, df[id_col] == F.col("__sid"), "left")
-            # concat_ws('') would turn a NULL text into '' — keep NULL NULL
+            # span-free docs (and NULL text) pass through untouched
             .withColumn(out_col, F.expr(
-                f"case when `{text_col}` is null then null "
+                f"case when __spans is null then `{text_col}` "
                 f"else concat_ws(' ', {keep}) end"))
             .withColumn(
                 "n_tokens_removed",

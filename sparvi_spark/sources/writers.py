@@ -67,3 +67,36 @@ def compact_table(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return rows
+
+
+def write_text_file(spark, path: str, text: str) -> None:
+    """Write a small sidecar file (tokenizer model, manifest JSON) through
+    the Hadoop FileSystem API — works on every root Spark itself can write
+    (local, HDFS, s3a://, gs://), unlike a Python ``open()`` which only
+    understands the local filesystem. One stream create + write + close;
+    overwrite semantics (sidecars are whole-file replaced, never appended).
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text_file(spark, path: str) -> str:
+    """Sidecar read-back counterpart of ``write_text_file`` (same roots)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    stream = fs.open(hpath)
+    try:
+        # IOUtils drains the stream fully regardless of file size
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")

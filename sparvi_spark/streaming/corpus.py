@@ -38,13 +38,18 @@ def streaming_corpus_intake(
     into ``corpus_path`` (parquet append). Returns the StreamingQuery.
 
     ``on_batch(summary, batch_id)`` receives the
-    ``dedup_corpus_incremental`` summary (counts only — the kept frame is
-    already localCheckpoint-pinned by the engine, and this writes it out
-    before the callback). Batch-parity: admitting the same data in any
-    microbatch partitioning yields the same survivor SET as one batch
-    call whenever duplicates arrive after their originals (streaming
-    keep-first == batch keep-smallest when ids are arrival-ordered);
-    the test asserts exactly that equivalence.
+    ``dedup_corpus_incremental`` summary (counts only). Batch-parity:
+    admitting the same data in any microbatch partitioning yields the
+    same survivor SET as one batch call whenever duplicates arrive after
+    their originals (streaming keep-first == batch keep-smallest when
+    ids are arrival-ordered); the test asserts exactly that equivalence.
+
+    Replay safety (foreachBatch is at-least-once): survivors are written
+    through the engine's ``sink`` hook, which runs BEFORE the signature
+    append — a crash anywhere up to and including the write leaves NO
+    signatures behind, so the replayed batch recomputes cleanly; a
+    replay after a completed batch matches every doc against its own
+    stored signature and admits nothing twice.
     """
 
     def admit(batch: DataFrame, batch_id: int) -> None:
@@ -55,9 +60,9 @@ def streaming_corpus_intake(
             summary = engine.dedup_corpus_incremental(
                 batch, corpus_name, id_col=id_col, text_col=text_col,
                 n=n, num_hashes=num_hashes, bands=bands,
-                threshold=threshold)
-            if summary["n_kept"]:
-                summary["kept"].write.mode("append").parquet(corpus_path)
+                threshold=threshold,
+                sink=lambda kept: kept.write.mode("append")
+                .parquet(corpus_path))
             if on_batch is not None:
                 on_batch({k: v for k, v in summary.items() if k != "kept"},
                          batch_id)

@@ -1530,3 +1530,27 @@ def test_corpus_diff_statuses_and_summary(spark):
             for r in corpus_diff_summary(old, new).collect()}
     assert summ == {"added": 1, "removed": 1, "modified": 3,
                     "unchanged": 1}
+
+
+def test_remove_duplicate_spans_preserves_case_and_passthrough(spark):
+    """Span-free docs pass through byte-identical (casing, newlines,
+    runs of spaces); rewritten docs keep original token casing."""
+    from sparvi_spark.operators.dedup import (
+        duplicate_spans, remove_duplicate_spans)
+
+    shared = "A B C D E F G H"
+    untouched = "Mixed CASE text\nwith newline  and  double  spaces"
+    df = spark.createDataFrame(
+        [(0, f"PRE One {shared} post tail"),
+         (1, f"Left {shared} Right Mid End"),
+         (2, untouched),
+         (3, None)],
+        "doc_id int, text string")
+    spans = duplicate_spans(df, "doc_id", "text", n=8)
+    out = {r["doc_id"]: (r["text_clean"], r["n_tokens_removed"])
+           for r in remove_duplicate_spans(
+               df, spans, "doc_id", "text").collect()}
+    assert out[0] == ("PRE One post tail", 8)      # casing survives
+    assert out[1] == ("Left Right Mid End", 8)
+    assert out[2] == (untouched, 0)                 # byte-identical
+    assert out[3] == (None, 0)
