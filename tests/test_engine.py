@@ -580,3 +580,36 @@ def test_export_training_corpus_curation_stages(spark, engine, tmp_path):
     assert passage not in pub[3] and passage not in pub[4]
     assert "first document real content" in pub[1]
     assert "trailing unique words" in pub[3]
+
+
+def test_dedup_corpus_incremental_sink_failure_leaves_no_state(spark, engine):
+    """Replay safety: when the sink raises, NO signatures were appended —
+    a retry of the same batch recomputes cleanly and admits everything
+    (nothing matches 'its own' signature from the failed attempt)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog by the river "
+             "bank where tall reeds sway gently in the evening wind"),
+         (2, "compilers parse source text into syntax trees then emit "
+             "bytecode for a stack machine with constant folding")],
+        "doc_id int, text string")
+
+    class Boom(RuntimeError):
+        pass
+
+    def bad_sink(kept):
+        raise Boom("sink failed")
+
+    with pytest.raises(Boom):
+        engine.dedup_corpus_incremental(docs, "cs", sink=bad_sink)
+    assert engine.state.read("corpus_signatures").where(
+        F.col("corpus_name") == "cs").count() == 0
+
+    # retry with a working sink: full batch admitted exactly once
+    seen = []
+    s = engine.dedup_corpus_incremental(
+        docs, "cs", sink=lambda kept: seen.append(kept.count()))
+    assert s["n_kept"] == 2 and seen == [2]
+    assert engine.state.read("corpus_signatures").where(
+        F.col("corpus_name") == "cs").count() == 2
