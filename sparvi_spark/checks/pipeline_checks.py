@@ -1705,6 +1705,10 @@ def _sql_numeric_drift() -> str:
         for c in DRIFT_COLS)
     pe = f"((ce + 0.5) / (ne + 0.5 * {b}))"
     pa = f"((ca + 0.5) / (na + 0.5 * {b}))"
+    # closed-form smoothing term for bins empty on BOTH sides (mirrors
+    # drift_metrics' missing-bin correction bit for bit)
+    pe0 = f"(0.5 / (cast(max(ne) as double) + 0.5 * {b}))"
+    pa0 = f"(0.5 / (cast(max(na) as double) + 0.5 * {b}))"
     return f"""
 WITH m AS ({melt}),
 edges AS (SELECT column_name,
@@ -1732,8 +1736,12 @@ t2 AS (SELECT column_name, ne, na,
 SELECT column_name,
   cast(max(ne) as bigint) AS n_expected,
   cast(max(na) as bigint) AS n_actual,
-  round(cast(sum(tvd_t) * 0.5 as double), 9) AS tvd,
-  round(cast(sum(chi2_t) as double), 9) AS chi2
+  round(cast((sum(tvd_t) + cast(round(cast({b} - count(*) as double) *
+    abs({pa0} - {pe0}), 15) as decimal(38,18)))
+    * 0.5 as double), 9) AS tvd,
+  round(cast(sum(chi2_t) + cast(round(cast({b} - count(*) as double) *
+    (({pa0} - {pe0}) * ({pa0} - {pe0}) / {pe0}), 15)
+         as decimal(38,18)) as double), 9) AS chi2
 FROM t2 GROUP BY 1
 """.strip()
 

@@ -821,7 +821,7 @@ class Engine:
                     os.path.join(bases[k], versions[k]))
             for k in families:
                 write_pointer(bases[k], versions[k])
-                gc_versions(bases[k])
+                gc_versions(bases[k], grace_seconds=0)  # single writer
             self.publish_event(
                 "incremental_profile", table_name,
                 f"changed_partitions={len(changed)};"

@@ -115,14 +115,32 @@ def drift_metrics(counts: DataFrame, bins: int,
                  f"as {_DEC}) AS __chi2_t",
                  f"({pa} - {pe}) * ln({pa} / {pe}) AS __psi_t",
              ))
+    # Bins empty on BOTH sides never reach this frame as rows, but the
+    # documented dense formula still assigns them smoothing-only mass
+    # (pe0 = 0.5/(ne + 0.5·bins) vs pa0 = 0.5/(na + 0.5·bins)) — nonzero
+    # whenever ne != na. All such bins share one closed-form term, added
+    # (bins − present) times, with the same round-15-then-decimal
+    # discipline as the per-bin terms (the oracle mirrors this exactly).
+    # the m-bin product is computed in DOUBLE then rounded-15 and cast
+    # once (a DEC×DEC product would trigger Spark's decimal-overflow
+    # scale truncation down to 6dp); both engines run the identical IEEE
+    # product so the casts agree bit for bit
+    pe0 = f"(0.5d / (cast(max(ne) as double) + 0.5d * {bins}))"
+    pa0 = f"(0.5d / (cast(max(na) as double) + 0.5d * {bins}))"
+    miss = f"cast({bins} - count(1) as double)"
     return (terms.groupBy("column_name")
             .agg(F.expr("max(ne)").alias("n_expected"),
                  F.expr("max(na)").alias("n_actual"),
-                 F.expr(f"round(cast(sum(__tvd_t) * 0.5 as double), "
-                        f"{round_to})").alias("tvd"),
-                 F.expr(f"round(cast(sum(__chi2_t) as double), "
+                 F.expr(f"round(cast((sum(__tvd_t) + cast(round({miss} * "
+                        f"abs({pa0} - {pe0}), 15) as {_DEC})) "
+                        f"* 0.5 as double), {round_to})").alias("tvd"),
+                 F.expr(f"round(cast(sum(__chi2_t) + cast(round({miss} * "
+                        f"(({pa0} - {pe0}) * ({pa0} - {pe0}) / {pe0}), 15) "
+                        f"as {_DEC}) as double), "
                         f"{round_to})").alias("chi2"),
-                 F.expr(f"round(sum(__psi_t), {round_to})").alias("psi")))
+                 F.expr(f"round(sum(__psi_t) + ({bins} - count(1)) * "
+                        f"(({pa0} - {pe0}) * ln({pa0} / {pe0})), "
+                        f"{round_to})").alias("psi")))
 
 
 def categorical_drift(

@@ -334,6 +334,18 @@ def exact_percentiles_refine(
 
     results: dict[str, list] = {}
     fallback_cols: list[str] = []
+    # a non-finite bracket (the column holds NaN/inf near a probed
+    # quantile) cannot be spliced into SQL text — repr() would emit the
+    # bare identifiers nan/inf — and non-finite windows break the rank
+    # walk anyway; those columns run the fully-exact bucketed plan, which
+    # handles NaN via its sentinel bucket
+    finite_info = {}
+    for c, (n, br) in info.items():
+        if all(math.isfinite(float(x)) for x in br):
+            finite_info[c] = (n, br)
+        else:
+            fallback_cols.append(c)
+    info = finite_info
     if info:
         exprs, bounds = [], {}
         for c, (n, br) in info.items():
@@ -354,8 +366,12 @@ def exact_percentiles_refine(
         p2 = df.selectExpr(exprs).collect()[0]
 
         def _round(x: float) -> float:
+            # Decimal(repr(x)), not Decimal(x): Spark's round() rounds the
+            # SHORTEST decimal repr (BigDecimal.valueOf) — Decimal(x)'s
+            # full binary expansion puts boundary values (…25 at the cut
+            # digit) on the other side of HALF_UP
             q = Decimal(1).scaleb(-round_to)
-            return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+            return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
         for c, (n, _br) in info.items():
             vals_out, ok = [], True

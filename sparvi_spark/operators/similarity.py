@@ -337,6 +337,11 @@ def kmeans_train_sampled(
             .orderBy(hash_expr(id_col), F.col(id_col))
             .limit(sample_size)
             .collect())
+    if len(rows) < k:
+        raise ValueError(
+            f"kmeans_train_sampled: need at least k={k} rows to seed "
+            f"k clusters, sample holds {len(rows)} — lower k or grow "
+            f"the input")
     x = np.array([[float(v) for v in r[1]] for r in rows], dtype="float64")
     cents = x[:k].copy()  # rows arrive in hash order — same init rule
     xsq = (x ** 2).sum(axis=1)[:, None]

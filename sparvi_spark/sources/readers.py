@@ -178,7 +178,11 @@ def read_corpus(
         F.input_file_name().alias("source_file"),
     )
     if id_col is not None and fmt == "jsonl":
-        ids = raw.select(F.col(id_col).cast("long").alias("doc_id"),
+        # verbatim, as documented: a cast('long') would NULL every
+        # string/UUID id and silently collapse all downstream joins —
+        # every consumer takes id_col generically, so the dump's own
+        # type (string or numeric) flows through unchanged
+        ids = raw.select(F.col(id_col).alias("doc_id"),
                          text.alias("text"),
                          F.input_file_name().alias("source_file"))
         return ids.select("doc_id", "text", "source_file")

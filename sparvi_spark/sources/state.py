@@ -130,18 +130,36 @@ def next_version(base: str) -> str:
     return f"v_{n:08d}"
 
 
-def gc_versions(base: str) -> None:
-    """Drop every version dir except the committed one."""
+def gc_versions(base: str, grace_seconds: float = 300.0) -> None:
+    """Drop every version dir except the committed one.
+
+    ``grace_seconds`` protects a CONCURRENT first commit: a reader that
+    finds no pointer calls this to clear crashed in-flight dirs, but an
+    in-flight dir younger than the grace window may belong to a committer
+    that is about to flip the pointer — deleting it would strand the
+    pointer on a missing dir (the table-format GC-grace pattern; crashed
+    dirs are old by the time anyone re-reads). Writers GC right after
+    their own flip, where the grace only delays reclaiming crashed space
+    by one cycle. Pass 0 to force-collect everything uncommitted.
+    """
     import shutil
+    import time
 
     current = read_pointer(base)
     try:
         entries = os.listdir(base)
     except OSError:
         return
+    now = time.time()
     for d in entries:
         if d.startswith("v_") and d != current:
-            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            full = os.path.join(base, d)
+            try:
+                if now - os.path.getmtime(full) < grace_seconds:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
 
 
 class StateStore:
@@ -271,4 +289,4 @@ class StateStore:
             p = os.path.join(base, e)
             shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
                 else os.remove(p)
-        gc_versions(base)
+        gc_versions(base, grace_seconds=0)  # writer: pointer just flipped

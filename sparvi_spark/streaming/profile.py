@@ -44,9 +44,18 @@ def streaming_incremental_profile(
         try:
             if batch.isEmpty():
                 return
-            batch.write.mode("append").parquet(table_path)
+            # idempotent landing: foreachBatch is at-least-once, and a
+            # blind append would double every replayed batch's rows in
+            # the accumulated table forever. Keying the write by batch_id
+            # (one overwritten subdir per batch) makes the replay a
+            # no-op rewrite of identical data.
+            batch.write.mode("overwrite").parquet(
+                f"{table_path}/ingest_batch={batch_id}")
             spark = batch.sparkSession
-            accumulated = spark.read.parquet(table_path)
+            accumulated = spark.read.option(
+                "basePath", table_path).parquet(table_path)
+            if "ingest_batch" in accumulated.columns:
+                accumulated = accumulated.drop("ingest_batch")
             profile = engine.run_incremental_profile(
                 accumulated, table_name, partition_col, numeric_cols)
             if on_profile is not None:

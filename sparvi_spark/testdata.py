@@ -78,10 +78,23 @@ _TUNED: dict[int, str] = {}
 
 
 def _tune_for_dir(spark: SparkSession, sf_dir: str) -> str:
+    # recursive: Spark-written tables are DIRECTORIES of part files —
+    # a top-level getsize would read their inode size (~4 KB) and tune a
+    # multi-GB dir down to the tiny-data profile
+    def _sz(p: str) -> int:
+        if os.path.isdir(p):
+            try:
+                return sum(_sz(os.path.join(p, e)) for e in os.listdir(p))
+            except OSError:
+                return 0
+        try:
+            return os.path.getsize(p)
+        except OSError:
+            return 0
+
     try:
-        total = sum(
-            os.path.getsize(os.path.join(sf_dir, f))
-            for f in os.listdir(sf_dir))
+        total = sum(_sz(os.path.join(sf_dir, f))
+                    for f in os.listdir(sf_dir))
     except OSError:
         return _TUNED.get(id(spark._jsparkSession), "cluster")
     if total < _SMALL_DATA_BYTES:

@@ -1554,3 +1554,35 @@ def test_remove_duplicate_spans_preserves_case_and_passthrough(spark):
     assert out[1] == ("Left Right Mid End", 8)
     assert out[2] == (untouched, 0)                 # byte-identical
     assert out[3] == (None, 0)
+
+
+def test_numeric_drift_unequal_sizes_counts_empty_bins(spark):
+    """ne != na with bins empty on BOTH sides: the smoothing-only terms of
+    those bins must appear in every metric (the dense-formula contract the
+    numpy reference uses)."""
+    import math
+
+    import numpy as np
+
+    from sparvi_spark.operators.drift import numeric_drift
+
+    # baseline 1000 rows over a wide range; current 10 rows in one corner
+    base = [float(i % 100) for i in range(1000)]
+    cur = [5.0] * 10
+    e = spark.createDataFrame([(v,) for v in base], "x double")
+    a = spark.createDataFrame([(v,) for v in cur], "x double")
+    bins = 10
+    row = numeric_drift(e, a, ["x"], bins=bins).collect()[0]
+
+    mn, mx = min(base), max(base)
+    def hist(vals):
+        h = np.zeros(bins)
+        for v in vals:
+            b = int(min(max(math.floor((v - mn) / (mx - mn) * bins), 0),
+                        bins - 1))
+            h[b] += 1
+        return (h + 0.5) / (len(vals) + 0.5 * bins)
+    pe, pa = hist(base), hist(cur)
+    assert abs(row["tvd"] - 0.5 * np.abs(pa - pe).sum()) < 1e-6
+    assert abs(row["chi2"] - (((pa - pe) ** 2) / pe).sum()) < 1e-6
+    assert abs(row["psi"] - ((pa - pe) * np.log(pa / pe)).sum()) < 1e-6

@@ -198,3 +198,37 @@ def test_correlation_matrix_matches_numpy(spark):
     # zero-variance partner -> NULL, not a crash or +-1
     assert got[("a", "c")]["pearson"] is None
     assert got[("b", "c")]["pearson"] is None
+
+
+def test_exact_percentiles_refine_nan_column_falls_back(spark):
+    """A NaN-bearing column routes to the bucketed fallback instead of
+    splicing 'nan' into SQL; values match exact_percentiles on the same
+    data (NaN sorts last in both plans)."""
+    from sparvi_spark.operators.profile import (
+        exact_percentiles, exact_percentiles_refine)
+
+    import math
+
+    rows = [(float(i),) for i in range(100)] + [(float("nan"),)] * 60
+    df = spark.createDataFrame(rows, "v double")
+    got = exact_percentiles_refine(df, ["v"]).collect()[0]
+    ref = exact_percentiles(df, ["v"]).collect()[0]
+    for q in ("p25", "p50", "p75"):
+        g, r = got[q], ref[q]
+        assert g == r or (math.isnan(g) and math.isnan(r)), q
+    assert math.isnan(got["p75"])  # NaN tail actually reached the walk
+
+
+def test_refine_rounding_matches_spark_shortest_repr(spark):
+    """Boundary values whose shortest repr ends in 5 at the cut digit must
+    round like Spark's round() (HALF_UP on the shortest decimal repr)."""
+    from sparvi_spark.operators.profile import exact_percentiles_refine
+
+    # every row identical -> every quantile is exactly this value; its
+    # shortest repr 3.0000025 rounds HALF_UP to 3.000003 (Decimal(x)'s
+    # binary expansion 3.00000249999... would round DOWN to 3.000002)
+    df = spark.createDataFrame([(3.0000025,)] * 10, "v double")
+    got = exact_percentiles_refine(df, ["v"]).collect()[0]
+    spark_rounded = spark.sql(
+        "select round(cast(3.0000025 as double), 6) as r").collect()[0]["r"]
+    assert got["p50"] == spark_rounded == 3.000003

@@ -264,14 +264,21 @@ def test_pointer_protocol_reads_last_complete_commit(crashes):
                 f.write(f"payload-{i}")
             if not crash:
                 write_pointer(base, v)
-                gc_versions(base)
+                gc_versions(base, grace_seconds=0)  # writer semantics
                 last_committed = v
         assert read_pointer(base) == last_committed
         if last_committed is not None:
             with open(os.path.join(base, last_committed, "data.txt")) as f:
                 assert f.read().startswith("payload-")
-        # final GC leaves exactly the committed version
+        # READER-path GC (default grace) must NOT touch a fresh
+        # uncommitted dir — it may be a concurrent commit mid-flight
+        fresh = [d for d in os.listdir(base)
+                 if d.startswith("v_") and d != last_committed]
         gc_versions(base)
+        for d in fresh:
+            assert os.path.isdir(os.path.join(base, d)), "grace violated"
+        # writer-forced GC leaves exactly the committed version
+        gc_versions(base, grace_seconds=0)
         left = [d for d in os.listdir(base) if d.startswith("v_")]
         assert left == ([last_committed] if last_committed else [])
 
