@@ -473,6 +473,7 @@ class Engine:
                                dedup_lines_min_count: int | None = None,
                                strip_duplicate_spans_n: int | None = None,
                                shuffle_seed: int | None = None,
+                               quality_overrides: dict[str, Any] | None = None,
                                **gate_kwargs: Any) -> dict[str, Any]:
         """End-to-end corpus publication: what ``screen_corpus`` MEASURES,
         this APPLIES — gate, then filter (Gopher quality rules + optional
@@ -540,7 +541,8 @@ class Engine:
                 or strip_duplicate_spans_n is not None:
             docs = docs.where(
                 f"`{text_col}` is not null and trim(`{text_col}`) <> ''")
-        keep_ids = quality_filter(docs, text_col, id_col) \
+        keep_ids = quality_filter(docs, text_col, id_col,
+                                  **(quality_overrides or {})) \
             .where(F.col("keep")).select(id_col)
         kept = docs.join(keep_ids, id_col, "left_semi")
         if classifier_weights is not None:

@@ -163,3 +163,26 @@ def train_nb_classifier(
         weights.append(math.log((p + alpha) / dp)
                        - math.log((n + alpha) / dn))
     return weights, math.log(n_pos_docs / n_neg_docs)
+
+
+def save_classifier(spark, path: str, weights: list[float],
+                    bias: float = 0.0) -> None:
+    """Persist a trained model as a JSON sidecar (Hadoop-FS writer —
+    object-store roots included), so train-once/score-many sessions and
+    the corpus-export classifier gate can share one artifact."""
+    import json
+
+    from sparvi_spark.sources.writers import write_text_file
+
+    write_text_file(spark, path, json.dumps(
+        {"weights": [float(w) for w in weights], "bias": float(bias)}))
+
+
+def load_classifier(spark, path: str) -> tuple[list[float], float]:
+    """-> (weights, bias) for ``linear_scores`` / the export gate."""
+    import json
+
+    from sparvi_spark.sources.writers import read_text_file
+
+    model = json.loads(read_text_file(spark, path))
+    return model["weights"], float(model.get("bias", 0.0))

@@ -613,3 +613,26 @@ def test_dedup_corpus_incremental_sink_failure_leaves_no_state(spark, engine):
     assert s["n_kept"] == 2 and seen == [2]
     assert engine.state.read("corpus_signatures").where(
         F.col("corpus_name") == "cs").count() == 2
+
+
+def test_classifier_sidecar_and_quality_overrides(spark, engine, tmp_path):
+    """save/load classifier round-trips through the sidecar, and
+    quality_overrides reach the export's Gopher filter (min_words low
+    enough that short docs publish)."""
+    from sparvi_spark.operators.classify import (
+        load_classifier, save_classifier)
+
+    save_classifier(spark, str(tmp_path / "m.json"), [0.5, -0.25], 0.125)
+    w, b = load_classifier(spark, str(tmp_path / "m.json"))
+    assert w == [0.5, -0.25] and b == 0.125
+
+    docs = spark.createDataFrame(
+        [(1, "the small doc with a few simple words to keep around"),
+         (2, "and another one of the short documents in this tiny set")],
+        "doc_id int, text string")
+    s = engine.export_training_corpus(
+        docs, "qo", str(tmp_path / "qo"), n_shards=1,
+        require_gate=False, min_keep_rate=0.0,
+        quality_overrides={"min_words": 5},
+        run_at="2026-01-08 00:00:00")
+    assert s["exported"] and s["n_exported"] == 2
