@@ -1824,10 +1824,17 @@ def _clf_weights() -> list[float]:
 
 
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compared columns are the EXACT ones: int64 feature_sum + token
+    count + the unrounded-sign label. The margin double is identical in
+    both engines but its decimal rounding is not (shortest-repr HALF_UP
+    vs binary-value rounding diverge on tie digits — observed at sf0.1),
+    so the rounded margin stays out of the hash."""
     from sparvi_spark.operators.classify import linear_scores
 
     docs = load_table(spark, "documents", sf_dir)
-    return linear_scores(docs, _clf_weights(), bias=CLF_BIAS)
+    return linear_scores(docs, _clf_weights(), bias=CLF_BIAS,
+                         emit_sum=True).select(
+        "doc_id", "n_tokens", "feature_sum", "label")
 
 
 def _sql_classifier_scores() -> str:
@@ -1852,12 +1859,12 @@ s AS (SELECT doc_id, len(toks) AS n_tokens,
                  as bigint))),
           (a, b) -> a + b) AS fsum
       FROM d),
-m AS (SELECT doc_id, n_tokens,
+m AS (SELECT doc_id, n_tokens, fsum,
         {CLF_BIAS} + cast(fsum as double)
           / (cast(n_tokens as double) * {WEIGHT_SCALE}.0) AS margin
       FROM s)
 SELECT doc_id, cast(n_tokens as int) AS n_tokens,
-  round(margin, 9) AS margin, margin > 0.0 AS label
+  cast(fsum as bigint) AS feature_sum, margin > 0.0 AS label
 FROM m
 """.strip()
 

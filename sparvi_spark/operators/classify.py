@@ -61,6 +61,7 @@ def linear_scores(
     text_col: str = "text",
     bias: float = 0.0,
     round_to: int = 9,
+    emit_sum: bool = False,
 ) -> DataFrame:
     """(id, n_tokens, margin, label) per document.
 
@@ -68,7 +69,13 @@ def linear_scores(
     feature dimension); tokens are lowercased whitespace words (the text
     module's split semantics). ``label`` compares the UNROUNDED margin
     to 0 so it can never disagree with the sign of the true score;
-    ``margin`` is rounded for stable comparison/storage.
+    ``margin`` is rounded for stable storage. ``emit_sum`` appends the
+    exact int64 ``feature_sum`` — the engine-independent number (the
+    margin DOUBLE is identical everywhere too, but rounding it to
+    decimal digits is not: a value whose shortest repr ties at the cut
+    digit rounds differently under Spark's repr-based HALF_UP vs an
+    engine that rounds the binary value, so cross-engine comparisons
+    should use the integers).
     """
     dim = len(weights)
     qw = quantize_weights(weights)
@@ -84,6 +91,7 @@ def linear_scores(
         f"size({toks}) AS n_tokens",
         f"round({margin}, {round_to}) AS margin",
         f"{margin} > 0.0d AS label",
+        *([f"{ssum} AS feature_sum"] if emit_sum else []),
     )
 
 
