@@ -232,17 +232,28 @@ def main() -> None:
             "spark.scheduler.pool", f"suite-{get_ident()}")
         return f(spark, sf_dir).toPandas()
 
-    # best-of-3: measured co-tenant load on this machine swings run
-    # walls by 20-40% (SCALING.md round-5 spread); one extra sample keeps
-    # a single noisy window from being recorded as the engine's number
-    suite_wall = float("inf")
-    for _ in range(3):
+    # best-of-5 with all samples recorded: measured co-tenant load on
+    # this machine swings identical-code walls by 20-40% between ADJACENT
+    # runs (SCALING.md round-5 spread), so the min needs several draws
+    # and the reader deserves the whole sample list
+    # one untimed warm pass first — identical to the per-query protocol
+    # (codegen/JIT for 50 plan shapes is warm-engine state, not work):
+    # measured cold-first samples run ~10.5s vs ~6s warmed. isolate()
+    # between reps for the same reason it runs between serial queries:
+    # checks that persist intermediates would otherwise stack 50 cached
+    # RDDs per rep (measured: samples ramp 5.7 -> 15s without it).
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        list(ex.map(run_one, suite_fns))
+    walls = []
+    for _ in range(5):
+        isolate()
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=16) as ex:
             list(ex.map(run_one, suite_fns))
-        suite_wall = min(suite_wall, round(time.perf_counter() - t0, 4))
+        walls.append(round(time.perf_counter() - t0, 4))
+    suite_wall = min(walls)
     print(f"# oracle suite concurrent wall ({len(suite_fns)} queries, "
-          f"best of 3): {suite_wall:.2f}s", file=sys.stderr)
+          f"best of 5 {walls}): {suite_wall:.2f}s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_total",
@@ -250,6 +261,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "suite_concurrent_wall_sec": suite_wall,
+        "suite_concurrent_walls": walls,
         "suite_queries": len(suite_fns),
         "sf": sf,
     }))

@@ -98,6 +98,7 @@ def main() -> None:
     # plans fresh inside the timer.
     concurrent_wall = float("inf")
     for _ in range(2):
+        isolate()  # persisted check intermediates must not stack reps
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=16) as ex:
             list(ex.map(run_one, fns))
