@@ -77,7 +77,8 @@ def build_scaled(spark) -> None:
 def spark_queries(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from sparvi_spark.operators.dedup import minhash_lsh_pairs
+    from sparvi_spark.operators.dedup import (
+        duplicate_spans, minhash_lsh_pairs)
     from sparvi_spark.operators.profile import (
         exact_percentiles, exact_percentiles_refine)
     from sparvi_spark.operators.text import lang_id_expr, quality_features
@@ -110,6 +111,13 @@ def spark_queries(spark, sf_dir):
         "dedup_minhash": lambda: minhash_lsh_pairs(
             docs(), "doc_id", "text", n=3, num_hashes=16, bands=16,
             threshold=0.8).groupBy().count(),
+        # exact duplicate-passage spans (ExactSubstr analogue) — strictly
+        # linear positional-n-gram pipeline; 8-byte hash keys on the
+        # Spark side, raw gram strings on DuckDB's (its natural form)
+        "dup_spans": lambda: duplicate_spans(
+            docs(), "doc_id", "text", n=8).agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_tokens").alias("tok_total")),
     }
 
 
@@ -154,7 +162,25 @@ def main() -> None:
     langs = list(lang_markers)
     pick = ("CASE greatest(" + ", ".join(f"h_{la}" for la in langs) + ") "
             + " ".join(f"WHEN h_{la} THEN '{la}'" for la in langs) + " END")
+    dup_spans_sql = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+w AS (SELECT doc_id, cast(i - 1 as int) AS pos,
+        array_to_string(list_slice(tk, i, i + 7), chr(31)) AS key
+      FROM t, unnest(range(1, len(tk) - 6)) AS u(i) WHERE len(tk) >= 8),
+h AS (SELECT key FROM w GROUP BY key HAVING count(*) >= 2),
+r AS (SELECT doc_id, pos FROM w WHERE key IN (SELECT key FROM h)),
+i AS (SELECT doc_id, pos, pos + 8 AS e,
+        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM r),
+j AS (SELECT *, sum(CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END)
+        OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM i),
+sp AS (SELECT doc_id, max(e) - min(pos) AS span_tokens
+       FROM j GROUP BY doc_id, island)
+SELECT count(*) AS n_spans, sum(span_tokens) AS tok_total FROM sp"""
     duck = {
+        "dup_spans": dup_spans_sql,
         "profile_numeric": DUCK_SQL["profile_numeric"],
         "percentiles": DUCK_SQL["percentiles"],
         "percentiles_refine": DUCK_SQL["percentiles"],
