@@ -365,7 +365,9 @@ class Engine:
                       contamination_threshold: float = 0.5,
                       classifier_weights: list[float] | None = None,
                       classifier_bias: float = 0.0,
-                      min_classifier_pass_rate: float = 0.5) -> dict[str, Any]:
+                      min_classifier_pass_rate: float = 0.5,
+                      quality_overrides: dict[str, Any] | None = None,
+                      ) -> dict[str, Any]:
         """Training-corpus ingest gate: ONE summary from three screens —
         Gopher-rule quality pass rate, exact-duplicate rate, and (given a
         reference/benchmark corpus) the fraction of docs whose shingle
@@ -387,7 +389,8 @@ class Engine:
         if n_docs == 0:
             raise ValueError(f"screen_corpus: {corpus_name} has no rows")
 
-        kept = quality_filter(docs, text_col, id_col).agg(
+        kept = quality_filter(docs, text_col, id_col,
+                              **(quality_overrides or {})).agg(
             F.count(F.when(F.col("keep"), 1)).alias("kept")
         ).first()["kept"]
         keep_rate = kept / n_docs
@@ -512,7 +515,8 @@ class Engine:
         summary = self.screen_corpus(
             docs, corpus_name, text_col=text_col, id_col=id_col, ref=ref,
             run_at=run_at, classifier_weights=classifier_weights,
-            classifier_bias=classifier_bias, **gate_kwargs)
+            classifier_bias=classifier_bias,
+            quality_overrides=quality_overrides, **gate_kwargs)
         if require_gate and not summary["gate_passed"]:
             summary["exported"] = False
             return summary

@@ -36,9 +36,11 @@ def save_ivfpq_index(
     """
     from sparvi_spark.operators.similarity import ivfpq_encode
 
+    # the encoder canonicalizes the id column to 'vec_id'; the original
+    # name rides in the sidecar and load_ivfpq_index restores it
     codes = ivfpq_encode(df, centroids, codebooks,
                          id_col=id_col, vec_col=vec_col)
-    (codes.repartition("cell").sortWithinPartitions("cell", id_col)
+    (codes.repartition("cell").sortWithinPartitions("cell", "vec_id")
      .write.mode("overwrite").partitionBy("cell").parquet(path))
     spark = df.sparkSession
     write_text_file(
@@ -49,13 +51,19 @@ def save_ivfpq_index(
                           for b, vec in centroids],
             "codebooks": [[[float(x) for x in c] for c in book]
                           for book in codebooks],
+            # provenance: which source column produced the canonical
+            # 'vec_id' ids stored in the codes parquet
             "id_col": id_col,
         }))
-    stats = spark.read.parquet(path).groupBy().agg(
-        F.expr("count(1)"), F.expr("count(distinct cell)")).first()
-    return {"n_vectors": int(stats[0] or 0),
-            "n_cells": int(stats[1] or 0),
-            "m": len(codebooks)}
+    try:
+        stats = spark.read.parquet(path).groupBy().agg(
+            F.expr("count(1)"), F.expr("count(distinct cell)")).first()
+        n_vec, n_cells = int(stats[0] or 0), int(stats[1] or 0)
+    except Exception:
+        # zero-row input: partitionBy writes only _SUCCESS, nothing to
+        # infer a schema from — an empty index, not an error
+        n_vec, n_cells = 0, 0
+    return {"n_vectors": n_vec, "n_cells": n_cells, "m": len(codebooks)}
 
 
 def load_ivfpq_index(
@@ -67,4 +75,8 @@ def load_ivfpq_index(
     the kilobyte model sidecar is read eagerly."""
     model = json.loads(read_text_file(spark, f"{path}.model.json"))
     cents = [(int(b), vec) for b, vec in model["centroids"]]
+    # the codes frame keeps the canonical 'vec_id' column ivfpq_topk
+    # expects on the index side; the sidecar's "id_col" records which
+    # SOURCE column those ids came from (provenance for mapping results
+    # back to the original table)
     return spark.read.parquet(path), cents, model["codebooks"]

@@ -1620,3 +1620,36 @@ def test_ivfpq_index_save_load_roundtrip(spark, tmp_path):
     # cell partitioning exists on disk: nprobe search prunes directories
     import os
     assert any(e.startswith("cell=") for e in os.listdir(path))
+
+
+def test_ivfpq_index_save_nondefault_id_and_empty(spark, tmp_path):
+    """Non-default id_col saves and searches (ids canonicalized to
+    vec_id, source column recorded in the sidecar); a zero-row input
+    yields an empty manifest instead of a crash."""
+    import json
+
+    from pyspark.sql import functions as F2
+
+    from sparvi_spark.operators.similarity import ivfpq_topk, ivfpq_train
+    from sparvi_spark.sources.index_io import (
+        load_ivfpq_index, save_ivfpq_index)
+    from sparvi_spark.testdata import load_table
+
+    emb = (load_table(spark, "embeddings", "/root/testdata/sf0.001")
+           .withColumnRenamed("vec_id", "doc_id"))
+    cents, books = ivfpq_train(emb, nlist=4, m=4, k=8, iters=1,
+                               id_col="doc_id")
+    path = str(tmp_path / "idx")
+    m = save_ivfpq_index(emb, path, cents, books, id_col="doc_id")
+    assert m["n_vectors"] == emb.count()
+    model = json.loads(open(f"{path}.model.json").read())
+    assert model["id_col"] == "doc_id"
+    codes, c2, b2 = load_ivfpq_index(spark, path)
+    hits = ivfpq_topk(codes, emb.where(F2.col("doc_id") < 3), c2, b2,
+                      id_col="doc_id", k=3, nprobe=2).collect()
+    assert len(hits) > 0
+
+    empty = emb.where(F2.col("doc_id") < -1)
+    m0 = save_ivfpq_index(empty, str(tmp_path / "idx0"), cents, books,
+                          id_col="doc_id")
+    assert m0 == {"n_vectors": 0, "n_cells": 0, "m": 4}
