@@ -644,6 +644,54 @@ class Engine:
             f"{n_exported} docs in {len(rows)} shards at {path}", run_at)
         return summary
 
+    def build_ann_index(self, df: DataFrame, index_name: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        nlist: int = 8, m: int = 8, k: int = 16,
+                        iters: int = 3,
+                        run_at: str | None = None) -> dict[str, Any]:
+        """Train + persist a named IVF-PQ index under the warehouse
+        (``<warehouse>/ann/<name>`` codes + model sidecar; sources/
+        index_io.py) and log an ``ann_index_built`` event. One call takes
+        a corpus from raw embeddings to a servable index; training cost
+        is the one-pass sampled k-means + residual PQ, encode is map-only.
+        """
+        import os as _os
+
+        from sparvi_spark.operators.similarity import ivfpq_train
+        from sparvi_spark.sources.index_io import save_ivfpq_index
+
+        run_at = run_at or _utcnow()
+        cents, books = ivfpq_train(df, nlist=nlist, m=m, k=k,
+                                   id_col=id_col, vec_col=vec_col,
+                                   iters=iters)
+        path = _os.path.join(self.state.root, "ann", index_name)
+        manifest = save_ivfpq_index(df, path, cents, books,
+                                    id_col=id_col, vec_col=vec_col)
+        self.publish_event(
+            "ann_index_built", index_name,
+            f"{manifest['n_vectors']} vectors, {manifest['n_cells']} "
+            f"cells, m={manifest['m']} at {path}", run_at)
+        return {**manifest, "path": path}
+
+    def ann_search(self, queries: DataFrame, index_name: str,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   k: int = 10, nprobe: int = 2,
+                   exclude_self: bool = True) -> DataFrame:
+        """ADC top-k against a named stored index -> (query_id,
+        neighbor_id, rank, adc_dist). Cold start reads the KB model
+        sidecar; the cell-partitioned codes scan prunes to nprobe cells."""
+        import os as _os
+
+        from sparvi_spark.operators.similarity import ivfpq_topk
+        from sparvi_spark.sources.index_io import load_ivfpq_index
+
+        codes, cents, books = load_ivfpq_index(
+            self.spark, _os.path.join(self.state.root, "ann", index_name))
+        return ivfpq_topk(codes, queries, cents, books, id_col=id_col,
+                          vec_col=vec_col, k=k, nprobe=nprobe,
+                          exclude_self=exclude_self)
+
     def dedup_corpus_incremental(self, docs: DataFrame, corpus_name: str,
                                  id_col: str = "doc_id",
                                  text_col: str = "text",

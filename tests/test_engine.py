@@ -636,3 +636,30 @@ def test_classifier_sidecar_and_quality_overrides(spark, engine, tmp_path):
         quality_overrides={"min_words": 5},
         run_at="2026-01-08 00:00:00")
     assert s["exported"] and s["n_exported"] == 2
+
+
+def test_engine_ann_index_build_and_search(spark, engine):
+    """Lifecycle glue: build a named index once, search it from the
+    warehouse in a later call; results match the direct operator path."""
+    from pyspark.sql import functions as F2
+
+    from sparvi_spark.operators.similarity import (
+        ivfpq_encode, ivfpq_topk, ivfpq_train)
+    from sparvi_spark.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    m = engine.build_ann_index(emb, "vecs", nlist=4, m=4, k=8, iters=1,
+                               run_at="2026-01-09 00:00:00")
+    assert m["n_vectors"] == emb.count() and m["path"].endswith("ann/vecs")
+
+    queries = emb.where(F2.col("vec_id") < 5)
+    got = engine.ann_search(queries, "vecs", k=5, nprobe=2).toPandas()
+    cents, books = ivfpq_train(emb, nlist=4, m=4, k=8, iters=1)
+    want = ivfpq_topk(ivfpq_encode(emb, cents, books), queries,
+                      cents, books, k=5, nprobe=2).toPandas()
+    key = ["query_id", "rank"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        want.sort_values(key).reset_index(drop=True))
+    ev = engine.state.read("engine_events").where(
+        F2.col("event_type") == "ann_index_built").count()
+    assert ev == 1
