@@ -381,3 +381,36 @@ def test_duplicate_spans_property(spark, docs, n, scope):
             for r in duplicate_spans(df, "doc_id", "text", n=n,
                                      scope=scope, gram_mode=mode).collect())
         assert got == expect, (mode, texts)
+
+
+_line_docs = st.lists(
+    st.lists(st.sampled_from(["aa bb", "cc dd", "ee ff", "gg hh", "ii"]),
+             min_size=0, max_size=8),
+    min_size=1, max_size=5)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_line_docs, st.sampled_from([2, 3]))
+def test_dedup_lines_corpus_property(spark, docs, min_count):
+    """dedup_lines_corpus == a driver-side reference on random tiny-vocab
+    multi-line corpora (dense repeats, first occurrences dropped too,
+    order preserved), in both key modes."""
+    import collections
+
+    from sparvi_spark.operators.text import dedup_lines_corpus
+
+    texts = {i: "\n".join(lines) for i, lines in enumerate(docs)}
+    counts = collections.Counter(
+        ln for t in texts.values() for ln in t.split("\n"))
+    expect = {}
+    for d, t in texts.items():
+        keep = [ln for ln in t.split("\n") if counts[ln] < min_count]
+        removed = sum(1 for ln in t.split("\n") if counts[ln] >= min_count)
+        expect[d] = ("\n".join(keep), removed)
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    for mode in ("hash", "exact"):
+        got = {r["doc_id"]: (r["text_clean"], r["n_lines_removed"])
+               for r in dedup_lines_corpus(
+                   df, "doc_id", "text", min_count=min_count,
+                   hash_mode=mode).collect()}
+        assert got == expect, (mode, texts)
