@@ -118,9 +118,11 @@ def headline_queries():
         "profile_row_dup_counts": reg["p01_row_counts"][0],
         "validation_all_tables": reg["v00_rules_all"][0],
         "custom_sql_q1": reg["v06_custom_sql"][0],
-        "anomaly_zscore_both": reg["a01_zscore"][0],
+        # r6: a01/t02 slots merged (a01_anomaly_scores adds the iqr parts,
+        # t02_rollups adds the dashboard melt) — workload superset of r5
+        "anomaly_zscore_both": reg["a01_anomaly_scores"][0],
         "anomaly_detection_run": reg["a07_detection_run"][0],
-        "trend_daily_rollup": reg["t02_daily_rollup"][0],
+        "trend_daily_rollup": reg["t02_rollups"][0],
         "schema_diff": reg["s01_schema_diff"][0],
         "dedup_minhash_full": dedup_minhash_full,
         "similarity_topk_full": similarity_topk_full,
@@ -235,7 +237,27 @@ def main() -> None:
     # best-of-5 with all samples recorded: measured co-tenant load on
     # this machine swings identical-code walls by 20-40% between ADJACENT
     # runs (SCALING.md round-5 spread), so the min needs several draws
-    # and the reader deserves the whole sample list
+    # and the reader deserves the whole sample list.
+    #
+    # LOAD AWARENESS (r6): neighbor/co-tenant contention is invisible to
+    # this VM's loadavg, so each sample is bracketed by a single-thread
+    # CPU spin probe — a fixed busy loop whose wall time tracks effective
+    # CPU speed (hypervisor steal included). A sample whose pre- OR
+    # post-probe runs >25% over the session's best probe is marked
+    # contaminated and retried (up to 3 extra draws); the headline is the
+    # min over CLEAN samples when any exist, and the JSON carries every
+    # sample with its probe ratios so the artifact is self-auditing
+    # (round-5's official capture recorded 10.1s/11.6s neighbor-load
+    # walls into a 7.86s headline that an idle rerun showed was ~6.9s).
+    def spin_probe() -> float:
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i ^ (i >> 3)
+        return time.perf_counter() - t0
+
+    probe_base = min(spin_probe() for _ in range(5))
+
     # one untimed warm pass first — identical to the per-query protocol
     # (codegen/JIT for 50 plan shapes is warm-engine state, not work):
     # measured cold-first samples run ~10.5s vs ~6s warmed. isolate()
@@ -244,16 +266,32 @@ def main() -> None:
     # RDDs per rep (measured: samples ramp 5.7 -> 15s without it).
     with ThreadPoolExecutor(max_workers=16) as ex:
         list(ex.map(run_one, suite_fns))
-    walls = []
-    for _ in range(5):
+    samples: list[dict] = []
+    draws = 0
+    while draws < 5 + 3 and sum(1 for s in samples if not s["contaminated"]) < 5:
+        draws += 1
         isolate()
+        pre = spin_probe() / probe_base
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=16) as ex:
             list(ex.map(run_one, suite_fns))
-        walls.append(round(time.perf_counter() - t0, 4))
-    suite_wall = min(walls)
+        wall = round(time.perf_counter() - t0, 4)
+        post = spin_probe() / probe_base
+        samples.append({
+            "wall": wall,
+            "probe_pre": round(pre, 3),
+            "probe_post": round(post, 3),
+            "contaminated": pre > 1.25 or post > 1.25,
+        })
+    clean = [s["wall"] for s in samples if not s["contaminated"]]
+    walls = [s["wall"] for s in samples]
+    suite_wall = min(clean) if clean else min(walls)
+    spread = (max(clean) / min(clean) - 1.0) if len(clean) >= 2 else None
     print(f"# oracle suite concurrent wall ({len(suite_fns)} queries, "
-          f"best of 5 {walls}): {suite_wall:.2f}s", file=sys.stderr)
+          f"min over {len(clean)} clean of {len(samples)} samples "
+          f"{walls}): {suite_wall:.2f}s"
+          + (f", clean spread {spread:.1%}" if spread is not None else ""),
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_total",
@@ -262,6 +300,10 @@ def main() -> None:
         "queries": timings,
         "suite_concurrent_wall_sec": suite_wall,
         "suite_concurrent_walls": walls,
+        "suite_samples": samples,
+        "suite_clean_samples": len(clean),
+        "suite_clean_spread": (round(spread, 4)
+                               if spread is not None else None),
         "suite_queries": len(suite_fns),
         "sf": sf,
     }))

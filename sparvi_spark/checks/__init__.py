@@ -44,6 +44,108 @@ def union_check(parts, tag_col: str = "mode"):
     return fn, sql
 
 
+def aligned_union_check(parts, columns, tag_col="part"):
+    """Superset-union same-family checks whose schemas differ only by
+    column naming / optional columns. ``parts`` is a list of
+    (tag, spark_fn, oracle_sql, exprs) where ``exprs`` maps each output
+    column in ``columns`` to ONE SQL expression string evaluated by BOTH
+    Spark (selectExpr) and DuckDB — keep to column refs, CAST, NULL and
+    ``||`` so the dialects agree. Policy: a column that any part pads with
+    NULL is CAST to DOUBLE in every part (both engines then materialize
+    float64 regardless of null pattern — the driver's value hash is
+    dtype-sensitive); ids/checksums that must stay exact are never padded
+    and stay BIGINT."""
+    def fn(spark, sf_dir, _parts=tuple(parts), _cols=tuple(columns),
+           _tag=tag_col):
+        from pyspark.sql import functions as F
+
+        out = None
+        for tag, f, _sql, exprs in _parts:
+            d = f(spark, sf_dir).selectExpr(
+                *[f"{exprs[c]} AS {c}" for c in _cols]
+            ).select(F.lit(tag).alias(_tag), "*")
+            out = d if out is None else out.unionAll(d)
+        return out
+
+    sql = " UNION ALL ".join(
+        "SELECT '{}' AS {}, {} FROM ({}) au_{}".format(
+            tag.replace("'", "''"), tag_col,
+            ", ".join(f"{exprs[c]} AS {c}" for c in columns), s, i)
+        for i, (tag, _f, s, exprs) in enumerate(parts)
+    )
+    return fn, sql
+
+
+def melted_check(parts):
+    """Long-format merge for same-family checks with heterogeneous
+    schemas: every source value still flows into the driver's hash,
+    nothing is dropped. ``parts`` is a list of
+    (tag, spark_fn, oracle_sql, keys, nums, strs):
+
+    - ``keys`` (≤2 columns) are stringified into k1/k2 (CAST to string is
+      digit-identical across engines for ints/strings; don't key on raw
+      doubles),
+    - ``nums`` melt to (metric, num_val DOUBLE) — only exactly-
+      representable values belong here (counts, small ids, booleans,
+      pre-rounded doubles; never >2^53 checksums),
+    - ``strs`` melt to (metric, str_val STRING).
+
+    One pass per part on both sides: Spark explodes an array of structs,
+    DuckDB unnests a struct list — the underlying query runs once."""
+    def fn(spark, sf_dir, _parts=tuple(parts)):
+        from pyspark.sql import functions as F
+
+        out = None
+        for tag, f, _sql, keys, nums, strs in _parts:
+            ks = [
+                (F.col(keys[i]).cast("string") if i < len(keys)
+                 else F.lit(None).cast("string")).alias(f"k{i + 1}")
+                for i in range(2)
+            ]
+            items = [
+                F.struct(F.lit(m).alias("metric"),
+                         F.col(m).cast("double").alias("num_val"),
+                         F.lit(None).cast("string").alias("str_val"))
+                for m in nums
+            ] + [
+                F.struct(F.lit(m).alias("metric"),
+                         F.lit(None).cast("double").alias("num_val"),
+                         F.col(m).cast("string").alias("str_val"))
+                for m in strs
+            ]
+            d = f(spark, sf_dir).select(
+                F.lit(tag).alias("part"), *ks,
+                F.explode(F.array(*items)).alias("u"),
+            ).select("part", "k1", "k2", "u.metric", "u.num_val",
+                     "u.str_val")
+            out = d if out is None else out.unionAll(d)
+        return out
+
+    stmts = []
+    for i, (tag, _f, s, keys, nums, strs) in enumerate(parts):
+        kexprs = [
+            (f"CAST({keys[j]} AS VARCHAR)" if j < len(keys)
+             else "CAST(NULL AS VARCHAR)") + f" AS k{j + 1}"
+            for j in range(2)
+        ]
+        structs = [
+            "{{'metric': '{m}', 'num_val': CAST({m} AS DOUBLE), "
+            "'str_val': CAST(NULL AS VARCHAR)}}".format(m=m) for m in nums
+        ] + [
+            "{{'metric': '{m}', 'num_val': CAST(NULL AS DOUBLE), "
+            "'str_val': CAST({m} AS VARCHAR)}}".format(m=m) for m in strs
+        ]
+        stmts.append(
+            "SELECT part, k1, k2, u.metric AS metric, "
+            "u.num_val AS num_val, u.str_val AS str_val FROM ("
+            "SELECT '{tag}' AS part, {ks}, unnest([{items}]) AS u "
+            "FROM ({sql}) mb_{i}) mt_{i}".format(
+                tag=tag.replace("'", "''"), ks=", ".join(kexprs),
+                items=", ".join(structs), sql=s, i=i)
+        )
+    return fn, " UNION ALL ".join(stmts)
+
+
 # Prepared-plan cache: check DataFrames keyed by (check, session, sf_dir).
 # A check fn is a pure plan builder over immutable parquet inputs, so its
 # built DataFrame — with its analyzed plan and compiled codegen — is
@@ -75,6 +177,7 @@ def collect_all_checks(prepared: bool = True) -> dict:
     a fresh build per timed run recomputes every stage."""
     from sparvi_spark.checks import (
         anomaly_checks,
+        merged_checks,
         pipeline_checks,
         profile_checks,
         schema_checks,
@@ -84,7 +187,8 @@ def collect_all_checks(prepared: bool = True) -> dict:
 
     out: dict = {}
     for mod in (profile_checks, validation_checks, anomaly_checks,
-                trend_checks, schema_checks, pipeline_checks):
+                trend_checks, schema_checks, pipeline_checks,
+                merged_checks):
         overlap = set(out) & set(mod.CHECKS)
         if overlap:
             raise ValueError(f"duplicate check names: {overlap}")

@@ -1,0 +1,197 @@
+"""Round-6 repack of the driver's 50 recorded slots.
+
+The driver records at most ``DRIVER_CHECK_CAP`` (50) oracle pairs per round
+(checks/__init__.py). Rounds 1-5 filled all 50 with the SURVEY §2 families;
+the 13 round-5 LLM-pipeline checks (drift, classifier/LM scoring, SemDeDup,
+duplicate spans, corpus line dedup, shard export, eval splits, BPE encode,
+sequence packing, incremental signatures, corpus diff) were verified only by
+the local replica (``EXTRA_CHECKS``). This module frees 9 slots by merging
+same-family checks — the tag-union pattern already graded since r3
+(a01 global+rolling, d06 simhash+rolling, x01 brute+ivf, x13
+bernoulli+stratified) — and registers the round-5 families in the freed
+slots. NOTHING is dropped: every previously-graded value still flows into a
+recorded hash, via either an aligned superset union (same meaning columns,
+NULL-padded extras CAST to DOUBLE so both engines materialize float64) or a
+long-format melt (keys stringified, numeric metrics as DOUBLE, string
+metrics as STRING). Standalone shapes stay in each module's EXTRA_CHECKS for
+local fine-grained diagnosis (scripts/check_oracle.py runs both).
+
+Slot map (old graded names -> new slot):
+- a01_zscore + a03_iqr              -> a01_anomaly_scores (4-part union)
+- d02_jaccard_pairs + d03_minhash_lsh + d05_embedding_neardup
+                                    -> d02_pair_scores (aligned)
+- x13_sampling + d07_dedup_corpus + t14_retention
+                                    -> x13_id_checksums (aligned; checksums
+                                       stay BIGINT — never through DOUBLE)
+- t02_daily_rollup + t05_dashboard_daily -> t02_rollups (melt)
+- t03_health_summary + t06_anomaly_summary -> t03_summaries (melt)
+- p14_preview + t13_metric_history + x06_top_tokens -> p14_misc_small (melt)
+New round-5 slots: x24_drift (x24+x25), x27_doc_scores (x27+x28),
+x26_shard_split (x26+x29), e10_tokenize_pack (e10+e09), and the singles
+x30_semantic_dedup, x31_duplicate_spans, e11_sig_pairs, e13_dedup_lines,
+e14_corpus_diff promoted verbatim from EXTRA.
+"""
+
+from __future__ import annotations
+
+from sparvi_spark.checks import aligned_union_check, melted_check, union_check
+from sparvi_spark.checks.anomaly_checks import (
+    SQL_IQR_GLOBAL,
+    SQL_IQR_ROLLING,
+    SQL_ZSCORE_GLOBAL,
+    SQL_ZSCORE_ROLLING,
+    q_iqr_global,
+    q_iqr_rolling,
+    q_zscore_global,
+    q_zscore_rolling,
+)
+from sparvi_spark.checks.pipeline_checks import (
+    SQL_BPE_TOKENIZE,
+    SQL_CORPUS_DIFF,
+    SQL_DEDUP_CORPUS,
+    SQL_DEDUP_LINES,
+    SQL_DUPLICATE_SPANS,
+    SQL_EMBEDDING_NEARDUP,
+    SQL_HASH_SAMPLE,
+    SQL_JACCARD_PAIRS,
+    SQL_LM_SCORE,
+    SQL_MINHASH_LSH,
+    SQL_PACK_SEQUENCES,
+    SQL_STRATIFIED_SAMPLE_AGG,
+    SQL_TOP_TOKENS,
+    _sql_categorical_drift,
+    _sql_classifier_scores,
+    _sql_eval_split,
+    _sql_numeric_drift,
+    _sql_semantic_dedup,
+    _sql_shard_plan,
+    _sql_sig_pairs,
+    q_bpe_tokenize,
+    q_categorical_drift,
+    q_classifier_scores,
+    q_corpus_diff,
+    q_dedup_corpus,
+    q_dedup_lines,
+    q_duplicate_spans,
+    q_embedding_neardup,
+    q_eval_split,
+    q_hash_sample,
+    q_jaccard_pairs,
+    q_lm_score,
+    q_minhash_lsh,
+    q_numeric_drift,
+    q_pack_sequences,
+    q_semantic_dedup,
+    q_shard_plan,
+    q_sig_pairs,
+    q_stratified_sample_agg,
+    q_top_tokens,
+)
+from sparvi_spark.checks.profile_checks import SQL_PREVIEW, q_preview
+from sparvi_spark.checks.trend_checks import (
+    SQL_ANOMALY_SUMMARY_COMBINED,
+    SQL_DAILY_ROLLUP,
+    SQL_DASHBOARD_COMBINED,
+    SQL_HEALTH_SUMMARY,
+    SQL_METRIC_HISTORY,
+    SQL_RETENTION,
+    q_anomaly_summary_combined,
+    q_daily_rollup,
+    q_dashboard_combined,
+    q_health_summary,
+    q_metric_history,
+    q_retention,
+)
+
+_PAIR_PAD = {"shared": "CAST(NULL AS DOUBLE)", "sz_a": "CAST(NULL AS DOUBLE)",
+             "sz_b": "CAST(NULL AS DOUBLE)"}
+
+CHECKS = {
+    # -- merged slots for previously-graded families --------------------
+    "a01_anomaly_scores": union_check([
+        ("zscore_global", q_zscore_global, SQL_ZSCORE_GLOBAL),
+        ("zscore_rolling", q_zscore_rolling, SQL_ZSCORE_ROLLING),
+        ("iqr_global", q_iqr_global, SQL_IQR_GLOBAL),
+        ("iqr_rolling", q_iqr_rolling, SQL_IQR_ROLLING),
+    ], tag_col="method"),
+    "d02_pair_scores": aligned_union_check([
+        ("jaccard_exact", q_jaccard_pairs, SQL_JACCARD_PAIRS, {
+            "id_a": "id_a", "id_b": "id_b",
+            "shared": "CAST(shared AS DOUBLE)",
+            "sz_a": "CAST(sz_a AS DOUBLE)", "sz_b": "CAST(sz_b AS DOUBLE)",
+            "score": "jaccard"}),
+        ("minhash_lsh", q_minhash_lsh, SQL_MINHASH_LSH,
+         {"id_a": "id_a", "id_b": "id_b", "score": "jaccard", **_PAIR_PAD}),
+        ("embedding_cosine", q_embedding_neardup, SQL_EMBEDDING_NEARDUP,
+         {"id_a": "id_a", "id_b": "id_b", "score": "cosine", **_PAIR_PAD}),
+    ], columns=["id_a", "id_b", "shared", "sz_a", "sz_b", "score"]),
+    "x13_id_checksums": aligned_union_check([
+        ("sample_bernoulli", q_hash_sample, SQL_HASH_SAMPLE,
+         {"key": "source", "n": "n_sampled", "id_checksum": "id_checksum"}),
+        ("sample_stratified", q_stratified_sample_agg,
+         SQL_STRATIFIED_SAMPLE_AGG,
+         {"key": "source", "n": "n_sampled", "id_checksum": "id_checksum"}),
+        ("dedup_corpus", q_dedup_corpus, SQL_DEDUP_CORPUS,
+         {"key": "source", "n": "n_kept", "id_checksum": "id_checksum"}),
+        ("retention", q_retention, SQL_RETENTION,
+         {"key": "CAST(user_id AS STRING)", "n": "kept",
+          "id_checksum": "id_checksum"}),
+    ], columns=["key", "n", "id_checksum"]),
+    "t02_rollups": melted_check([
+        ("daily_rollup", q_daily_rollup, SQL_DAILY_ROLLUP, ["day"],
+         ["passed", "failed", "seen", "health_score"], []),
+        ("dashboard_daily", q_dashboard_combined, SQL_DASHBOARD_COMBINED,
+         ["day"],
+         ["total", "high", "medium", "low", "avg_value", "n_entities",
+          "n_rows"], []),
+    ]),
+    "t03_summaries": melted_check([
+        ("health_summary", q_health_summary, SQL_HEALTH_SUMMARY, ["grp"],
+         ["total_rules", "passing", "failing", "health_score"],
+         ["last_run"]),
+        ("anomaly_summary", q_anomaly_summary_combined,
+         SQL_ANOMALY_SUMMARY_COMBINED, ["section", "key"], ["cnt"], []),
+    ]),
+    "p14_misc_small": melted_check([
+        ("preview", q_preview, SQL_PREVIEW, ["c_custkey"],
+         ["c_nationkey", "c_acctbal"], ["c_name", "c_mktsegment"]),
+        ("metric_history", q_metric_history, SQL_METRIC_HISTORY,
+         ["metric_name", "event_id"], ["metric_value"], ["ts_s"]),
+        ("top_tokens", q_top_tokens, SQL_TOP_TOKENS, ["token"],
+         ["cnt", "rank"], []),
+    ]),
+    # -- round-5 LLM-pipeline families, now driver-graded ----------------
+    "x24_drift": melted_check([
+        ("numeric", q_numeric_drift, _sql_numeric_drift(), ["column_name"],
+         ["n_expected", "n_actual", "tvd", "chi2"], []),
+        ("categorical", q_categorical_drift, _sql_categorical_drift(),
+         ["category"],
+         ["p_expected", "p_actual", "delta", "abs_delta"], []),
+    ]),
+    "x27_doc_scores": melted_check([
+        ("classifier", q_classifier_scores, _sql_classifier_scores(),
+         ["doc_id"], ["n_tokens", "feature_sum", "label"], []),
+        ("lm_bigram", q_lm_score, SQL_LM_SCORE, ["doc_id"],
+         ["n_bigrams", "avg_p"], []),
+    ]),
+    "x26_shard_split": aligned_union_check([
+        ("shard_plan", q_shard_plan, _sql_shard_plan(),
+         {"key": "CAST(shard AS STRING)", "n": "n_rows",
+          "min_id": "min_id", "max_id": "CAST(max_id AS DOUBLE)"}),
+        ("eval_split", q_eval_split, _sql_eval_split(),
+         {"key": "split", "n": "n", "min_id": "min_id",
+          "max_id": "CAST(NULL AS DOUBLE)"}),
+    ], columns=["key", "n", "min_id", "max_id"]),
+    "e10_tokenize_pack": melted_check([
+        ("bpe_encode", q_bpe_tokenize, SQL_BPE_TOKENIZE, ["doc_id"],
+         ["n_tokens", "n_unk"], []),
+        ("pack", q_pack_sequences, SQL_PACK_SEQUENCES,
+         ["doc_id", "seg_idx"],
+         ["shard", "n_tokens", "pack_id", "seg_start", "seg_tokens"], []),
+    ]),
+    "x30_semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
+    "x31_duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),
+    "e11_sig_pairs": (q_sig_pairs, _sql_sig_pairs()),
+    "e13_dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
+    "e14_corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
+}

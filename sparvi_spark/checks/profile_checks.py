@@ -713,7 +713,9 @@ CHECKS = {
     "p08_top_values": (q_top_values, SQL_TOP_VALUES),
     "p11_pattern_match": (q_pattern_match, SQL_PATTERN_MATCH),
     "p12_type_health": (q_type_health, SQL_TYPE_HEALTH),
-    "p14_preview": (q_preview, SQL_PREVIEW),
+    # p14 preview is melted into merged_checks.p14_misc_small since r6
+    # (slot freed for a round-5 LLM-pipeline family); standalone shape
+    # stays in EXTRA_CHECKS.
 }
 
 CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -791,6 +793,7 @@ FROM c
 # not registered (cap): standalone shapes of ops folded into p01/p06/p12,
 # kept for scripts/check_oracle.py local verification
 EXTRA_CHECKS = {
+    "p14_preview": (q_preview, SQL_PREVIEW),
     "p09_duplicate_counts": (q_duplicate_counts, SQL_DUPLICATE_COUNTS),
     "p10_freshness": (q_freshness, SQL_FRESHNESS),
     "p13_health_scores": (q_health_scores, SQL_HEALTH_SCORES),

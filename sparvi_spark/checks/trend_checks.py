@@ -649,16 +649,14 @@ FROM freq
 
 CHECKS = {
     # T4 lives inside t03; T8 inside t05; T7-top inside t06; T11 inside t09.
+    # Since r6: t02+t05 share merged_checks.t02_rollups, t03+t06 share
+    # t03_summaries, t13 is melted into p14_misc_small, and t14 rides in
+    # x13_id_checksums — the freed slots grade the round-5 LLM-pipeline
+    # families; standalone shapes stay in EXTRA_CHECKS.
     "t01_metric_trends": (q_metric_trends, SQL_METRIC_TRENDS),
-    "t02_daily_rollup": (q_daily_rollup, SQL_DAILY_ROLLUP),
-    "t03_health_summary": (q_health_summary, SQL_HEALTH_SUMMARY),
-    "t05_dashboard_daily": (q_dashboard_combined, SQL_DASHBOARD_COMBINED),
-    "t06_anomaly_summary": (q_anomaly_summary_combined, SQL_ANOMALY_SUMMARY_COMBINED),
     "t09_change_frequency": (q_change_analytics, SQL_CHANGE_ANALYTICS),
     "t10_high_impact": (q_high_impact, SQL_HIGH_IMPACT),
     "t12_time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
-    "t13_metric_history": (q_metric_history, SQL_METRIC_HISTORY),
-    "t14_retention": (q_retention, SQL_RETENTION),
 }
 
 USAGE_AS_OF = "2026-01-01 00:00:00"
@@ -689,6 +687,13 @@ FROM events GROUP BY user_id
 # not registered (cap): standalone shapes of ops folded into merged checks,
 # kept for scripts/check_oracle.py local verification
 EXTRA_CHECKS = {
+    "t02_daily_rollup": (q_daily_rollup, SQL_DAILY_ROLLUP),
+    "t03_health_summary": (q_health_summary, SQL_HEALTH_SUMMARY),
+    "t05_dashboard_daily": (q_dashboard_combined, SQL_DASHBOARD_COMBINED),
+    "t06_anomaly_summary": (q_anomaly_summary_combined,
+                            SQL_ANOMALY_SUMMARY_COMBINED),
+    "t13_metric_history": (q_metric_history, SQL_METRIC_HISTORY),
+    "t14_retention": (q_retention, SQL_RETENTION),
     "t04_current_health": (q_current_health, SQL_CURRENT_HEALTH),
     "t07_anomaly_top": (q_anomaly_top, SQL_ANOMALY_TOP),
     "t08_anomaly_daily_trend": (q_anomaly_daily_trend, SQL_ANOMALY_DAILY_TREND),

@@ -483,48 +483,44 @@ class Engine:
         trained classifier), deterministically dedup (min-id survivor per
         exact text), and shard-export for the training loader.
 
-        Flow: (1) the ingest gate runs with the same thresholds/kwargs as
-        ``screen_corpus``; a breach with ``require_gate`` aborts BEFORE any
-        write (summary returns ``exported=False``) — a corpus that fails
-        its gate must never silently reach the loader path. (2) Surviving
-        docs = quality ``keep`` ∧ classifier ``label`` (when a model is
-        given). (3) Exact dedup keeps the SMALLEST id per text (window on
-        the text hash — deterministic, unlike dropDuplicates, so re-runs
-        publish identical shards). (4) ``sources/export.export_shards``
-        writes the ``shard=N`` layout and the manifest; counts + a
-        ``corpus_exported`` event land in state.
-
-        Optional text-rewrite stages run FIRST — before quality judging
-        (boilerplate lines and duplicated passages distort every quality
-        signal the filter reads) — each
-        the linear corpus-curation shape: ``dedup_lines_min_count`` strips
-        corpus-wide repeated lines (the C4 boilerplate rule,
+        Flow: (1) optional text-rewrite curation runs FIRST — before the
+        gate and before quality judging (boilerplate lines and duplicated
+        passages distort every quality signal both of them read, and the
+        recorded gate metrics must describe the TEXT THAT IS PUBLISHED) —
+        each the linear corpus-curation shape: ``dedup_lines_min_count``
+        strips corpus-wide repeated lines (the C4 boilerplate rule,
         text.dedup_lines_corpus); ``strip_duplicate_spans_n`` cuts exact
         duplicated passages (ExactSubstr analogue, dedup.duplicate_spans +
         remove_duplicate_spans). Docs rewritten to emptiness drop out.
-        ``shuffle_seed`` forwards to the shard export (deterministic
-        within-shard epoch order).
+        (2) The ingest gate runs on the CURATED text with the same
+        thresholds/kwargs as ``screen_corpus``; a breach with
+        ``require_gate`` aborts BEFORE any write (summary returns
+        ``exported=False``) — a corpus that fails its gate must never
+        silently reach the loader path. (3) Surviving docs = quality
+        ``keep`` ∧ classifier ``label`` (when a model is given). (4) Exact
+        dedup keeps the SMALLEST id per text (window on the text hash —
+        deterministic, unlike dropDuplicates, so re-runs publish identical
+        shards). (5) ``sources/export.export_shards`` writes the
+        ``shard=N`` layout and the manifest; counts + a
+        ``corpus_exported`` event land in state. ``shuffle_seed``
+        forwards to the shard export (deterministic within-shard epoch
+        order).
 
         Every stage is scan-parallel; only gate scalars and the manifest
-        (n_shards rows) reach the driver.
+        (n_shards rows) reach the driver. When curation runs, the curated
+        frame is persisted for the duration (the gate takes ~6 actions
+        over it; MEMORY_AND_DISK spills rather than recomputing the
+        line-dedup join per action) and unpersisted before returning.
         """
         from sparvi_spark.operators.text import quality_filter
         from sparvi_spark.sources.export import export_shards
 
         run_at = run_at or _utcnow()
-        summary = self.screen_corpus(
-            docs, corpus_name, text_col=text_col, id_col=id_col, ref=ref,
-            run_at=run_at, classifier_weights=classifier_weights,
-            classifier_bias=classifier_bias,
-            quality_overrides=quality_overrides, **gate_kwargs)
-        if require_gate and not summary["gate_passed"]:
-            summary["exported"] = False
-            return summary
-
-        # text-rewrite curation runs BEFORE quality judging: boilerplate
-        # lines and duplicated passages distort every quality signal the
-        # filter reads (lengths, stopword ratios, repetition), so the
-        # filter must see the text the loader would
+        # (1) curation BEFORE the gate: the stored gate metrics
+        # (keep_rate, dup_rate, classifier_pass_rate) must describe the
+        # same text the filter judges and the loader reads
+        curated = (dedup_lines_min_count is not None
+                   or strip_duplicate_spans_n is not None)
         if dedup_lines_min_count is not None:
             from sparvi_spark.operators.text import dedup_lines_corpus
 
@@ -541,10 +537,38 @@ class Engine:
             docs = (remove_duplicate_spans(docs, spans, id_col, text_col)
                     .drop(text_col, "n_tokens_removed")
                     .withColumnRenamed("text_clean", text_col))
-        if dedup_lines_min_count is not None \
-                or strip_duplicate_spans_n is not None:
+        if curated:
             docs = docs.where(
                 f"`{text_col}` is not null and trim(`{text_col}`) <> ''")
+            docs = docs.persist()
+        try:
+            summary = self.screen_corpus(
+                docs, corpus_name, text_col=text_col, id_col=id_col,
+                ref=ref, run_at=run_at,
+                classifier_weights=classifier_weights,
+                classifier_bias=classifier_bias,
+                quality_overrides=quality_overrides, **gate_kwargs)
+            if require_gate and not summary["gate_passed"]:
+                summary["exported"] = False
+                return summary
+            return self._export_filtered(
+                docs, summary, path, n_shards, text_col, id_col,
+                classifier_weights, classifier_bias, run_at,
+                tokenize_merges, pack_ctx, shuffle_seed,
+                quality_overrides, corpus_name)
+        finally:
+            if curated:
+                docs.unpersist()
+
+    def _export_filtered(self, docs, summary, path, n_shards, text_col,
+                         id_col, classifier_weights, classifier_bias,
+                         run_at, tokenize_merges, pack_ctx, shuffle_seed,
+                         quality_overrides, corpus_name):
+        """Filter → dedup → shard-export half of
+        ``export_training_corpus`` (docs arrive already curated)."""
+        from sparvi_spark.operators.text import quality_filter
+        from sparvi_spark.sources.export import export_shards
+
         keep_ids = quality_filter(docs, text_col, id_col,
                                   **(quality_overrides or {})) \
             .where(F.col("keep")).select(id_col)
@@ -723,44 +747,57 @@ class Engine:
         "n_in", "n_in_batch_dups", "n_vs_corpus_dups", "n_kept"}.
 
         ``sink(kept_frame)`` — when given — runs BEFORE the signature
-        append, which makes at-least-once replays safe: if the sink (or
-        anything earlier) fails, no signatures were written and the replay
-        recomputes cleanly; if the replay comes AFTER a completed call,
-        every doc matches its own stored signature, n_kept=0, and the sink
-        is skipped — no duplicate output either way. A caller that writes
-        the survivors AFTER this returns (sink=None) loses that ordering
-        and a crash between the append and its own write strands the
-        batch's docs as self-duplicates (the streaming intake always uses
-        sink).
+        append: if the sink (or anything earlier) fails, no signatures
+        were written and an at-least-once replay recomputes cleanly; a
+        replay AFTER a completed call matches every doc against its own
+        stored signature, n_kept=0, and the sink is skipped. The one
+        remaining window is a crash AFTER the sink succeeds but BEFORE
+        the signature append — the replay re-admits the same survivors
+        and calls the sink again, so the sink itself must be idempotent
+        for exactly-once output (the streaming intake writes each batch
+        to a batch_id-keyed subdirectory with mode=overwrite, so a replay
+        REWRITES the same files instead of appending duplicates). A
+        caller that writes the survivors AFTER this returns (sink=None)
+        additionally risks a crash between the append and its own write
+        stranding the batch's docs as self-duplicates.
+
+        The LSH band caches built inside are released before returning
+        (``scoped_caches`` — a long-running stream would otherwise leak
+        one CacheManager entry per microbatch); ``kept`` survives as a
+        localCheckpoint.
         """
         from sparvi_spark.operators.dedup import (
             dedup_near, minhash_lsh_pairs, minhash_pairs_from_sigs,
-            minhash_signatures)
+            minhash_signatures, scoped_caches)
 
         run_at = run_at or _utcnow()
         # the batch plan feeds the pair search, the signatures, the kept
         # anti-join, and two counts — persist so the in-batch LSH pipeline
         # runs once, not once per consumer (streaming hot path)
         docs = docs.persist()
-        pairs = minhash_lsh_pairs(docs, id_col, text_col, n=n,
-                                  num_hashes=num_hashes, bands=bands,
-                                  threshold=threshold, hash_fn=hash_fn)
-        batch_kept = dedup_near(docs, pairs, id_col).persist()
-        sigs = minhash_signatures(batch_kept, id_col, text_col, n=n,
-                                  num_hashes=num_hashes, hash_fn=hash_fn)
-        state_sigs = (self.state.read("corpus_signatures")
-                      .where(F.col("corpus_name") == corpus_name)
-                      .select(F.col("doc_id").alias("ref_id"), "sig"))
-        cross = minhash_pairs_from_sigs(
-            sigs.select(F.col(id_col).alias("id"), "sig"), state_sigs,
-            num_hashes=num_hashes, bands=bands, threshold=threshold,
-            hash_fn=hash_fn)
-        contaminated = cross.select(F.col("id").alias("__dup")).distinct()
-        kept = (batch_kept.join(
-            contaminated, batch_kept[id_col] == F.col("__dup"),
-            "left_anti").localCheckpoint())
-        n_in, n_batch_kept, n_kept = (
-            docs.count(), batch_kept.count(), kept.count())
+        with scoped_caches():
+            pairs = minhash_lsh_pairs(docs, id_col, text_col, n=n,
+                                      num_hashes=num_hashes, bands=bands,
+                                      threshold=threshold, hash_fn=hash_fn)
+            batch_kept = dedup_near(docs, pairs, id_col).persist()
+            sigs = minhash_signatures(batch_kept, id_col, text_col, n=n,
+                                      num_hashes=num_hashes, hash_fn=hash_fn)
+            state_sigs = (self.state.read("corpus_signatures")
+                          .where(F.col("corpus_name") == corpus_name)
+                          .select(F.col("doc_id").alias("ref_id"), "sig"))
+            cross = minhash_pairs_from_sigs(
+                sigs.select(F.col(id_col).alias("id"), "sig"), state_sigs,
+                num_hashes=num_hashes, bands=bands, threshold=threshold,
+                hash_fn=hash_fn)
+            contaminated = cross.select(
+                F.col("id").alias("__dup")).distinct()
+            kept = (batch_kept.join(
+                contaminated, batch_kept[id_col] == F.col("__dup"),
+                "left_anti").localCheckpoint())
+            # counts INSIDE the scope: they materialize batch_kept's cache
+            # (sigs recompute from it, not from the released LSH base)
+            n_in, n_batch_kept, n_kept = (
+                docs.count(), batch_kept.count(), kept.count())
         if sink is not None and n_kept:
             sink(kept)
         kept_sigs = (sigs.join(

@@ -53,6 +53,7 @@ from sparvi_spark.operators.text import (
     chunk_documents,
     clean_text_expr,
     dedup_lines_expr,
+    dedup_lines_in_doc,
     quality_features,
     quality_filter,
     repetition_features,
@@ -83,7 +84,7 @@ __all__ = [
     "pq_train", "pq_encode", "pq_topk",
     "ivfpq_train", "ivfpq_encode", "ivfpq_topk",
     "quality_features", "quality_filter", "repetition_features",
-    "clean_text_expr", "dedup_lines_expr",
+    "clean_text_expr", "dedup_lines_expr", "dedup_lines_in_doc",
     "chunk_documents", "top_tokens",
     "salted_join", "asof_join", "range_join",
     "hash_sample", "stratified_sample", "mixture_sample",

@@ -6,8 +6,15 @@ projection here: no shuffle, no UDF, no join.
 
 Score shape (binary classifier over hashed bag-of-tokens features):
 
-    margin = bias + (Σ_tokens qw[hash(token) mod dim]) / (n_tokens · S)
+    margin = (bias + (Σ_tokens qw[hash(token) mod dim]) / S) / n_tokens
     label  = margin > 0
+
+The whole log-odds — bias INCLUDED — is divided by the token count
+(length-normalized margin), so ``label`` always agrees with the sign of
+the unnormalized decision ``bias + Σ w·count`` that Naive Bayes / any
+linear model defines: dividing by a positive count scales a margin but
+never flips it. (An earlier shape normalized only the feature sum, which
+silently flipped decisions vs NB under class imbalance — nonzero bias.)
 
 Two engineering choices make it scale- and oracle-clean:
 
@@ -84,8 +91,10 @@ def linear_scores(
     feat = (f"element_at({wlit}, "
             f"cast({_tok_hash('t')} % {dim} as int) + 1)")
     ssum = f"aggregate({toks}, 0L, (s, t) -> s + {feat})"
-    margin = (f"(cast({float(bias)!r} as double) + cast({ssum} as double) "
-              f"/ (cast(size({toks}) as double) * {WEIGHT_SCALE}.0d))")
+    # (bias + sum/S) / n_tokens — bias inside the normalization so the
+    # label sign always equals the NB/linear decision sign (module doc)
+    margin = (f"((cast({float(bias)!r} as double) + cast({ssum} as double) "
+              f"/ {WEIGHT_SCALE}.0d) / cast(size({toks}) as double))")
     return df.selectExpr(
         f"`{id_col}`",
         f"size({toks}) AS n_tokens",
@@ -139,8 +148,10 @@ def train_nb_classifier(
 ) -> tuple[list[float], float]:
     """Train a multinomial-Naive-Bayes linear classifier over hashed
     bag-of-tokens features -> (weights, bias) ready for ``linear_scores``
-    (NB's log-odds IS a linear model over token counts; the scorer's
-    per-token mean normalization only scales the margin, never its sign).
+    (NB's log-odds IS a linear model over token counts; the scorer
+    divides the WHOLE log-odds — bias included — by n_tokens, which
+    scales the margin but never its sign, so decisions match NB exactly,
+    imbalanced classes included).
 
     w[b] = log((pos_b + α)/(Σpos + α·dim)) − log((neg_b + α)/(Σneg + α·dim));
     bias = log(n_pos_docs / n_neg_docs). The heavy half (token counts) is

@@ -15,8 +15,53 @@ near-dup — all as declarative DataFrame programs designed for 100 TB:
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Scoped cache registry: LSH operators persist() internal frames (the banded
+# signature base) that the RESULT still references lazily, so they cannot
+# unpersist before returning. Long-running callers (streaming intake calls
+# dedup per microbatch) would otherwise accumulate one never-released
+# CacheManager entry per batch. Callers wrap build+materialize in
+# ``with scoped_caches():`` — every frame the operators persist inside the
+# context is unpersisted on exit (pin results first via localCheckpoint or
+# your own persist+count). Without an active context behavior is unchanged.
+# --------------------------------------------------------------------------
+
+_CACHE_CTX = threading.local()
+
+
+@contextlib.contextmanager
+def scoped_caches():
+    """Unpersist, on exit, every frame dedup operators persist() inside
+    this context. Reentrant; inner scopes release only their own frames."""
+    stack = getattr(_CACHE_CTX, "stack", None)
+    if stack is None:
+        stack = _CACHE_CTX.stack = []
+    entry: list[DataFrame] = []
+    stack.append(entry)
+    try:
+        yield entry
+    finally:
+        stack.pop()
+        for frame in entry:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist() that registers with the innermost scoped_caches, if any."""
+    df = df.persist()
+    stack = getattr(_CACHE_CTX, "stack", None)
+    if stack:
+        stack[-1].append(df)
+    return df
 
 # Hot-shingle ceiling for the exact-Jaccard self-join (see jaccard_pairs).
 # 10_000 caps the per-shingle join fan-out at 10^8 rows — tolerable on a
@@ -390,11 +435,10 @@ def minhash_lsh_pairs(
     # projects and re-evaluates the whole num_hashes-way signature once PER
     # BAND (measured 16x hashing blowup). Post-persist, each band hash reads
     # the materialized array.
-    base = (
+    base = _persist(
         _with_sig(grams, num_hashes, hash_fn)
         .withColumn("__sz", F.size("__grams"))
         .select("__id", "__grams", "__sz", "sig")
-        .persist()
     )
 
     banded = base.select(
@@ -470,12 +514,11 @@ def minhash_lsh_pairs_cross(
     def _base(frame: DataFrame) -> DataFrame:
         # sig inside the persisted projection for the same
         # re-evaluation-per-band reason as minhash_lsh_pairs
-        return (
+        return _persist(
             _with_sig(_doc_gram_arrays(frame, id_col, text_col, n),
                       num_hashes, hash_fn)
             .withColumn("__sz", F.size("__grams"))
             .select("__id", "__grams", "__sz", "sig")
-            .persist()
         )
 
     def _banded(base: DataFrame, out_id: str) -> DataFrame:

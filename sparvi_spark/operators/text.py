@@ -8,7 +8,7 @@ dialect-common so the DuckDB oracle can mirror them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparvi_spark.operators.dedup import tokens_expr
@@ -467,13 +467,74 @@ def dedup_lines_expr(text_col: str) -> Column:
 
     Cost is O(L²) in LINES PER DOCUMENT (each line scans its prefix) —
     fine for web documents (L is tens to hundreds), quadratic on
-    pathological 10k-line concatenations. For those, explode lines with
-    posexplode and keep `row_number() over (partition by doc, line order
-    by pos) = 1` — one shuffle, linear per doc — then re-assemble."""
+    pathological 10k-line concatenations. ``dedup_lines_in_doc`` routes
+    such docs to a linear posexplode path automatically (mode="auto");
+    use it whenever document shape is not under your control."""
     lines = f"split({text_col}, '\\n')"
     kept = (f"filter({lines}, (l, i) -> "
             f"not array_contains(slice({lines}, 1, i), l))")
     return F.expr(f"array_join({kept}, '\\n')")
+
+
+def dedup_lines_in_doc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "text_dedup",
+    mode: str = "auto",
+    line_cap: int = 512,
+) -> DataFrame:
+    """Within-document line dedup (keep FIRST occurrence, order preserved)
+    with a scale-safe execution choice — same semantics as
+    ``dedup_lines_expr`` on every input:
+
+    - ``mode="expr"``: the shuffle-free O(L²)-per-doc column expression —
+      cheapest when every document is small (web pages: L in the tens).
+    - ``mode="explode"``: posexplode + first-occurrence window — one
+      (doc, line)-keyed shuffle pair, LINEAR in lines/doc; the only safe
+      shape for 10k-line concatenated documents (exactly what web corpora
+      contain).
+    - ``mode="auto"`` (default): per-document routing — docs at or under
+      ``line_cap`` lines take the expr branch (no shuffle rows at all),
+      longer docs take the explode branch; the union preserves per-doc
+      results exactly. At 100 TB the explode branch's shuffle carries
+      only the oversized tail, not the corpus.
+    """
+    if mode not in ("auto", "expr", "explode"):
+        raise ValueError(f"mode {mode!r} not in auto|expr|explode")
+    lines = f"split(`{text_col}`, '\\n')"
+
+    def _expr_branch(part: DataFrame) -> DataFrame:
+        return part.withColumn(out_col, dedup_lines_expr(f"`{text_col}`"))
+
+    def _explode_branch(part: DataFrame) -> DataFrame:
+        # drop-list shape (mirrors dedup_lines_corpus): positions whose
+        # line already appeared earlier in the SAME doc
+        pos = part.selectExpr(f"`{id_col}` AS __lid",
+                              f"posexplode({lines}) AS (pos, l)")
+        w = Window.partitionBy("__lid", "l").orderBy("pos")
+        drops = (pos.withColumn("__rn", F.row_number().over(w))
+                 .where(F.col("__rn") > 1)
+                 .groupBy("__lid")
+                 .agg(F.expr("sort_array(collect_list(pos))")
+                      .alias("__drop")))
+        keep = (f"filter({lines}, (l, i) -> "
+                f"__drop is null or not array_contains(__drop, i))")
+        return (part.join(drops, part[id_col] == F.col("__lid"), "left")
+                .withColumn(out_col, F.expr(
+                    f"case when `{text_col}` is null then null "
+                    f"else array_join({keep}, '\\n') end"))
+                .drop("__lid", "__drop"))
+
+    if mode == "expr":
+        return _expr_branch(df)
+    if mode == "explode":
+        return _explode_branch(df)
+    # NULL text routes to the expr branch (size(NULL) is NULL — it would
+    # otherwise fall through both predicates and drop the row)
+    n = F.size(F.expr(lines))
+    return _expr_branch(df.where((n <= line_cap) | n.isNull())).unionByName(
+        _explode_branch(df.where(n > line_cap)))
 
 
 def dedup_lines_corpus(

@@ -49,7 +49,13 @@ def streaming_corpus_intake(
     append — a crash anywhere up to and including the write leaves NO
     signatures behind, so the replayed batch recomputes cleanly; a
     replay after a completed batch matches every doc against its own
-    stored signature and admits nothing twice.
+    stored signature and admits nothing twice. The write itself is keyed
+    by batch_id (``ingest_batch=N`` subdirectory, mode=overwrite — same
+    pattern as streaming/profile.py), so the remaining at-least-once
+    window — crash after the write but before the signature append —
+    REWRITES the same files on replay instead of appending duplicates:
+    output is exactly-once. Readers see ``ingest_batch`` as a partition
+    column.
     """
 
     def admit(batch: DataFrame, batch_id: int) -> None:
@@ -61,8 +67,8 @@ def streaming_corpus_intake(
                 batch, corpus_name, id_col=id_col, text_col=text_col,
                 n=n, num_hashes=num_hashes, bands=bands,
                 threshold=threshold,
-                sink=lambda kept: kept.write.mode("append")
-                .parquet(corpus_path))
+                sink=lambda kept: kept.write.mode("overwrite")
+                .parquet(f"{corpus_path}/ingest_batch={batch_id}"))
             if on_batch is not None:
                 on_batch({k: v for k, v in summary.items() if k != "kept"},
                          batch_id)

@@ -683,6 +683,55 @@ def test_text_normalization_hand_cases(spark):
     assert rows[3]["c"] == "one" and rows[3]["d"] == "one"
 
 
+def test_dedup_lines_in_doc_modes_agree_and_scale(spark):
+    """dedup_lines_in_doc: expr/explode/auto produce identical results on
+    mixed docs; the explode path handles a 10k-line doc (the O(L²) expr
+    path's pathological case) in bounded time, matching a Python
+    first-occurrence reference."""
+    import random
+    import time
+
+    from sparvi_spark.operators.text import dedup_lines_in_doc
+
+    rng = random.Random(11)
+    small_docs = []
+    for i in range(20):
+        lines = [f"line {rng.randint(0, 12)}" for _ in range(rng.randint(0, 40))]
+        small_docs.append((i, "\n".join(lines)))
+    small_docs.append((98, None))
+    small_docs.append((99, ""))
+    df = spark.createDataFrame(small_docs, "doc_id int, text string")
+
+    def ref(text):
+        if text is None:
+            return None
+        seen, out = set(), []
+        for l in text.split("\n"):
+            if l not in seen:
+                seen.add(l)
+                out.append(l)
+        return "\n".join(out)
+
+    expected = {i: ref(t) for i, t in small_docs}
+    for mode in ("expr", "explode", "auto"):
+        got = {r["doc_id"]: r["text_dedup"]
+               for r in dedup_lines_in_doc(
+                   df, "doc_id", "text", mode=mode).collect()}
+        assert got == expected, mode
+
+    # pathological doc: 10_000 lines over a 500-line vocabulary
+    big = "\n".join(f"boiler {rng.randint(0, 500)}" for _ in range(10_000))
+    bdf = spark.createDataFrame([(1, big), (2, "a\nb\na")],
+                                "doc_id int, text string")
+    t0 = time.time()
+    got = {r["doc_id"]: r["text_dedup"]
+           for r in dedup_lines_in_doc(
+               bdf, "doc_id", "text", mode="auto").collect()}
+    wall = time.time() - t0
+    assert got == {1: ref(big), 2: "a\nb"}
+    assert wall < 60, f"auto routing failed to keep 10k-line doc linear: {wall}s"
+
+
 def test_pca_train_project_and_normalize(spark):
     """Distributed PCA: gram/mean/covariance match numpy exactly, the
     top-k eigenvectors match numpy's (sign-fixed), the map-only projection
@@ -1060,7 +1109,7 @@ def test_linear_classifier_scores_match_python(spark):
     for doc_id, text in rows:
         toks = re.split(r"\s+", text.strip().lower())
         s = sum(qw[tok_hash(t) % dim] for t in toks)
-        margin = 0.1 + s / (len(toks) * float(WEIGHT_SCALE))
+        margin = (0.1 + s / float(WEIGHT_SCALE)) / len(toks)
         r = got[doc_id]
         assert r["n_tokens"] == len(toks), (doc_id, toks)
         assert abs(r["margin"] - round(margin, 9)) < 1e-12, doc_id

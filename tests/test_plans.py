@@ -283,11 +283,21 @@ def test_check_registry_is_exactly_50_oracle_paired(spark):
     checks = collect_all_checks()
     assert len(checks) == DRIVER_CHECK_CAP == 50
     assert all(sql is not None for _fn, sql in checks.values())
-    prefixes = {name.split("_")[0][0] for name in checks}
-    for fam, n_min in {"p": 11, "v": 2, "a": 4, "t": 10, "s": 1,
-                       "d": 6, "x": 13, "m": 1}.items():
+    # r6 repack (merged_checks.py): same families, fewer slots each —
+    # the freed slots grade the round-5 LLM-pipeline ops (x24+, e1x)
+    for fam, n_min in {"p": 11, "v": 2, "a": 3, "t": 6, "s": 1,
+                       "d": 4, "x": 18, "m": 1, "e": 4}.items():
         got = sum(1 for name in checks if name.startswith(fam))
         assert got >= n_min, f"family {fam}: {got} < {n_min}"
+    # the merged slots that carry multiple old families must be present
+    for required in ("a01_anomaly_scores", "d02_pair_scores",
+                     "x13_id_checksums", "t02_rollups", "t03_summaries",
+                     "p14_misc_small", "x24_drift", "x27_doc_scores",
+                     "x26_shard_split", "e10_tokenize_pack",
+                     "x30_semantic_dedup", "x31_duplicate_spans",
+                     "e11_sig_pairs", "e13_dedup_lines",
+                     "e14_corpus_diff"):
+        assert required in checks, required
 
 
 def test_pq_encode_and_zorder_key_are_map_only(spark):
