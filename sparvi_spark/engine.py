@@ -798,18 +798,25 @@ class Engine:
             # (sigs recompute from it, not from the released LSH base)
             n_in, n_batch_kept, n_kept = (
                 docs.count(), batch_kept.count(), kept.count())
-        if sink is not None and n_kept:
-            sink(kept)
-        kept_sigs = (sigs.join(
-            kept.select(id_col), id_col)
-            .select(
-                F.lit(corpus_name).alias("corpus_name"),
-                F.col(id_col).cast("string").alias("doc_id"),
-                "sig",
-                F.lit(run_at).cast("timestamp").alias("added_at")))
-        self.state.append("corpus_signatures", kept_sigs)
-        batch_kept.unpersist()
-        docs.unpersist()
+        # the sink/append tail can raise (transient sink failure in a
+        # streaming intake); without the finally a failed microbatch
+        # leaks two CacheManager entries — the same leak class
+        # scoped_caches exists to prevent. kept is localCheckpoint-pinned,
+        # so releasing its parents here is safe even on the success path.
+        try:
+            if sink is not None and n_kept:
+                sink(kept)
+            kept_sigs = (sigs.join(
+                kept.select(id_col), id_col)
+                .select(
+                    F.lit(corpus_name).alias("corpus_name"),
+                    F.col(id_col).cast("string").alias("doc_id"),
+                    "sig",
+                    F.lit(run_at).cast("timestamp").alias("added_at")))
+            self.state.append("corpus_signatures", kept_sigs)
+        finally:
+            batch_kept.unpersist()
+            docs.unpersist()
         summary = {
             "kept": kept, "n_in": n_in,
             "n_in_batch_dups": n_in - n_batch_kept,
@@ -843,9 +850,12 @@ class Engine:
             partition_key,
         )
         from sparvi_spark.sources.state import (
+            LeaseConflict,
             gc_versions,
             next_version,
             read_pointer,
+            state_lease,
+            verify_lease,
             write_pointer,
         )
 
@@ -863,6 +873,7 @@ class Engine:
         # probe existence THROUGH the Spark read (not os.path: always
         # false on object-store roots -> silent full-rescan bootstrap
         # every run; same rule as StateStore.read)
+        read_versions = {k: read_pointer(bases[k]) for k in families}
         states = None
         if all(_committed(k) is not None for k in families):
             try:
@@ -898,21 +909,41 @@ class Engine:
             new_states, _ = incremental_profile_full(
                 df, partition_col, numeric_cols, states=states,
                 changed_partitions=None if states is None else changed)
-            # two-phase commit across the three families: write EVERY new
+            # two-phase commit across the state families: write EVERY new
             # version dir first (the merged-state plans still read the
             # committed dirs), then flip the pointers last — a crash
-            # before any flip leaves all three prior versions readable
+            # before any flip leaves all prior versions readable
             # (no partial state that the bootstrap probe would misread as
             # "no state"), and the flip itself is the atomic pointer
-            # replace from sources.state
-            versions = {}
-            for k in families:
-                versions[k] = next_version(bases[k])
-                new_states[k].write.mode("overwrite").parquet(
-                    os.path.join(bases[k], versions[k]))
-            for k in families:
-                write_pointer(bases[k], versions[k])
-                gc_versions(bases[k], grace_seconds=0)  # single writer
+            # replace from sources.state. ONE lease on the table's
+            # incremental root covers all families — they must flip as a
+            # unit, and per-family leases could interleave two writers'
+            # flips into a mixed (stale+fresh) state set. Ownership is
+            # re-verified before the flip loop: a writer that stalled
+            # past the TTL aborts rather than overwrite its successor.
+            with state_lease(root) as lease_owner:
+                # optimistic check: the fold was computed against the
+                # versions read above; if another engine committed in
+                # between, writing ours would drop its fold (logical
+                # lost update, even though no committed dir is lost) —
+                # fail and let the caller rerun against current state
+                if any(read_pointer(bases[k]) != read_versions[k]
+                       for k in families):
+                    raise LeaseConflict(
+                        f"state for {table_name} advanced since this "
+                        f"run's read; rerun run_incremental_profile")
+                versions = {}
+                for k in families:
+                    versions[k] = next_version(bases[k])
+                    new_states[k].write.mode("overwrite").parquet(
+                        os.path.join(bases[k], versions[k]))
+                if not verify_lease(root, lease_owner):
+                    raise LeaseConflict(
+                        f"lost commit lease for {root} before pointer "
+                        f"flip; versions left uncommitted for GC")
+                for k in families:
+                    write_pointer(bases[k], versions[k])
+                    gc_versions(bases[k], grace_seconds=0)  # lease held
             self.publish_event(
                 "incremental_profile", table_name,
                 f"changed_partitions={len(changed)};"

@@ -282,33 +282,59 @@ def exact_percentiles_refine(
     ps: tuple[float, ...] = (0.25, 0.5, 0.75),
     round_to: int = 6,
     accuracy: int = 2_000,
+    low_card_threshold: int = 20_000,
 ) -> DataFrame:
-    """EXACT percentiles via sketch-then-refine — same output contract as
-    ``exact_percentiles`` (identical interpolation math, HALF_UP rounding),
-    two WIDE single-row aggregation passes instead of a melt + full
-    distinct-value prefix sum (melting N cols multiplies the scanned rows
-    N× before any aggregation — measured 0.46s just to stack+count 4
-    columns at sf0.1, more than either whole pass here).
+    """EXACT percentiles via sketch-then-refine with cardinality routing —
+    same output contract as ``exact_percentiles`` (identical interpolation
+    math, HALF_UP rounding), two WIDE single-row aggregation passes instead
+    of a melt + full distinct-value prefix sum (melting N cols multiplies
+    the scanned rows N× before any aggregation).
 
-    Pass 1 sketches every column in one row (``percentile_approx`` at
-    probe points p±4/accuracy; GK rank error ≤ n/accuracy) — the shuffle
-    carries partial sketches only. Pass 2, per (column, quantile) window:
-    the count strictly below the window, the duplicate-run lengths of the
-    two window ENDPOINT values, and a ``collect_list`` of the values
-    strictly between them. Counting the endpoint runs separately is what
-    bounds the collect: by construction only ≤ 8n/accuracy rows lie
-    strictly between the brackets (rank width of the probe gap), while an
-    endpoint itself may be a duplicate run of ANY length (a column with 11
-    distinct values puts ~n/11 rows on one value) — runs ride back as one
-    count, never as collected rows. The driver walks the tiny windowed
-    histogram to the exact neighbors at positions floor/ceil(p·(n-1)) and
-    interpolates.
+    Both passes run over a NARROW projection (just the requested columns,
+    cast once): the profiler's cached input holds the whole table row, and
+    decoding 16 columns to aggregate 4 measured 0.72s vs 0.46s for the
+    projected plan at sf0.1 — column pruning through the cache is the
+    single biggest lever here.
 
-    At 100 TB this is the right exact-quantile shape: two single-scan
-    passes with map-side partials, O(cols·ps·n/accuracy) intermediate
-    values, no full-cardinality shuffle. If a window fails to cover the
-    needed ranks (possible only when 3n/accuracy < 1, i.e. n < ~1.5k rows
-    at the default accuracy) the affected columns fall back to the fully
+    Pass 1 computes, per column in one row: count,
+    ``approx_count_distinct``, and ``percentile_approx`` brackets at probe
+    points p±4/accuracy (GK rank error ≤ n/accuracy) — the shuffle carries
+    partial sketches only. (The sketch forces the whole aggregate into
+    ObjectHashAggregate — interpreted, no codegen — so every extra
+    expression here costs per-row time; a min/max/NaN-count variant
+    measured +0.15s at sf0.1 and was dropped.) Pass 2 then routes each
+    column:
+
+    - LOW-CARDINALITY (approx distinct < ``low_card_threshold``): one
+      exact ``percentile(v, array(ps))`` aggregate. Its per-partition
+      value→count map and single-reducer merge are exactly what made the
+      naive plan slow on HIGH-cardinality columns (measured 1.6s on a
+      598k-distinct column at sf0.1, 0.07s on a 47-distinct one); bounded
+      by the threshold the merge is ≤ partitions × threshold entries.
+      NaN/±inf need no special-casing on this route: Spark's exact
+      ``percentile`` orders NaN last and interpolates ±inf with the same
+      formula as the bucketed plan (verified value-identical on
+      NaN-top/many-NaN/±inf/all-NaN columns), so results match the
+      fallback bit-for-bit. TPC-H-ish profiling inputs are mostly
+      low-cardinality (quantity/discount/tax), so this path usually
+      covers all but one column.
+    - HIGH-CARDINALITY: per (column, quantile) window — the count
+      strictly below the window, the duplicate-run lengths of the two
+      window ENDPOINT values, and a ``collect_list`` of the values
+      strictly between them. Counting the endpoint runs separately is
+      what bounds the collect: by construction only ≤ 8n/accuracy rows
+      lie strictly between the brackets, while an endpoint itself may be
+      a duplicate run of ANY length — runs ride back as one count, never
+      as collected rows. The driver walks the tiny windowed histogram to
+      the exact neighbors at positions floor/ceil(p·(n-1)) and
+      interpolates.
+
+    Both routes share one pass-2 ``selectExpr`` (a single action). At
+    100 TB this is the right exact-quantile shape: two single-scan passes
+    with map-side partials, O(cols·ps·n/accuracy) intermediate values, no
+    full-cardinality shuffle. If a window fails to cover the needed ranks
+    (possible only when 3n/accuracy < 1, i.e. n < ~1.5k rows at the
+    default accuracy) the affected columns fall back to the fully
     distributed bucketed plan. Reference semantics: P5 app.py:3416-3421
     (MEDIAN/quartiles).
     """
@@ -324,56 +350,74 @@ def exact_percentiles_refine(
     probes = sorted(set(lo_p.values()) | set(hi_p.values()))
     probe_arr = ", ".join(repr(q) for q in probes)
     pidx = {q: i for i, q in enumerate(probes)}
+    ps_arr = ", ".join(repr(float(p)) for p in ps)
 
-    p1 = df.selectExpr(
+    ndf = df.selectExpr(*[f"cast(`{c}` as double) as `{c}`" for c in cols])
+    p1 = ndf.selectExpr(
         *[f"count(`{c}`) as `{c}__n`" for c in cols],
-        *[f"percentile_approx(cast(`{c}` as double), array({probe_arr}), "
+        *[f"approx_count_distinct(`{c}`) as `{c}__d`" for c in cols],
+        *[f"percentile_approx(`{c}`, array({probe_arr}), "
           f"{accuracy}) as `{c}__br`" for c in cols]).collect()[0]
-    info = {c: (int(p1[f"{c}__n"]), p1[f"{c}__br"]) for c in cols
-            if p1[f"{c}__n"] > 0 and p1[f"{c}__br"] is not None}
 
     results: dict[str, list] = {}
     fallback_cols: list[str] = []
-    # a non-finite bracket (the column holds NaN/inf near a probed
-    # quantile) cannot be spliced into SQL text — repr() would emit the
-    # bare identifiers nan/inf — and non-finite windows break the rank
-    # walk anyway; those columns run the fully-exact bucketed plan, which
-    # handles NaN via its sentinel bucket
-    finite_info = {}
-    for c, (n, br) in info.items():
-        if all(math.isfinite(float(x)) for x in br):
-            finite_info[c] = (n, br)
+    low_cols: list[str] = []
+    win_info: dict[str, tuple[int, list]] = {}
+    for c in cols:
+        n = int(p1[f"{c}__n"])
+        if n == 0:
+            continue  # surfaces as a NULL-quantile row below
+        br = p1[f"{c}__br"]
+        if int(p1[f"{c}__d"]) < low_card_threshold:
+            low_cols.append(c)
+        elif br is not None and all(math.isfinite(float(x)) for x in br):
+            win_info[c] = (n, br)
         else:
+            # a non-finite bracket (NaN/inf near a probed quantile)
+            # cannot be spliced into SQL text and breaks the rank walk;
+            # the bucketed plan handles NaN via its sentinel bucket
             fallback_cols.append(c)
-    info = finite_info
-    if info:
-        exprs, bounds = [], {}
-        for c, (n, br) in info.items():
-            for j, p in enumerate(ps):
-                wlo, whi = float(br[pidx[lo_p[p]]]), float(br[pidx[hi_p[p]]])
-                bounds[(c, j)] = (wlo, whi)
-                v = f"cast(`{c}` as double)"
-                exprs += [
-                    f"count(case when {v} < {wlo!r} then 1 end) "
-                    f"as `{c}__b{j}`",
-                    f"count(case when {v} = {wlo!r} then 1 end) "
-                    f"as `{c}__lo{j}`",
-                    f"count(case when {v} = {whi!r} then 1 end) "
-                    f"as `{c}__hi{j}`",
-                    f"collect_list(case when {v} > {wlo!r} "
-                    f"and {v} < {whi!r} then {v} end) as `{c}__in{j}`",
-                ]
-        p2 = df.selectExpr(exprs).collect()[0]
 
-        def _round(x: float) -> float:
-            # Decimal(repr(x)), not Decimal(x): Spark's round() rounds the
-            # SHORTEST decimal repr (BigDecimal.valueOf) — Decimal(x)'s
-            # full binary expansion puts boundary values (…25 at the cut
-            # digit) on the other side of HALF_UP
-            q = Decimal(1).scaleb(-round_to)
-            return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+    exprs2, bounds = [], {}
+    for c in low_cols:
+        exprs2.append(f"percentile(`{c}`, array({ps_arr})) as `{c}__pq`")
+    for c, (n, br) in win_info.items():
+        for j, p in enumerate(ps):
+            wlo, whi = float(br[pidx[lo_p[p]]]), float(br[pidx[hi_p[p]]])
+            bounds[(c, j)] = (wlo, whi)
+            v = f"`{c}`"
+            exprs2 += [
+                f"count(case when {v} < {wlo!r} then 1 end) "
+                f"as `{c}__b{j}`",
+                f"count(case when {v} = {wlo!r} then 1 end) "
+                f"as `{c}__lo{j}`",
+                f"count(case when {v} = {whi!r} then 1 end) "
+                f"as `{c}__hi{j}`",
+                f"collect_list(case when {v} > {wlo!r} "
+                f"and {v} < {whi!r} then {v} end) as `{c}__in{j}`",
+            ]
 
-        for c, (n, _br) in info.items():
+    def _round(x: float) -> float:
+        # Decimal(repr(x)), not Decimal(x): Spark's round() rounds the
+        # SHORTEST decimal repr (BigDecimal.valueOf) — Decimal(x)'s
+        # full binary expansion puts boundary values (…25 at the cut
+        # digit) on the other side of HALF_UP. NaN/±inf pass through
+        # unchanged, matching Spark's round() (the bucketed plan rounds
+        # in SQL, so the low-card route must agree on non-finite output).
+        if not math.isfinite(x):
+            return x
+        q = Decimal(1).scaleb(-round_to)
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    if exprs2:
+        p2 = ndf.selectExpr(exprs2).collect()[0]
+        for c in low_cols:
+            pq = p2[f"{c}__pq"]
+            if pq is None:
+                fallback_cols.append(c)
+                continue
+            results[c] = [_round(float(x)) for x in pq]
+        for c, (n, _br) in win_info.items():
             vals_out, ok = [], True
             for j, p in enumerate(ps):
                 wlo, whi = bounds[(c, j)]

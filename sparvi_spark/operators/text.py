@@ -530,8 +530,12 @@ def dedup_lines_in_doc(
         return _expr_branch(df)
     if mode == "explode":
         return _explode_branch(df)
-    # NULL text routes to the expr branch (size(NULL) is NULL — it would
-    # otherwise fall through both predicates and drop the row)
+    # NULL text routes to the expr branch. size(NULL) is config-dependent:
+    # -1 under the default spark.sql.legacy.sizeOfNull=true (routes NULL
+    # docs through n <= line_cap), NULL under ANSI/legacy=false (falls
+    # through both predicates and would DROP the row). The isNull() guard
+    # is the ANSI-mode safety net; under the legacy default it is
+    # redundant but harmless.
     n = F.size(F.expr(lines))
     return _expr_branch(df.where((n <= line_cap) | n.isNull())).unionByName(
         _explode_branch(df.where(n > line_cap)))

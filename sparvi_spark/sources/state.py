@@ -98,6 +98,147 @@ ENTITIES: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 _POINTER = "_CURRENT"
+_LEASE = "_LEASE"
+
+
+class LeaseConflict(RuntimeError):
+    """Another writer holds the commit lease for this state directory."""
+
+
+def read_lease(base: str) -> dict | None:
+    """Current lease document (``{"owner", "expires_at"}``) or None."""
+    try:
+        with open(os.path.join(base, _LEASE)) as f:
+            doc = json.loads(f.read())
+        return doc if isinstance(doc, dict) and "owner" in doc else None
+    except (OSError, ValueError):
+        return None
+
+
+def acquire_lease(base: str, owner: str | None = None,
+                  ttl_seconds: float = 120.0,
+                  wait_seconds: float = 30.0) -> str:
+    """Take the single-writer commit lease for ``base``; returns the owner
+    id to pass to :func:`verify_lease` / :func:`release_lease`.
+
+    The arbiter is an O_EXCL create of the ``_LEASE`` file — atomic on
+    posix and on HDFS-like stores (create with overwrite=false); exactly
+    one of any number of racing writers gets the fd, everyone else loops
+    until the deadline then raises :class:`LeaseConflict`. A lease older
+    than its ``expires_at`` is STOLEN in two steps: rename it to a
+    graveyard name (only one thief's rename can succeed — the loser's
+    source is gone), then compete again through O_EXCL like everyone
+    else — stealing never grants ownership by itself, so two concurrent
+    thieves cannot both win. Plain atomic replace was rejected as the
+    acquire primitive: replace-then-read-back lets two writers each
+    observe themselves as owner when their replaces interleave.
+
+    On S3/GCS there is no O_EXCL; substitute a conditional PUT
+    (If-None-Match: *) or an external lock row — the protocol shape
+    (create-if-absent, TTL takeover, verify-before-flip) is unchanged.
+    """
+    import random
+    import socket
+    import time
+    import uuid
+
+    owner = owner or (f"{socket.gethostname()}:{os.getpid()}:"
+                      f"{uuid.uuid4().hex[:8]}")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, _LEASE)
+    deadline = time.monotonic() + wait_seconds
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                payload = json.dumps({
+                    "owner": owner,
+                    "expires_at": time.time() + ttl_seconds,
+                })
+                os.write(fd, payload.encode())
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            return owner
+        except FileExistsError:
+            cur = read_lease(base)
+            if cur is not None and float(
+                    cur.get("expires_at", 0)) <= time.time():
+                # expired: clear it (rename = one winner), then re-compete
+                try:
+                    os.rename(path, path + ".expired." + uuid.uuid4().hex)
+                except OSError:
+                    pass
+            elif cur is None and os.path.exists(path):
+                # unreadable/corrupt lease file: same takeover path
+                try:
+                    os.rename(path, path + ".expired." + uuid.uuid4().hex)
+                except OSError:
+                    pass
+            if time.monotonic() >= deadline:
+                holder = (cur or {}).get("owner", "<unknown>")
+                raise LeaseConflict(
+                    f"commit lease for {base} held by {holder}")
+            time.sleep(0.02 + random.random() * 0.05)
+
+
+def verify_lease(base: str, owner: str) -> bool:
+    """True iff ``owner`` still holds an unexpired lease on ``base``.
+
+    Callers MUST re-verify immediately before the pointer flip: a writer
+    that stalled past its TTL may have been taken over, and flipping
+    anyway would overwrite the successor's commit. (The verify→flip gap
+    is a residual TOCTOU — irreducible without a CAS pointer write; the
+    TTL is therefore sized at minutes against a flip that takes
+    microseconds.)"""
+    import time
+
+    cur = read_lease(base)
+    return (cur is not None and cur.get("owner") == owner
+            and float(cur.get("expires_at", 0)) > time.time())
+
+
+def release_lease(base: str, owner: str) -> None:
+    """Drop the lease if ``owner`` still holds it (no-op otherwise)."""
+    path = os.path.join(base, _LEASE)
+    cur = read_lease(base)
+    if cur is not None and cur.get("owner") == owner:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
+class state_lease:
+    """``with state_lease(base) as owner:`` — acquire on enter, release on
+    exit. Also sweeps graveyard files from past takeovers on exit."""
+
+    def __init__(self, base: str, owner: str | None = None,
+                 ttl_seconds: float = 120.0, wait_seconds: float = 30.0):
+        self.base = base
+        self._owner_arg = owner
+        self.ttl = ttl_seconds
+        self.wait = wait_seconds
+        self.owner: str | None = None
+
+    def __enter__(self) -> str:
+        self.owner = acquire_lease(self.base, self._owner_arg,
+                                   ttl_seconds=self.ttl,
+                                   wait_seconds=self.wait)
+        return self.owner
+
+    def __exit__(self, *exc) -> None:
+        if self.owner is not None:
+            release_lease(self.base, self.owner)
+        try:
+            for e in os.listdir(self.base):
+                if e.startswith(_LEASE + ".expired."):
+                    try:
+                        os.remove(os.path.join(self.base, e))
+                    except OSError:
+                        pass
+        except OSError:
+            pass
 
 
 def read_pointer(base: str) -> str | None:
@@ -268,25 +409,41 @@ class StateStore:
         pointer flip leaves the previous version fully readable, and old
         versions are GC'd only after the flip. Pointer I/O here is posix
         (open/fsync/os.replace); on an object store substitute the SDK's
-        atomic single-key PUT."""
+        atomic single-key PUT.
+
+        The whole rewrite runs under the commit lease: without it two
+        concurrent engines race ``next_version`` (colliding on the same
+        dir name) and the second pointer flip silently discards the first
+        writer's committed version. A second engine therefore WAITS (up
+        to the lease deadline) and then reruns retention over the
+        now-current state; ownership is re-verified immediately before
+        the flip so a stalled-past-TTL writer aborts instead of
+        overwriting its successor."""
         from sparvi_spark.operators.trends import retain_latest as _retain
 
         base = self._path(entity)
-        kept = _retain(self.read(entity), keys, order_col, n)
-        version = next_version(base)
-        kept.select(*[f.strip().split(" ")[0]
-                      for f in ENTITIES[entity].split(",")]) \
-            .coalesce(4).write.mode("overwrite").partitionBy("run_date") \
-            .parquet(os.path.join(base, version))
-        # migrating a legacy flat layout: the new version dir sits beside
-        # the old flat files, which become unreferenced once the pointer
-        # exists — clear them so future reads don't double-count
-        legacy = [e for e in os.listdir(base)
-                  if not e.startswith(("_", ".", "v_"))]
-        write_pointer(base, version)
-        import shutil
-        for e in legacy:
-            p = os.path.join(base, e)
-            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
-                else os.remove(p)
-        gc_versions(base, grace_seconds=0)  # writer: pointer just flipped
+        with state_lease(base) as lease_owner:
+            kept = _retain(self.read(entity), keys, order_col, n)
+            version = next_version(base)
+            kept.select(*[f.strip().split(" ")[0]
+                          for f in ENTITIES[entity].split(",")]) \
+                .coalesce(4).write.mode("overwrite") \
+                .partitionBy("run_date") \
+                .parquet(os.path.join(base, version))
+            # migrating a legacy flat layout: the new version dir sits
+            # beside the old flat files, which become unreferenced once
+            # the pointer exists — clear them so future reads don't
+            # double-count
+            legacy = [e for e in os.listdir(base)
+                      if not e.startswith(("_", ".", "v_"))]
+            if not verify_lease(base, lease_owner):
+                raise LeaseConflict(
+                    f"lost commit lease for {base} before pointer flip; "
+                    f"version {version} left uncommitted for GC")
+            write_pointer(base, version)
+            import shutil
+            for e in legacy:
+                p = os.path.join(base, e)
+                shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
+                    else os.remove(p)
+            gc_versions(base, grace_seconds=0)  # lease held: safe to GC

@@ -87,6 +87,107 @@ def test_incremental_state_commit_crash_safe(spark, engine):
     assert read_pointer(base) == committed
 
 
+def test_state_lease_mutual_exclusion(tmp_path):
+    """The commit lease serializes racing writers: N threads hammering
+    acquire -> read-modify-write a counter file -> release lose no
+    update, and no two threads ever hold the lease at once."""
+    import threading
+
+    from sparvi_spark.sources.state import acquire_lease, release_lease
+
+    base = str(tmp_path / "leased")
+    counter = tmp_path / "counter.txt"
+    counter.write_text("0")
+    holders = []
+    overlap = []
+    lock = threading.Lock()
+
+    def worker(i):
+        for _ in range(8):
+            owner = acquire_lease(base, owner=f"w{i}", wait_seconds=30.0)
+            with lock:
+                holders.append(owner)
+                if len(holders) > 1:
+                    overlap.append(tuple(holders))
+            n = int(counter.read_text())
+            time.sleep(0.002)  # widen the lost-update window
+            counter.write_text(str(n + 1))
+            with lock:
+                holders.remove(owner)
+            release_lease(base, owner)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert overlap == []
+    assert int(counter.read_text()) == 4 * 8
+
+
+def test_state_lease_takeover_and_verify(tmp_path):
+    """An expired lease is stolen by the next acquirer; the old owner's
+    verify fails afterwards (so a stalled writer aborts its flip instead
+    of overwriting the successor). An UNEXPIRED lease blocks acquire with
+    LeaseConflict at the wait deadline."""
+    from sparvi_spark.sources.state import (
+        LeaseConflict,
+        acquire_lease,
+        release_lease,
+        verify_lease,
+    )
+
+    base = str(tmp_path / "leased")
+    a = acquire_lease(base, owner="a", ttl_seconds=0.05)
+    time.sleep(0.08)  # a's lease expires
+    b = acquire_lease(base, owner="b", ttl_seconds=60.0, wait_seconds=5.0)
+    assert not verify_lease(base, a)
+    assert verify_lease(base, b)
+    with pytest.raises(LeaseConflict):
+        acquire_lease(base, owner="c", wait_seconds=0.2)
+    release_lease(base, b)
+    assert acquire_lease(base, owner="c", wait_seconds=1.0) == "c"
+
+
+def test_state_retention_concurrent_commits_lose_nothing(spark, tmp_path):
+    """Two engines compacting the same entity concurrently serialize on
+    the lease: both commits succeed, the pointer ends on a complete
+    version dir, no version-name collision corrupts data, and the final
+    state is a valid retention result over every appended row."""
+    import threading
+
+    from sparvi_spark.sources.state import StateStore, read_pointer
+
+    st = StateStore(spark, str(tmp_path / "wh"))
+    st.append_rows("engine_events", [
+        {"event_type": "e", "table_name": f"t{i % 3}", "details": f"d{i}",
+         "detected_at": f"2026-01-{i + 1:02d} 00:00:00"}
+        for i in range(9)])
+
+    errs = []
+
+    def compact():
+        try:
+            st.retain_latest("engine_events", ["table_name"],
+                             "detected_at", 2)
+        except Exception as exc:  # noqa: BLE001 — recorded for the assert
+            errs.append(exc)
+
+    threads = [threading.Thread(target=compact) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    base = st._path("engine_events")
+    current = read_pointer(base)
+    versions = [d for d in os.listdir(base) if d.startswith("v_")]
+    assert versions == [current]  # losers GC'd, winner committed
+    out = st.read("engine_events").collect()
+    assert len(out) == 6  # 3 keys x newest 2
+    assert {r["table_name"] for r in out} == {"t0", "t1", "t2"}
+
+
 # ---------------------------------------------------------------------------
 # NULL partition keys in incremental profiling
 # ---------------------------------------------------------------------------
@@ -333,6 +434,47 @@ def test_exact_percentiles_refine_matches_bucketed(spark):
     empty = spark.createDataFrame([], "a double")
     out = exact_percentiles_refine(empty, ["a"]).collect()
     assert len(out) == 1 and out[0]["p50"] is None
+
+
+def test_exact_percentiles_refine_low_card_route_parity(spark):
+    """The cardinality-routed exact-``percentile`` path (approx distinct
+    below the threshold) is value-identical to the bucketed plan even on
+    NaN/±inf columns — Spark's exact percentile orders NaN last and
+    interpolates inf with the same formula, so no finiteness screen is
+    needed before routing. Forcing threshold=1 pushes every column onto
+    the window path instead; both must agree with the bucketed oracle."""
+    import math
+
+    from sparvi_spark.operators.profile import (
+        exact_percentiles, exact_percentiles_refine)
+
+    rows = []
+    for i in range(5_000):
+        rows.append((
+            float(i % 9),                                   # low-card clean
+            float("nan") if i % 911 == 0 else float(i % 13),  # low-card NaN
+            float("inf") if i == 0 else (-math.inf if i == 1
+                                         else float(i % 11)),  # ±inf
+        ))
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    cols = ["a", "b", "c"]
+    want = {r["column_name"]: r for r in
+            exact_percentiles(df, cols, ps=(0.0, 0.5, 1.0)).collect()}
+
+    def check(out):
+        for c in cols:
+            for q in ("p0", "p50", "p100"):
+                g, w = out[c][q], want[c][q]
+                same = (g == w or (g is not None and w is not None
+                                   and math.isnan(g) and math.isnan(w)))
+                assert same, (c, q, g, w)
+
+    low = {r["column_name"]: r for r in exact_percentiles_refine(
+        df, cols, ps=(0.0, 0.5, 1.0), low_card_threshold=20_000).collect()}
+    check(low)
+    win = {r["column_name"]: r for r in exact_percentiles_refine(
+        df, cols, ps=(0.0, 0.5, 1.0), low_card_threshold=1).collect()}
+    check(win)
 
 
 # ---------------------------------------------------------------------------
