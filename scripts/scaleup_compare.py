@@ -51,7 +51,8 @@ def build_scaled(spark) -> None:
     from sparvi_spark.testdata import load_table
 
     os.makedirs(SCALE_DIR, exist_ok=True)
-    for table, key in (("documents", "doc_id"), ("lineitem", None)):
+    for table, key in (("documents", "doc_id"), ("lineitem", None),
+                       ("embeddings", "vec_id")):
         out = os.path.join(SCALE_DIR, f"{table}.parquet")
         # _SUCCESS gates the skip: a killed prior run leaves partial dirs
         if os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -67,6 +68,17 @@ def build_scaled(spark) -> None:
                 rot = _ALPHA[i:] + _ALPHA[:i]
                 c = c.withColumn("text", F.translate(
                     "text", _ALPHA + _ALPHA.upper(), rot + rot.upper()))
+            if table == "embeddings" and i > 0:
+                # per-copy SIGN FLIP (orthogonal diagonal transform): every
+                # within-copy cosine is preserved EXACTLY, while a vector's
+                # cross-copy twin scatters to ~0 cosine — without it each
+                # copy adds an exact duplicate of every vector and SemDeDup
+                # pair counts grow MULT^2 (the same clique-growth trap the
+                # text rotation above guards against)
+                c = c.withColumn("embedding", F.expr(
+                    f"transform(embedding, (x, d) -> cast(x * (case when "
+                    f"((d + 1) * 2654435761 + {i} * 97) % 2 = 0 "
+                    f"then 1.0 else -1.0 end) as float))"))
             copies.append(c)
         big = copies[0]
         for c in copies[1:]:
@@ -74,14 +86,43 @@ def build_scaled(spark) -> None:
         big.repartition(32).write.mode("overwrite").parquet(out)
 
 
-def spark_queries(spark, sf_dir):
+def data_centroids(sf_dir: str, k: int) -> list[list[float]]:
+    """k centroids sampled deterministically FROM the embeddings (every
+    n/k-th vector by vec_id order) — synthetic-generator centroids can
+    land far from the data and collapse the assignment into one or two
+    clusters, turning the within-cluster pair search quadratic. Both
+    engines get the identical literals."""
+    import duckdb
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(p):
+        p = os.path.join(p, "*.parquet")
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{p}')").fetchone()[0]
+    step = max(n // k, 1)
+    rows = con.execute(f"""
+        SELECT embedding FROM (
+          SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn
+          FROM read_parquet('{p}'))
+        WHERE (rn - 1) % {step} = 0 ORDER BY rn LIMIT {k}""").fetchall()
+    con.close()
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def spark_queries(spark, sf_dir, sem_cents):
     from pyspark.sql import functions as F
 
+    from sparvi_spark.checks.pipeline_checks import (
+        CLF_BIAS, N_SHARDS, _clf_weights)
+    from sparvi_spark.operators.classify import linear_scores
     from sparvi_spark.operators.dedup import (
-        duplicate_spans, minhash_lsh_pairs)
+        duplicate_spans, minhash_lsh_pairs, semantic_dedup)
     from sparvi_spark.operators.profile import (
         exact_percentiles, exact_percentiles_refine)
-    from sparvi_spark.operators.text import lang_id_expr, quality_features
+    from sparvi_spark.operators.text import (
+        dedup_lines_corpus, lang_id_expr, quality_features)
+    from sparvi_spark.sources.export import shard_plan
 
     def docs():
         d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -89,6 +130,18 @@ def spark_queries(spark, sf_dir):
 
     def li():
         return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    def emb():
+        return spark.read.parquet(os.path.join(sf_dir,
+                                               "embeddings.parquet"))
+
+    def docs3():
+        # the same deterministic 3-line build as the graded e13 check
+        # (testdata text is single-line), uncapped
+        return docs().selectExpr(
+            "doc_id",
+            "concat(substring(coalesce(text, ''), 1, 40), '\\n', "
+            "'standard footer line', '\\n', lang) AS text")
 
     return {
         "profile_numeric": lambda: li().agg(*[
@@ -118,6 +171,26 @@ def spark_queries(spark, sf_dir):
             docs(), "doc_id", "text", n=8).agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum("span_tokens").alias("tok_total")),
+        # r7 additions: the families the driver started grading in r6
+        # (VERDICT r6 task 4) — SemDeDup, corpus line dedup, classifier
+        # scoring, shard export — full-scale, aggregated to small outputs
+        # so the timer measures compute, not pandas transfer
+        "semantic_dedup": lambda: semantic_dedup(
+            emb(), "vec_id", "embedding", threshold=0.3,
+            centroids=sem_cents).agg(
+            F.count(F.lit(1)).alias("n_kept")),
+        "dedup_lines": lambda: dedup_lines_corpus(
+            docs3(), "doc_id", "text", min_count=3,
+            hash_mode="exact").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines_removed").alias("removed")),
+        "classifier_score": lambda: linear_scores(
+            docs(), _clf_weights(), bias=CLF_BIAS, emit_sum=True).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("feature_sum").alias("fsum"),
+            F.sum(F.col("label").cast("long")).alias("n_pos")),
+        "shard_split": lambda: shard_plan(
+            docs(), "doc_id", N_SHARDS, method="portable"),
     }
 
 
@@ -221,6 +294,62 @@ SELECT count(*) FROM verified
 WHERE shared * cast(1 as double) / (sa + sb - shared) >= 0.8""",
     }
 
+    # r7 additions (same shapes as the graded checks, uncapped + aggregated)
+    from sparvi_spark.checks.pipeline_checks import (
+        CLF_BIAS,
+        N_SHARDS,
+        _clf_weights,
+        _sql_classifier_scores,
+    )
+    from sparvi_spark.operators.sampling import HASH_A, HASH_B, HASH_M
+
+    duck["dedup_lines"] = """
+WITH d AS (SELECT doc_id,
+             concat(substring(coalesce(text, ''), 1, 40), chr(10),
+                    'standard footer line', chr(10), lang) AS s
+           FROM documents),
+l AS (SELECT doc_id, cast(i as int) AS li,
+        list_extract(string_split(s, chr(10)), i) AS line
+      FROM d, unnest(range(1, len(string_split(s, chr(10))) + 1)) u(i)),
+hot AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 3)
+SELECT count(DISTINCT doc_id) AS n_docs,
+  count(CASE WHEN line IN (SELECT line FROM hot) THEN 1 END) AS removed
+FROM l"""
+    duck["classifier_score"] = (
+        "WITH scored AS (" + _sql_classifier_scores() + ") "
+        "SELECT count(*) AS n, sum(feature_sum) AS fsum, "
+        "sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos FROM scored")
+    shard = (f"cast(((doc_id * {HASH_A} + {HASH_B}) % {HASH_M}) "
+             f"% {N_SHARDS} as int)")
+    duck["shard_split"] = f"""
+SELECT {shard} AS shard, cast(count(*) as bigint) AS n_rows,
+  min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY 1 ORDER BY 1"""
+
+    def duck_semantic_dedup(cents: list[list[float]]) -> str:
+        from sparvi_spark.checks.pipeline_checks import _duck_cosine
+
+        dim = len(cents[0])
+        carr = ", ".join(
+            "[" + ", ".join(repr(x) for x in c) + "]" for c in cents)
+        dists = (
+            f"list_transform([{carr}], c -> "
+            f"list_reduce(list_prepend(cast(0 as double), "
+            f"list_transform(range(1, {dim} + 1), i -> "
+            f"(cast(embedding[i] as double) - c[i]) * "
+            f"(cast(embedding[i] as double) - c[i]))), "
+            f"(acc, v) -> acc + v))")
+        return f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+a AS (SELECT vec_id, embedding,
+        list_indexof({dists}, list_min({dists})) - 1 AS cl FROM v),
+p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        {_duck_cosine('x.embedding', 'y.embedding')} AS cosine
+      FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id),
+dups AS (SELECT DISTINCT id_b FROM p WHERE cosine >= 0.3)
+SELECT count(*) AS n_kept FROM v
+WHERE vec_id NOT IN (SELECT id_b FROM dups)"""
+
     from sparvi_spark.testdata import _tune_for_dir
 
     results: dict[str, dict[str, float]] = {}
@@ -229,13 +358,22 @@ WHERE shared * cast(1 as double) / (sa + sb - shared) >= 0.8""",
         # read raw parquet, so the load_table-side tuner never sees it)
         _tune_for_dir(spark, sf_dir)
         con = duckdb.connect()
-        for t in ("documents", "lineitem"):
+        for t in ("documents", "lineitem", "embeddings"):
             p = f"{sf_dir}/{t}.parquet"
             if os.path.isdir(p):  # Spark writes a directory of part files
                 p = f"{p}/*.parquet"
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-        sq = spark_queries(spark, sf_dir)
+        # SemDeDup scale discipline: k grows with the data (fixed ~250
+        # vectors/cluster) — that is how the operator is meant to be run
+        # at 100 TB (cluster SIZE bounded, clusters parallelize); a fixed
+        # k would grow every cluster MULT-fold and time a MULT^2 pair
+        # workload in both engines. Centroids sampled from the data,
+        # identical literals on both sides.
+        sem_k = max(8, 8 * (1 if sf_dir == BASE else MULT))
+        sem_cents = data_centroids(sf_dir, sem_k)
+        duck["semantic_dedup"] = duck_semantic_dedup(sem_cents)
+        sq = spark_queries(spark, sf_dir, sem_cents)
         for name in sq:
             best_d = 1e9
             for _ in range(2):
