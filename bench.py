@@ -118,11 +118,15 @@ def headline_queries():
         "profile_row_dup_counts": reg["p01_row_counts"][0],
         "validation_all_tables": reg["v00_rules_all"][0],
         "custom_sql_q1": reg["v06_custom_sql"][0],
-        # r6: a01/t02 slots merged (a01_anomaly_scores adds the iqr parts,
-        # t02_rollups adds the dashboard melt) — workload superset of r5
-        "anomaly_zscore_both": reg["a01_anomaly_scores"][0],
+        # r6 merged the underlying check workloads (a01_anomaly_scores
+        # absorbed the global+rolling IQR parts, t02_rollups the dashboard
+        # melt); r7 renames the keys so round-over-round diffs can't
+        # compare unlike workloads under a stable name (the JSON also
+        # carries workload_version — bump it whenever a headline key's
+        # underlying query changes shape).
+        "anomaly_scores_4way": reg["a01_anomaly_scores"][0],
         "anomaly_detection_run": reg["a07_detection_run"][0],
-        "trend_daily_rollup": reg["t02_rollups"][0],
+        "trend_rollups": reg["t02_rollups"][0],
         "schema_diff": reg["s01_schema_diff"][0],
         "dedup_minhash_full": dedup_minhash_full,
         "similarity_topk_full": similarity_topk_full,
@@ -239,24 +243,50 @@ def main() -> None:
     # runs (SCALING.md round-5 spread), so the min needs several draws
     # and the reader deserves the whole sample list.
     #
-    # LOAD AWARENESS (r6): neighbor/co-tenant contention is invisible to
-    # this VM's loadavg, so each sample is bracketed by a single-thread
-    # CPU spin probe — a fixed busy loop whose wall time tracks effective
-    # CPU speed (hypervisor steal included). A sample whose pre- OR
-    # post-probe runs >25% over the session's best probe is marked
-    # contaminated and retried (up to 3 extra draws); the headline is the
-    # min over CLEAN samples when any exist, and the JSON carries every
-    # sample with its probe ratios so the artifact is self-auditing
-    # (round-5's official capture recorded 10.1s/11.6s neighbor-load
-    # walls into a 7.86s headline that an idle rerun showed was ~6.9s).
-    def spin_probe() -> float:
-        t0 = time.perf_counter()
-        acc = 0
-        for i in range(2_000_000):
-            acc += i ^ (i >> 3)
-        return time.perf_counter() - t0
+    # LOAD AWARENESS (r6, tightened r7): neighbor/co-tenant contention is
+    # invisible to this VM's loadavg, so each sample is bracketed by a
+    # PARALLEL CPU probe. r6's single-thread pure-Python spin could not
+    # see multi-core / memory-bandwidth contention (it recorded 5/5
+    # samples "clean" with a 76% spread); the r7 probe runs 16 numpy
+    # matmul workers — numpy releases the GIL, so the workers genuinely
+    # occupy 16 cores, the same parallelism the suite submits at, and the
+    # wall tracks effective MULTI-core speed including hypervisor steal.
+    # probe_base is a RUNNING MIN over every probe taken (initial AND
+    # per-sample), and contamination flags are recomputed against the
+    # final base after all draws — a session that starts loaded can no
+    # longer label its own contaminated samples clean. Threshold 25%
+    # against the best probe, up to 5 retry
+    # draws; the headline is the min over CLEAN samples when any exist,
+    # and the JSON carries every sample with its probe ratios so the
+    # artifact is self-auditing.
+    #
+    # Probe implementation notes: ufunc chains, NOT matmul — numpy's
+    # matmul dispatches to BLAS which may spawn its own thread pool
+    # under each of the 16 workers (oversubscription made a matmul
+    # probe swing 1.0-3.3x against itself); ufuncs release the GIL and
+    # burn exactly one core per worker. Each probe point is a BEST-OF-3
+    # (JVM background threads — GC, shuffle cleaners — spike briefly
+    # right after a suite run; the min sees through one-off spikes),
+    # taken after a short settle pause for the same reason.
+    import numpy as np
 
-    probe_base = min(spin_probe() for _ in range(5))
+    _probe_arr = np.random.default_rng(7).random(1_000_000)
+
+    def spin_probe() -> float:
+        def burn(_):
+            return float(np.sqrt(_probe_arr * _probe_arr + 1.0).sum())
+
+        def once() -> float:
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=16) as pex:
+                list(pex.map(burn, range(16)))
+            return time.perf_counter() - t0
+
+        time.sleep(0.2)  # settle: let post-suite JVM threads idle down
+        return min(once() for _ in range(3))
+
+    probes_taken: list[float] = [spin_probe() for _ in range(3)]
+    probe_base = min(probes_taken)
 
     # one untimed warm pass first — identical to the per-query protocol
     # (codegen/JIT for 50 plan shapes is warm-engine state, not work):
@@ -268,21 +298,32 @@ def main() -> None:
         list(ex.map(run_one, suite_fns))
     samples: list[dict] = []
     draws = 0
-    while draws < 5 + 3 and sum(1 for s in samples if not s["contaminated"]) < 5:
+
+    def _n_clean() -> int:
+        # against the CURRENT base; final flags recomputed below
+        return sum(1 for s in samples
+                   if s["_pre"] <= probe_base * 1.25
+                   and s["_post"] <= probe_base * 1.25)
+
+    while draws < 5 + 5 and _n_clean() < 5:
         draws += 1
         isolate()
-        pre = spin_probe() / probe_base
+        pre = spin_probe()
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=16) as ex:
             list(ex.map(run_one, suite_fns))
         wall = round(time.perf_counter() - t0, 4)
-        post = spin_probe() / probe_base
-        samples.append({
-            "wall": wall,
-            "probe_pre": round(pre, 3),
-            "probe_post": round(post, 3),
-            "contaminated": pre > 1.25 or post > 1.25,
-        })
+        post = spin_probe()
+        probes_taken += [pre, post]
+        probe_base = min(probes_taken)
+        samples.append({"wall": wall, "_pre": pre, "_post": post})
+    # flags against the final running-min base: every sample's ratios are
+    # comparable, including ones drawn before the best probe was seen
+    for s in samples:
+        s["probe_pre"] = round(s.pop("_pre") / probe_base, 3)
+        s["probe_post"] = round(s.pop("_post") / probe_base, 3)
+        s["contaminated"] = (s["probe_pre"] > 1.25
+                             or s["probe_post"] > 1.25)
     clean = [s["wall"] for s in samples if not s["contaminated"]]
     walls = [s["wall"] for s in samples]
     suite_wall = min(clean) if clean else min(walls)
@@ -293,10 +334,72 @@ def main() -> None:
           + (f", clean spread {spread:.1%}" if spread is not None else ""),
           file=sys.stderr)
 
+    # Operative-baseline disclosure (r6 verdict): time DuckDB serially on
+    # the IDENTICAL oracle queries in the same process, same warm inputs,
+    # so the artifact self-contains the ratio headline. Two DuckDB-
+    # pathological queries are broken out — x27_doc_scores (per-token
+    # element_at over a 4096-dim literal weight list) and x04_langid —
+    # which dominate DuckDB's serial total; ratio_excl_outliers divides
+    # the SAME Spark wall by the baseline without them, so the headline
+    # can't silently rest on the oracle's weak spots. Best-of-2 per query
+    # (the per-query protocol above).
+    _BASELINE_OUTLIERS = ("x27_doc_scores", "x04_langid")
+    duckdb_total = duckdb_excl = ratio_all = ratio_excl = None
+    duckdb_probes = None
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents",
+                  "embeddings"]:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf_dir}/{t}.parquet')")
+        # the baseline pass gets the same contamination bracketing as the
+        # Spark samples (a loaded draw inflates DuckDB and flatters the
+        # ratio); one retry, and the probe ratios ride in the JSON either
+        # way so the artifact shows how clean its own baseline was
+        ddb: dict[str, float] = {}
+        ddb_pre = ddb_post = None
+        for _attempt in range(2):
+            pre = spin_probe()
+            run: dict[str, float] = {}
+            for name, (_fn, sql) in sorted(collect_all_checks().items()):
+                if sql is None:
+                    continue
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                run[name] = best
+            post = spin_probe()
+            probes_taken += [pre, post]
+            probe_base = min(probes_taken)
+            if (not ddb) or sum(run.values()) < sum(ddb.values()):
+                ddb, ddb_pre, ddb_post = run, pre, post
+            if pre <= probe_base * 1.25 and post <= probe_base * 1.25:
+                break
+        duckdb_probes = {"pre": round(ddb_pre / probe_base, 3),
+                         "post": round(ddb_post / probe_base, 3)}
+        duckdb_total = round(sum(ddb.values()), 4)
+        duckdb_excl = round(sum(v for k, v in ddb.items()
+                                if k not in _BASELINE_OUTLIERS), 4)
+        ratio_all = round(suite_wall / duckdb_total, 4)
+        ratio_excl = round(suite_wall / duckdb_excl, 4)
+        print(f"# duckdb serial total ({len(ddb)} queries): "
+              f"{duckdb_total:.2f}s (excl {list(_BASELINE_OUTLIERS)}: "
+              f"{duckdb_excl:.2f}s) -> wall ratio {ratio_all:.2f}x "
+              f"(excl outliers {ratio_excl:.2f}x), probes {duckdb_probes}",
+              file=sys.stderr)
+    except Exception as exc:  # baseline disclosure must never fail bench
+        print(f"# duckdb baseline skipped: {exc}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        "workload_version": 7,
         "queries": timings,
         "suite_concurrent_wall_sec": suite_wall,
         "suite_concurrent_walls": walls,
@@ -305,6 +408,12 @@ def main() -> None:
         "suite_clean_spread": (round(spread, 4)
                                if spread is not None else None),
         "suite_queries": len(suite_fns),
+        "duckdb_total": duckdb_total,
+        "duckdb_probes": duckdb_probes,
+        "duckdb_total_excl_outliers": duckdb_excl,
+        "duckdb_outliers": list(_BASELINE_OUTLIERS),
+        "ratio_all": ratio_all,
+        "ratio_excl_outliers": ratio_excl,
         "sf": sf,
     }))
     spark.stop()
