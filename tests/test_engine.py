@@ -101,6 +101,32 @@ def test_collection_plan_tiers(spark):
     assert low["row_counts"] == {} and low["statistics"] == {}
 
 
+def test_table_size_bytes_matches_filesystem(spark, tmp_path):
+    """P15: table size from the scan's FileIndex equals the bytes on
+    disk (no job — metadata only), tracks a rewrite, and degrades to
+    None for a non-file source."""
+    import os
+
+    from sparvi_spark.plans.collection import table_size_bytes
+
+    out = str(tmp_path / "t.parquet")
+    spark.range(0, 10_000).selectExpr("id", "id * 2 AS v") \
+        .coalesce(2).write.parquet(out)
+    df = spark.read.parquet(out)
+    on_disk = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(out) for f in fs
+        if f.endswith(".parquet"))
+    got = table_size_bytes(df)
+    assert got == on_disk and got > 0
+    # rewrite grows the table; the size must follow without caching
+    spark.range(0, 10_000).selectExpr("id", "id * 3 AS v") \
+        .coalesce(1).write.mode("append").parquet(out)
+    assert table_size_bytes(spark.read.parquet(out)) > got
+    # non-file source: in-memory frames have no FileIndex
+    assert table_size_bytes(spark.range(5)) is None
+
+
 def test_read_table_parquet_source(spark):
     from sparvi_spark.sources import read_table
 

@@ -1340,6 +1340,40 @@ def test_semantic_dedup_matches_numpy_reference(spark):
     assert set(kept.columns) == {"vec_id", "grp", "embedding"}
 
 
+def test_semantic_dedup_gram_backend_matches_fold(spark):
+    """pair_backend="gram" (per-cluster numpy Gram blocks, the scale
+    path) returns the same pair set and survivors as the fold-expression
+    join on data whose cosines sit far from the threshold (the backends
+    may differ in the last ULP, never more). Also exercises the blocked
+    path (block=2048 internally; here every cluster is one block) and
+    NULL-vector drop parity."""
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.dedup import (
+        embedding_neardup_pairs, semantic_dedup)
+
+    rows, df = _semdedup_fixture(spark)
+    df = df.unionByName(spark.createDataFrame(
+        [(99, 0, None)], df.schema))  # NULL vector must drop in both
+    # ids 4g..4g+3 are group g's members -> //4 keeps each group together
+    assigned = df.withColumn(
+        "__b", F.floor(F.col("vec_id") / 4).cast("int"))
+    fold = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(
+        assigned, "vec_id", "embedding", threshold=0.98,
+        bucket_col="__b").collect()}
+    gram = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(
+        assigned, "vec_id", "embedding", threshold=0.98,
+        bucket_col="__b", pair_backend="gram").collect()}
+    assert gram == fold and fold  # same non-empty pair set
+    kept_f = sorted(r["vec_id"] for r in semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.98, k=4,
+        sample_size=1000).collect())
+    kept_g = sorted(r["vec_id"] for r in semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.98, k=4,
+        sample_size=1000, pair_backend="gram").collect())
+    assert kept_g == kept_f
+
+
 def test_semantic_dedup_far_from_centroid_keeps_outlier(spark):
     from pyspark.sql import functions as F
 
