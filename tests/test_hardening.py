@@ -87,6 +87,51 @@ def test_incremental_state_commit_crash_safe(spark, engine):
     assert read_pointer(base) == committed
 
 
+def test_incremental_commit_aborts_when_state_advances(spark, engine):
+    """The optimistic pointer check: an incremental run whose fold was
+    computed against state that ANOTHER engine advanced in the meantime
+    must raise LeaseConflict instead of committing (which would silently
+    drop the competitor's fold), and the committed state must be the
+    competitor's."""
+    import sparvi_spark.operators.incremental as inc
+    from sparvi_spark.engine import Engine
+    from sparvi_spark.sources.state import LeaseConflict, read_pointer
+
+    rows = [(p, float(i)) for p in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "part string, v double")
+    engine.run_incremental_profile(df, "tc", "part", ["v"])  # bootstrap
+
+    df2 = df.unionByName(spark.createDataFrame(
+        [("c", float(i)) for i in range(5)], "part string, v double"))
+    df3 = df.unionByName(spark.createDataFrame(
+        [("d", float(i)) for i in range(5)], "part string, v double"))
+    engine2 = Engine(spark, engine.state.root)
+    real = inc.incremental_profile_full
+    fired = []
+
+    def racing(*a, **k):
+        out = real(*a, **k)
+        if not fired:  # competitor commits between our read and our lease
+            fired.append(True)
+            engine2.run_incremental_profile(df3, "tc", "part", ["v"])
+        return out
+
+    inc.incremental_profile_full = racing
+    try:
+        with pytest.raises(LeaseConflict, match="advanced"):
+            engine.run_incremental_profile(df2, "tc", "part", ["v"])
+    finally:
+        inc.incremental_profile_full = real
+    base = os.path.join(engine.state.root, "incremental", "tc", "stats")
+    committed = os.path.join(base, read_pointer(base))
+    parts = {r["partition_value"] for r in
+             spark.read.parquet(committed).collect()}
+    assert parts == {"a", "b", "d"}  # engine2's fold survived intact
+    # and a plain rerun over df2 succeeds against the advanced state
+    out = engine.run_incremental_profile(df2, "tc", "part", ["v"]).collect()
+    assert out[0]["cnt"] == 25
+
+
 def test_state_lease_mutual_exclusion(tmp_path):
     """The commit lease serializes racing writers: N threads hammering
     acquire -> read-modify-write a counter file -> release lose no
