@@ -28,11 +28,10 @@ def union_check(parts, tag_col: str = "mode"):
         raise ValueError(f"tag_col {tag_col!r} is not a simple identifier")
 
     def fn(spark, sf_dir, _parts=tuple(parts), _tag=tag_col):
-        from pyspark.sql import functions as F
-
         out = None
         for tag, f, _sql in _parts:
-            d = f(spark, sf_dir).select(F.lit(tag).alias(_tag), "*")
+            d = f(spark, sf_dir).selectExpr(
+                "'{}' as {}".format(tag.replace("'", "\\'"), _tag), "*")
             out = d if out is None else out.unionAll(d)
         return out
 
@@ -57,13 +56,11 @@ def aligned_union_check(parts, columns, tag_col="part"):
     and stay BIGINT."""
     def fn(spark, sf_dir, _parts=tuple(parts), _cols=tuple(columns),
            _tag=tag_col):
-        from pyspark.sql import functions as F
-
         out = None
         for tag, f, _sql, exprs in _parts:
             d = f(spark, sf_dir).selectExpr(
-                *[f"{exprs[c]} AS {c}" for c in _cols]
-            ).select(F.lit(tag).alias(_tag), "*")
+                "'{}' as {}".format(tag.replace("'", "\\'"), _tag),
+                *[f"{exprs[c]} AS {c}" for c in _cols])
             out = d if out is None else out.unionAll(d)
         return out
 
@@ -93,31 +90,34 @@ def melted_check(parts):
     One pass per part on both sides: Spark explodes an array of structs,
     DuckDB unnests a struct list — the underlying query runs once."""
     def fn(spark, sf_dir, _parts=tuple(parts)):
-        from pyspark.sql import functions as F
-
+        # SQL-TEXT projection, not Column objects: the struct/lit/cast
+        # chatter built ~3 py4j calls per metric — measured 120-190ms of
+        # pure plan-build per melted slot (40-55% of the build), all
+        # GIL-serialized under the concurrent suite. One selectExpr pair
+        # per part parses JVM-side; the resolved plan is identical.
         out = None
         for tag, f, _sql, keys, nums, strs in _parts:
             ks = [
-                (F.col(keys[i]).cast("string") if i < len(keys)
-                 else F.lit(None).cast("string")).alias(f"k{i + 1}")
+                (f"cast(`{keys[i]}` as string)" if i < len(keys)
+                 else "cast(null as string)") + f" as k{i + 1}"
                 for i in range(2)
             ]
             items = [
-                F.struct(F.lit(m).alias("metric"),
-                         F.col(m).cast("double").alias("num_val"),
-                         F.lit(None).cast("string").alias("str_val"))
+                f"named_struct('metric', '{m}', "
+                f"'num_val', cast(`{m}` as double), "
+                f"'str_val', cast(null as string))"
                 for m in nums
             ] + [
-                F.struct(F.lit(m).alias("metric"),
-                         F.lit(None).cast("double").alias("num_val"),
-                         F.col(m).cast("string").alias("str_val"))
+                f"named_struct('metric', '{m}', "
+                f"'num_val', cast(null as double), "
+                f"'str_val', cast(`{m}` as string))"
                 for m in strs
             ]
-            d = f(spark, sf_dir).select(
-                F.lit(tag).alias("part"), *ks,
-                F.explode(F.array(*items)).alias("u"),
-            ).select("part", "k1", "k2", "u.metric", "u.num_val",
-                     "u.str_val")
+            d = f(spark, sf_dir).selectExpr(
+                "'{}' as part".format(tag.replace("'", "\\'")), *ks,
+                f"explode(array({', '.join(items)})) as u",
+            ).selectExpr("part", "k1", "k2", "u.metric", "u.num_val",
+                         "u.str_val")
             out = d if out is None else out.unionAll(d)
         return out
 
