@@ -282,13 +282,13 @@ def exact_percentiles_refine(
     ps: tuple[float, ...] = (0.25, 0.5, 0.75),
     round_to: int = 6,
     accuracy: int = 2_000,
-    low_card_threshold: int = 20_000,
+    tie_shortcut: bool = True,
 ) -> DataFrame:
-    """EXACT percentiles via sketch-then-refine with cardinality routing —
-    same output contract as ``exact_percentiles`` (identical interpolation
-    math, HALF_UP rounding), two WIDE single-row aggregation passes instead
-    of a melt + full distinct-value prefix sum (melting N cols multiplies
-    the scanned rows N× before any aggregation).
+    """EXACT percentiles via sketch-then-refine — same output contract as
+    ``exact_percentiles`` (identical interpolation math, HALF_UP rounding),
+    at most two WIDE single-row aggregation passes instead of a melt + full
+    distinct-value prefix sum (melting N cols multiplies the scanned rows
+    N× before any aggregation).
 
     Both passes run over a NARROW projection (just the requested columns,
     cast once): the profiler's cached input holds the whole table row, and
@@ -296,47 +296,46 @@ def exact_percentiles_refine(
     projected plan at sf0.1 — column pruning through the cache is the
     single biggest lever here.
 
-    Pass 1 computes, per column in one row: count,
-    ``approx_count_distinct``, and ``percentile_approx`` brackets at probe
-    points p±4/accuracy (GK rank error ≤ n/accuracy) — the shuffle carries
-    partial sketches only. (The sketch forces the whole aggregate into
-    ObjectHashAggregate — interpreted, no codegen — so every extra
-    expression here costs per-row time; a min/max/NaN-count variant
-    measured +0.15s at sf0.1 and was dropped.) Pass 2 then routes each
-    column:
+    Pass 1 computes, per column in one row: count and ``percentile_approx``
+    brackets at probe points p±4/accuracy (GK rank error ≤ n/accuracy) —
+    the shuffle carries partial sketches only. (The sketch forces the whole
+    aggregate into ObjectHashAggregate — interpreted, no codegen — so every
+    extra expression here costs per-row time; min/max/NaN-count and
+    approx_count_distinct variants each measured ~+0.15s at sf0.1 and were
+    dropped.) Each (column, quantile) then routes:
 
-    - LOW-CARDINALITY (approx distinct < ``low_card_threshold``): one
-      exact ``percentile(v, array(ps))`` aggregate. Its per-partition
-      value→count map and single-reducer merge are exactly what made the
-      naive plan slow on HIGH-cardinality columns (measured 1.6s on a
-      598k-distinct column at sf0.1, 0.07s on a 47-distinct one); bounded
-      by the threshold the merge is ≤ partitions × threshold entries.
-      NaN/±inf need no special-casing on this route: Spark's exact
-      ``percentile`` orders NaN last and interpolates ±inf with the same
-      formula as the bucketed plan (verified value-identical on
-      NaN-top/many-NaN/±inf/all-NaN columns), so results match the
-      fallback bit-for-bit. TPC-H-ish profiling inputs are mostly
-      low-cardinality (quantity/discount/tax), so this path usually
-      covers all but one column.
-    - HIGH-CARDINALITY: per (column, quantile) window — the count
-      strictly below the window, the duplicate-run lengths of the two
-      window ENDPOINT values, and a ``collect_list`` of the values
-      strictly between them. Counting the endpoint runs separately is
+    - TIE SHORTCUT: when both probes return the SAME finite value v, the
+      exact quantile IS v — the lo probe's rank is ≤ n(p-3ε) and the hi
+      probe's ≥ n(p+3ε) (ε=1/accuracy), values are sorted, so one
+      duplicate run of v covers every rank in between, including both
+      interpolation neighbors at floor/ceil(p·(n-1)). Zero pass-2 work.
+      Guarded by: neither probe clamped (p±4ε inside [0,1] — a clamped
+      probe's rank window no longer brackets the target) and 3n·ε ≥ 2
+      (the slack must cover floor/ceil and the p·n vs p·(n-1) drift).
+      Low-cardinality columns — most of a TPC-H-ish profile — resolve
+      every quantile here because their duplicate runs (n/distinct rows)
+      dwarf the ±4ε probe gap, so an all-low-card table is ONE action.
+    - WINDOW: the count strictly below the window, the duplicate-run
+      lengths of the two window ENDPOINT values, and a ``collect_list``
+      of the values strictly between them — one set of 4 aggregate
+      expressions per unresolved (column, quantile) in a single shared
+      pass-2 ``selectExpr``. Counting the endpoint runs separately is
       what bounds the collect: by construction only ≤ 8n/accuracy rows
       lie strictly between the brackets, while an endpoint itself may be
       a duplicate run of ANY length — runs ride back as one count, never
       as collected rows. The driver walks the tiny windowed histogram to
-      the exact neighbors at positions floor/ceil(p·(n-1)) and
-      interpolates.
+      the exact neighbors and interpolates. Unlike the tie shortcut this
+      path is SELF-CHECKING: if the window fails to cover the needed
+      ranks (tiny n, clamped probes at p=0/1) the column falls back to
+      the fully distributed bucketed plan, so no guard can be wrong,
+      only slow.
 
-    Both routes share one pass-2 ``selectExpr`` (a single action). At
-    100 TB this is the right exact-quantile shape: two single-scan passes
-    with map-side partials, O(cols·ps·n/accuracy) intermediate values, no
-    full-cardinality shuffle. If a window fails to cover the needed ranks
-    (possible only when 3n/accuracy < 1, i.e. n < ~1.5k rows at the
-    default accuracy) the affected columns fall back to the fully
-    distributed bucketed plan. Reference semantics: P5 app.py:3416-3421
-    (MEDIAN/quartiles).
+    At 100 TB this is the right exact-quantile shape: at most two
+    single-scan passes with map-side partials, O(cols·ps·n/accuracy)
+    intermediate values, no full-cardinality shuffle. ``tie_shortcut=
+    False`` forces every quantile through the self-checking window path
+    (used by the routing-parity test). Reference semantics: P5
+    app.py:3416-3421 (MEDIAN/quartiles).
     """
     import math
     from decimal import ROUND_HALF_UP, Decimal
@@ -350,111 +349,112 @@ def exact_percentiles_refine(
     probes = sorted(set(lo_p.values()) | set(hi_p.values()))
     probe_arr = ", ".join(repr(q) for q in probes)
     pidx = {q: i for i, q in enumerate(probes)}
-    ps_arr = ", ".join(repr(float(p)) for p in ps)
 
     ndf = df.selectExpr(*[f"cast(`{c}` as double) as `{c}`" for c in cols])
     p1 = ndf.selectExpr(
         *[f"count(`{c}`) as `{c}__n`" for c in cols],
-        *[f"approx_count_distinct(`{c}`) as `{c}__d`" for c in cols],
         *[f"percentile_approx(`{c}`, array({probe_arr}), "
           f"{accuracy}) as `{c}__br`" for c in cols]).collect()[0]
-
-    results: dict[str, list] = {}
-    fallback_cols: list[str] = []
-    low_cols: list[str] = []
-    win_info: dict[str, tuple[int, list]] = {}
-    for c in cols:
-        n = int(p1[f"{c}__n"])
-        if n == 0:
-            continue  # surfaces as a NULL-quantile row below
-        br = p1[f"{c}__br"]
-        if int(p1[f"{c}__d"]) < low_card_threshold:
-            low_cols.append(c)
-        elif br is not None and all(math.isfinite(float(x)) for x in br):
-            win_info[c] = (n, br)
-        else:
-            # a non-finite bracket (NaN/inf near a probed quantile)
-            # cannot be spliced into SQL text and breaks the rank walk;
-            # the bucketed plan handles NaN via its sentinel bucket
-            fallback_cols.append(c)
-
-    exprs2, bounds = [], {}
-    for c in low_cols:
-        exprs2.append(f"percentile(`{c}`, array({ps_arr})) as `{c}__pq`")
-    for c, (n, br) in win_info.items():
-        for j, p in enumerate(ps):
-            wlo, whi = float(br[pidx[lo_p[p]]]), float(br[pidx[hi_p[p]]])
-            bounds[(c, j)] = (wlo, whi)
-            v = f"`{c}`"
-            exprs2 += [
-                f"count(case when {v} < {wlo!r} then 1 end) "
-                f"as `{c}__b{j}`",
-                f"count(case when {v} = {wlo!r} then 1 end) "
-                f"as `{c}__lo{j}`",
-                f"count(case when {v} = {whi!r} then 1 end) "
-                f"as `{c}__hi{j}`",
-                f"collect_list(case when {v} > {wlo!r} "
-                f"and {v} < {whi!r} then {v} end) as `{c}__in{j}`",
-            ]
 
     def _round(x: float) -> float:
         # Decimal(repr(x)), not Decimal(x): Spark's round() rounds the
         # SHORTEST decimal repr (BigDecimal.valueOf) — Decimal(x)'s
         # full binary expansion puts boundary values (…25 at the cut
         # digit) on the other side of HALF_UP. NaN/±inf pass through
-        # unchanged, matching Spark's round() (the bucketed plan rounds
-        # in SQL, so the low-card route must agree on non-finite output).
+        # unchanged, matching Spark's round() (the bucketed fallback
+        # rounds in SQL, so the routes must agree on non-finite output).
         if not math.isfinite(x):
             return x
         q = Decimal(1).scaleb(-round_to)
         return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
+    # per-(column, quantile) routing
+    vals: dict[tuple[str, int], float] = {}   # tie answers
+    win: list[tuple[str, int, int, float, float]] = []  # (c, j, n, lo, hi)
+    fallback_cols: list[str] = []
+    for c in cols:
+        n = int(p1[f"{c}__n"])
+        if n == 0:
+            continue  # surfaces as a NULL-quantile row below
+        br = p1[f"{c}__br"]
+        if br is None:
+            fallback_cols.append(c)
+            continue
+        for j, p in enumerate(ps):
+            wlo, whi = float(br[pidx[lo_p[p]]]), float(br[pidx[hi_p[p]]])
+            if not (math.isfinite(wlo) and math.isfinite(whi)):
+                # a non-finite bracket (NaN/inf near a probed quantile)
+                # cannot be spliced into SQL text and breaks the rank
+                # walk; the bucketed plan handles NaN via its sentinel
+                fallback_cols.append(c)
+                break
+            if (tie_shortcut and wlo == whi
+                    and p - 4 * eps >= 0.0 and p + 4 * eps <= 1.0
+                    and 3 * n * eps >= 2.0):
+                vals[(c, j)] = _round(wlo)
+            else:
+                win.append((c, j, n, wlo, whi))
+
+    exprs2 = []
+    for c, j, _n, wlo, whi in win:
+        if c in fallback_cols:
+            continue
+        v = f"`{c}`"
+        exprs2 += [
+            f"count(case when {v} < {wlo!r} then 1 end) as `{c}__b{j}`",
+            f"count(case when {v} = {wlo!r} then 1 end) as `{c}__lo{j}`",
+            f"count(case when {v} = {whi!r} then 1 end) as `{c}__hi{j}`",
+            f"collect_list(case when {v} > {wlo!r} "
+            f"and {v} < {whi!r} then {v} end) as `{c}__in{j}`",
+        ]
+
     if exprs2:
         p2 = ndf.selectExpr(exprs2).collect()[0]
-        for c in low_cols:
-            pq = p2[f"{c}__pq"]
-            if pq is None:
-                fallback_cols.append(c)
+        for c, j, n, wlo, whi in win:
+            if c in fallback_cols:
                 continue
-            results[c] = [_round(float(x)) for x in pq]
-        for c, (n, _br) in win_info.items():
-            vals_out, ok = [], True
-            for j, p in enumerate(ps):
-                wlo, whi = bounds[(c, j)]
-                below = int(p2[f"{c}__b{j}"])
-                hist = [(wlo, int(p2[f"{c}__lo{j}"]))]
-                for v, cnt in sorted(
-                        __import__("collections").Counter(
-                            p2[f"{c}__in{j}"]).items()):
-                    hist.append((float(v), int(cnt)))
-                if whi != wlo:
-                    hist.append((whi, int(p2[f"{c}__hi{j}"])))
-                pos = float(p) * float(n - 1)
-                k_lo, k_hi = math.floor(pos), math.ceil(pos)
-                lo_v = hi_v = None
-                cum = below
-                for v, cnt in hist:
-                    if cum <= k_lo < cum + cnt:
-                        lo_v = v
-                    if cum <= k_hi < cum + cnt:
-                        hi_v = v
-                    cum += cnt
-                if lo_v is None or hi_v is None:
-                    ok = False
-                    break
-                val = lo_v if k_lo == k_hi else (
-                    (k_hi - pos) * lo_v + (pos - k_lo) * hi_v)
-                vals_out.append(_round(val))
-            if ok:
-                results[c] = vals_out
-            else:
-                fallback_cols.append(c)
+            p = ps[j]
+            below = int(p2[f"{c}__b{j}"])
+            hist = [(wlo, int(p2[f"{c}__lo{j}"]))]
+            for v, cnt in sorted(
+                    __import__("collections").Counter(
+                        p2[f"{c}__in{j}"]).items()):
+                hist.append((float(v), int(cnt)))
+            if whi != wlo:
+                hist.append((whi, int(p2[f"{c}__hi{j}"])))
+            pos = float(p) * float(n - 1)
+            k_lo, k_hi = math.floor(pos), math.ceil(pos)
+            lo_v = hi_v = None
+            cum = below
+            for v, cnt in hist:
+                if cum <= k_lo < cum + cnt:
+                    lo_v = v
+                if cum <= k_hi < cum + cnt:
+                    hi_v = v
+                cum += cnt
+            if lo_v is None or hi_v is None:
+                fallback_cols.append(c)  # window missed the ranks
+                continue
+            val = lo_v if k_lo == k_hi else (
+                (k_hi - pos) * lo_v + (pos - k_lo) * hi_v)
+            vals[(c, j)] = _round(val)
+
+    results: dict[str, list] = {}
+    for c in cols:
+        if c in fallback_cols or int(p1[f"{c}__n"]) == 0:
+            continue
+        out = [vals.get((c, j)) for j in range(len(ps))]
+        if any(x is None for x in out):  # partial resolution — be exact
+            fallback_cols.append(c)
+        else:
+            results[c] = out
     # all-NULL columns surface with NULL quantiles (same contract as the
-    # bucketed sentinel path); genuinely uncovered windows (tiny n) rerun
-    # through the fully-exact bucketed plan
+    # bucketed sentinel path); genuinely uncovered windows rerun through
+    # the fully-exact bucketed plan
     if fallback_cols:
         exact_rows = exact_percentiles(
-            df, fallback_cols, ps=ps, round_to=round_to).collect()
+            df, sorted(set(fallback_cols)), ps=ps,
+            round_to=round_to).collect()
         for r in exact_rows:
             results[r["column_name"]] = [r[f"p{int(p * 100)}"] for p in ps]
     out_rows = [tuple([c] + (results.get(c) or [None] * len(ps)))

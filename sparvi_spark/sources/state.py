@@ -121,19 +121,26 @@ def acquire_lease(base: str, owner: str | None = None,
     """Take the single-writer commit lease for ``base``; returns the owner
     id to pass to :func:`verify_lease` / :func:`release_lease`.
 
-    The arbiter is an O_EXCL create of the ``_LEASE`` file — atomic on
-    posix and on HDFS-like stores (create with overwrite=false); exactly
-    one of any number of racing writers gets the fd, everyone else loops
-    until the deadline then raises :class:`LeaseConflict`. A lease older
-    than its ``expires_at`` is STOLEN in two steps: rename it to a
-    graveyard name (only one thief's rename can succeed — the loser's
-    source is gone), then compete again through O_EXCL like everyone
-    else — stealing never grants ownership by itself, so two concurrent
-    thieves cannot both win. Plain atomic replace was rejected as the
-    acquire primitive: replace-then-read-back lets two writers each
-    observe themselves as owner when their replaces interleave.
+    The arbiter is ``os.link`` of a fully-written temp file into the
+    ``_LEASE`` name — an atomic create-if-absent WITH content (the
+    classic lockfile pattern, atomic on posix and NFS): exactly one of
+    any number of racing writers gets the link, everyone else loops
+    until the deadline then raises :class:`LeaseConflict`. A bare
+    O_EXCL create was rejected: it publishes an EMPTY file before the
+    payload lands, and a contender reading that window classifies the
+    fresh lease as corrupt, rename-steals it, and two writers both own
+    (caught by test_state_lease_mutual_exclusion under load). Plain
+    atomic replace was rejected earlier for the same class of reason:
+    replace-then-read-back lets two writers each observe themselves as
+    owner when their replaces interleave.
 
-    On S3/GCS there is no O_EXCL; substitute a conditional PUT
+    A lease older than its ``expires_at`` is STOLEN in two steps:
+    rename it to a graveyard name (only one thief's rename can succeed —
+    the loser's source is gone), then compete again through the link
+    like everyone else — stealing never grants ownership by itself, so
+    two concurrent thieves cannot both win.
+
+    On S3/GCS there is no atomic link; substitute a conditional PUT
     (If-None-Match: *) or an external lock row — the protocol shape
     (create-if-absent, TTL takeover, verify-before-flip) is unchanged.
     """
@@ -148,19 +155,20 @@ def acquire_lease(base: str, owner: str | None = None,
     path = os.path.join(base, _LEASE)
     deadline = time.monotonic() + wait_seconds
     while True:
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({
+                "owner": owner,
+                "expires_at": time.time() + ttl_seconds,
+            }))
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            try:
-                payload = json.dumps({
-                    "owner": owner,
-                    "expires_at": time.time() + ttl_seconds,
-                })
-                os.write(fd, payload.encode())
-                os.fsync(fd)
-            finally:
-                os.close(fd)
+            os.link(tmp, path)
+            os.remove(tmp)
             return owner
         except FileExistsError:
+            os.remove(tmp)
             cur = read_lease(base)
             if cur is not None and float(
                     cur.get("expires_at", 0)) <= time.time():
@@ -170,7 +178,9 @@ def acquire_lease(base: str, owner: str | None = None,
                 except OSError:
                     pass
             elif cur is None and os.path.exists(path):
-                # unreadable/corrupt lease file: same takeover path
+                # unreadable/corrupt lease file (possible only after a
+                # filesystem-level mangling — link publishes complete
+                # content): same takeover path
                 try:
                     os.rename(path, path + ".expired." + uuid.uuid4().hex)
                 except OSError:
@@ -232,7 +242,7 @@ class state_lease:
             release_lease(self.base, self.owner)
         try:
             for e in os.listdir(self.base):
-                if e.startswith(_LEASE + ".expired."):
+                if e.startswith((_LEASE + ".expired.", _LEASE + ".tmp.")):
                     try:
                         os.remove(os.path.join(self.base, e))
                     except OSError:

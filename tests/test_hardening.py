@@ -481,13 +481,14 @@ def test_exact_percentiles_refine_matches_bucketed(spark):
     assert len(out) == 1 and out[0]["p50"] is None
 
 
-def test_exact_percentiles_refine_low_card_route_parity(spark):
-    """The cardinality-routed exact-``percentile`` path (approx distinct
-    below the threshold) is value-identical to the bucketed plan even on
-    NaN/±inf columns — Spark's exact percentile orders NaN last and
-    interpolates inf with the same formula, so no finiteness screen is
-    needed before routing. Forcing threshold=1 pushes every column onto
-    the window path instead; both must agree with the bucketed oracle."""
+def test_exact_percentiles_refine_route_parity(spark):
+    """Every refine route agrees with the bucketed plan: the tie shortcut
+    (duplicate-run columns whose probe pair pins the quantile in pass 1),
+    the self-checking window path (``tie_shortcut=False`` forces it), and
+    the bucketed fallback (NaN/±inf brackets, clamped p=0/1 probes). The
+    mid-quantiles of low-card columns resolve via ties; p0/p100 always
+    clamp and must route through window->fallback without losing
+    exactness."""
     import math
 
     from sparvi_spark.operators.profile import (
@@ -514,11 +515,11 @@ def test_exact_percentiles_refine_low_card_route_parity(spark):
                                    and math.isnan(g) and math.isnan(w)))
                 assert same, (c, q, g, w)
 
-    low = {r["column_name"]: r for r in exact_percentiles_refine(
-        df, cols, ps=(0.0, 0.5, 1.0), low_card_threshold=20_000).collect()}
-    check(low)
+    tie = {r["column_name"]: r for r in exact_percentiles_refine(
+        df, cols, ps=(0.0, 0.5, 1.0)).collect()}
+    check(tie)
     win = {r["column_name"]: r for r in exact_percentiles_refine(
-        df, cols, ps=(0.0, 0.5, 1.0), low_card_threshold=1).collect()}
+        df, cols, ps=(0.0, 0.5, 1.0), tie_shortcut=False).collect()}
     check(win)
 
 
