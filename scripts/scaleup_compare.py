@@ -120,6 +120,7 @@ def spark_queries(spark, sf_dir, sem_cents):
         duplicate_spans, minhash_lsh_pairs, semantic_dedup)
     from sparvi_spark.operators.profile import (
         exact_percentiles, exact_percentiles_refine)
+    from sparvi_spark.operators.similarity import cosine_topk
     from sparvi_spark.operators.text import (
         dedup_lines_corpus, lang_id_expr, quality_features)
     from sparvi_spark.sources.export import shard_plan
@@ -194,6 +195,13 @@ def spark_queries(spark, sf_dir, sem_cents):
             F.sum(F.col("label").cast("long")).alias("n_pos")),
         "shard_split": lambda: shard_plan(
             docs(), "doc_id", N_SHARDS, method="portable"),
+        # brute-force kNN over the full embeddings table, gram backend
+        # (partition-local BLAS top-k, only k*partitions*queries rows
+        # shuffle to the merge — the 100 TB brute shape; fold is the
+        # oracle-parity default)
+        "ann_topk": lambda: cosine_topk(
+            emb(), emb().where(F.col("vec_id") < 20), k=10,
+            backend="gram"),
     }
 
 
@@ -328,6 +336,20 @@ FROM l"""
 SELECT {shard} AS shard, cast(count(*) as bigint) AS n_rows,
   min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM documents GROUP BY 1 ORDER BY 1"""
+
+    from sparvi_spark.checks.pipeline_checks import _duck_cosine
+
+    duck["ann_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 20),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        {_duck_cosine('e.embedding', 'q.qv')} AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id,
+  row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank,
+  round(cosine, 6) AS cosine
+FROM s QUALIFY rank <= 10"""
 
     def duck_semantic_dedup(cents: list[list[float]]) -> str:
         from sparvi_spark.checks.pipeline_checks import _duck_cosine

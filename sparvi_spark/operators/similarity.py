@@ -49,12 +49,30 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 10,
     exclude_self: bool = True,
+    backend: str = "fold",
+    max_gram_queries: int = 4096,
 ) -> DataFrame:
-    """Brute-force cosine top-k: broadcast queries × corpus, one window.
+    """Brute-force cosine top-k. Returns (query_id, neighbor_id, rank,
+    cosine) with deterministic tie-break (cosine DESC, neighbor_id ASC).
 
-    Returns (query_id, neighbor_id, rank, cosine) with deterministic
-    tie-break (cosine DESC, neighbor_id ASC).
+    - ``backend="fold"`` (default): broadcast queries × corpus, fold
+      dot products, one window over ALL candidate pairs. Left-associated
+      summation is bit-stable against the SQL oracles — the parity path.
+    - ``backend="gram"``: the 100 TB brute-force shape — the (small)
+      query matrix rides a ``mapInPandas`` closure, each corpus
+      partition scores its rows with one BLAS matmul and emits only its
+      LOCAL top-k per query, and a final window merges k·partitions·
+      queries rows. The shuffle carries partial top-k candidates instead
+      of every (query, vector) pair, and the per-pair interpreted fold
+      (~µs each) becomes a matmul. Any global top-k member is in its
+      partition's top-k under the same total order, so the merge is
+      exact. Queries are collected to the driver (capped at
+      ``max_gram_queries``); BLAS summation may differ from the fold in
+      the final ULP, so parity checks stay on "fold".
     """
+    if backend == "gram":
+        return _cosine_topk_gram(corpus, queries, id_col, vec_col, k,
+                                 exclude_self, max_gram_queries)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
                        norm_expr(vec_col).alias("qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
@@ -69,6 +87,71 @@ def cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _cosine_topk_gram(corpus, queries, id_col, vec_col, k, exclude_self,
+                      max_queries):
+    """Partition-local BLAS top-k + exact global merge (see cosine_topk)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = (queries.select(F.col(id_col), F.col(vec_col))
+             .where(F.col(vec_col).isNotNull())
+             .limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk backend='gram' holds the query matrix in the "
+            f"task closure; got >{max_queries} queries — raise "
+            f"max_gram_queries or batch the queries")
+    if not qrows:
+        schema = (f"query_id {corpus.schema[id_col].dataType.simpleString()},"
+                  f" neighbor_id "
+                  f"{corpus.schema[id_col].dataType.simpleString()},"
+                  f" rank int, cosine double")
+        return corpus.sparkSession.createDataFrame([], schema)
+    qids = np.asarray([r[0] for r in qrows])
+    Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    Qn = np.sqrt((Q * Q).sum(axis=1))
+    Qn[Qn == 0.0] = np.inf
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (f"query_id {id_type}, neighbor_id {id_type}, "
+                  f"cosine double")
+
+    def local_topk(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            V = np.asarray([np.asarray(x, dtype=np.float64)
+                            for x in pdf[vec_col]])
+            ids = pdf[id_col].to_numpy()
+            Vn = np.sqrt((V * V).sum(axis=1))
+            Vn[Vn == 0.0] = np.inf
+            C = (V @ Q.T) / np.outer(Vn, Qn)  # rows=corpus, cols=queries
+            if exclude_self:
+                C[ids[:, None] == qids[None, :]] = -np.inf
+            kk = min(k, C.shape[0])
+            # per-query local top-k under the GLOBAL total order
+            # (cosine desc, neighbor_id asc): lexsort keys are applied
+            # last-key-primary
+            order = np.lexsort((ids[:, None].repeat(C.shape[1], 1),
+                                -C), axis=0)[:kk]
+            qi = np.tile(np.arange(C.shape[1]), kk)
+            ni = order.reshape(-1)
+            cos = C[ni, qi]
+            keep = np.isfinite(cos)
+            yield pd.DataFrame({"query_id": qids[qi[keep]],
+                                "neighbor_id": ids[ni[keep]],
+                                "cosine": cos[keep]})
+
+    partial = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        local_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (partial.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cosine", 6).alias("cosine")))
 
 
 def ivf_topk(

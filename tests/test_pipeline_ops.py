@@ -96,6 +96,34 @@ def test_cosine_topk_ranks_self_neighbors(spark):
     assert ranked[0] == 1  # nearest is the almost-parallel vector
 
 
+def test_cosine_topk_gram_backend_matches_fold(spark):
+    """backend="gram" (partition-local BLAS top-k + exact merge, the
+    100 TB brute-force shape) returns the same (query, neighbor, rank)
+    triples as the fold-expression plan on the driver's embeddings table
+    (cosines off-tie; the backends may differ in the final ULP). Also
+    covers exclude_self, multi-partition corpora (partial top-k merge),
+    NULL vectors, and the query-cap guard."""
+    import pytest as _pt
+
+    from sparvi_spark.operators.similarity import cosine_topk
+    from sparvi_spark.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR).repartition(7)
+    emb = emb.unionByName(
+        spark.createDataFrame([(9999, None, 0)], emb.schema))
+    queries = emb.where(F.col("vec_id") < 15)
+    fold = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in cosine_topk(emb, queries, k=5).collect()}
+    gram = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in cosine_topk(emb, queries, k=5,
+                                 backend="gram").collect()}
+    assert gram == fold and len(fold) == 15 * 5
+    assert all(q != n for (q, _rk), n in gram.items())  # exclude_self
+    with _pt.raises(ValueError, match="query matrix"):
+        cosine_topk(emb, emb, k=1, backend="gram", max_gram_queries=3)
+
+
 def test_text_quality_and_langid(spark):
     from sparvi_spark.operators.text import lang_id_expr, quality_features
 
