@@ -124,6 +124,34 @@ def test_cosine_topk_gram_backend_matches_fold(spark):
         cosine_topk(emb, emb, k=1, backend="gram", max_gram_queries=3)
 
 
+def test_cosine_topk_gram_random_stress(spark):
+    """Randomized gram-vs-fold parity: several seeds, k both smaller and
+    LARGER than a partition (the local-top-k truncation must still merge
+    to the exact global answer), duplicate-heavy vectors (cosine ties
+    resolved by the id tie-break identically in numpy lexsort and the
+    window)."""
+    import numpy as np
+
+    from sparvi_spark.operators.similarity import cosine_topk
+
+    for seed, k in ((1, 3), (2, 17), (3, 7)):
+        rng = np.random.default_rng(seed)
+        base = rng.normal(size=(6, 8))
+        vecs = [base[i % 6] + (rng.normal(scale=0.01, size=8)
+                               if i % 3 else 0.0)  # exact dups -> cosine ties
+                for i in range(60)]
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>").repartition(5)
+        q = df.where(F.col("vec_id") < 6)
+        fold = sorted(map(tuple, cosine_topk(df, q, k=k).collect()))
+        gram = sorted(map(tuple, cosine_topk(df, q, k=k,
+                                             backend="gram").collect()))
+        # ranks and neighbors must match exactly; cosines to 6dp both
+        assert [(a, b, c) for a, b, c, _ in fold] == \
+               [(a, b, c) for a, b, c, _ in gram], (seed, k)
+
+
 def test_text_quality_and_langid(spark):
     from sparvi_spark.operators.text import lang_id_expr, quality_features
 
