@@ -74,10 +74,15 @@ def build_scaled(spark) -> None:
                 # cross-copy twin scatters to ~0 cosine — without it each
                 # copy adds an exact duplicate of every vector and SemDeDup
                 # pair counts grow MULT^2 (the same clique-growth trap the
-                # text rotation above guards against)
+                # text rotation above guards against). The sign bit MUST
+                # come from a real mix: an earlier affine-mod-2 version
+                # ((d+1)*odd + i*odd) % 2 collapses to parity(d+1+i) —
+                # only TWO sign patterns, so same-parity copies were exact
+                # duplicates and the sweep timed the clique workload it
+                # claimed to avoid (caught in round-7 review).
                 c = c.withColumn("embedding", F.expr(
                     f"transform(embedding, (x, d) -> cast(x * (case when "
-                    f"((d + 1) * 2654435761 + {i} * 97) % 2 = 0 "
+                    f"pmod(xxhash64(d, {i}), 2) = 0 "
                     f"then 1.0 else -1.0 end) as float))"))
             copies.append(c)
         big = copies[0]

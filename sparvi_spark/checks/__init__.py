@@ -17,6 +17,14 @@ from __future__ import annotations
 DRIVER_CHECK_CAP = 50
 
 
+def _sq(s: str) -> str:
+    """Escape a string for splicing into a single-quoted SPARK SQL
+    literal: backslash first, then quote — quote-only escaping turns a
+    trailing backslash into an escaped delimiter and swallows the
+    literal (DuckDB sides use '' doubling instead)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def union_check(parts, tag_col: str = "mode"):
     """Merge same-schema checks into one: ``parts`` is a list of
     (tag, spark_fn, oracle_sql). Returns (fn, sql) where both sides prepend
@@ -31,7 +39,7 @@ def union_check(parts, tag_col: str = "mode"):
         out = None
         for tag, f, _sql in _parts:
             d = f(spark, sf_dir).selectExpr(
-                "'{}' as {}".format(tag.replace("'", "\\'"), _tag), "*")
+                f"'{_sq(tag)}' as {_tag}", "*")
             out = d if out is None else out.unionAll(d)
         return out
 
@@ -59,7 +67,7 @@ def aligned_union_check(parts, columns, tag_col="part"):
         out = None
         for tag, f, _sql, exprs in _parts:
             d = f(spark, sf_dir).selectExpr(
-                "'{}' as {}".format(tag.replace("'", "\\'"), _tag),
+                f"'{_sq(tag)}' as {_tag}",
                 *[f"{exprs[c]} AS {c}" for c in _cols])
             out = d if out is None else out.unionAll(d)
         return out
@@ -103,18 +111,18 @@ def melted_check(parts):
                 for i in range(2)
             ]
             items = [
-                f"named_struct('metric', '{m}', "
+                f"named_struct('metric', '{_sq(m)}', "
                 f"'num_val', cast(`{m}` as double), "
                 f"'str_val', cast(null as string))"
                 for m in nums
             ] + [
-                f"named_struct('metric', '{m}', "
+                f"named_struct('metric', '{_sq(m)}', "
                 f"'num_val', cast(null as double), "
                 f"'str_val', cast(`{m}` as string))"
                 for m in strs
             ]
             d = f(spark, sf_dir).selectExpr(
-                "'{}' as part".format(tag.replace("'", "\\'")), *ks,
+                f"'{_sq(tag)}' as part", *ks,
                 f"explode(array({', '.join(items)})) as u",
             ).selectExpr("part", "k1", "k2", "u.metric", "u.num_val",
                          "u.str_val")

@@ -866,14 +866,19 @@ class Engine:
         families = ("stats", "quantiles", "distincts", "topvalues")
         bases = {k: os.path.join(root, k) for k in families}
 
+        # ONE pointer snapshot drives both the state reads and the
+        # optimistic pre-flip check: re-reading pointers at check time
+        # would flag a competitor that committed between two reads of
+        # OURS as staleness even when the fold used current state
+        read_versions = {k: read_pointer(bases[k]) for k in families}
+
         def _committed(k: str) -> str | None:
-            cur = read_pointer(bases[k])
+            cur = read_versions[k]
             return None if cur is None else os.path.join(bases[k], cur)
 
         # probe existence THROUGH the Spark read (not os.path: always
         # false on object-store roots -> silent full-rescan bootstrap
         # every run; same rule as StateStore.read)
-        read_versions = {k: read_pointer(bases[k]) for k in families}
         states = None
         if all(_committed(k) is not None for k in families):
             try:
@@ -944,6 +949,7 @@ class Engine:
                 for k in families:
                     write_pointer(bases[k], versions[k])
                     gc_versions(bases[k], grace_seconds=0)  # lease held
+                read_versions = versions  # final read sees OUR commit
             self.publish_event(
                 "incremental_profile", table_name,
                 f"changed_partitions={len(changed)};"

@@ -751,7 +751,11 @@ def embedding_neardup_pairs(
         joined.where(F.col("id_a") < F.col("id_b"))
         # norms precomputed per vector below the join (same IEEE op order)
         .withColumn("cosine", _cosine_with_norms("va", "vb", "na", "nb"))
-        .where(F.col("cosine") >= threshold)
+        # contract shared with the gram backend: NULL vectors and
+        # zero-norm vectors (whose cosine is ±inf/NaN) match nothing
+        .where(F.col("cosine").isNotNull() & ~F.isnan("cosine")
+               & (F.abs("cosine") != float("inf"))
+               & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
 
@@ -763,13 +767,16 @@ def _gram_pairs(v: DataFrame, id_type: str, threshold: float) -> DataFrame:
     row-blocks of 2048 against the whole cluster bound peak memory at
     block × |cluster| float64 (a 30k-vector cluster peaks ~0.5 GB —
     SemDeDup's own k-growth discipline keeps clusters near 10⁴). NULL
-    vectors drop (the fold path's NULL cosine fails the threshold the
-    same way). Output ids are ordered id_a < id_b like the join path.
+    and zero-norm vectors drop — the fold path filters their NULL/±inf/
+    NaN cosines the same way. Output ids are ordered id_a < id_b like
+    the join path, and the cosine is rounded by SPARK's round (HALF_UP
+    on the shortest decimal repr) — np.round is half-to-EVEN, a
+    systematic cross-backend divergence on tie digits, not a ULP one.
     """
     import numpy as np
     import pandas as pd
 
-    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    raw_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
     block = 2048
 
     def pairs_of(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -781,11 +788,14 @@ def _gram_pairs(v: DataFrame, id_type: str, threshold: float) -> DataFrame:
                         for x in pdf["__v"]])
         ids = pdf["__id"].to_numpy()
         nrm = np.sqrt((V * V).sum(axis=1))
-        nrm[nrm == 0.0] = np.inf  # zero vectors match nothing, like fold
+        zero = nrm == 0.0
+        nrm[zero] = np.inf
         ia_all, ib_all, cos_all = [], [], []
         for s in range(0, n, block):
             e = min(s + block, n)
             C = (V[s:e] @ V.T) / np.outer(nrm[s:e], nrm)
+            C[zero[s:e], :] = -np.inf  # zero vectors match nothing
+            C[:, zero] = -np.inf
             # strict upper triangle of the FULL matrix: pair (i, j) with
             # i < j is emitted by i's block only
             ri, cj = np.nonzero(C >= threshold)
@@ -793,7 +803,7 @@ def _gram_pairs(v: DataFrame, id_type: str, threshold: float) -> DataFrame:
             ri, cj = ri[keep], cj[keep]
             ia_all.append(ids[ri + s])
             ib_all.append(ids[cj])
-            cos_all.append(np.round(C[ri, cj], 6))
+            cos_all.append(C[ri, cj])
         ia = np.concatenate(ia_all)
         ib = np.concatenate(ib_all)
         cos = np.concatenate(cos_all)
@@ -802,7 +812,8 @@ def _gram_pairs(v: DataFrame, id_type: str, threshold: float) -> DataFrame:
         ib2 = np.where(swap, ia, ib)
         return pd.DataFrame({"id_a": ia2, "id_b": ib2, "cosine": cos})
 
-    return v.groupBy("__b").applyInPandas(pairs_of, out_schema)
+    return (v.groupBy("__b").applyInPandas(pairs_of, raw_schema)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 
 # ---------------------------------------------------------------------------

@@ -54,6 +54,8 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k. Returns (query_id, neighbor_id, rank,
     cosine) with deterministic tie-break (cosine DESC, neighbor_id ASC).
+    NULL vectors and zero-norm vectors (undefined cosine) never rank, on
+    either side and in both backends.
 
     - ``backend="fold"`` (default): broadcast queries × corpus, fold
       dot products, one window over ALL candidate pairs. Left-associated
@@ -81,6 +83,13 @@ def cosine_topk(
         "cosine", _cosine_with_norms("cv", "qv", "cn", "qn"))
     if exclude_self:
         scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
+    # contract shared with the gram backend: NULL vectors and zero-norm
+    # vectors (±inf/NaN cosine) never rank — without this filter a NaN
+    # cosine sorts FIRST under desc (NaN > all doubles in Spark) and a
+    # noise row wins rank 1
+    scored = scored.where(F.col("cosine").isNotNull()
+                          & ~F.isnan("cosine")
+                          & (F.abs("cosine") != float("inf")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -112,7 +121,13 @@ def _cosine_topk_gram(corpus, queries, id_col, vec_col, k, exclude_self,
     qids = np.asarray([r[0] for r in qrows])
     Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
     Qn = np.sqrt((Q * Q).sum(axis=1))
-    Qn[Qn == 0.0] = np.inf
+    live = Qn > 0.0  # zero-norm queries match nothing (fold filters
+    qids, Q, Qn = qids[live], Q[live], Qn[live]  # their inf/NaN cosines)
+    if not len(qids):
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, "
+                f"rank int, cosine double")
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = (f"query_id {id_type}, neighbor_id {id_type}, "
                   f"cosine double")
@@ -126,8 +141,10 @@ def _cosine_topk_gram(corpus, queries, id_col, vec_col, k, exclude_self,
                             for x in pdf[vec_col]])
             ids = pdf[id_col].to_numpy()
             Vn = np.sqrt((V * V).sum(axis=1))
-            Vn[Vn == 0.0] = np.inf
+            vzero = Vn == 0.0
+            Vn[vzero] = np.inf
             C = (V @ Q.T) / np.outer(Vn, Qn)  # rows=corpus, cols=queries
+            C[vzero, :] = -np.inf  # zero-norm corpus rows never rank
             if exclude_self:
                 C[ids[:, None] == qids[None, :]] = -np.inf
             kk = min(k, C.shape[0])

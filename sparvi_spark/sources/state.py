@@ -199,8 +199,8 @@ def verify_lease(base: str, owner: str) -> bool:
     that stalled past its TTL may have been taken over, and flipping
     anyway would overwrite the successor's commit. (The verify→flip gap
     is a residual TOCTOU — irreducible without a CAS pointer write; the
-    TTL is therefore sized at minutes against a flip that takes
-    microseconds.)"""
+    lease TTL must therefore be sized to the whole WRITE it protects —
+    see ``state_lease`` — while the unguarded gap stays microseconds.)"""
     import time
 
     cur = read_lease(base)
@@ -209,10 +209,20 @@ def verify_lease(base: str, owner: str) -> bool:
 
 
 def release_lease(base: str, owner: str) -> None:
-    """Drop the lease if ``owner`` still holds it (no-op otherwise)."""
+    """Drop the lease if ``owner`` still holds it UNEXPIRED.
+
+    An expired lease is deliberately left for the thieves' rename path:
+    a stalled owner that removed its own expired lease could race a
+    successor that just replaced it — read-check-remove is not atomic,
+    and deleting the successor's fresh lease would reopen the two-writer
+    window. While unexpired, no thief touches the path and no acquirer
+    can link over it, so the remove is safe."""
+    import time
+
     path = os.path.join(base, _LEASE)
     cur = read_lease(base)
-    if cur is not None and cur.get("owner") == owner:
+    if (cur is not None and cur.get("owner") == owner
+            and float(cur.get("expires_at", 0)) > time.time()):
         try:
             os.remove(path)
         except OSError:
@@ -221,10 +231,18 @@ def release_lease(base: str, owner: str) -> None:
 
 class state_lease:
     """``with state_lease(base) as owner:`` — acquire on enter, release on
-    exit. Also sweeps graveyard files from past takeovers on exit."""
+    exit. Also sweeps graveyard files from past takeovers on exit.
+
+    The default TTL is 30 MINUTES: the lease covers the whole
+    version-dir WRITE (a distributed parquet job that can run long at
+    scale), not just the pointer flip — a TTL shorter than the write
+    guarantees every commit expires mid-flight, gets stolen, and two
+    writers race the same next_version name. A crashed writer therefore
+    blocks compaction for up to the TTL; takeover handles it after.
+    Size ``ttl_seconds`` to a safe multiple of the expected write."""
 
     def __init__(self, base: str, owner: str | None = None,
-                 ttl_seconds: float = 120.0, wait_seconds: float = 30.0):
+                 ttl_seconds: float = 1800.0, wait_seconds: float = 30.0):
         self.base = base
         self._owner_arg = owner
         self.ttl = ttl_seconds
@@ -238,13 +256,28 @@ class state_lease:
         return self.owner
 
     def __exit__(self, *exc) -> None:
+        import time
+
         if self.owner is not None:
             release_lease(self.base, self.owner)
+        # graveyard files are sweepable immediately (rename-stolen, no
+        # one links them back); ``.tmp.`` files may belong to a RACING
+        # acquirer between its fsync and its os.link — deleting one
+        # crashes that acquirer with FileNotFoundError (round-7 review)
+        # — so only clearly-abandoned ones (crashed writers) go
         try:
+            now = time.time()
             for e in os.listdir(self.base):
-                if e.startswith((_LEASE + ".expired.", _LEASE + ".tmp.")):
+                full = os.path.join(self.base, e)
+                stale_tmp = False
+                if e.startswith(_LEASE + ".tmp."):
                     try:
-                        os.remove(os.path.join(self.base, e))
+                        stale_tmp = now - os.path.getmtime(full) > 300.0
+                    except OSError:
+                        continue
+                if e.startswith(_LEASE + ".expired.") or stale_tmp:
+                    try:
+                        os.remove(full)
                     except OSError:
                         pass
         except OSError:
