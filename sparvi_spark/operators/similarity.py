@@ -324,6 +324,53 @@ def collect_centroids(
     return out
 
 
+def numpy_probe_assign(df: DataFrame, vec_col: str,
+                       centroids: list[tuple[int, list[float]]],
+                       cell_col: str = "__cell") -> DataFrame:
+    """Append the top-1 cosine cell id via ``mapInPandas`` — the BLAS
+    twin of ``centroid_probe_expr(..., nprobe=1)`` (argmax of
+    dot(v, c)·1/|c|, ties to the SMALLER cell id; NULL vectors get NULL
+    cell so they join to no probe). The fold expression evaluates
+    nlist×dim interpreted terms per row, which turns quadratic under the
+    cells-grow-with-data discipline (the same trap fixed for SemDeDup
+    assignment); here it is one matmul per Arrow batch. BLAS summation
+    may differ from the fold in the final ULP, so a borderline row can
+    land in an adjacent cell — parity checks stay on the fold path."""
+    import numpy as np
+    import pandas as pd
+
+    pairs = sorted(((int(b), [float(x) for x in v]) for b, v in centroids),
+                   key=lambda t: t[0])  # argmax FIRST max = smallest id
+    cell_ids = np.asarray([b for b, _ in pairs])
+    C = np.asarray([v for _, v in pairs], dtype=np.float64)
+    inv = 1.0 / np.sqrt((C * C).sum(axis=1))
+    inv[~np.isfinite(inv)] = 1.0  # zero centroid: same 'or 1.0' as fold
+    Cn = C * inv[:, None]
+    out_schema = (", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                            for f in df.schema.fields)
+                  + f", {cell_col} int")
+
+    def assign(batches):
+        for pdf in batches:
+            mask = pdf[vec_col].notna().to_numpy()
+            cells = [None] * len(pdf)
+            if mask.any():
+                V = np.asarray([np.asarray(x, dtype=np.float64)
+                                for x in pdf[vec_col][mask]])
+                best = (V @ Cn.T).argmax(axis=1)
+                picked = cell_ids[best]
+                j = 0
+                for i, m in enumerate(mask):
+                    if m:
+                        cells[i] = int(picked[j])
+                        j += 1
+            pdf = pdf.copy()
+            pdf[cell_col] = pd.array(cells, dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def ivf_topk_trained(
     corpus: DataFrame,
     queries: DataFrame,
@@ -333,6 +380,7 @@ def ivf_topk_trained(
     k: int = 10,
     nprobe: int = 1,
     exclude_self: bool = True,
+    assign_backend: str = "fold",
 ) -> DataFrame:
     """End-to-end trained IVF search: assign corpus rows to their nearest
     centroid cell (map-only), probe each query's ``nprobe`` nearest cells,
@@ -340,11 +388,26 @@ def ivf_topk_trained(
 
     The 100 TB plan: one projection over the corpus scan (assignment), a
     broadcast of the exploded (query × probe) side, and a window per query
-    — compute scales with n·(nprobe/nlist) instead of n·q."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        centroid_probe_expr(vec_col, centroids, nprobe=1)[0].alias("cb"),
-        norm_expr(vec_col).alias("cn"))
+    — compute scales with n·(nprobe/nlist) instead of n·q. At a real
+    cell count (FAISS guidance: nlist ~ sqrt(n), tens of thousands) pass
+    ``assign_backend="gram"`` — the corpus-side assignment becomes one
+    BLAS matmul per Arrow batch (``numpy_probe_assign``) instead of
+    nlist×dim interpreted fold terms per row; the query side stays on
+    the expression (queries are few) and the re-rank is bounded by the
+    probed cells either way."""
+    if assign_backend == "gram":
+        c = (numpy_probe_assign(
+                corpus.select(F.col(id_col), F.col(vec_col)),
+                vec_col, centroids, "__cell")
+             .select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("cv"),
+                     F.col("__cell").alias("cb"))
+             .withColumn("cn", norm_expr("cv")))
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            centroid_probe_expr(vec_col, centroids, nprobe=1)[0].alias("cb"),
+            norm_expr(vec_col).alias("cn"))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.explode(centroid_probe_expr(vec_col, centroids, nprobe=nprobe))

@@ -339,6 +339,18 @@ def test_kmeans_ivf_trained_search(spark):
     # decimal-exact means)
     assert kmeans_train(emb, k=6, iters=3) == trained
 
+    # assign_backend="gram" (BLAS corpus assignment, the large-nlist
+    # path) returns the identical result set on well-separated clusters,
+    # including a NULL corpus vector (NULL cell -> joins no probe)
+    emb2 = emb.unionByName(spark.createDataFrame(
+        [(9999, None, 0)], emb.schema)).repartition(5)
+    fold = sorted(map(tuple, ivf_topk_trained(
+        emb2, queries, trained, k=3, nprobe=2).collect()))
+    gram = sorted(map(tuple, ivf_topk_trained(
+        emb2, queries, trained, k=3, nprobe=2,
+        assign_backend="gram").collect()))
+    assert gram == fold and len(fold) == 6 * 3
+
 
 def test_kmeans_sampled_trainer_matches_search_quality(spark):
     """The one-job sample trainer (numpy Lloyd's over a deterministic
