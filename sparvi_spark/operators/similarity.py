@@ -196,6 +196,11 @@ def ivf_topk(
     )
     if exclude_self:
         scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
+    # NULL/zero-norm vectors (NULL/NaN/inf cosine) never rank — NaN sorts
+    # FIRST under desc in Spark, so an unfiltered noise row wins rank 1
+    scored = scored.where(F.col("cosine").isNotNull()
+                          & ~F.isnan("cosine")
+                          & (F.abs("cosine") != float("inf")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -256,6 +261,11 @@ def lsh_topk(
     )
     if exclude_self:
         scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
+    # NULL/zero-norm vectors (NULL/NaN/inf cosine) never rank — NaN sorts
+    # FIRST under desc in Spark, so an unfiltered noise row wins rank 1
+    scored = scored.where(F.col("cosine").isNotNull()
+                          & ~F.isnan("cosine")
+                          & (F.abs("cosine") != float("inf")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -419,6 +429,11 @@ def ivf_topk_trained(
     )
     if exclude_self:
         scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
+    # NULL/zero-norm vectors (NULL/NaN/inf cosine) never rank — NaN sorts
+    # FIRST under desc in Spark, so an unfiltered noise row wins rank 1
+    scored = scored.where(F.col("cosine").isNotNull()
+                          & ~F.isnan("cosine")
+                          & (F.abs("cosine") != float("inf")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
