@@ -11,7 +11,10 @@ per-query ratios collapse toward compute parity (scan-bound profile
 aggregates) or cross over to Spark (expression-heavy text/dedup paths
 that parallelize across 32 cores).
 
-Usage: python scripts/scaleup_compare.py [base_sf_dir] [multiplier]
+Usage: python scripts/scaleup_compare.py [base_sf_dir] [multiplier] [only]
+``only`` is an optional comma-list of query names — the 100x extension
+runs just the three families whose 1x->10x slope was flattest-to-worst
+(SCALING.md round-7 table) without paying for a 100x lineitem build.
 Prints one JSON line: {"queries": {name: {"spark_1x":…, "duck_1x":…,
 "spark_Nx":…, "duck_Nx":…}}, …}.
 """
@@ -27,7 +30,18 @@ sys.path.insert(0, "/root/repo")
 
 BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 SCALE_DIR = f"/tmp/sparvi_scaleup_x{MULT}"
+
+# which scaled tables each query reads (build only what the run needs)
+_QUERY_TABLES = {
+    "profile_numeric": {"lineitem"}, "percentiles": {"lineitem"},
+    "percentiles_refine": {"lineitem"}, "langid": {"documents"},
+    "text_quality": {"documents"}, "dedup_minhash": {"documents"},
+    "dup_spans": {"documents"}, "semantic_dedup": {"embeddings"},
+    "dedup_lines": {"documents"}, "classifier_score": {"documents"},
+    "shard_split": {"documents"}, "ann_topk": {"embeddings"},
+}
 
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -51,8 +65,12 @@ def build_scaled(spark) -> None:
     from sparvi_spark.testdata import load_table
 
     os.makedirs(SCALE_DIR, exist_ok=True)
+    needed = (set().union(*(_QUERY_TABLES[q] for q in ONLY)) if ONLY
+              else {"documents", "lineitem", "embeddings"})
     for table, key in (("documents", "doc_id"), ("lineitem", None),
                        ("embeddings", "vec_id")):
+        if table not in needed:
+            continue
         out = os.path.join(SCALE_DIR, f"{table}.parquet")
         # _SUCCESS gates the skip: a killed prior run leaves partial dirs
         if os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -387,8 +405,10 @@ WHERE vec_id NOT IN (SELECT id_b FROM dups)"""
         # size the session's shuffle width to THIS dir (the queries below
         # read raw parquet, so the load_table-side tuner never sees it)
         _tune_for_dir(spark, sf_dir)
+        needed = (set().union(*(_QUERY_TABLES[q] for q in ONLY)) if ONLY
+                  else {"documents", "lineitem", "embeddings"})
         con = duckdb.connect()
-        for t in ("documents", "lineitem", "embeddings"):
+        for t in sorted(needed):
             p = f"{sf_dir}/{t}.parquet"
             if os.path.isdir(p):  # Spark writes a directory of part files
                 p = f"{p}/*.parquet"
@@ -401,10 +421,14 @@ WHERE vec_id NOT IN (SELECT id_b FROM dups)"""
         # workload in both engines. Centroids sampled from the data,
         # identical literals on both sides.
         sem_k = max(8, 8 * (1 if sf_dir == BASE else MULT))
-        sem_cents = data_centroids(sf_dir, sem_k)
-        duck["semantic_dedup"] = duck_semantic_dedup(sem_cents)
+        sem_cents = None
+        if ONLY is None or "semantic_dedup" in ONLY:
+            sem_cents = data_centroids(sf_dir, sem_k)
+            duck["semantic_dedup"] = duck_semantic_dedup(sem_cents)
         sq = spark_queries(spark, sf_dir, sem_cents)
         for name in sq:
+            if ONLY is not None and name not in ONLY:
+                continue
             best_d = 1e9
             for _ in range(2):
                 t0 = time.perf_counter()

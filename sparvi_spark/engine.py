@@ -38,16 +38,37 @@ def _utcnow() -> str:
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 scale_mode: bool | None = None,
+                 state_format: str = "parquet"):
+        """``scale_mode=True`` flips every oracle-parity default this
+        engine (and the operators it calls) exposes to its 100 TB
+        backend in one place — sketch distinct counts/percentiles and
+        hash-projection dup counts in profiling, BLAS gram lanes in the
+        cosine/assignment operators — by setting the process-wide switch
+        in ``sparvi_spark.config`` (one knob, like the reference's
+        collection-depth config, core/profiling/collector.py:21-46).
+        ``None`` leaves whatever the process already configured;
+        explicit per-call arguments still win everywhere.
+
+        ``state_format`` forwards to :class:`StateStore` — "parquet"
+        (default; pointer-file + lease commit protocol) or an ACID table
+        format ("delta"/"iceberg") whose transaction log subsumes that
+        protocol when its jars are on the session classpath."""
         self.spark = spark
-        self.state = StateStore(spark, warehouse)
+        self.state = StateStore(spark, warehouse, table_format=state_format)
+        if scale_mode is not None:
+            from sparvi_spark.config import set_scale_mode
+
+            set_scale_mode(scale_mode)
 
     # ------------------------------------------------------------------ §3.1
     def run_profile(self, df: DataFrame, table_name: str,
-                    as_of: str | None = None, exact: bool = True,
+                    as_of: str | None = None, exact: bool | None = None,
                     attach_trends: bool = True) -> dict[str, Any]:
         """Profile run: previous profile -> profile document -> store ->
-        metric tracking -> trends attach. Returns the profile document."""
+        metric tracking -> trends attach. Returns the profile document.
+        ``exact=None`` resolves from the engine-wide scale mode."""
         as_of = as_of or _utcnow()
         previous = self.state.latest_profile(table_name)
         profile = profile_table(df, table_name, previous_profile=previous,

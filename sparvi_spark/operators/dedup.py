@@ -693,7 +693,7 @@ def simhash_pairs(
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
     bucket_col: str | None = None, lsh_bits: int | None = None,
-    pair_backend: str = "fold",
+    pair_backend: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -719,10 +719,22 @@ def embedding_neardup_pairs(
       differences are possible, so parity checks stay on ``"fold"``;
       everything at scale belongs here. Requires a bucket (``bucket_col``
       or ``lsh_bits``): an unbucketed Gram would be one n² task.
+
+    ``pair_backend=None`` (the default) resolves from the engine-wide
+    scale mode (``sparvi_spark.config``): "fold" in parity mode, "gram"
+    at scale — and a scale-resolved gram with NO bucket auto-buckets
+    with ``lsh_bits=16`` (scale mode must never run the n² brute join;
+    an EXPLICIT ``pair_backend="gram"`` without a bucket still raises,
+    because the caller asked for a contradiction).
     """
+    from sparvi_spark.config import resolve_backend
     from sparvi_spark.operators.similarity import (
         _cosine_with_norms, lsh_bucket_expr, norm_expr)
 
+    if pair_backend is None:
+        pair_backend = resolve_backend(None, "gram")
+        if pair_backend == "gram" and not bucket_col and lsh_bits is None:
+            lsh_bits = 16
     if pair_backend not in ("fold", "gram"):
         raise ValueError(f"unknown pair_backend {pair_backend!r}")
     cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
@@ -810,9 +822,18 @@ def _gram_pairs(v: DataFrame, id_type: str, threshold: float) -> DataFrame:
         swap = ia > ib
         ia2 = np.where(swap, ib, ia)
         ib2 = np.where(swap, ia, ib)
-        return pd.DataFrame({"id_a": ia2, "id_b": ib2, "cosine": cos})
+        # the fold path's id_a < id_b predicate is STRICT: two rows that
+        # share a duplicate id value never pair with themselves there, so
+        # drop the (x, x) pairs the index-based triangle can emit
+        keep = ia2 != ib2
+        return pd.DataFrame({"id_a": ia2[keep], "id_b": ib2[keep],
+                             "cosine": cos[keep]})
 
-    return (v.groupBy("__b").applyInPandas(pairs_of, raw_schema)
+    # NULL-bucket contract shared with the fold path: its ba == bb join
+    # matches NULL buckets to nothing, while groupBy would pool every
+    # NULL-bucket row into ONE group and pair them all
+    return (v.where(F.col("__b").isNotNull())
+            .groupBy("__b").applyInPandas(pairs_of, raw_schema)
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 
@@ -882,7 +903,7 @@ def semantic_dedup(
     keep: str = "min_id",
     clustering: str = "greedy",
     sample_size: int = 65536,
-    pair_backend: str = "fold",
+    pair_backend: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding column with k-means, find
@@ -908,12 +929,15 @@ def semantic_dedup(
     ``k`` so clusters stay ~10⁴ rows, and pass
     ``pair_backend="gram"`` — per-cluster numpy Gram blocks instead of
     per-pair fold expressions (measured 21.7s -> 2.3s on the 10x sweep's
-    20k vectors; the default stays ``"fold"`` because its summation
-    order is bit-stable against the SQL oracles).
+    20k vectors; ``None`` resolves from the engine-wide scale mode —
+    "fold" in parity mode because its summation order is bit-stable
+    against the SQL oracles, "gram" at scale).
     """
+    from sparvi_spark.config import resolve_backend
     from sparvi_spark.operators.similarity import (
         _l2_dists_expr, l2_argmin_expr)
 
+    pair_backend = resolve_backend(pair_backend, "gram")
     if keep not in ("min_id", "far_from_centroid"):
         raise ValueError(f"unknown keep policy {keep!r}")
     if pair_backend not in ("fold", "gram"):

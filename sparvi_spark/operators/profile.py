@@ -283,6 +283,7 @@ def exact_percentiles_refine(
     round_to: int = 6,
     accuracy: int = 2_000,
     tie_shortcut: bool = True,
+    window_budget: int = 1_000_000,
 ) -> DataFrame:
     """EXACT percentiles via sketch-then-refine — same output contract as
     ``exact_percentiles`` (identical interpolation math, HALF_UP rounding),
@@ -329,6 +330,15 @@ def exact_percentiles_refine(
       ranks (tiny n, clamped probes at p=0/1) the column falls back to
       the fully distributed bucketed plan, so no guard can be wrong,
       only slow.
+    - BUDGET GUARD: the window's ``collect_list`` is ≤ 8n/accuracy rows
+      but lands in ONE aggregation buffer and then the driver — at
+      10¹¹–10¹² rows that is 10⁸–10⁹ doubles in a single-row agg, an
+      executor/driver OOM the self-check above cannot catch (it fires on
+      MISSED ranks, not oversized windows). Any column whose expected
+      window 8n/accuracy exceeds ``window_budget`` (default 10⁶ values,
+      ~8 MB of doubles — comfortably inside one task) is routed to the
+      fully distributed bucketed plan BEFORE pass 2 runs, computed from
+      pass 1's exact count. Tie-shortcut answers stay free at any n.
 
     At 100 TB this is the right exact-quantile shape: at most two
     single-scan passes with map-side partials, O(cols·ps·n/accuracy)
@@ -392,6 +402,11 @@ def exact_percentiles_refine(
                     and p - 4 * eps >= 0.0 and p + 4 * eps <= 1.0
                     and 3 * n * eps >= 2.0):
                 vals[(c, j)] = _round(wlo)
+            elif 8 * n > window_budget * accuracy:
+                # window would exceed the single-buffer budget (see
+                # BUDGET GUARD above) — distributed bucketed plan instead
+                fallback_cols.append(c)
+                break
             else:
                 win.append((c, j, n, wlo, whi))
 
@@ -607,7 +622,7 @@ def profile_table(
     df: DataFrame,
     table_name: str,
     previous_profile: dict | None = None,
-    exact: bool = True,
+    exact: bool | None = None,
     top_k: int = 10,
     top_k_max_columns: int = 10,
     top_k_distinct_cap: int = 1000,
@@ -619,8 +634,14 @@ def profile_table(
     (consumption sites: backend/routes/profiles.py:75-78,
     backend/core/storage/supabase_manager.py:249-257,
     sparvi-frontend TableProfile.js:58-70). ``exact=False`` is the 100 TB
-    mode (sketch distinct counts).
+    mode (sketch distinct counts, hash-projection dup count);
+    ``exact=None`` (the default) resolves from the engine-wide scale
+    mode (``sparvi_spark.config``): exact in parity mode, sketches at
+    scale.
     """
+    from sparvi_spark.config import resolve_exact
+
+    exact = resolve_exact(exact)
     if as_of is None:
         as_of = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
     buckets = bucket_columns(df)

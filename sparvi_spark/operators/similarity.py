@@ -49,7 +49,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 10,
     exclude_self: bool = True,
-    backend: str = "fold",
+    backend: str | None = None,
     max_gram_queries: int = 4096,
 ) -> DataFrame:
     """Brute-force cosine top-k. Returns (query_id, neighbor_id, rank,
@@ -71,7 +71,16 @@ def cosine_topk(
       exact. Queries are collected to the driver (capped at
       ``max_gram_queries``); BLAS summation may differ from the fold in
       the final ULP, so parity checks stay on "fold".
+
+    ``backend=None`` (the default) resolves from the engine-wide scale
+    mode (``sparvi_spark.config``): "fold" in parity mode, "gram" at
+    scale.
     """
+    from sparvi_spark.config import resolve_backend
+
+    backend = resolve_backend(backend, "gram")
+    if backend not in ("fold", "gram"):
+        raise ValueError(f"unknown backend {backend!r}")
     if backend == "gram":
         return _cosine_topk_gram(corpus, queries, id_col, vec_col, k,
                                  exclude_self, max_gram_queries)
@@ -390,7 +399,7 @@ def ivf_topk_trained(
     k: int = 10,
     nprobe: int = 1,
     exclude_self: bool = True,
-    assign_backend: str = "fold",
+    assign_backend: str | None = None,
 ) -> DataFrame:
     """End-to-end trained IVF search: assign corpus rows to their nearest
     centroid cell (map-only), probe each query's ``nprobe`` nearest cells,
@@ -404,7 +413,14 @@ def ivf_topk_trained(
     BLAS matmul per Arrow batch (``numpy_probe_assign``) instead of
     nlist×dim interpreted fold terms per row; the query side stays on
     the expression (queries are few) and the re-rank is bounded by the
-    probed cells either way."""
+    probed cells either way. ``assign_backend=None`` resolves from the
+    engine-wide scale mode (``sparvi_spark.config``): "fold" in parity
+    mode, "gram" at scale."""
+    from sparvi_spark.config import resolve_backend
+
+    assign_backend = resolve_backend(assign_backend, "gram")
+    if assign_backend not in ("fold", "gram"):
+        raise ValueError(f"unknown assign_backend {assign_backend!r}")
     if assign_backend == "gram":
         c = (numpy_probe_assign(
                 corpus.select(F.col(id_col), F.col(vec_col)),

@@ -99,6 +99,9 @@ ENTITIES: dict[str, str] = {
 
 _POINTER = "_CURRENT"
 _LEASE = "_LEASE"
+# release_lease only removes the lease file while this much TTL remains —
+# see its docstring for the race the margin closes
+_RELEASE_MARGIN = 1.0
 
 
 class LeaseConflict(RuntimeError):
@@ -216,13 +219,21 @@ def release_lease(base: str, owner: str) -> None:
     successor that just replaced it — read-check-remove is not atomic,
     and deleting the successor's fresh lease would reopen the two-writer
     window. While unexpired, no thief touches the path and no acquirer
-    can link over it, so the remove is safe."""
+    can link over it, so the remove is safe. The check additionally
+    requires a small TTL margin (``_RELEASE_MARGIN``): with a bare
+    ``> now`` test, a lease that expires INSIDE the read→remove window
+    can be rename-stolen and re-linked fresh by a successor before the
+    remove lands, deleting the successor's lease. The margin shrinks
+    that residual to "owner's process stalls >1s between two adjacent
+    syscalls while exactly at TTL edge" — same irreducible class as the
+    verify→flip gap documented on :func:`verify_lease`."""
     import time
 
     path = os.path.join(base, _LEASE)
     cur = read_lease(base)
     if (cur is not None and cur.get("owner") == owner
-            and float(cur.get("expires_at", 0)) > time.time()):
+            and float(cur.get("expires_at", 0)) > time.time()
+            + _RELEASE_MARGIN):
         try:
             os.remove(path)
         except OSError:
@@ -346,12 +357,54 @@ def gc_versions(base: str, grace_seconds: float = 300.0) -> None:
             shutil.rmtree(full, ignore_errors=True)
 
 
-class StateStore:
-    """Parquet-backed state tables under ``root`` (one dir per entity)."""
+def table_format_available(spark: SparkSession, fmt: str) -> bool:
+    """True iff ``fmt`` resolves to a registered Spark data source in this
+    session (e.g. "delta" needs the delta-spark jars on the classpath)."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource \
+            .lookupDataSource(fmt, spark._jsparkSession.sessionState()
+                              .conf())
+        return True
+    except Exception:
+        return False
 
-    def __init__(self, spark: SparkSession, root: str):
+
+class StateStore:
+    """State tables under ``root`` (one dir per entity).
+
+    ``table_format`` picks the commit protocol:
+
+    - ``"parquet"`` (default, always available): plain parquet plus this
+      module's homegrown protocol — pointer-file commits for rewrites,
+      the os.link commit lease for multi-writer safety.
+    - an ACID table format (``"delta"`` / ``"iceberg"``, when its jars
+      are on the session classpath): the format's transaction log
+      SUBSUMES the pointer+lease protocol — appends and overwrites are
+      snapshot-isolated commits, concurrent writers serialize in the
+      log (optimistic concurrency) instead of on the lease file, and
+      the format's time travel covers what the pointer's version dirs
+      covered. ``retain_latest`` becomes a single transactional
+      overwrite (the format reads the pinned pre-overwrite snapshot, so
+      source==destination is safe — the exact pattern the parquet path
+      needs version dirs to avoid).
+
+    Construction raises immediately when the requested format is not
+    registered in the session — a missing-jar failure at first WRITE
+    would be long after the config mistake."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 table_format: str = "parquet"):
         self.spark = spark
         self.root = root
+        self.fmt = table_format
+        self._acid = table_format != "parquet"
+        if self._acid and not table_format_available(spark, table_format):
+            raise ValueError(
+                f"table_format {table_format!r} is not registered in this "
+                f"Spark session — add its package to the session (e.g. "
+                f"spark.jars.packages io.delta:delta-spark_2.13:... plus "
+                f"its SQL extension confs) or use the default 'parquet' "
+                f"backend (pointer-file + lease protocol)")
 
     def _path(self, entity: str) -> str:
         if entity not in ENTITIES:
@@ -388,6 +441,11 @@ class StateStore:
                  if c in df.columns), None)
             stamp = F.to_date(ts_col) if ts_col else F.current_date()
             df = df.withColumn("run_date", stamp)
+        if self._acid:
+            # the format's log is the commit protocol — no pointer dirs
+            (df.coalesce(4).write.format(self.fmt).mode("append")
+             .partitionBy("run_date").save(self._path(entity)))
+            return
         (df.coalesce(4).write.mode("append")
          .partitionBy("run_date").parquet(self._data_path(entity, create=True)))
 
@@ -414,6 +472,24 @@ class StateStore:
         the path check is always False for non-local roots (s3://,
         hdfs://) and would silently return empty state forever, turning
         every engine run into a fresh bootstrap with no error."""
+        if self._acid:
+            # table formats own their schema (a user-supplied read schema
+            # is ignored or rejected); align to the entity DDL by cast so
+            # both backends hand callers identical column types
+            try:
+                raw = self.spark.read.format(self.fmt).load(
+                    self._path(entity))
+            except Exception as exc:
+                if ("PATH_NOT_FOUND" in str(exc)
+                        or "Path does not exist" in str(exc)
+                        or "DELTA_MISSING" in str(exc)
+                        or "is not a Delta table" in str(exc)):
+                    return self.spark.createDataFrame([], ENTITIES[entity])
+                raise
+            fields = [(f.strip().split(" ")[0], f.strip().split(" ", 1)[1])
+                      for f in ENTITIES[entity].split(",")]
+            return raw.select(*[F.col(n).cast(t).alias(n)
+                                for n, t in fields])
         path = self._data_path(entity)
         try:
             return self.spark.read.schema(ENTITIES[entity]).parquet(path)
@@ -461,10 +537,24 @@ class StateStore:
         to the lease deadline) and then reruns retention over the
         now-current state; ownership is re-verified immediately before
         the flip so a stalled-past-TTL writer aborts instead of
-        overwriting its successor."""
+        overwriting its successor.
+
+        On an ACID ``table_format`` backend all of the above collapses to
+        ONE transactional overwrite: the format reads the pinned
+        pre-overwrite snapshot (source==destination is safe under
+        snapshot isolation), concurrent writers serialize in its
+        transaction log, and a crash mid-commit leaves the previous
+        snapshot current — pointer, version dirs, lease, and GC are the
+        format's job."""
         from sparvi_spark.operators.trends import retain_latest as _retain
 
         base = self._path(entity)
+        cols = [f.strip().split(" ")[0] for f in ENTITIES[entity].split(",")]
+        if self._acid:
+            kept = _retain(self.read(entity), keys, order_col, n)
+            (kept.select(*cols).coalesce(4).write.format(self.fmt)
+             .mode("overwrite").partitionBy("run_date").save(base))
+            return
         with state_lease(base) as lease_owner:
             kept = _retain(self.read(entity), keys, order_col, n)
             version = next_version(base)

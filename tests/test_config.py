@@ -1,0 +1,119 @@
+"""The engine-wide scale-mode switch (sparvi_spark.config): one knob
+flips every oracle-parity default to its 100 TB backend — plan-asserted
+— while explicit per-call arguments always win, and the two modes agree
+on data away from threshold boundaries (the backends may differ in the
+final ULP, never in the result set)."""
+
+import pytest
+
+from sparvi_spark.config import scale_mode, scale_mode_ctx, set_scale_mode
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scale_mode_ctx_restores_and_set_flips():
+    assert scale_mode() is False  # parity is the process default
+    with scale_mode_ctx(True):
+        assert scale_mode() is True
+        with scale_mode_ctx(False):
+            assert scale_mode() is False
+        assert scale_mode() is True
+    assert scale_mode() is False
+    set_scale_mode(True)
+    try:
+        assert scale_mode() is True
+    finally:
+        set_scale_mode(False)
+
+
+def test_scale_mode_flips_cosine_topk_to_gram_plan(spark):
+    from sparvi_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id int, embedding array<float>")
+    with scale_mode_ctx(True):
+        plan_scale = _plan(cosine_topk(df, df, k=2))
+        # explicit argument beats the mode
+        plan_pinned = _plan(cosine_topk(df, df, k=2, backend="fold"))
+    plan_parity = _plan(cosine_topk(df, df, k=2))
+    assert "MapInPandas" in plan_scale  # BLAS partition-local top-k
+    assert "MapInPandas" not in plan_pinned
+    assert "MapInPandas" not in plan_parity
+
+
+def test_scale_mode_flips_neardup_pairs_to_bucketed_gram(spark):
+    """Scale mode must never run the n² brute join: an unbucketed call
+    resolves to gram AND auto-buckets with lsh_bits=16; an EXPLICIT
+    gram without a bucket still raises (the caller asked for a
+    contradiction)."""
+    from sparvi_spark.operators.dedup import embedding_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id int, embedding array<float>")
+    with scale_mode_ctx(True):
+        plan_scale = _plan(embedding_neardup_pairs(df, "vec_id",
+                                                   "embedding"))
+        with pytest.raises(ValueError, match="bucket"):
+            embedding_neardup_pairs(df, "vec_id", "embedding",
+                                    pair_backend="gram")
+    plan_parity = _plan(embedding_neardup_pairs(df, "vec_id", "embedding"))
+    assert "FlatMapGroupsInPandas" in plan_scale  # per-bucket Gram
+    assert "Join" not in plan_scale  # no brute pair join anywhere
+    assert "FlatMapGroupsInPandas" not in plan_parity
+
+
+def test_scale_mode_profile_uses_sketches_and_matches_exact(spark):
+    """profile_table(exact=None) resolves to sketches at scale — and on
+    small clean data the sketch answers EQUAL the exact ones (HLL is
+    exact far below its precision; the hash-projection dup count has no
+    collisions in 60 rows), so the whole document round-trips."""
+    from sparvi_spark.operators.profile import profile_table
+
+    rows = [(i % 20, f"s{i % 7}") for i in range(60)]
+    df = spark.createDataFrame(rows, "a int, b string")
+    exact_doc = profile_table(df, "t", exact=True)
+    with scale_mode_ctx(True):
+        scale_doc = profile_table(df, "t")
+    assert scale_doc["row_count"] == exact_doc["row_count"] == 60
+    assert scale_doc["distinct_counts"] == exact_doc["distinct_counts"]
+    assert scale_doc["duplicate_count"] == exact_doc["duplicate_count"]
+
+
+def test_engine_scale_mode_kwarg_sets_process_switch(spark, tmp_path):
+    from sparvi_spark.engine import Engine
+
+    try:
+        Engine(spark, str(tmp_path / "wh"), scale_mode=True)
+        assert scale_mode() is True
+        # None leaves the already-configured process value alone
+        Engine(spark, str(tmp_path / "wh2"))
+        assert scale_mode() is True
+    finally:
+        set_scale_mode(False)
+
+
+def test_scale_mode_semantic_dedup_parity_away_from_threshold(spark):
+    """Mode on vs off: identical survivors when every cosine sits far
+    from the threshold (ULP-level backend drift cannot flip a decision)."""
+    from sparvi_spark.operators.dedup import semantic_dedup
+
+    base = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    rows = []
+    for g, b in enumerate(base):
+        for m in range(3):  # 3 near-identical members per group
+            v = [x + (0.0005 * m if x else 0.0) for x in b]
+            rows.append((g * 3 + m, v))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    cents = base
+    kept_parity = sorted(r["vec_id"] for r in semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.99,
+        centroids=cents).collect())
+    with scale_mode_ctx(True):
+        kept_scale = sorted(r["vec_id"] for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.99,
+            centroids=cents).collect())
+    assert kept_parity == kept_scale == [0, 3, 6]

@@ -1442,6 +1442,43 @@ def test_semantic_dedup_gram_backend_matches_fold(spark):
     assert kept_g == kept_f
 
 
+def test_gram_pairs_null_bucket_and_duplicate_id_contracts(spark):
+    """Two contracts the gram backend must share with the fold path:
+    (1) NULL buckets match NOTHING (the fold's ba == bb join semantics)
+    instead of pooling into one applyInPandas group; (2) rows that share
+    a duplicate id value never emit an (x, x) self-pair — the fold's
+    id_a < id_b predicate is strict on VALUES, while an index-based
+    triangle would pair distinct rows with equal ids."""
+    from sparvi_spark.operators.dedup import embedding_neardup_pairs
+
+    e = [1.0, 0.0, 0.0]
+    # ids 0/1 near-identical but in NULL buckets; ids 2/2 duplicates in
+    # bucket 7; id 3 alone in bucket 8
+    df = spark.createDataFrame(
+        [(0, e, None), (1, e, None), (2, e, 7), (2, e, 7), (3, e, 8)],
+        "vec_id int, embedding array<float>, b int")
+    for backend in ("fold", "gram"):
+        pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.9, bucket_col="b",
+            pair_backend=backend).collect()}
+        assert pairs == set(), backend  # no NULL-bucket or self pairs
+
+
+def test_similarity_backend_validation_raises(spark):
+    """Unknown backend strings raise instead of silently falling through
+    to the fold path (a typo like 'Gram' at 100 TB would otherwise run
+    the interpreted-expression plan)."""
+    from sparvi_spark.operators.similarity import (
+        cosine_topk, ivf_topk_trained)
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])],
+                               "vec_id int, embedding array<float>")
+    with pytest.raises(ValueError, match="backend"):
+        cosine_topk(df, df, backend="Gram")
+    with pytest.raises(ValueError, match="assign_backend"):
+        ivf_topk_trained(df, df, [(0, [1.0, 0.0])], assign_backend="blas")
+
+
 def test_semantic_dedup_far_from_centroid_keeps_outlier(spark):
     from pyspark.sql import functions as F
 

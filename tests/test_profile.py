@@ -219,6 +219,41 @@ def test_exact_percentiles_refine_nan_column_falls_back(spark):
     assert math.isnan(got["p75"])  # NaN tail actually reached the walk
 
 
+def test_refine_window_budget_routes_to_bucketed_plan(spark):
+    """A (column, quantile) whose expected pass-2 window (8n/accuracy)
+    exceeds window_budget never runs the collect_list window — it takes
+    the fully distributed bucketed plan and stays exact. Guards the
+    100 TB shape: at 10^11 rows the unbudgeted window is a 10^8-value
+    single aggregation buffer."""
+    from unittest.mock import patch
+
+    from sparvi_spark.operators import profile as prof
+
+    # distinct values -> no tie shortcut; n=200, accuracy=2000 gives an
+    # expected window of 0.8 values, so budget=0 forces the guard while
+    # any real budget admits it
+    df = spark.createDataFrame([(float(i),) for i in range(200)],
+                               "v double")
+    ref = prof.exact_percentiles(df, ["v"]).collect()[0]
+
+    with patch.object(prof, "exact_percentiles",
+                      wraps=prof.exact_percentiles) as bucketed:
+        got = prof.exact_percentiles_refine(
+            df, ["v"], tie_shortcut=False, window_budget=0).collect()[0]
+        assert bucketed.call_count == 1  # budget guard took the fallback
+        assert bucketed.call_args[0][1] == ["v"]
+    for q in ("p25", "p50", "p75"):
+        assert got[q] == ref[q], q
+
+    with patch.object(prof, "exact_percentiles",
+                      wraps=prof.exact_percentiles) as bucketed:
+        got2 = prof.exact_percentiles_refine(
+            df, ["v"], tie_shortcut=False).collect()[0]
+        assert bucketed.call_count == 0  # default budget: window path
+    for q in ("p25", "p50", "p75"):
+        assert got2[q] == ref[q], q
+
+
 def test_refine_rounding_matches_spark_shortest_repr(spark):
     """Boundary values whose shortest repr ends in 5 at the cut digit must
     round like Spark's round() (HALF_UP on the shortest decimal repr)."""
