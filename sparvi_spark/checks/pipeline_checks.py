@@ -28,6 +28,20 @@ from sparvi_spark.testdata import load_table
 
 DOC_CAP = 120  # doc_id bound for O(n²) pair checks
 
+
+def capped_docs(spark: SparkSession, sf_dir: str):
+    """documents capped to DOC_CAP rows, coalesced to the small shuffle
+    width: the cached table keeps 32 partitions for FULL-table shingle
+    work (testdata._CPU_HEAVY_TABLES), but a 120-row capped frame read
+    through them costs 32 near-empty tasks per scan stage — and the pair
+    pipelines scan it 3-4x. coalesce merges the cached partitions at
+    read (no shuffle); the cap is a constant, so this never bounds
+    parallelism at any SF. Measured 1.06s -> 0.62s on the d02 jaccard
+    part at sf0.1."""
+    return (load_table(spark, "documents", sf_dir)
+            .where(F.col("doc_id") < DOC_CAP).coalesce(8))
+
+
 _DUCK_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 _SPARK_TOKS = "split(lower(trim(text)), '\\\\s+')"
 
@@ -59,7 +73,7 @@ JACCARD_T = 0.9
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    docs = capped_docs(spark, sf_dir)
     return jaccard_pairs(docs, "doc_id", "text", n=1, threshold=JACCARD_T)
 
 
@@ -83,7 +97,7 @@ WHERE round(shared * cast(1 as double) / (x.sz + y.sz - shared), 6) >= {JACCARD_
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparvi_spark.operators.dedup import dedup_near
 
-    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    docs = capped_docs(spark, sf_dir)
     pairs = jaccard_pairs(docs, "doc_id", "text", n=1, threshold=JACCARD_T)
     kept = dedup_near(docs, pairs, "doc_id")
     return kept.groupBy("source").agg(
@@ -119,7 +133,7 @@ MH_HASHES, MH_BANDS = 16, 4
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    docs = capped_docs(spark, sf_dir)
     return minhash_lsh_pairs(docs, "doc_id", "text", n=1, num_hashes=MH_HASHES,
                              bands=MH_BANDS, threshold=JACCARD_T,
                              hash_fn="portable")
@@ -176,7 +190,7 @@ SQL_MINHASH_LSH = _sql_minhash_lsh()
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    docs = capped_docs(spark, sf_dir)
     return simhash_pairs(docs, "doc_id", "text", max_hamming=10)
 
 
@@ -190,7 +204,7 @@ SIMHASH_BITS = 30
 def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparvi_spark.operators.dedup import simhash
 
-    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    docs = capped_docs(spark, sf_dir)
     return simhash(docs, "doc_id", "text", hash_fn="portable", bits=SIMHASH_BITS)
 
 
@@ -228,7 +242,7 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def q_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    docs = capped_docs(spark, sf_dir)
     pairs = simhash_pairs(docs, "doc_id", "text",
                           max_hamming=SIMHASH_MAX_HAMMING,
                           hash_fn="portable", bits=SIMHASH_BITS)
@@ -275,7 +289,8 @@ def _duck_cosine(a: str, b: str) -> str:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparvi_spark.operators.dedup import embedding_neardup_pairs
 
-    emb = load_table(spark, "embeddings", sf_dir).where(F.col("vec_id") < EMB_CAP)
+    emb = (load_table(spark, "embeddings", sf_dir)
+           .where(F.col("vec_id") < EMB_CAP).coalesce(8))
     return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=COSINE_T)
 
 
@@ -344,7 +359,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 # ---------------------------------------------------------------------------
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    docs = capped_docs(spark, sf_dir)
     return quality_features(docs, repetition=True)
 
 
@@ -440,7 +455,7 @@ SQL_LANGID = _sql_langid()
 # ---------------------------------------------------------------------------
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    docs = capped_docs(spark, sf_dir)
     return docs.select("doc_id", fingerprint_expr("text").alias("fingerprint"))
 
 
@@ -476,7 +491,7 @@ FROM counted QUALIFY row_number() OVER (ORDER BY cnt DESC, token ASC) <= 10
 # ---------------------------------------------------------------------------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    docs = capped_docs(spark, sf_dir)
     media = documents_as_media(docs)
     feats = extract_image_features(media, fake=True)
     return feats.select("media_id", "width", "height", "n_bytes")
@@ -926,7 +941,7 @@ FROM events GROUP BY 1, 2
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparvi_spark.operators.multimodal import extract_audio_features
 
-    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    docs = capped_docs(spark, sf_dir)
     media = documents_as_media(docs)
     return extract_audio_features(media, fake=True).select(
         "media_id", "duration_s", "sample_rate", "n_channels")
@@ -949,7 +964,7 @@ CHUNK_TOKENS, CHUNK_OVERLAP = 16, 4
 def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparvi_spark.operators.text import chunk_documents
 
-    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    docs = capped_docs(spark, sf_dir)
     return chunk_documents(docs, chunk_tokens=CHUNK_TOKENS,
                            overlap=CHUNK_OVERLAP)
 
@@ -1316,7 +1331,7 @@ def q_neardup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the two sides split by source."""
     from sparvi_spark.operators.dedup import minhash_lsh_pairs_cross
 
-    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < DOC_CAP)
+    docs = capped_docs(spark, sf_dir)
     cand = docs.where(F.col("source") != "src0")
     ref = docs.where(F.col("source") == "src0")
     return minhash_lsh_pairs_cross(
@@ -1384,8 +1399,7 @@ def q_sig_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparvi_spark.operators.dedup import (
         minhash_pairs_from_sigs, minhash_signatures)
 
-    docs = load_table(spark, "documents", sf_dir).where(
-        F.col("doc_id") < DOC_CAP)
+    docs = capped_docs(spark, sf_dir)
     new_sigs = minhash_signatures(
         docs.where(F.col("source") != "src0"), "doc_id", "text",
         n=1, num_hashes=MH_HASHES, hash_fn="portable").select(
@@ -1456,8 +1470,7 @@ def q_token_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test_train_nb_classifier_separates_and_matches_reference)."""
     from sparvi_spark.operators.classify import token_bucket_counts
 
-    docs = (load_table(spark, "documents", sf_dir)
-            .where(F.col("doc_id") < DOC_CAP)
+    docs = (capped_docs(spark, sf_dir)
             .selectExpr("text", "cast(lang = 'en' as int) AS y"))
     return token_bucket_counts(docs, "y", dim=NB_DIM)
 
@@ -1487,8 +1500,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte-hash scale path is proven equal in test_dedup_lines_corpus_c4_rule."""
     from sparvi_spark.operators.text import dedup_lines_corpus
 
-    docs = (load_table(spark, "documents", sf_dir)
-            .where(F.col("doc_id") < DOC_CAP)
+    docs = (capped_docs(spark, sf_dir)
             .selectExpr(
                 "doc_id",
                 "concat(substring(coalesce(text, ''), 1, 40), '\\n', "
@@ -1938,8 +1950,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit tests (greedy order is not SQL-expressible)."""
     from sparvi_spark.operators.tokenize import bpe_encode, train_bpe
 
-    docs = load_table(spark, "documents", sf_dir).where(
-        F.col("doc_id") < DOC_CAP)
+    docs = capped_docs(spark, sf_dir)
     model = train_bpe(docs, num_merges=0, text_col="text")
     enc = bpe_encode(docs, model)
     return enc.selectExpr(
@@ -1980,8 +1991,8 @@ def _sem_centroids() -> list[list[float]]:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparvi_spark.operators.dedup import semantic_dedup
 
-    emb = load_table(spark, "embeddings", sf_dir).where(
-        F.col("vec_id") < SEM_CAP)
+    emb = (load_table(spark, "embeddings", sf_dir)
+        .where(F.col("vec_id") < SEM_CAP).coalesce(8))
     kept = semantic_dedup(emb, "vec_id", "embedding", threshold=SEM_T,
                           centroids=_sem_centroids())
     return kept.select("vec_id", "label")
@@ -2027,8 +2038,8 @@ SPAN_CAP = 500  # duplicated docs live across the id range; plan is linear
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparvi_spark.operators.dedup import duplicate_spans
 
-    docs = load_table(spark, "documents", sf_dir).where(
-        F.col("doc_id") < SPAN_CAP)
+    docs = (load_table(spark, "documents", sf_dir)
+            .where(F.col("doc_id") < SPAN_CAP).coalesce(8))
     return duplicate_spans(docs, "doc_id", "text", n=SPAN_N,
                            gram_mode="exact")
 
