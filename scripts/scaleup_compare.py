@@ -43,6 +43,12 @@ _QUERY_TABLES = {
     "shard_split": {"documents"}, "ann_topk": {"embeddings"},
 }
 
+if ONLY is not None:
+    unknown = ONLY - set(_QUERY_TABLES)
+    if unknown:
+        sys.exit(f"unknown query name(s) {sorted(unknown)}; "
+                 f"valid: {sorted(_QUERY_TABLES)}")
+
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 

@@ -291,7 +291,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = (load_table(spark, "embeddings", sf_dir)
            .where(F.col("vec_id") < EMB_CAP).coalesce(8))
-    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=COSINE_T)
+    # pair_backend pinned: the graded parity surface must not follow the
+    # process-global scale mode (Engine(scale_mode=True) anywhere in the
+    # process would otherwise flip this to gram + lsh buckets)
+    return embedding_neardup_pairs(emb, "vec_id", "embedding",
+                                   threshold=COSINE_T, pair_backend="fold")
 
 
 SQL_EMBEDDING_NEARDUP = f"""
@@ -313,7 +317,7 @@ TOP_K = 10
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return cosine_topk(emb, queries, k=TOP_K)
+    return cosine_topk(emb, queries, k=TOP_K, backend="fold")  # pin parity
 
 
 SQL_COSINE_TOPK = f"""
@@ -1994,7 +1998,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (load_table(spark, "embeddings", sf_dir)
         .where(F.col("vec_id") < SEM_CAP).coalesce(8))
     kept = semantic_dedup(emb, "vec_id", "embedding", threshold=SEM_T,
-                          centroids=_sem_centroids())
+                          centroids=_sem_centroids(), pair_backend="fold")
     return kept.select("vec_id", "label")
 
 

@@ -65,18 +65,22 @@ def zscore_anomalies(
     threshold = ZSCORE_BASE_THRESHOLD / sensitivity
     v = f"`{value_col}`"
     wg = f"(PARTITION BY {_pk(keys)})"
-    score = f"case when __std = {_d(0)} then {_d(0)} " \
-            f"else abs(({v} - __mean) / __std) end"
-    outs = [f"{score} AS score", f"{score} > {_d(threshold)} AS is_anomaly",
-            f"{_d(threshold)} AS threshold"]
     if window is None:
-        out = df.selectExpr(
+        # window exprs inlined into the score text — identical window
+        # specs dedup into ONE Window operator and codegen CSE evaluates
+        # each once per row, so this differs from the staged form only
+        # in driver-side analysis rounds (each DataFrame op costs one)
+        mean = f"avg({v}) OVER {wg}"
+        std = f"stddev_pop({v}) OVER {wg}"
+        g_score = (f"case when {std} = {_d(0)} then {_d(0)} "
+                   f"else abs(({v} - ({mean})) / ({std})) end")
+        return df.selectExpr(
             "*",
-            f"avg({v}) OVER {wg} AS __mean",
-            f"stddev_pop({v}) OVER {wg} AS __std",
+            f"{g_score} AS score",
+            f"{g_score} > {_d(threshold)} AS is_anomaly",
+            f"{_d(threshold)} AS threshold",
             f"count({v}) OVER {wg} AS __cnt",
-        ).where("__cnt >= 2")
-        return out.selectExpr("*", *outs).drop("__mean", "__std", "__cnt")
+        ).where("__cnt >= 2").drop("__cnt")
     # Reference fallback (algorithms.py:30): window >= len(values) ->
     # GLOBAL stats over the whole series (all points scored); rolling
     # frames only when the series is strictly longer than the window.
@@ -86,20 +90,26 @@ def zscore_anomalies(
     wf = (f"(PARTITION BY {_pk(keys)} ORDER BY `{order_col}` "
           f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)")
     wo = f"(PARTITION BY {_pk(keys)} ORDER BY `{order_col}`)"
-    out = df.selectExpr(
+    mean = (f"case when count({v}) OVER {wg} <= {window} "
+            f"then avg({v}) OVER {wg} else avg({v}) OVER {wf} end")
+    std = (f"case when count({v}) OVER {wg} <= {window} "
+           f"then stddev_pop({v}) OVER {wg} "
+           f"else stddev_pop({v}) OVER {wf} end")
+    r_score = (f"case when ({std}) = {_d(0)} then {_d(0)} "
+               f"else abs(({v} - ({mean})) / ({std})) end")
+    # same fused shape as the global branch: repeated window texts dedup
+    # into one Window operator, the projection CSEs at codegen
+    return df.selectExpr(
         "*",
+        f"{r_score} AS score",
+        f"{r_score} > {_d(threshold)} AS is_anomaly",
+        f"{_d(threshold)} AS threshold",
         f"row_number() OVER {wo} AS __rn",
         f"count({v}) OVER {wg} AS __npts",
-        f"case when count({v}) OVER {wg} <= {window} "
-        f"then avg({v}) OVER {wg} else avg({v}) OVER {wf} end AS __mean",
-        f"case when count({v}) OVER {wg} <= {window} "
-        f"then stddev_pop({v}) OVER {wg} "
-        f"else stddev_pop({v}) OVER {wf} end AS __std",
     ).where(
         f"(__npts <= {window} and __npts >= 2) "
         f"or (__npts > {window} and __rn > {window})"
-    )
-    return out.selectExpr("*", *outs).drop("__rn", "__npts", "__mean", "__std")
+    ).drop("__rn", "__npts")
 
 
 def _interp_sorted(arr: str, p: float) -> str:

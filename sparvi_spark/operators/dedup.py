@@ -159,7 +159,7 @@ def jaccard_pairs(
     semantic knob.
     """
     grams = _doc_gram_arrays(df, id_col, text_col, n)
-    sh = grams.select("__id", F.explode("__grams").alias("shingle"))
+    sh = grams.selectExpr("__id", "explode(__grams) AS shingle")
     if max_shingle_df is not None:
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
                .where(F.col("__df") <= max_shingle_df).select("shingle"))
@@ -170,8 +170,8 @@ def jaccard_pairs(
     else:
         # set size per doc is a projection of the gram array — no shuffle
         sizes = grams.select("__id", F.size("__grams").alias("__sz"))
-    a = sh.select(F.col("__id").alias("id_a"), "shingle")
-    b = sh.select(F.col("__id").alias("id_b"), "shingle")
+    a = sh.selectExpr("__id AS id_a", "shingle")
+    b = sh.selectExpr("__id AS id_b", "shingle")
     shared = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
@@ -180,15 +180,13 @@ def jaccard_pairs(
     )
     return (
         shared
-        .join(sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("sz_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("shared") * F.lit(1.0)
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6),
-        )
+        .join(sizes.selectExpr("__id AS id_a", "__sz AS sz_a"), "id_a")
+        .join(sizes.selectExpr("__id AS id_b", "__sz AS sz_b"), "id_b")
+        .selectExpr(
+            "id_a", "id_b", "shared", "sz_a", "sz_b",
+            "round(shared * cast(1 as double) "
+            "/ (sz_a + sz_b - shared), 6) AS jaccard")
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "shared", "sz_a", "sz_b", "jaccard")
     )
 
 
@@ -441,15 +439,16 @@ def minhash_lsh_pairs(
         .select("__id", "__grams", "__sz", "sig")
     )
 
-    banded = base.select(
-        F.col("__id"),
-        F.explode(
-            F.expr(f"transform(sequence(0, {bands - 1}), "
-                   f"b -> struct(b as band, {band_hash} as bh))")
-        ).alias("bb"),
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = banded.select(F.col("__id").alias("id_a"), "band", "bh")
-    b = banded.select(F.col("__id").alias("id_b"), "band", "bh")
+    # inline() expands the band structs straight to columns — one analyzed
+    # plan instead of explode-then-extract (each DataFrame op costs a
+    # serialized ~5-10ms analysis round on the driver; the physical plan
+    # is identical because Catalyst collapses adjacent projections)
+    banded = base.selectExpr(
+        "__id",
+        f"inline(transform(sequence(0, {bands - 1}), "
+        f"b -> struct(b as band, {band_hash} as bh)))")
+    a = banded.selectExpr("__id as id_a", "band", "bh")
+    b = banded.selectExpr("__id as id_b", "band", "bh")
     cands = (
         a.join(b, ["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -460,20 +459,20 @@ def minhash_lsh_pairs(
     # both gram SETS and overlap them per row with array_intersect. Cost is
     # O(candidates × shingles/doc) — near-linear — instead of the
     # O(Σ df(shingle)²) all-pairs shingle self-join of jaccard_pairs.
+    # The intersect size appears twice in the fused projection; codegen's
+    # common-subexpression elimination evaluates it once per row.
     ga = base.select(F.col("__id").alias("id_a"), F.col("__grams").alias("__ga"),
                      F.col("__sz").alias("sz_a"))
     gb = base.select(F.col("__id").alias("id_b"), F.col("__grams").alias("__gb"),
                      F.col("__sz").alias("sz_b"))
+    shared = "size(array_intersect(__ga, __gb))"
     return (
         cands.join(ga, "id_a").join(gb, "id_b")
-        .withColumn("shared", F.size(F.array_intersect("__ga", "__gb")))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("shared") * F.lit(1.0)
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6),
-        )
+        .selectExpr(
+            "id_a", "id_b",
+            f"round({shared} * cast(1 as double) "
+            f"/ (sz_a + sz_b - {shared}), 6) AS jaccard")
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -590,15 +589,12 @@ def minhash_pairs_from_sigs(
         band_hash = f"xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band}))"
 
     def _banded(frame: DataFrame, in_id: str, out_id: str) -> DataFrame:
-        return frame.select(
-            F.col(in_id).alias(out_id), "sig").select(
-            out_id,
-            F.explode(
-                F.expr(f"transform(sequence(0, {bands - 1}), "
-                       f"b -> struct(b as band, {band_hash} as bh))")
-            ).alias("bb"),
-        ).select(out_id, F.col("bb.band").alias("band"),
-                 F.col("bb.bh").alias("bh"))
+        # one fused projection: inline() expands the band structs (same
+        # physical plan as explode-then-extract, one analysis round)
+        return frame.selectExpr(
+            f"`{in_id}` AS {out_id}",
+            f"inline(transform(sequence(0, {bands - 1}), "
+            f"b -> struct(b as band, {band_hash} as bh)))")
 
     cands = (_banded(new_sigs, "id", "id")
              .join(_banded(ref_sigs, "ref_id", "ref_id"), ["band", "bh"])
@@ -606,13 +602,10 @@ def minhash_pairs_from_sigs(
     est = (f"round(size(filter(zip_with(__sa, __sb, (x, y) -> x = y), "
            f"m -> m)) / cast({num_hashes} as double), 6)")
     return (
-        cands.join(new_sigs.select(F.col("id"), F.col("sig").alias("__sa")),
-                   "id")
-        .join(ref_sigs.select(F.col("ref_id"), F.col("sig").alias("__sb")),
-              "ref_id")
-        .withColumn("est_jaccard", F.expr(est))
+        cands.join(new_sigs.selectExpr("id", "sig AS __sa"), "id")
+        .join(ref_sigs.selectExpr("ref_id", "sig AS __sb"), "ref_id")
+        .selectExpr("id", "ref_id", f"{est} AS est_jaccard")
         .where(F.col("est_jaccard") >= threshold)
-        .select("id", "ref_id", "est_jaccard")
     )
 
 

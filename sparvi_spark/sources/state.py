@@ -390,7 +390,18 @@ class StateStore:
 
     Construction raises immediately when the requested format is not
     registered in the session — a missing-jar failure at first WRITE
-    would be long after the config mistake."""
+    would be long after the config mistake.
+
+    Only formats in ``ACID_FORMATS`` get the transactional
+    ``retain_latest`` overwrite: a plain file source there would read
+    and overwrite the SAME path with no snapshot between them — Spark's
+    self-overwrite check aborts it at best, and evading that check
+    truncates the only copy of the state, exactly the loss the parquet
+    pointer protocol exists to prevent. Other registered formats (e.g.
+    "orc") still work for append/read — they share parquet's
+    append-only layout semantics — but ``retain_latest`` refuses them."""
+
+    ACID_FORMATS = ("delta", "iceberg")
 
     def __init__(self, spark: SparkSession, root: str,
                  table_format: str = "parquet"):
@@ -480,10 +491,16 @@ class StateStore:
                 raw = self.spark.read.format(self.fmt).load(
                     self._path(entity))
             except Exception as exc:
-                if ("PATH_NOT_FOUND" in str(exc)
-                        or "Path does not exist" in str(exc)
-                        or "DELTA_MISSING" in str(exc)
-                        or "is not a Delta table" in str(exc)):
+                # never-written-entity markers across formats: file
+                # sources (PATH_NOT_FOUND), delta (DELTA_MISSING /
+                # "is not a Delta table"), iceberg path tables
+                # (NoSuchTableException / "Table does not exist")
+                msg = str(exc)
+                if any(m in msg for m in (
+                        "PATH_NOT_FOUND", "Path does not exist",
+                        "DELTA_MISSING", "is not a Delta table",
+                        "NoSuchTableException", "Table does not exist",
+                        "TABLE_OR_VIEW_NOT_FOUND")):
                     return self.spark.createDataFrame([], ENTITIES[entity])
                 raise
             fields = [(f.strip().split(" ")[0], f.strip().split(" ", 1)[1])
@@ -551,6 +568,13 @@ class StateStore:
         base = self._path(entity)
         cols = [f.strip().split(" ")[0] for f in ENTITIES[entity].split(",")]
         if self._acid:
+            if self.fmt not in self.ACID_FORMATS:
+                raise ValueError(
+                    f"retain_latest needs a transactional table format "
+                    f"(one of {self.ACID_FORMATS}); {self.fmt!r} would "
+                    f"read and overwrite the same path with no snapshot "
+                    f"— use the parquet backend's pointer protocol "
+                    f"instead")
             kept = _retain(self.read(entity), keys, order_col, n)
             (kept.select(*cols).coalesce(4).write.format(self.fmt)
              .mode("overwrite").partitionBy("run_date").save(base))
@@ -558,9 +582,7 @@ class StateStore:
         with state_lease(base) as lease_owner:
             kept = _retain(self.read(entity), keys, order_col, n)
             version = next_version(base)
-            kept.select(*[f.strip().split(" ")[0]
-                          for f in ENTITIES[entity].split(",")]) \
-                .coalesce(4).write.mode("overwrite") \
+            kept.select(*cols).coalesce(4).write.mode("overwrite") \
                 .partitionBy("run_date") \
                 .parquet(os.path.join(base, version))
             # migrating a legacy flat layout: the new version dir sits

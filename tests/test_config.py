@@ -96,6 +96,23 @@ def test_engine_scale_mode_kwarg_sets_process_switch(spark, tmp_path):
         set_scale_mode(False)
 
 
+def test_graded_checks_pin_parity_backends_under_scale_mode(spark):
+    """The oracle-graded checks must NOT follow the process-global scale
+    mode: an Engine(scale_mode=True) anywhere in the process would
+    otherwise flip them to gram lanes (ULP drift vs the DuckDB hash, and
+    lsh auto-bucketing drops cross-bucket pairs)."""
+    from sparvi_spark.checks.pipeline_checks import (
+        q_cosine_topk, q_embedding_neardup, q_semantic_dedup)
+
+    sf = "/root/testdata/sf0.001"
+    with scale_mode_ctx(True):
+        assert "MapInPandas" not in _plan(q_cosine_topk(spark, sf))
+        assert "FlatMapGroupsInPandas" not in _plan(
+            q_embedding_neardup(spark, sf))
+        assert "FlatMapGroupsInPandas" not in _plan(
+            q_semantic_dedup(spark, sf))
+
+
 def test_scale_mode_semantic_dedup_parity_away_from_threshold(spark):
     """Mode on vs off: identical survivors when every cosine sits far
     from the threshold (ULP-level backend drift cannot flip a decision)."""

@@ -236,6 +236,10 @@ def test_state_table_format_append_read_plumbing(spark, tmp_path):
     # the parquet reader must NOT see this root as its own layout
     assert sorted(
         r["event_type"] for r in out.collect()) == ["e1", "e2", "e3"]
+    # a non-transactional format must REFUSE the retain overwrite: it
+    # would read and overwrite the same path with no snapshot between
+    with pytest.raises(ValueError, match="transactional"):
+        st.retain_latest("engine_events", ["table_name"], "detected_at", 1)
 
 
 def test_engine_flows_green_on_swapped_state_backend(spark, tmp_path):
