@@ -29,6 +29,9 @@ from sparvi_spark.testdata import load_table
 DOC_CAP = 120  # doc_id bound for O(n²) pair checks
 
 
+_CAPPED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def capped_docs(spark: SparkSession, sf_dir: str):
     """documents capped to DOC_CAP rows, coalesced to the small shuffle
     width: the cached table keeps 32 partitions for FULL-table shingle
@@ -37,9 +40,14 @@ def capped_docs(spark: SparkSession, sf_dir: str):
     pipelines scan it 3-4x. coalesce merges the cached partitions at
     read (no shuffle); the cap is a constant, so this never bounds
     parallelism at any SF. Measured 1.06s -> 0.62s on the d02 jaccard
-    part at sf0.1."""
-    return (load_table(spark, "documents", sf_dir)
-            .where(F.col("doc_id") < DOC_CAP).coalesce(8))
+    part at sf0.1. The DataFrame OBJECT is cached per (session, sf_dir)
+    — 16 checks build on it, and each DataFrame op costs a serialized
+    2-8ms analysis round (plan reuse only; execution is untouched)."""
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _CAPPED_CACHE:
+        _CAPPED_CACHE[key] = (load_table(spark, "documents", sf_dir)
+                              .where(F.col("doc_id") < DOC_CAP).coalesce(8))
+    return _CAPPED_CACHE[key]
 
 
 _DUCK_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
