@@ -59,6 +59,7 @@ from sparvi_spark.checks.pipeline_checks import (
     SQL_PACK_SEQUENCES,
     SQL_STRATIFIED_SAMPLE_AGG,
     SQL_TOP_TOKENS,
+    _sql_binpack,
     _sql_categorical_drift,
     _sql_classifier_scores,
     _sql_eval_split,
@@ -66,6 +67,7 @@ from sparvi_spark.checks.pipeline_checks import (
     _sql_semantic_dedup,
     _sql_shard_plan,
     _sql_sig_pairs,
+    q_binpack,
     q_bpe_tokenize,
     q_categorical_drift,
     q_classifier_scores,
@@ -188,6 +190,10 @@ CHECKS = {
         ("pack", q_pack_sequences, SQL_PACK_SEQUENCES,
          ["doc_id", "seg_idx"],
          ["shard", "n_tokens", "pack_id", "seg_start", "seg_tokens"], []),
+        # r8: the no-split complement — next-fit-decreasing whole-document
+        # bins, oracle-replayed sequentially via a recursive CTE
+        ("binpack", q_binpack, _sql_binpack(), ["doc_id"],
+         ["shard", "n_tokens", "truncated", "pack_idx", "pack_fill"], []),
     ]),
     "x30_semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup()),
     "x31_duplicate_spans": (q_duplicate_spans, SQL_DUPLICATE_SPANS),

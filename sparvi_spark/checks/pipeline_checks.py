@@ -1689,6 +1689,56 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# e15 whole-document bin packing (next-fit-decreasing, shard-local) — the
+# no-split complement of e09's concat-and-chop; the oracle replays the
+# sequential next-fit with a recursive CTE, bit for bit
+# ---------------------------------------------------------------------------
+
+BINPACK_CTX = 96
+
+
+def q_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.text import pack_sequences_binpack
+
+    docs = capped_docs(spark, sf_dir)
+    return pack_sequences_binpack(docs, BINPACK_CTX,
+                                  n_shards=PACK_SHARDS,
+                                  shard_method="portable")
+
+
+def _sql_binpack() -> str:
+    from sparvi_spark.operators.sampling import HASH_A, HASH_B, HASH_M
+
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT cast(((doc_id * {HASH_A} + {HASH_B}) % {HASH_M})
+              % {PACK_SHARDS} as int) AS shard,
+    doc_id,
+    least(len({_DUCK_TOKS}), {BINPACK_CTX}) AS n_tokens,
+    len({_DUCK_TOKS}) > {BINPACK_CTX} AS truncated
+  FROM documents WHERE doc_id < {DOC_CAP}),
+d AS (SELECT *, row_number() OVER (PARTITION BY shard
+        ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      FROM t WHERE n_tokens > 0),
+step AS (
+  SELECT shard, rn, doc_id, n_tokens, truncated,
+    cast(0 as bigint) AS pack_idx, n_tokens AS pack_fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens, d.truncated,
+    CASE WHEN s.pack_fill + d.n_tokens <= {BINPACK_CTX}
+         THEN s.pack_idx ELSE s.pack_idx + 1 END,
+    CASE WHEN s.pack_fill + d.n_tokens <= {BINPACK_CTX}
+         THEN s.pack_fill + d.n_tokens ELSE d.n_tokens END
+  FROM step s JOIN d ON d.shard = s.shard AND d.rn = s.rn + 1
+)
+SELECT shard, doc_id, cast(n_tokens as bigint) AS n_tokens, truncated,
+  pack_idx, cast(pack_fill as bigint) AS pack_fill
+FROM step
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # x24/x25: distribution drift between snapshots (operators/drift.py) —
 # baseline = orders before 1998, current = 1998+. tvd/chi2 are pure IEEE
 # basic arithmetic over exact integer counts (decimal-routed sums), so they
@@ -2117,4 +2167,5 @@ EXTRA_CHECKS = {
     "e03_chunking": (q_chunking, SQL_CHUNKING),
     "e09_pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "e10_bpe_tokenize": (q_bpe_tokenize, SQL_BPE_TOKENIZE),
+    "e15_binpack": (q_binpack, _sql_binpack()),
 }

@@ -678,3 +678,93 @@ def pack_summary(packed: DataFrame, ctx_len: int) -> DataFrame:
         .withColumn("fill_ratio",
                     F.round(F.col("n_tokens") / F.lit(float(ctx_len)), 6))
     )
+
+
+def pack_sequences_binpack(
+    df: DataFrame,
+    ctx_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 1,
+    token_count_col: str | None = None,
+    shard_method: str = "portable",
+) -> DataFrame:
+    """Whole-document (no-split) packing: next-fit-decreasing bins per
+    shard -> (shard, doc_id, n_tokens, truncated, pack_idx, pack_fill),
+    one row per document.
+
+    ``pack_sequences`` above is concat-and-chop — zero padding waste, but
+    documents straddle pack boundaries, so attention either crosses
+    document breaks or the loader masks mid-pack. This operator is the
+    complementary policy used when examples must stay INTACT (instruction
+    tuning, eval sets, T5/FLAN-style packing): each document lands whole
+    in exactly one pack; a document longer than ``ctx_len`` is truncated
+    to it (``truncated`` flags it) rather than split.
+
+    Algorithm: within each deterministic hash shard, documents sort by
+    (effective length DESC, id ASC) and next-fit fills bins in that order
+    — a new bin opens when the current one cannot take the next document.
+    Decreasing order gives the classic 2-approximation-style packing
+    quality at strictly linear cost, and next-fit (rather than first-fit)
+    keeps the state ONE open bin, which is what makes the layout
+    reproducible by a sequential scan in any engine — the DuckDB oracle
+    replays it with a recursive CTE, bit for bit (e15 check).
+
+    Scale (100 TB): shard assignment is a map-only hash projection
+    (``sources/export.shard_expr``); each shard packs independently
+    inside one Arrow ``applyInPandas`` group at O(docs log docs) for the
+    sort + O(docs) for the fill. Shards bound group size exactly like
+    the shard export (pick n_shards so a shard's (id, n_tokens) rows fit
+    a task — the text itself never enters this operator). ``pack_fill``
+    is the bin's token count AFTER placing the row's document, so the
+    final fill of every pack is the max over its rows.
+    """
+    import pandas as pd
+
+    from sparvi_spark.sources.export import shard_expr
+
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+    ntok = (F.col(token_count_col) if token_count_col
+            else F.size(F.expr(tokens_expr(text_col))))
+    base = df.select(
+        shard_expr(id_col, n_shards, shard_method).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        F.least(ntok, F.lit(ctx_len)).cast("bigint").alias("n_tokens"),
+        (ntok > ctx_len).alias("truncated"),
+    ).where(F.col("n_tokens") > 0)
+
+    out_ddl = ("shard int, doc_id bigint, n_tokens bigint, "
+               "truncated boolean, pack_idx bigint, pack_fill bigint")
+
+    def pack_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+        packs, fills = [], []
+        pack, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if fill + n > ctx_len:
+                pack += 1
+                fill = 0
+            fill += int(n)
+            packs.append(pack)
+            fills.append(fill)
+        pdf = pdf.assign(pack_idx=packs, pack_fill=fills)
+        return pdf[["shard", "doc_id", "n_tokens", "truncated",
+                    "pack_idx", "pack_fill"]]
+
+    return base.groupBy("shard").applyInPandas(pack_of, out_ddl)
+
+
+def binpack_summary(packed: DataFrame, ctx_len: int) -> DataFrame:
+    """Fill accounting per next-fit bin -> (shard, pack_idx, n_docs,
+    n_tokens, fill_ratio). Unlike concat-and-chop, bins are NOT full by
+    construction — fill_ratio is the padding-waste metric the packing
+    policy is chosen by."""
+    return (
+        packed.groupBy("shard", "pack_idx")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.max("pack_fill").alias("n_tokens"))
+        .withColumn("fill_ratio",
+                    F.round(F.col("n_tokens") / F.lit(float(ctx_len)), 6))
+    )

@@ -1013,6 +1013,41 @@ def test_temperature_sampling(spark):
         temperature_proportions({"g": 5}, -1.0)
 
 
+def test_pack_sequences_binpack_next_fit_decreasing(spark):
+    """No-split packing: every doc lands whole in one bin, bins never
+    exceed ctx_len, placement replays a hand-run next-fit-decreasing,
+    oversized docs truncate-and-flag, and the assignment is deterministic
+    (mergesort on a total order)."""
+    from sparvi_spark.operators.text import (
+        binpack_summary, pack_sequences_binpack)
+
+    # one shard (n_shards=1): lengths 7,6,5,3,2 -> NFD at ctx 9:
+    # [7]->bin0 fill7; 6 overflows -> bin1 fill6; 5 overflows -> bin2
+    # fill5; 3 fits bin2 fill8; 2 overflows -> bin3 fill2. Plus a
+    # 12-token doc truncated to 9 -> sorts FIRST, its own bin, and an
+    # empty-text doc — 1 token under the whitespace tokenizer (split('')
+    # = [''] in BOTH engines, the e09 oracle convention) — lands last.
+    rows = [(1, "a " * 7), (2, "b " * 6), (3, "c " * 5), (4, "d " * 3),
+            (5, "e " * 2), (6, "f " * 12), (7, "")]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows],
+                               "doc_id long, text string")
+    packed = pack_sequences_binpack(df, ctx_len=9, n_shards=1)
+    got = {r.doc_id: (r.n_tokens, r.truncated, r.pack_idx, r.pack_fill)
+           for r in packed.collect()}
+    assert got == {6: (9, True, 0, 9), 1: (7, False, 1, 7),
+                   2: (6, False, 2, 6), 3: (5, False, 3, 5),
+                   4: (3, False, 3, 8), 5: (2, False, 4, 2),
+                   7: (1, False, 4, 3)}
+    summ = {r.pack_idx: (r.n_docs, r.n_tokens) for r in
+            binpack_summary(packed, 9).collect()}
+    assert summ == {0: (1, 9), 1: (1, 7), 2: (1, 6), 3: (2, 8), 4: (2, 3)}
+    # bins never exceed ctx at any shard count, and runs are deterministic
+    p3 = pack_sequences_binpack(df, ctx_len=9, n_shards=3)
+    assert p3.where("pack_fill > 9").count() == 0
+    assert sorted(map(tuple, p3.collect())) == sorted(
+        map(tuple, pack_sequences_binpack(df, 9, n_shards=3).collect()))
+
+
 def test_pack_sequences_concat_and_chop(spark):
     """Packing lays tokens out in doc_id order and cuts every ctx_len:
     segments tile each document, packs are exactly full except the last,
