@@ -334,33 +334,14 @@ def main() -> None:
           + (f", clean spread {spread:.1%}" if spread is not None else ""),
           file=sys.stderr)
 
-    # Decomposition disclosure (r8): the fresh-build wall above is ~85%
-    # driver-side plan CONSTRUCTION (each DataFrame op costs a serialized
-    # 2-8ms analysis round; see SCALING.md round-8). The prepared wall —
-    # the same 50 queries with their DataFrames built ONCE outside the
-    # timer, executed on the same 16-thread pool — is what a long-running
-    # engine session pays per suite run, and the view where data cost
-    # (which grows with SF) actually dominates. ADDITIONAL disclosure
-    # only: every recorded ratio still uses the fresh-build wall.
-    isolate()
-    prepared_dfs = [fn(spark, sf_dir) for fn in suite_fns]
-
-    def run_prepared(d):
-        spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", f"suite-{get_ident()}")
-        return d.toPandas()
-
-    with ThreadPoolExecutor(max_workers=16) as ex:  # warm
-        list(ex.map(run_prepared, prepared_dfs))
-    prepared_wall = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            list(ex.map(run_prepared, prepared_dfs))
-        prepared_wall = min(prepared_wall,
-                            round(time.perf_counter() - t0, 4))
-    print(f"# prepared-plan suite wall (execution only): "
-          f"{prepared_wall:.2f}s", file=sys.stderr)
+    # NOTE (r8): a "prepared-plan wall" field was added and then REMOVED
+    # here — re-executing the same DataFrame objects reuses shuffle map
+    # outputs from the warm run and places eagerly-executing checks (the
+    # prepared validation sweep, the percentile refine) entirely outside
+    # the timer, so it under-measured execution exactly the way the
+    # protocol comments above warn about. The build-vs-execution
+    # decomposition lives in SCALING.md round-8, labeled as the
+    # optimistic re-execution lower bound it is.
 
     # Operative-baseline disclosure (r6 verdict): time DuckDB serially on
     # the IDENTICAL oracle queries in the same process, same warm inputs,
@@ -435,7 +416,6 @@ def main() -> None:
         "suite_clean_samples": len(clean),
         "suite_clean_spread": (round(spread, 4)
                                if spread is not None else None),
-        "suite_prepared_wall_sec": prepared_wall,
         "suite_queries": len(suite_fns),
         "duckdb_total": duckdb_total,
         "duckdb_probes": duckdb_probes,

@@ -29,9 +29,6 @@ from sparvi_spark.testdata import load_table
 DOC_CAP = 120  # doc_id bound for O(n²) pair checks
 
 
-_CAPPED_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
 def capped_docs(spark: SparkSession, sf_dir: str):
     """documents capped to DOC_CAP rows, coalesced to the small shuffle
     width: the cached table keeps 32 partitions for FULL-table shingle
@@ -40,14 +37,27 @@ def capped_docs(spark: SparkSession, sf_dir: str):
     pipelines scan it 3-4x. coalesce merges the cached partitions at
     read (no shuffle); the cap is a constant, so this never bounds
     parallelism at any SF. Measured 1.06s -> 0.62s on the d02 jaccard
-    part at sf0.1. The DataFrame OBJECT is cached per (session, sf_dir)
-    — 16 checks build on it, and each DataFrame op costs a serialized
-    2-8ms analysis round (plan reuse only; execution is untouched)."""
-    key = (id(spark._jsparkSession), sf_dir)
-    if key not in _CAPPED_CACHE:
-        _CAPPED_CACHE[key] = (load_table(spark, "documents", sf_dir)
-                              .where(F.col("doc_id") < DOC_CAP).coalesce(8))
-    return _CAPPED_CACHE[key]
+    part at sf0.1. The DataFrame OBJECT is memoized per (session,
+    sf_dir) — 16 checks build on it, and each DataFrame op costs a
+    serialized 2-8ms analysis round (plan reuse only; execution is
+    untouched). The memo lives INSIDE testdata._CACHE so every existing
+    cache-reset site (bench/suite isolate(), test fixtures) clears it
+    together with the table objects it wraps — a private dict here would
+    survive those resets, pin stopped sessions, and skip load_table's
+    per-call profile re-tuning on alternating sf dirs."""
+    from sparvi_spark import testdata
+
+    key = (id(spark._jsparkSession), sf_dir, "__capped_documents")
+    cached = testdata._CACHE.get(key)
+    if cached is not None:
+        # load_table re-applies the session tuning profile per call;
+        # keep that behavior on memo hits too
+        load_table(spark, "documents", sf_dir)
+        return cached
+    out = (load_table(spark, "documents", sf_dir)
+           .where(F.col("doc_id") < DOC_CAP).coalesce(8))
+    testdata._CACHE[key] = out
+    return out
 
 
 _DUCK_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -1707,19 +1717,18 @@ def q_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_binpack() -> str:
-    from sparvi_spark.operators.sampling import HASH_A, HASH_B, HASH_M
-
     return f"""
-WITH RECURSIVE t AS (
-  SELECT cast(((doc_id * {HASH_A} + {HASH_B}) % {HASH_M})
-              % {PACK_SHARDS} as int) AS shard,
-    doc_id,
-    least(len({_DUCK_TOKS}), {BINPACK_CTX}) AS n_tokens,
-    len({_DUCK_TOKS}) > {BINPACK_CTX} AS truncated
+WITH RECURSIVE raw AS (
+  SELECT cast(({_duck_hash('doc_id')}) % {PACK_SHARDS} as int) AS shard,
+    doc_id, len({_DUCK_TOKS}) AS rawn
   FROM documents WHERE doc_id < {DOC_CAP}),
+t AS (SELECT shard, doc_id,
+        least(rawn, {BINPACK_CTX}) AS n_tokens,
+        rawn > {BINPACK_CTX} AS truncated
+      FROM raw WHERE rawn IS NOT NULL AND rawn > 0),
 d AS (SELECT *, row_number() OVER (PARTITION BY shard
         ORDER BY n_tokens DESC, doc_id ASC) AS rn
-      FROM t WHERE n_tokens > 0),
+      FROM t),
 step AS (
   SELECT shard, rn, doc_id, n_tokens, truncated,
     cast(0 as bigint) AS pack_idx, n_tokens AS pack_fill

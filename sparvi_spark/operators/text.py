@@ -727,12 +727,19 @@ def pack_sequences_binpack(
         raise ValueError("ctx_len must be positive")
     ntok = (F.col(token_count_col) if token_count_col
             else F.size(F.expr(tokens_expr(text_col))))
-    base = df.select(
+    # filter on the RAW count before least(): F.least skips NULLs, so a
+    # NULL text (or NULL precomputed count) would otherwise become a
+    # phantom ctx_len-token document occupying a whole bin — the sibling
+    # pack_sequences drops such rows, and so does this
+    base = (df.select(
         shard_expr(id_col, n_shards, shard_method).alias("shard"),
         F.col(id_col).alias("doc_id"),
-        F.least(ntok, F.lit(ctx_len)).cast("bigint").alias("n_tokens"),
-        (ntok > ctx_len).alias("truncated"),
-    ).where(F.col("n_tokens") > 0)
+        ntok.cast("bigint").alias("__raw"))
+        .where("__raw is not null and __raw > 0")
+        .selectExpr(
+            "shard", "doc_id",
+            f"least(__raw, {ctx_len}) AS n_tokens",
+            f"__raw > {ctx_len} AS truncated"))
 
     out_ddl = ("shard int, doc_id bigint, n_tokens bigint, "
                "truncated boolean, pack_idx bigint, pack_fill bigint")
