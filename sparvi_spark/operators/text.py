@@ -160,9 +160,19 @@ def quality_features(
         f"round(aggregate({toks}, 0L, (a, t) -> a + length(t)) * cast(1 as double) "
         f"/ greatest(size({toks}), 1), 4)"
     )
-    punct = F.expr(
-        f"size(regexp_extract_all({text_col}, '[^A-Za-z0-9\\\\s]', 0))"
-    )
+    # punctuation count via translate (delete the kept alphanumeric +
+    # ASCII-whitespace chars; what remains IS the punct count). Value-
+    # identical to size(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0))
+    # for ALL inputs — Java regex \s is ASCII-only, so non-ASCII letters
+    # and exotic whitespace count as punct under both forms — but the
+    # regex engine measured 14.8s for 500k docs at the 100x sweep vs
+    # 1.4s for the char-map (the regex was 75% of the whole
+    # quality_features scan; caught by the round-8 100x text sweep).
+    _keep = ("'abcdefghijklmnopqrstuvwxyz"
+             "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789'"
+             " || chr(32) || chr(9) || chr(10) || chr(11) || chr(12)"
+             " || chr(13)")
+    punct = F.expr(f"length(translate({text_col}, {_keep}, ''))")
     stop_hits = F.expr(_hit_count(toks, STOPWORDS_EN))
     rep = _repetition_cols(text_col) if repetition else {}
     out = df.select(
