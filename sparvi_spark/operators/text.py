@@ -57,24 +57,28 @@ def lang_id_expr(text_col: str) -> Column:
     Deterministic tie-break: language code ascending (en < de alphabetical
     order is by the iteration list below). Zero hits -> 'und' (undetermined).
     """
-    toks = tokens_expr(text_col)
     langs = sorted(LANG_MARKERS)  # de, en, es, fr, zh — fixed order
+    # LET-BINDING via single-element transform lambdas: SQL has no LET,
+    # but `element_at(transform(array(X), v -> BODY), 1)` evaluates X
+    # once and binds it as `v` inside BODY. Without it the tokens SPLIT
+    # rode inside every language's filter and the pairs array was built
+    # 3x (best_hits + filter + case guard) — ~15 split evaluations per
+    # row; measured 9.4s -> 1.7s on the 100x sweep's 500k docs. The
+    # tie-break is unchanged: langs listed ascending, filter-on-max
+    # takes the FIRST best (hits desc, lang asc), zero hits -> 'und'.
     pairs = ", ".join(
-        f"struct({_hit_count(toks, LANG_MARKERS[lang])} as hits, '{lang}' as lang)"
+        f"struct({_hit_count('tk', LANG_MARKERS[lang])} as hits, "
+        f"'{lang}' as lang)"
         for lang in langs
     )
-    # array_max on struct array: max by (hits, lang) — lang DESC breaks ties;
-    # invert by ordering on (hits, negated position) is messy, so sort and
-    # take: greatest hits, ties -> lexicographically LAST lang. Make the
-    # tie-break explicit and portable: order by hits desc, lang asc via
-    # filter-on-max instead.
-    best_hits = f"array_max(transform(array({pairs}), p -> p.hits))"
-    first_best = (
-        f"filter(array({pairs}), p -> p.hits = {best_hits})[0].lang"
-    )
+    best_hits = "array_max(transform(ps, p -> p.hits))"
+    pick = (f"case when {best_hits} > 0 "
+            f"then filter(ps, p -> p.hits = {best_hits})[0].lang "
+            f"else 'und' end")
     return F.expr(
-        f"case when {best_hits} > 0 then {first_best} else 'und' end"
-    )
+        f"element_at(transform(array({tokens_expr(text_col)}), tk -> "
+        f"element_at(transform(array(array({pairs})), ps -> {pick}), 1)"
+        f"), 1)")
 
 
 def _repetition_cols(text_col: str) -> dict[str, Column]:
