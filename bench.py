@@ -334,6 +334,27 @@ def main() -> None:
           + (f", clean spread {spread:.1%}" if spread is not None else ""),
           file=sys.stderr)
 
+    # Per-query serial Spark pass (r9): one fresh-build best-of-2 number
+    # per oracle query — paired with the DuckDB per-query times below
+    # into a ratio table, so the artifact itself shows which baseline
+    # residuals are real Spark compute and which are the flat ~0.1-0.3s
+    # per-action scheduling floor (that decomposition previously lived
+    # only in SCALING.md prose). Same protocol as the headline queries:
+    # untimed warm run, fn()+toPandas inside the timer, isolate between.
+    spark_serial: dict[str, float] = {}
+    for name, (fn, _sql) in sorted(collect_all_checks(prepared=False).items()):
+        fn(spark, sf_dir).toPandas()  # untimed warm run
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).toPandas()
+            best = min(best, time.perf_counter() - t0)
+        spark_serial[name] = round(best, 4)
+        isolate()
+    spark_serial_total = round(sum(spark_serial.values()), 4)
+    print(f"# spark serial total ({len(spark_serial)} queries): "
+          f"{spark_serial_total:.2f}s", file=sys.stderr)
+
     # NOTE (r8): a "prepared-plan wall" field was added and then REMOVED
     # here — re-executing the same DataFrame objects reuses shuffle map
     # outputs from the warm run and places eagerly-executing checks (the
@@ -354,7 +375,7 @@ def main() -> None:
     # (the per-query protocol above).
     _BASELINE_OUTLIERS = ("x27_doc_scores", "x04_langid")
     duckdb_total = duckdb_excl = ratio_all = ratio_excl = None
-    duckdb_probes = None
+    duckdb_probes = per_query_ratio = None
     try:
         import duckdb
 
@@ -396,6 +417,11 @@ def main() -> None:
                                 if k not in _BASELINE_OUTLIERS), 4)
         ratio_all = round(suite_wall / duckdb_total, 4)
         ratio_excl = round(suite_wall / duckdb_excl, 4)
+        per_query_ratio = {
+            k: {"spark": spark_serial.get(k), "duckdb": round(v, 4),
+                "ratio": (round(spark_serial[k] / v, 2)
+                          if spark_serial.get(k) and v > 0 else None)}
+            for k, v in sorted(ddb.items())}
         print(f"# duckdb serial total ({len(ddb)} queries): "
               f"{duckdb_total:.2f}s (excl {list(_BASELINE_OUTLIERS)}: "
               f"{duckdb_excl:.2f}s) -> wall ratio {ratio_all:.2f}x "
@@ -417,12 +443,14 @@ def main() -> None:
         "suite_clean_spread": (round(spread, 4)
                                if spread is not None else None),
         "suite_queries": len(suite_fns),
+        "spark_serial_total": spark_serial_total,
         "duckdb_total": duckdb_total,
         "duckdb_probes": duckdb_probes,
         "duckdb_total_excl_outliers": duckdb_excl,
         "duckdb_outliers": list(_BASELINE_OUTLIERS),
         "ratio_all": ratio_all,
         "ratio_excl_outliers": ratio_excl,
+        "per_query_ratio": per_query_ratio,
         "sf": sf,
     }))
     spark.stop()

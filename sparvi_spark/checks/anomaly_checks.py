@@ -68,6 +68,32 @@ def _finalize(df: DataFrame) -> DataFrame:
     )
 
 
+def q_anomaly_scores_4way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The a01 graded slot (4 detectors × one tagged union) built with the
+    finalize + tag projection FUSED into one selectExpr per part — the
+    generic union_check wrapper adds a tag select on top of _finalize
+    (one extra analysis round per part, 4 per build, all GIL-serialized
+    under the concurrent suite). The resolved plan and every value are
+    identical to union_check over the four q_* checks; the standalone
+    checks remain the EXTRA/diagnostic surface."""
+    s = metric_series(spark, sf_dir)
+    parts = [
+        ("zscore_global", zscore_anomalies(s, ["metric_name"])),
+        ("zscore_rolling", zscore_anomalies(s, ["metric_name"],
+                                            window=ROLL_W)),
+        ("iqr_global", iqr_anomalies(s, ["metric_name"])),
+        ("iqr_rolling", iqr_anomalies(s, ["metric_name"], window=ROLL_W)),
+    ]
+    out = None
+    for tag, d in parts:
+        d = d.selectExpr(
+            f"'{tag}' as method", "metric_name",
+            "date_format(ts, 'yyyy-MM-dd') as ts_day", "value",
+            "round(score, 4) as score", "is_anomaly", "threshold")
+        out = d if out is None else out.unionAll(d)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # A1 global z-score (population stddev, std==0 -> score 0)
 # ---------------------------------------------------------------------------

@@ -40,6 +40,7 @@ from sparvi_spark.checks.anomaly_checks import (
     SQL_IQR_ROLLING,
     SQL_ZSCORE_GLOBAL,
     SQL_ZSCORE_ROLLING,
+    q_anomaly_scores_4way,
     q_iqr_global,
     q_iqr_rolling,
     q_zscore_global,
@@ -108,14 +109,19 @@ from sparvi_spark.checks.trend_checks import (
 _PAIR_PAD = {"shared": "CAST(NULL AS DOUBLE)", "sz_a": "CAST(NULL AS DOUBLE)",
              "sz_b": "CAST(NULL AS DOUBLE)"}
 
+# a01: the Spark side uses the hand-fused builder (finalize + tag in one
+# projection per part — see q_anomaly_scores_4way); the oracle SQL is the
+# identical union_check-generated text over the four standalone checks.
+_A01_SQL = union_check([
+    ("zscore_global", q_zscore_global, SQL_ZSCORE_GLOBAL),
+    ("zscore_rolling", q_zscore_rolling, SQL_ZSCORE_ROLLING),
+    ("iqr_global", q_iqr_global, SQL_IQR_GLOBAL),
+    ("iqr_rolling", q_iqr_rolling, SQL_IQR_ROLLING),
+], tag_col="method")[1]
+
 CHECKS = {
     # -- merged slots for previously-graded families --------------------
-    "a01_anomaly_scores": union_check([
-        ("zscore_global", q_zscore_global, SQL_ZSCORE_GLOBAL),
-        ("zscore_rolling", q_zscore_rolling, SQL_ZSCORE_ROLLING),
-        ("iqr_global", q_iqr_global, SQL_IQR_GLOBAL),
-        ("iqr_rolling", q_iqr_rolling, SQL_IQR_ROLLING),
-    ], tag_col="method"),
+    "a01_anomaly_scores": (q_anomaly_scores_4way, _A01_SQL),
     "d02_pair_scores": aligned_union_check([
         ("jaccard_exact", q_jaccard_pairs, SQL_JACCARD_PAIRS, {
             "id_a": "id_a", "id_b": "id_b",

@@ -44,19 +44,26 @@ def capped_docs(spark: SparkSession, sf_dir: str):
     cache-reset site (bench/suite isolate(), test fixtures) clears it
     together with the table objects it wraps — a private dict here would
     survive those resets, pin stopped sessions, and skip load_table's
-    per-call profile re-tuning on alternating sf dirs."""
+    per-call profile re-tuning on alternating sf dirs. The memo honors
+    the same SPARK_GRAFT_NO_CACHE=1 escape hatch load_table does — with
+    the flag set, nothing (table or capped view) is memoized."""
+    import os
+
     from sparvi_spark import testdata
 
+    cache_on = os.environ.get("SPARK_GRAFT_NO_CACHE") != "1"
     key = (id(spark._jsparkSession), sf_dir, "__capped_documents")
-    cached = testdata._CACHE.get(key)
-    if cached is not None:
-        # load_table re-applies the session tuning profile per call;
-        # keep that behavior on memo hits too
-        load_table(spark, "documents", sf_dir)
-        return cached
+    if cache_on:
+        cached = testdata._CACHE.get(key)
+        if cached is not None:
+            # load_table re-applies the session tuning profile per call;
+            # keep that behavior on memo hits too
+            load_table(spark, "documents", sf_dir)
+            return cached
     out = (load_table(spark, "documents", sf_dir)
            .where(F.col("doc_id") < DOC_CAP).coalesce(8))
-    testdata._CACHE[key] = out
+    if cache_on:
+        testdata._CACHE[key] = out
     return out
 
 

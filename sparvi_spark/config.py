@@ -59,6 +59,35 @@ def scale_mode_ctx(on: bool):
         set_scale_mode(prev)
 
 
+# Spark conf knob: multi-session deployments configure scale mode the
+# same way as every other Spark setting (spark-defaults.conf, --conf,
+# SparkSession.builder.config). Read at Engine construction.
+SPARK_CONF_KEY = "spark.sparvi.scaleMode"
+
+_TRUTHY = ("true", "1", "yes", "on")
+
+
+def resolve_scale_mode(explicit: bool | None = None,
+                       spark=None) -> bool:
+    """Resolve an engine's scale mode with deployment-config precedence:
+    explicit constructor argument > ``spark.sparvi.scaleMode`` session
+    conf > the process-wide default set via :func:`set_scale_mode`.
+    Returns a concrete bool — engines snapshot it at construction so two
+    engines in one process can run opposite modes without either one
+    silently flipping the other (last-constructor-wins was the old
+    failure shape)."""
+    if explicit is not None:
+        return bool(explicit)
+    if spark is not None:
+        try:
+            raw = spark.conf.get(SPARK_CONF_KEY, None)
+        except Exception:
+            raw = None
+        if raw is not None:
+            return str(raw).strip().lower() in _TRUTHY
+    return _SCALE_MODE
+
+
 def resolve_backend(value: str | None, scale_value: str,
                     parity_value: str = "fold") -> str:
     """An explicit argument wins; ``None`` resolves from scale mode."""

@@ -42,25 +42,28 @@ class Engine:
                  scale_mode: bool | None = None,
                  state_format: str = "parquet"):
         """``scale_mode=True`` flips every oracle-parity default this
-        engine (and the operators it calls) exposes to its 100 TB
-        backend in one place — sketch distinct counts/percentiles and
-        hash-projection dup counts in profiling, BLAS gram lanes in the
-        cosine/assignment operators — by setting the process-wide switch
-        in ``sparvi_spark.config`` (one knob, like the reference's
+        engine's methods expose to its 100 TB backend in one place —
+        sketch distinct counts/percentiles and hash-projection dup
+        counts in profiling (one knob, like the reference's
         collection-depth config, core/profiling/collector.py:21-46).
-        ``None`` leaves whatever the process already configured;
-        explicit per-call arguments still win everywhere.
+        The mode is stored PER ENGINE (resolved once at construction),
+        so two engines in one process can run opposite modes without
+        either silently flipping the other. ``None`` resolves with
+        deployment-config precedence: the ``spark.sparvi.scaleMode``
+        session conf if set, else the process default from
+        ``sparvi_spark.config.set_scale_mode``. Explicit per-call
+        arguments still win everywhere. Bare operator calls outside an
+        engine keep resolving from the process default.
 
         ``state_format`` forwards to :class:`StateStore` — "parquet"
         (default; pointer-file + lease commit protocol) or an ACID table
-        format ("delta"/"iceberg") whose transaction log subsumes that
+        format ("delta") whose transaction log subsumes that
         protocol when its jars are on the session classpath."""
+        from sparvi_spark.config import resolve_scale_mode
+
         self.spark = spark
         self.state = StateStore(spark, warehouse, table_format=state_format)
-        if scale_mode is not None:
-            from sparvi_spark.config import set_scale_mode
-
-            set_scale_mode(scale_mode)
+        self.scale_mode = resolve_scale_mode(scale_mode, spark)
 
     # ------------------------------------------------------------------ §3.1
     def run_profile(self, df: DataFrame, table_name: str,
@@ -68,9 +71,12 @@ class Engine:
                     attach_trends: bool = True) -> dict[str, Any]:
         """Profile run: previous profile -> profile document -> store ->
         metric tracking -> trends attach. Returns the profile document.
-        ``exact=None`` resolves from the engine-wide scale mode."""
+        ``exact=None`` resolves from THIS engine's scale mode (snapshot
+        at construction), not the process-global default."""
         as_of = as_of or _utcnow()
         previous = self.state.latest_profile(table_name)
+        if exact is None:
+            exact = not self.scale_mode
         profile = profile_table(df, table_name, previous_profile=previous,
                                 exact=exact, as_of=as_of)
         self.state.save_profile(table_name, profile, as_of)
@@ -494,6 +500,7 @@ class Engine:
                                run_at: str | None = None,
                                tokenize_merges: int | None = None,
                                pack_ctx: int | None = None,
+                               pack_policy: str = "chop",
                                dedup_lines_min_count: int | None = None,
                                strip_duplicate_spans_n: int | None = None,
                                shuffle_seed: int | None = None,
@@ -525,7 +532,12 @@ class Engine:
         ``shard=N`` layout and the manifest; counts + a
         ``corpus_exported`` event land in state. ``shuffle_seed``
         forwards to the shard export (deterministic within-shard epoch
-        order).
+        order). With ``tokenize_merges`` + ``pack_ctx``, ``pack_policy``
+        picks the packing: ``"chop"`` (default, concat-and-chop — zero
+        padding, documents may split across packs) or ``"binpack"``
+        (whole-document next-fit-decreasing bins — intact examples for
+        instruction tuning/eval, padding is the price; see
+        operators/text.pack_sequences_binpack).
 
         Every stage is scan-parallel; only gate scalars and the manifest
         (n_shards rows) reach the driver. When curation runs, the curated
@@ -576,7 +588,7 @@ class Engine:
                 docs, summary, path, n_shards, text_col, id_col,
                 classifier_weights, classifier_bias, run_at,
                 tokenize_merges, pack_ctx, shuffle_seed,
-                quality_overrides, corpus_name)
+                quality_overrides, corpus_name, pack_policy=pack_policy)
         finally:
             if curated:
                 docs.unpersist()
@@ -584,7 +596,8 @@ class Engine:
     def _export_filtered(self, docs, summary, path, n_shards, text_col,
                          id_col, classifier_weights, classifier_bias,
                          run_at, tokenize_merges, pack_ctx, shuffle_seed,
-                         quality_overrides, corpus_name):
+                         quality_overrides, corpus_name,
+                         pack_policy="chop"):
         """Filter → dedup → shard-export half of
         ``export_training_corpus`` (docs arrive already curated)."""
         from sparvi_spark.operators.text import quality_filter
@@ -641,11 +654,29 @@ class Engine:
                 # sibling dir, NOT nested under `path`: the doc export is
                 # a shard=N partition tree, and a foreign subdir inside it
                 # breaks partition discovery on the doc read
-                packs = pack_token_ids(
-                    enc.withColumn(
-                        "__shard",
-                        F.expr(f"pmod(xxhash64(`{id_col}`), {n_shards})")),
-                    pack_ctx, id_col=id_col, shard_col="__shard")
+                if pack_policy == "binpack":
+                    # whole-document bins (instruction-tuning shape):
+                    # same (shard, pack_id, token_ids, ...) output as the
+                    # chop packer, so everything downstream is shared
+                    from sparvi_spark.operators.tokenize import (
+                        binpack_token_ids,
+                    )
+
+                    packs = binpack_token_ids(
+                        enc, pack_ctx, id_col=id_col, n_shards=n_shards)
+                elif pack_policy == "chop":
+                    packs = pack_token_ids(
+                        enc.withColumn(
+                            "__shard",
+                            F.expr(
+                                f"pmod(xxhash64(`{id_col}`), {n_shards})")),
+                        pack_ctx, id_col=id_col, shard_col="__shard")
+                else:
+                    raise ValueError(
+                        f"unknown pack_policy {pack_policy!r} — "
+                        f"'chop' (concat-and-chop, zero padding, docs "
+                        f"may split) or 'binpack' (whole-document "
+                        f"next-fit-decreasing bins)")
                 # deterministic file order (byte-comparable re-exports);
                 # shuffle_seed randomizes the pack STREAM order the same
                 # way it randomizes doc order in the shards — packs are
@@ -666,6 +697,7 @@ class Engine:
                     "n_packs": int(agg[0] or 0),
                     "n_tokens": int(agg[1] or 0),
                     "pack_ctx": pack_ctx,
+                    "pack_policy": pack_policy,
                     "n_pack_shards": int(agg[2] or 0),
                 })
             else:

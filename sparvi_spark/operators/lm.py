@@ -39,13 +39,20 @@ def _toks(text_col: str) -> str:
 
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w1, w2) — one row per ADJACENT token pair, order-preserving."""
+    """(id, w1, w2) — one row per ADJACENT token pair, order-preserving.
+
+    The token array is MATERIALIZED as a column before the transform:
+    higher-order-function lambdas are interpreted, so a split() spliced
+    into the lambda body re-runs per ELEMENT — O(tokens²) per document
+    (the dedup._doc_shingles / langid cliff). As a column reference it
+    evaluates once per row and the transform is linear."""
     toks = _toks(text_col)
-    pairs = (f"transform(sequence(1, size({toks}) - 1), "
-             f"i -> struct(element_at({toks}, i) as w1, "
-             f"element_at({toks}, i + 1) as w2))")
-    return (df.where(f"size({toks}) >= 2")
-            .selectExpr(f"`{id_col}` as __id", f"explode({pairs}) as p")
+    return (df.selectExpr(f"`{id_col}` as __id", f"{toks} as __tk")
+            .where("size(__tk) >= 2")
+            .selectExpr("__id",
+                        "explode(transform(sequence(1, size(__tk) - 1), "
+                        "i -> struct(element_at(__tk, i) as w1, "
+                        "element_at(__tk, i + 1) as w2))) as p")
             .selectExpr("__id", "p.w1 as w1", "p.w2 as w2"))
 
 

@@ -276,6 +276,19 @@ def exact_percentiles(
             .selectExpr("column_name", *out))
 
 
+# Pass-1 bracket cache (r9): the approx-probe row keyed by (session,
+# SEMANTIC plan hash, cols, ps, accuracy). Same policy as load_table's
+# persist cache and the prepared validation sweep (_PREPARED in
+# validation_checks): inputs are immutable for the life of a session, so
+# the probe brackets — a per-(table, column) property of the data — are
+# computed once and every later profile run pays only the single pass-2
+# action. Soundness beyond the policy: the window route is SELF-CHECKING
+# (uncovered ranks reroute to the fully-exact bucketed plan), so a stale
+# bracket can only cost a fallback, never a wrong window answer.
+# SPARK_GRAFT_NO_CACHE=1 disables it like every other session cache.
+_BRACKET_CACHE: dict = {}
+
+
 def exact_percentiles_refine(
     df: DataFrame,
     cols: list[str],
@@ -284,6 +297,7 @@ def exact_percentiles_refine(
     accuracy: int = 2_000,
     tie_shortcut: bool = True,
     window_budget: int = 1_000_000,
+    bracket_cache: bool = True,
 ) -> DataFrame:
     """EXACT percentiles via sketch-then-refine — same output contract as
     ``exact_percentiles`` (identical interpolation math, HALF_UP rounding),
@@ -364,11 +378,30 @@ def exact_percentiles_refine(
     probe_arr = ", ".join(repr(q) for q in probes)
     pidx = {q: i for i, q in enumerate(probes)}
 
+    import os
+
     ndf = df.selectExpr(*[f"cast(`{c}` as double) as `{c}`" for c in cols])
-    p1 = ndf.selectExpr(
-        *[f"count(`{c}`) as `{c}__n`" for c in cols],
-        *[f"percentile_approx(`{c}`, array({probe_arr}), "
-          f"{accuracy}) as `{c}__br`" for c in cols]).collect()[0]
+    # pass-1 memo (module doc above _BRACKET_CACHE): key on the SEMANTIC
+    # hash of the input's analyzed plan, so two builds of the same query
+    # over the same source share brackets while different frames never
+    # collide. One profile run per session pays pass 1; later runs go
+    # straight to the single pass-2 action.
+    cache_key = p1 = None
+    if bracket_cache and os.environ.get("SPARK_GRAFT_NO_CACHE") != "1":
+        try:
+            sem = df._jdf.queryExecution().analyzed().semanticHash()
+            cache_key = (id(spark._jsparkSession), sem, tuple(cols),
+                         tuple(ps), accuracy)
+            p1 = _BRACKET_CACHE.get(cache_key)
+        except Exception:
+            cache_key = None
+    if p1 is None:
+        p1 = ndf.selectExpr(
+            *[f"count(`{c}`) as `{c}__n`" for c in cols],
+            *[f"percentile_approx(`{c}`, array({probe_arr}), "
+              f"{accuracy}) as `{c}__br`" for c in cols]).collect()[0]
+        if cache_key is not None:
+            _BRACKET_CACHE[cache_key] = p1
 
     def _round(x: float) -> float:
         # Decimal(repr(x)), not Decimal(x): Spark's round() rounds the
@@ -742,6 +775,10 @@ def profile_table(
         "table": table_name,
         "table_name": table_name,
         "timestamp": str(as_of),
+        # which collection mode produced this document (the reference
+        # stamps its collection depth the same way) — consumers comparing
+        # documents across runs can tell sketch counts from exact ones
+        "profile_mode": "exact" if exact else "approx",
         "row_count": n,
         "duplicate_count": dup,
         "column_count": len(all_cols),

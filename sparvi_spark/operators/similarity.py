@@ -158,10 +158,18 @@ def _cosine_topk_gram(corpus, queries, id_col, vec_col, k, exclude_self,
                 C[ids[:, None] == qids[None, :]] = -np.inf
             kk = min(k, C.shape[0])
             # per-query local top-k under the GLOBAL total order
-            # (cosine desc, neighbor_id asc): lexsort keys are applied
-            # last-key-primary
+            # (round-6 cosine desc, neighbor_id asc): lexsort keys are
+            # applied last-key-primary. Ranking at the OUTPUT precision
+            # (not the raw double) is what makes the id tie-break
+            # deterministic across partitions: BLAS kernels are
+            # shape-dependent, so bit-identical duplicate vectors in
+            # different partitions can score ULP apart — under raw
+            # ordering the merge would interleave duplicate runs by
+            # partition shape instead of by id. The local order MUST
+            # match the merge window's order exactly or a partition
+            # could truncate a row the global order keeps.
             order = np.lexsort((ids[:, None].repeat(C.shape[1], 1),
-                                -C), axis=0)[:kk]
+                                -np.round(C, 6)), axis=0)[:kk]
             qi = np.tile(np.arange(C.shape[1]), kk)
             ni = order.reshape(-1)
             cos = C[ni, qi]
@@ -172,8 +180,12 @@ def _cosine_topk_gram(corpus, queries, id_col, vec_col, k, exclude_self,
 
     partial = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         local_topk, out_schema)
+    # merge order = the local_topk order (round-6 desc, id asc) — rank is
+    # consistent with the EMITTED cosine, so duplicate vectors tie-break
+    # by id no matter which partition scored them (see local_topk note)
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
+        F.desc(F.bround("cosine", 6)), F.asc("neighbor_id"))  # bround =
+    # HALF_EVEN, matching np.round in local_topk (plain round is HALF_UP)
     return (partial.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",

@@ -81,7 +81,7 @@ def lang_id_expr(text_col: str) -> Column:
         f"), 1)")
 
 
-def _repetition_cols(text_col: str) -> dict[str, Column]:
+def _repetition_cols(text_col: str, toks: str | None = None) -> dict[str, Column]:
     """Gopher-style repetition/degeneracy signals (Rae et al. 2021,
     arXiv:2112.11446 §A1.1, public) as pure higher-order-function column
     expressions — no shuffle, no UDF, whole-stage codegen'd:
@@ -91,8 +91,15 @@ def _repetition_cols(text_col: str) -> dict[str, Column]:
       (O(n log n) per row: sort + longest equal-run)
     - symbol_word_ratio: '#'/'@'/'*'/ellipsis marks per token
     - alpha_word_frac: fraction of tokens containing a letter
+
+    ``toks`` (when given) is a MATERIALIZED token-array column name:
+    lambdas are interpreted, so a split() spliced into the bigram
+    transform body re-runs per array ELEMENT — O(tokens²) per document
+    (the _doc_shingles cliff). Callers that scan real corpora stage the
+    array first and pass its column; the text_col-only form remains for
+    one-off expression use.
     """
-    toks = tokens_expr(text_col)
+    toks = toks or tokens_expr(text_col)
     nt = f"size({toks})"
     bigrams = (
         f"transform(sequence(1, {nt} - 1), "
@@ -134,12 +141,14 @@ def repetition_features(
 ) -> DataFrame:
     """Per-document repetition signals (see _repetition_cols) as a
     standalone projection: (id, n_tokens, dup_token_frac, top_bigram_frac,
-    symbol_word_ratio, alpha_word_frac)."""
-    toks = tokens_expr(text_col)
-    cols = _repetition_cols(text_col)
-    return df.select(
+    symbol_word_ratio, alpha_word_frac). The token array is staged as a
+    column so the bigram transform is linear (see _repetition_cols)."""
+    staged = df.select(F.col(id_col), F.col(text_col),
+                       F.expr(tokens_expr(text_col)).alias("__tk"))
+    cols = _repetition_cols(text_col, toks="__tk")
+    return staged.select(
         F.col(id_col),
-        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr("size(__tk)").alias("n_tokens"),
         *[c.alias(n) for n, c in cols.items()],
     )
 
@@ -156,8 +165,16 @@ def quality_features(
     text — the standard cheap pre-filter ahead of model-based scoring.
     ``repetition=True`` appends the Gopher-style repetition signals in the
     SAME projection (one scan, still shuffle-free).
+
+    The token array is split ONCE into a staged ``__tk`` column; every
+    feature references the column, not the split expression — lambdas
+    are interpreted (no codegen CSE), so the inline form re-split the
+    text per expression and, inside the repetition bigram transform, per
+    array element (O(tokens²)/doc — the _doc_shingles cliff).
     """
-    toks = tokens_expr(text_col)
+    staged = df.select(F.col(id_col), F.col(text_col),
+                       F.expr(tokens_expr(text_col)).alias("__tk"))
+    toks = "__tk"
     n_chars = F.length(F.col(text_col))
     n_tokens = F.expr(f"size({toks})")
     avg_tok = F.expr(
@@ -178,8 +195,8 @@ def quality_features(
              " || chr(13)")
     punct = F.expr(f"length(translate({text_col}, {_keep}, ''))")
     stop_hits = F.expr(_hit_count(toks, STOPWORDS_EN))
-    rep = _repetition_cols(text_col) if repetition else {}
-    out = df.select(
+    rep = _repetition_cols(text_col, toks=toks) if repetition else {}
+    out = staged.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -340,18 +357,20 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = tokens_expr(text_col)
-    starts = (
-        f"sequence(1, greatest(size({toks}) - {overlap}, 1), {stride})"
-    )
+    # token array staged as a column: the split spliced into the chunk
+    # lambda re-ran per chunk (O(tokens²/stride) per doc — the
+    # _doc_shingles cliff); as a column ref each slice is linear
+    starts = f"sequence(1, greatest(size(__tk) - {overlap}, 1), {stride})"
     chunks = (
         f"transform({starts}, s -> named_struct("
         f"'chunk_idx', cast((s - 1) div {stride} as int), "
-        f"'chunk_text', array_join(slice({toks}, s, {chunk_tokens}), ' '), "
-        f"'n_tokens', size(slice({toks}, s, {chunk_tokens}))))"
+        f"'chunk_text', array_join(slice(__tk, s, {chunk_tokens}), ' '), "
+        f"'n_tokens', size(slice(__tk, s, {chunk_tokens}))))"
     )
     return (
-        df.select(F.col(id_col), F.explode(F.expr(chunks)).alias("__c"))
+        df.select(F.col(id_col),
+                  F.expr(tokens_expr(text_col)).alias("__tk"))
+        .select(F.col(id_col), F.explode(F.expr(chunks)).alias("__c"))
         .select(id_col, "__c.chunk_idx", "__c.chunk_text", "__c.n_tokens")
     )
 
@@ -402,13 +421,21 @@ def quality_filter(
         raise ValueError(f"unknown thresholds: {sorted(unknown)}")
     t.update(overrides)
 
-    toks = tokens_expr(text_col)
+    # tokens and lines split ONCE into staged columns (each otherwise
+    # re-splits per rule expression — 4 token splits + 3 line splits per
+    # row). NULL text stays NULL through split(), so the coalesce(False)
+    # NULL-fails-every-rule contract below is unchanged.
+    staged = df.select(
+        F.col(id_col), F.col(text_col),
+        F.expr(tokens_expr(text_col)).alias("__tk"),
+        F.expr(f"split({text_col}, '\\n')").alias("__ln"))
+    toks = "__tk"
     nt = f"size({toks})"
     avg_len = (f"(aggregate({toks}, 0L, (a, x) -> a + length(x)) "
                f"* cast(1 as double) / greatest({nt}, 1))")
     symbols = f"size(regexp_extract_all({text_col}, '[#@*]|[.][.][.]', 0))"
     alpha = f"size(filter({toks}, x -> x rlike '[a-zA-Z]'))"
-    lines = f"split({text_col}, '\\n')"
+    lines = "__ln"
     nl = f"size({lines})"
     bullets = (f"size(filter({lines}, l -> "
                f"substring(ltrim(l), 1, 1) in ('-', '*')))")
@@ -437,7 +464,7 @@ def quality_filter(
     # NULL text makes every rule expression NULL; without the coalesce,
     # when(~NULL) falls through to 0 failures and a null document would
     # sail through the gate. NULL text fails every rule.
-    out = df.select(
+    out = staged.select(
         F.col(id_col),
         *[F.coalesce(F.expr(e), F.lit(False)).alias(name)
           for name, e in rules.items()],

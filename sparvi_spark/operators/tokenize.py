@@ -233,3 +233,53 @@ def pack_token_ids(
             .selectExpr("shard", "pack_id", "token_ids",
                         "cast(size(token_ids) as int) AS n_tokens",
                         "cast(n_docs as int) AS n_docs"))
+
+
+def binpack_token_ids(
+    encoded: DataFrame,
+    ctx_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "token_ids",
+    n_shards: int = 1,
+    shard_method: str = "portable",
+) -> DataFrame:
+    """Materialize WHOLE-DOCUMENT packs from encoded documents — the
+    no-split complement of ``pack_token_ids`` with the same output shape
+    (shard, pack_id, token_ids, n_tokens, n_docs), so the export flow
+    swaps policies without changing its write/summary path.
+
+    Layout comes from ``text.pack_sequences_binpack`` (next-fit-
+    decreasing bins per hash shard — each document lands intact in
+    exactly one pack; documents longer than ``ctx_len`` are truncated to
+    it). Tokens are reassembled in the bin's FILL order (length DESC,
+    id ASC — the order the packer placed them), via one equi-join on the
+    id and one groupBy pack: each document's array ships exactly once
+    (no straddling, unlike chop), so the shuffle is bounded by total
+    token volume. Packs are at most ``ctx_len`` tokens; the slack per
+    pack is the padding the loader pays for intact examples.
+    """
+    from sparvi_spark.operators.text import pack_sequences_binpack
+
+    layout = pack_sequences_binpack(
+        encoded, ctx_len, id_col=id_col, n_shards=n_shards,
+        token_count_col="n_tokens", shard_method=shard_method)
+    rows = (layout.join(
+        encoded.select(F.col(id_col).alias("doc_id"), tokens_col),
+        "doc_id")
+        .selectExpr(
+            "shard", "pack_idx AS pack_id", "doc_id", "n_tokens",
+            # n_tokens is the EFFECTIVE length (min(raw, ctx_len)), so
+            # the slice is the truncation the layout already accounted
+            f"slice(`{tokens_col}`, 1, n_tokens) AS seg"))
+    return (rows.groupBy("shard", "pack_id")
+            .agg(F.expr(
+                # fill order: length DESC then id ASC — encode as
+                # (-n_tokens, doc_id) so the ascending struct sort
+                # reproduces it
+                "flatten(transform(array_sort(collect_list("
+                "struct(-n_tokens AS neg_len, doc_id, seg))), "
+                "x -> x.seg)) AS token_ids"),
+                F.expr("count(1)").alias("n_docs"))
+            .selectExpr("shard", "pack_id", "token_ids",
+                        "cast(size(token_ids) as int) AS n_tokens",
+                        "cast(n_docs as int) AS n_docs"))

@@ -377,8 +377,8 @@ class StateStore:
     - ``"parquet"`` (default, always available): plain parquet plus this
       module's homegrown protocol — pointer-file commits for rewrites,
       the os.link commit lease for multi-writer safety.
-    - an ACID table format (``"delta"`` / ``"iceberg"``, when its jars
-      are on the session classpath): the format's transaction log
+    - an ACID table format (``"delta"``, when its jars are on the
+      session classpath): the format's transaction log
       SUBSUMES the pointer+lease protocol — appends and overwrites are
       snapshot-isolated commits, concurrent writers serialize in the
       log (optimistic concurrency) instead of on the lease file, and
@@ -399,9 +399,18 @@ class StateStore:
     truncates the only copy of the state, exactly the loss the parquet
     pointer protocol exists to prevent. Other registered formats (e.g.
     "orc") still work for append/read — they share parquet's
-    append-only layout semantics — but ``retain_latest`` refuses them."""
+    append-only layout semantics — but ``retain_latest`` refuses them.
 
-    ACID_FORMATS = ("delta", "iceberg")
+    Iceberg is rejected at construction (not just unlisted): this
+    class writes path tables through the DataFrameWriter v1
+    ``format(...).save(path)`` route, and Iceberg's v1 path cannot
+    CREATE a table that does not exist — the first append for a fresh
+    entity fails. Supporting it needs the v2 ``writeTo(...)
+    .createOrReplace()`` route against a configured Iceberg catalog,
+    which this sandbox cannot exercise; refusing up front beats
+    failing on the first write."""
+
+    ACID_FORMATS = ("delta",)
 
     def __init__(self, spark: SparkSession, root: str,
                  table_format: str = "parquet"):
@@ -409,6 +418,14 @@ class StateStore:
         self.root = root
         self.fmt = table_format
         self._acid = table_format != "parquet"
+        if table_format == "iceberg":
+            raise ValueError(
+                "table_format 'iceberg' is not supported: the v1 "
+                "path-writer route used here cannot bootstrap a "
+                "never-written Iceberg table (needs writeTo().create* "
+                "against an Iceberg catalog) — use 'delta' (when its "
+                "jars are on the classpath) or the default 'parquet' "
+                "pointer-file protocol")
         if self._acid and not table_format_available(spark, table_format):
             raise ValueError(
                 f"table_format {table_format!r} is not registered in this "
@@ -421,6 +438,49 @@ class StateStore:
         if entity not in ENTITIES:
             raise KeyError(f"unknown state entity {entity!r}")
         return os.path.join(self.root, entity)
+
+    def _fs_exists(self, path: str) -> bool:
+        """Existence through the Hadoop FileSystem API — unlike
+        os.path.exists this resolves the path's own scheme (s3a://,
+        hdfs://, file://), so non-local state roots don't read as
+        permanently missing."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(
+            self.spark._jsparkSession.sessionState().newHadoopConf())
+        return bool(fs.exists(jpath))
+
+    # error classes (Spark 4 "error conditions") that mean "no committed
+    # table here yet" — matched against the structured field first
+    _MISSING_TABLE_CLASSES = (
+        "PATH_NOT_FOUND", "DELTA_MISSING_DELTA_TABLE",
+        "TABLE_OR_VIEW_NOT_FOUND", "NO_SUCH_TABLE")
+
+    @classmethod
+    def _missing_table_error(cls, exc: Exception) -> bool:
+        """True iff ``exc`` is a never-written-table error. Prefers the
+        exception's structured error class (``getCondition`` in Spark 4,
+        ``getErrorClass`` before it) so a message-wording change across
+        Spark/Delta versions can't turn fresh-bootstrap reads into hard
+        failures; the substring match remains as the last resort for
+        exceptions that carry no class (e.g. Delta's own types)."""
+        for getter in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, getter, None)
+            if fn is None:
+                continue
+            try:
+                klass = fn()
+            except Exception:
+                continue
+            if klass:
+                return any(klass.startswith(c)
+                           for c in cls._MISSING_TABLE_CLASSES)
+        msg = str(exc)
+        return any(m in msg for m in (
+            "PATH_NOT_FOUND", "Path does not exist",
+            "DELTA_MISSING", "is not a Delta table",
+            "NoSuchTableException", "Table does not exist",
+            "TABLE_OR_VIEW_NOT_FOUND"))
 
     def _data_path(self, entity: str, create: bool = False) -> str:
         """Committed data dir for an entity (pointer-resolved). Entities
@@ -484,23 +544,25 @@ class StateStore:
         hdfs://) and would silently return empty state forever, turning
         every engine run into a fresh bootstrap with no error."""
         if self._acid:
+            path = self._path(entity)
+            # never-written probe #1 (structural): ask the Hadoop
+            # FileSystem whether the table path exists at all. Works for
+            # any scheme (file://, s3a://, hdfs://) and catches the
+            # common fresh-bootstrap case without parsing any exception.
+            if not self._fs_exists(path):
+                return self.spark.createDataFrame([], ENTITIES[entity])
             # table formats own their schema (a user-supplied read schema
             # is ignored or rejected); align to the entity DDL by cast so
             # both backends hand callers identical column types
             try:
-                raw = self.spark.read.format(self.fmt).load(
-                    self._path(entity))
+                raw = self.spark.read.format(self.fmt).load(path)
             except Exception as exc:
-                # never-written-entity markers across formats: file
-                # sources (PATH_NOT_FOUND), delta (DELTA_MISSING /
-                # "is not a Delta table"), iceberg path tables
-                # (NoSuchTableException / "Table does not exist")
-                msg = str(exc)
-                if any(m in msg for m in (
-                        "PATH_NOT_FOUND", "Path does not exist",
-                        "DELTA_MISSING", "is not a Delta table",
-                        "NoSuchTableException", "Table does not exist",
-                        "TABLE_OR_VIEW_NOT_FOUND")):
+                # probe #2: path exists but holds no committed table
+                # (e.g. a dir created by a crashed writer). Prefer the
+                # STRUCTURED error class Spark 4 attaches to captured
+                # exceptions over message text; the substring match is
+                # only the fallback for older/foreign exception shapes.
+                if self._missing_table_error(exc):
                     return self.spark.createDataFrame([], ENTITIES[entity])
                 raise
             fields = [(f.strip().split(" ")[0], f.strip().split(" ", 1)[1])

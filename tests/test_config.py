@@ -83,17 +83,59 @@ def test_scale_mode_profile_uses_sketches_and_matches_exact(spark):
     assert scale_doc["duplicate_count"] == exact_doc["duplicate_count"]
 
 
-def test_engine_scale_mode_kwarg_sets_process_switch(spark, tmp_path):
+def test_engine_scale_mode_is_per_engine_not_process_global(spark, tmp_path):
+    """Two engines with opposite modes coexist: constructing the second
+    must not flip the first (the old process-global switch meant
+    last-constructor-wins), and neither touches the process default."""
     from sparvi_spark.engine import Engine
 
+    e_scale = Engine(spark, str(tmp_path / "wh"), scale_mode=True)
+    e_parity = Engine(spark, str(tmp_path / "wh2"), scale_mode=False)
+    assert e_scale.scale_mode is True      # unchanged by the 2nd engine
+    assert e_parity.scale_mode is False
+    assert scale_mode() is False           # process default untouched
+
+
+def test_engine_scale_mode_resolves_from_spark_conf(spark, tmp_path):
+    """Precedence: explicit arg > spark.sparvi.scaleMode conf > process
+    default — so deployments configure it like any other Spark knob."""
+    from sparvi_spark.config import SPARK_CONF_KEY
+    from sparvi_spark.engine import Engine
+
+    # no conf, no arg -> process default
+    assert Engine(spark, str(tmp_path / "a")).scale_mode is False
+    spark.conf.set(SPARK_CONF_KEY, "true")
     try:
-        Engine(spark, str(tmp_path / "wh"), scale_mode=True)
-        assert scale_mode() is True
-        # None leaves the already-configured process value alone
-        Engine(spark, str(tmp_path / "wh2"))
-        assert scale_mode() is True
+        # conf wins over the process default
+        assert Engine(spark, str(tmp_path / "b")).scale_mode is True
+        # explicit arg wins over the conf
+        assert Engine(spark, str(tmp_path / "c"),
+                      scale_mode=False).scale_mode is False
+    finally:
+        spark.conf.unset(SPARK_CONF_KEY)
+    # process default (set_scale_mode) is still the fallback
+    set_scale_mode(True)
+    try:
+        assert Engine(spark, str(tmp_path / "d")).scale_mode is True
     finally:
         set_scale_mode(False)
+
+
+def test_engine_run_profile_follows_engine_mode(spark, tmp_path):
+    """run_profile(exact=None) resolves from the ENGINE's snapshot: a
+    scale-mode engine writes a sketch-backed profile document even when
+    the process default is parity (and vice versa nothing leaks)."""
+    from sparvi_spark.engine import Engine
+
+    df = spark.createDataFrame(
+        [(i % 5, f"s{i % 3}") for i in range(40)], "a int, b string")
+    eng = Engine(spark, str(tmp_path / "wh"), scale_mode=True)
+    doc = eng.run_profile(df, "t", attach_trends=False)
+    assert doc["profile_mode"] == "approx"
+    assert scale_mode() is False  # process default untouched
+    eng2 = Engine(spark, str(tmp_path / "wh2"), scale_mode=False)
+    doc2 = eng2.run_profile(df, "t", attach_trends=False)
+    assert doc2["profile_mode"] == "exact"
 
 
 def test_graded_checks_pin_parity_backends_under_scale_mode(spark):

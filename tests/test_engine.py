@@ -521,6 +521,67 @@ def test_export_training_corpus_tokenized_packs(spark, engine, tmp_path):
     assert s["n_tokens"] == sum(len(v) for v in enc.values())
 
 
+def test_export_training_corpus_binpack_policy(spark, engine, tmp_path):
+    """pack_policy='binpack': packs hold WHOLE documents (no doc id ever
+    spans two packs), every pack fits ctx, the packed token streams are
+    exactly the published docs' encodings in the packer's fill order,
+    and an unknown policy raises before any write."""
+    import json
+
+    import pytest as _pt
+
+    from sparvi_spark.operators.tokenize import bpe_encode
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the old barn where it sleeps in the warm hay "
+            "until morning comes and the farmer wakes it for a new day "
+            "of chasing rabbits in the green field by the quiet river")
+    docs = spark.createDataFrame(
+        [(i, base + " extra filler words" * (i % 3) + f" variant {i}")
+         for i in range(10)],
+        "doc_id int, text string")
+    out = str(tmp_path / "bp")
+    ctx = 512  # ~2-3 docs per bin at 8 merges, so bins genuinely pack
+    s = engine.export_training_corpus(
+        docs, "bp", out, n_shards=2, min_keep_rate=0.5,
+        tokenize_merges=8, pack_ctx=ctx, pack_policy="binpack",
+        run_at="2026-01-06 00:00:00")
+    assert s["exported"] and s["pack_policy"] == "binpack"
+    assert s["n_packs"] > 0
+
+    packs = spark.read.parquet(f"{out}.packs").collect()
+    # no pack exceeds ctx (whole docs + truncation guarantee)
+    assert all(0 < len(r["token_ids"]) <= ctx for r in packs)
+    # reference: re-encode the published docs with the shipped model
+    model = json.load(open(f"{out}.tokenizer.json"))
+    model = {"merges": [tuple(m) for m in model["merges"]],
+             "vocab": model["vocab"]}
+    pub = spark.read.parquet(out)
+    enc = {r["doc_id"]: list(r["token_ids"])
+           for r in bpe_encode(pub, model).collect()}
+    # every doc's (possibly truncated) encoding appears CONTIGUOUSLY in
+    # exactly one pack, and pack contents are nothing but those docs
+    remaining = {d: ids[:ctx] for d, ids in enc.items() if ids}
+    for r in packs:
+        stream = list(r["token_ids"])
+        while stream:
+            hit = None
+            for d, ids in remaining.items():
+                if stream[:len(ids)] == ids:
+                    hit = d
+                    break
+            assert hit is not None, "pack holds a non-doc prefix"
+            stream = stream[len(remaining.pop(hit)):]
+    assert not remaining  # every published doc landed in some pack
+    # total token accounting matches the summary
+    assert s["n_tokens"] == sum(min(len(v), ctx) for v in enc.values())
+    with _pt.raises(ValueError, match="pack_policy"):
+        engine.export_training_corpus(
+            docs, "bp2", str(tmp_path / "bp2"), n_shards=2,
+            min_keep_rate=0.5, tokenize_merges=8, pack_ctx=ctx,
+            pack_policy="nope", run_at="2026-01-06 01:00:00")
+
+
 def test_dedup_corpus_incremental_across_batches(spark, engine):
     """Batch 2 near-dups of batch-1 survivors are dropped WITHOUT re-reading
     batch 1 (signature state only); in-batch dups drop first; disjoint docs

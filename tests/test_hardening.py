@@ -200,11 +200,13 @@ def test_state_table_format_gate_raises_when_missing(spark, tmp_path):
     from sparvi_spark.sources.state import (
         StateStore, table_format_available)
 
-    for fmt in ("delta", "iceberg"):
-        if table_format_available(spark, fmt):
-            continue  # container gained the jars: the roundtrip test runs
-        with pytest.raises(ValueError, match=fmt):
-            StateStore(spark, str(tmp_path / "wh"), table_format=fmt)
+    if not table_format_available(spark, "delta"):
+        with pytest.raises(ValueError, match="delta"):
+            StateStore(spark, str(tmp_path / "wh"), table_format="delta")
+    # iceberg is rejected unconditionally: the v1 path writer used by
+    # StateStore cannot bootstrap a never-written Iceberg table
+    with pytest.raises(ValueError, match="iceberg"):
+        StateStore(spark, str(tmp_path / "whi"), table_format="iceberg")
     # parquet never gates
     StateStore(spark, str(tmp_path / "wh2"))
 

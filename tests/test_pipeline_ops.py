@@ -127,9 +127,21 @@ def test_cosine_topk_gram_backend_matches_fold(spark):
 def test_cosine_topk_gram_random_stress(spark):
     """Randomized gram-vs-fold parity: several seeds, k both smaller and
     LARGER than a partition (the local-top-k truncation must still merge
-    to the exact global answer), duplicate-heavy vectors (cosine ties
-    resolved by the id tie-break identically in numpy lexsort and the
-    window)."""
+    to the exact global answer), duplicate-heavy vectors (cosine ties).
+
+    The contract being asserted: the two backends agree EXACTLY except
+    inside a 6dp-cosine tie group — fold ranks raw doubles (the
+    oracle-mirrored order) while gram ranks at the emitted precision so
+    its id tie-break is deterministic across partitions (BLAS kernels
+    are shape-dependent: bit-identical duplicate vectors in different
+    partitions can score ULP apart, which under raw ordering interleaved
+    duplicate runs by partition shape — the flake this replaced). So:
+    per-rank rounded cosines identical; neighbors identical wherever the
+    rounded cosine is unique; tie groups carry the same neighbor SET —
+    except the group at the k-th cosine, which each backend may truncate
+    differently (raw-order vs id-order picks within the group)."""
+    from collections import Counter
+
     import numpy as np
 
     from sparvi_spark.operators.similarity import cosine_topk
@@ -144,12 +156,37 @@ def test_cosine_topk_gram_random_stress(spark):
         df = spark.createDataFrame(
             rows, "vec_id int, embedding array<double>").repartition(5)
         q = df.where(F.col("vec_id") < 6)
-        fold = sorted(map(tuple, cosine_topk(df, q, k=k).collect()))
-        gram = sorted(map(tuple, cosine_topk(df, q, k=k,
-                                             backend="gram").collect()))
-        # ranks and neighbors must match exactly; cosines to 6dp both
-        assert [(a, b, c) for a, b, c, _ in fold] == \
-               [(a, b, c) for a, b, c, _ in gram], (seed, k)
+
+        def by_query(res):
+            out = {}
+            for r in res:
+                out.setdefault(r["query_id"], []).append(
+                    (r["rank"], r["neighbor_id"], r["cosine"]))
+            return {qq: sorted(v) for qq, v in out.items()}
+
+        fold = by_query(cosine_topk(df, q, k=k).collect())
+        gram = by_query(cosine_topk(df, q, k=k, backend="gram").collect())
+        assert fold.keys() == gram.keys()
+        for qq in fold:
+            fl, gl = fold[qq], gram[qq]
+            assert len(fl) == len(gl) == min(k, 59), (seed, k, qq)
+            # identical rounded-cosine sequence by rank
+            assert [c for _, _, c in fl] == [c for _, _, c in gl], \
+                (seed, k, qq)
+            cnt = Counter(c for _, _, c in fl)
+            kth = fl[-1][2]
+            for (r1, n1, c1), (_r2, n2, _c2) in zip(fl, gl):
+                if cnt[c1] == 1:  # untied cosine: neighbor must match
+                    assert n1 == n2, (seed, k, qq, r1)
+            for cval in cnt:
+                if cval == kth:
+                    continue  # the k-boundary group may straddle the cut
+                    # and be truncated differently (raw-order vs id-order
+                    # picks within the tie); every interior group must
+                    # carry the same neighbor set
+                s1 = {n for _, n, c in fl if c == cval}
+                s2 = {n for _, n, c in gl if c == cval}
+                assert s1 == s2, (seed, k, qq, cval)
 
 
 def test_text_quality_and_langid(spark):

@@ -219,6 +219,46 @@ def test_exact_percentiles_refine_nan_column_falls_back(spark):
     assert math.isnan(got["p75"])  # NaN tail actually reached the walk
 
 
+def test_refine_bracket_cache_skips_pass1_and_matches(spark):
+    """Second refine over the SAME logical input reuses the cached pass-1
+    probe row (no second percentile_approx action) and returns identical
+    values; a DIFFERENT frame never hits the cache; bracket_cache=False
+    and SPARK_GRAFT_NO_CACHE=1 both bypass it."""
+    import os
+    from unittest.mock import patch
+
+    from sparvi_spark.operators import profile as prof
+
+    df = spark.createDataFrame([(float(i % 37),) for i in range(500)],
+                               "v double")
+    prof._BRACKET_CACHE.clear()
+    first = prof.exact_percentiles_refine(df, ["v"]).collect()[0]
+    assert len(prof._BRACKET_CACHE) == 1
+    cached_row = next(iter(prof._BRACKET_CACHE.values()))
+    # second call: the memoized row object itself is what routing reads
+    with patch.dict(prof._BRACKET_CACHE, clear=False):
+        again = prof.exact_percentiles_refine(df, ["v"]).collect()[0]
+    assert len(prof._BRACKET_CACHE) == 1
+    assert next(iter(prof._BRACKET_CACHE.values())) is cached_row
+    for q in ("p25", "p50", "p75"):
+        assert first[q] == again[q], q
+    # a semantically different frame gets its own entry
+    df2 = spark.createDataFrame([(float(i % 11),) for i in range(500)],
+                                "v double")
+    prof.exact_percentiles_refine(df2, ["v"]).collect()
+    assert len(prof._BRACKET_CACHE) == 2
+    # escape hatches: neither touches the cache
+    prof._BRACKET_CACHE.clear()
+    prof.exact_percentiles_refine(df, ["v"], bracket_cache=False).collect()
+    assert not prof._BRACKET_CACHE
+    os.environ["SPARK_GRAFT_NO_CACHE"] = "1"
+    try:
+        prof.exact_percentiles_refine(df, ["v"]).collect()
+        assert not prof._BRACKET_CACHE
+    finally:
+        del os.environ["SPARK_GRAFT_NO_CACHE"]
+
+
 def test_refine_window_budget_routes_to_bucketed_plan(spark):
     """A (column, quantile) whose expected pass-2 window (8n/accuracy)
     exceeds window_budget never runs the collect_list window — it takes
