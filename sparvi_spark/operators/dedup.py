@@ -76,13 +76,23 @@ def tokens_expr(text_col: str) -> str:
 
 
 def word_shingles(text_col: str, n: int) -> Column:
-    """n-gram word shingles as an array<string> (JVM-side, no UDF)."""
+    """n-gram word shingles as an array<string> (JVM-side, no UDF).
+
+    Fewer than n tokens -> empty array; NULL text -> NULL. The short-doc
+    branch must be a lazily-evaluated CASE: ``sequence(1, 0)`` is
+    DESCENDING in Spark ([1, 0]) and ``slice(toks, 0, n)`` throws, so the
+    old ``greatest(size - (n-1), 0)`` bound CRASHED on one-word documents
+    instead of guarding them (see _doc_gram_arrays, which filters by
+    token count instead)."""
     toks = tokens_expr(text_col)
     if n == 1:
         return F.expr(toks)
     return F.expr(
-        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n})))"
+        f"case when {toks} is null then null "
+        f"when size({toks}) >= {n} then "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"else cast(array() as array<string>) end"
     )
 
 
@@ -112,18 +122,48 @@ def _doc_gram_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     array element, turning shingling O(tokens²)-per-doc (measured ~5×
     slower). Same idiom as word_shingles but projection-staged.
 
-    Docs with zero shingles (empty/whitespace text) are dropped, matching
-    the exploded form where they simply contribute no rows.
+    Docs with zero shingles (NULL text, or fewer than n tokens) are
+    dropped, matching the exploded form where they contribute no rows.
+
+    The drop filter runs on the TOKEN COUNT, before the gram transform,
+    for two load-bearing reasons (r9):
+
+    - A post-hoc ``where(size(__grams) > 0)`` was PUSHED below the
+      projection by Catalyst, which substitutes the aliases back into
+      the predicate — including ``__toks`` INSIDE the transform lambda,
+      restoring the O(tokens²) per-element re-split the staging exists
+      to avoid, and evaluating the whole interpreted gram pipeline a
+      second time per row. Measured on the 10× sweep: contamination
+      3.7s → 1.1s from this change alone. The token-count filter still
+      pushes below the projection (one extra LINEAR split per row —
+      2 linear evals total, vs 1 linear + 1 quadratic before).
+    - the gram expression is TOTAL (a lazily-branched CASE returns an
+      empty array below n tokens) because the token-count filter alone
+      cannot make it safe: every downstream ``explode(__grams)`` makes
+      Catalyst's InferFiltersFromGenerate re-derive a
+      ``size(__grams) > 0`` predicate, alias substitution splices the
+      whole gram pipeline into that inferred Filter, and codegen's
+      subexpression elimination HOISTS the shared transform so it
+      evaluates before any short-circuiting conjunct. Without the CASE a
+      document with 1..n-1 tokens produced ``sequence(1, 0)`` — which is
+      DESCENDING in Spark ([1, 0]) — and ``slice(__toks, 0, n)`` threw
+      INVALID_PARAMETER_VALUE.START, crashing every gram consumer
+      (jaccard/minhash/contamination) on any real corpus containing a
+      one-word document (the old ``greatest(…, 0)`` bound made the crash
+      reachable instead of preventing it; never hit by the synthetic
+      testdata, caught in r9).
     """
-    toks = df.select(F.col(id_col).alias("__id"),
-                     F.expr(tokens_expr(text_col)).alias("__toks"))
+    toks = (df.select(F.col(id_col).alias("__id"),
+                      F.expr(tokens_expr(text_col)).alias("__toks"))
+            .where(f"size(__toks) >= {n}"))
     if n == 1:
         gram = "__toks"
     else:
-        gram = (f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)), "
-                f"i -> concat_ws(' ', slice(__toks, i, {n})))")
-    return (toks.select("__id", F.array_distinct(F.expr(gram)).alias("__grams"))
-            .where(F.size("__grams") > 0))
+        gram = (f"case when size(__toks) >= {n} then "
+                f"transform(sequence(1, size(__toks) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(__toks, i, {n}))) "
+                f"else cast(array() as array<string>) end")
+    return toks.select("__id", F.array_distinct(F.expr(gram)).alias("__grams"))
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -858,6 +898,14 @@ def contamination(
     counting the hit marker gives n_contaminated while any row carries
     n_shingles. Cost is linear in corpus size — no pairwise comparisons
     anywhere.
+
+    A hashed-window variant (n-ary xxhash64 per window so the join
+    carries 8-byte keys, no shingle string built) was prototyped and
+    MEASURED SLOWER on the 10× sweep corpus — 8.5-10.3s vs 4.4s for this
+    string path — because interpreted per-window lambda calls cost more
+    than concat_ws string building and the join was never the
+    bottleneck. Deliberately not shipped; re-evaluate only with a
+    measurement showing the crossover.
     """
     doc_sh = _doc_gram_arrays(df, id_col, text_col, n).select(
         "__id", F.size("__grams").alias("n_shingles"),

@@ -48,6 +48,24 @@ def get_spark(app_name: str = "sparvi_spark", shuffle_partitions: int | None = N
         # codegen into interpreted eval (measured 1.6x on the fused
         # validation pass A at sf0.1).
         .config("spark.sql.codegen.maxFields", "500")
+        # InferFiltersFromGenerate derives a `size(e) > 0 AND
+        # isnotnull(e)` filter below every explode and pushes it through
+        # the staging projections, SUBSTITUTING the generator input back
+        # into the predicate — for the shingle/bigram pipelines that
+        # re-materializes the whole interpreted gram build inside the
+        # Filter (CodegenFallback, no CSE with the Project's copy) and,
+        # worse, splices the token split back inside the transform
+        # lambda, restoring the O(tokens²)-per-doc re-split the staged
+        # projections exist to avoid. Measured on the 100× corpus:
+        # candidate shingle explode 47.2s -> 8.2s with the rule off.
+        # Every generator input in this engine is either a cheap column
+        # or explicitly pre-filtered (the gram builders drop <n-token
+        # docs by token count), so the rule's empty-row pruning buys
+        # nothing here. Results are identical — the filter it removes is
+        # redundant by construction.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         # PySpark 4 captures a Python call-site string on EVERY DataFrame
         # API call for error enrichment (errors/utils.py _with_origin);
         # profiling showed ~1.5s of pure driver-side overhead building one

@@ -26,6 +26,41 @@ def test_exact_duplicates(corpus):
     assert dedup_exact(corpus, ["text"]).count() == 5
 
 
+def test_short_docs_never_crash_gram_pipelines(spark):
+    """Documents with fewer than n tokens (and NULL/empty text) must be
+    DROPPED, not crash: ``sequence(1, 0)`` is descending in Spark, so the
+    old ``greatest(size-(n-1), 0)`` bound fed ``slice(toks, 0, n)`` and
+    threw INVALID_PARAMETER_VALUE.START on any one-word document —
+    killing every gram consumer (jaccard/minhash/contamination) on real
+    corpora. word_shingles (expression form) returns an empty array for
+    short docs and NULL for NULL text."""
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.dedup import (
+        _doc_gram_arrays, contamination, jaccard_pairs, minhash_lsh_pairs,
+        word_shingles)
+
+    rows = [(1, None), (2, ""), (3, "one"), (4, "one two"),
+            (5, "aa bb cc dd ee"), (6, "aa bb cc dd ff")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["__id"]: list(r["__grams"])
+           for r in _doc_gram_arrays(df, "doc_id", "text", 3).collect()}
+    assert set(got) == {5, 6} and "aa bb cc" in got[5]
+    # every gram consumer completes on the same frame
+    assert jaccard_pairs(df, "doc_id", "text", n=3,
+                         threshold=0.4).count() == 1
+    assert minhash_lsh_pairs(df, "doc_id", "text", n=3, num_hashes=16,
+                             bands=8, threshold=0.3).count() >= 0
+    contam = contamination(df.where("doc_id >= 4"), df.where("doc_id < 4"),
+                           "doc_id", "text", n=3).collect()
+    assert {r["doc_id"] for r in contam} == {5, 6}  # short cand dropped
+    sh = df.select("doc_id",
+                   word_shingles("text", 3).alias("s")).collect()
+    by_id = {r["doc_id"]: r["s"] for r in sh}
+    assert by_id[1] is None and by_id[3] == [] and by_id[4] == []
+    assert by_id[5] == ["aa bb cc", "bb cc dd", "cc dd ee"]
+
+
 def test_jaccard_pairs_exact_math(corpus):
     from sparvi_spark.operators.dedup import jaccard_pairs
 

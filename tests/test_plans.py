@@ -454,3 +454,37 @@ def test_duplicate_spans_plan_shape(spark):
     spans = duplicate_spans(docs, "doc_id", "text", n=8)
     a = assert_plan(spans, no_python=True, no_cartesian=True)
     assert a["n_exchanges"] <= 5, a
+
+
+def test_gram_explode_plans_carry_no_inferred_generate_filter(spark):
+    """InferFiltersFromGenerate is excluded session-wide (session.py):
+    it substitutes the whole interpreted gram pipeline into a Filter
+    below every explode — including the token split back INSIDE the
+    transform lambda (O(tokens²)/doc; measured 47.2s -> 8.2s on the
+    100× candidate shingle explode). Assert no optimized gram plan
+    carries a transform(...) inside a Filter, and that the session conf
+    actually pins the exclusion."""
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.dedup import (
+        _doc_gram_arrays, contamination, minhash_lsh_pairs)
+    from sparvi_spark.testdata import load_table
+
+    assert "InferFiltersFromGenerate" in spark.conf.get(
+        "spark.sql.optimizer.excludedRules", "")
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+
+    def filters_of(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return [ln for ln in plan.splitlines() if "Filter" in ln]
+
+    exploded = _doc_gram_arrays(docs, "doc_id", "text", 3).select(
+        "__id", F.explode("__grams").alias("s"))
+    ref = docs.where("source = 'src0'")
+    cand = docs.where("source <> 'src0'")
+    for df in (exploded,
+               contamination(cand, ref, "doc_id", "text", 3),
+               minhash_lsh_pairs(docs, "doc_id", "text", n=3,
+                                 num_hashes=16, bands=8, threshold=0.5)):
+        for ln in filters_of(df):
+            assert "transform(" not in ln, ln[:300]
