@@ -30,7 +30,14 @@ def norm_expr(a: str) -> Column:
 
 
 def cosine_expr(a: str, b: str) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """Cosine; a zero-norm side yields NULL (never ranks), via nullif on
+    the denominator — under ANSI mode (the Spark 4 default) a bare
+    x/0.0 double division THROWS DIVIDE_BY_ZERO instead of returning
+    ±Inf/NaN, so one zero vector in a corpus killed the whole scan (the
+    downstream isNotNull/isnan filters never got to run). nullif is
+    bit-transparent for every nonzero denominator."""
+    return dot_expr(a, b) / F.nullif(norm_expr(a) * norm_expr(b),
+                                     F.lit(0.0))
 
 
 def _cosine_with_norms(a: str, b: str, norm_a: str, norm_b: str) -> Column:
@@ -38,8 +45,11 @@ def _cosine_with_norms(a: str, b: str, norm_a: str, norm_b: str) -> Column:
 
     Bit-identical to ``cosine_expr`` (same IEEE op order), but the norm
     folds run once per VECTOR below the join instead of once per PAIR
-    above it — in a q×n brute-force scan that is 3 folds/pair -> 1."""
-    return dot_expr(a, b) / (F.col(norm_a) * F.col(norm_b))
+    above it — in a q×n brute-force scan that is 3 folds/pair -> 1.
+    Zero-norm sides yield NULL via the same nullif guard (ANSI: bare
+    /0.0 throws; see cosine_expr)."""
+    return dot_expr(a, b) / F.nullif(F.col(norm_a) * F.col(norm_b),
+                                     F.lit(0.0))
 
 
 def cosine_topk(
