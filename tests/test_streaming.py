@@ -481,3 +481,46 @@ def test_streaming_corpus_intake_matches_batch_dedup(spark, tmp_path):
     eng2 = Engine(spark, str(tmp_path / "wh2"))
     s = eng2.dedup_corpus_incremental(all_docs, "sc")
     assert sorted(r["doc_id"] for r in s["kept"].collect()) == admitted
+
+
+def test_streaming_corpus_intake_survives_hostile_microbatch(spark, tmp_path):
+    """A microbatch carrying NULL / empty / one-word / two-word documents
+    must not kill the stream: the gram pipelines drop short docs instead
+    of throwing (round-9 fix — sequence(1, 0) descends, so the old bound
+    crashed slice(toks, 0, n) on any 1..n-1-token doc, which in a
+    foreachBatch intake takes down the whole QUERY, not one row). The
+    short/NULL docs are never shingled, so near-dedup must pass them
+    through to the corpus untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparvi_spark.engine import Engine
+    from sparvi_spark.streaming.corpus import streaming_corpus_intake
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "barn by the quiet river where tall green reeds sway")
+    drop = tmp_path / "in"
+    drop.mkdir()
+    corpus_path = str(tmp_path / "corpus")
+    engine = Engine(spark, str(tmp_path / "wh"))
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3, 4, 5, 6],
+                  "text": [base, base + " tail", None, "", "one",
+                           "two words"]}),
+        str(drop / "b1.parquet"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(drop)))
+    summaries = []
+    q = streaming_corpus_intake(
+        stream, engine, "hostile", corpus_path,
+        on_batch=lambda s, bid: summaries.append(s))
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None  # the stream survived
+    finally:
+        q.stop()
+    admitted = sorted(r["doc_id"]
+                      for r in spark.read.parquet(corpus_path).collect())
+    # near-dup 2 dropped; unshingleable docs admitted untouched
+    assert admitted == [1, 3, 4, 5, 6]
+    assert summaries and summaries[0]["n_in_batch_dups"] == 1
