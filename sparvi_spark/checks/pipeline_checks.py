@@ -2145,7 +2145,83 @@ FROM j GROUP BY doc_id, island
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# e16/e17: classifier EVALUATION — exact grouped-count AUC and the
+# precision/recall threshold sweep (operators/classify.classifier_eval /
+# precision_recall_table) over the deterministic pseudo-model's int64
+# feature sums, labels from the documents table's lang column. Every
+# compared number is integer counts + one division, so both engines
+# hash-match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def _clf_eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.classify import linear_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = linear_scores(docs, _clf_weights(), bias=CLF_BIAS,
+                           emit_sum=True)
+    return scored.join(
+        docs.selectExpr("doc_id", "cast(lang = 'en' as int) AS y"),
+        "doc_id")
+
+
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.classify import classifier_eval
+
+    return classifier_eval(_clf_eval_scored(spark, sf_dir),
+                           "y", "feature_sum")
+
+
+def q_classifier_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.classify import precision_recall_table
+
+    return precision_recall_table(_clf_eval_scored(spark, sf_dir),
+                                  "y", "feature_sum")
+
+
+_CLF_EVAL_BASE = """
+scored AS ({scores_sql}),
+lab AS (SELECT s.feature_sum AS sc, CAST(d.lang = 'en' AS INT) AS y
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+""".strip()
+
+
+def _sql_classifier_eval() -> str:
+    return f"""
+WITH {_CLF_EVAL_BASE.format(scores_sql=_sql_classifier_scores())},
+g AS (SELECT sc, sum(y) AS pos, sum(1 - y) AS neg FROM lab GROUP BY sc),
+c AS (SELECT pos, neg,
+        coalesce(sum(neg) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0) AS cneg FROM g)
+SELECT cast(sum(pos) as bigint) AS n_pos, cast(sum(neg) as bigint) AS n_neg,
+  CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+    round(cast(sum(2 * pos * cneg + pos * neg) as double)
+          / (2.0 * sum(pos) * sum(neg)), 9) END AS auc
+FROM c
+""".strip()
+
+
+def _sql_classifier_pr() -> str:
+    return f"""
+WITH {_CLF_EVAL_BASE.format(scores_sql=_sql_classifier_scores())},
+g AS (SELECT sc AS threshold, count(*) AS n, sum(y) AS pos
+      FROM lab GROUP BY sc)
+SELECT threshold,
+  cast(sum(n) OVER wd as bigint) AS n_kept,
+  cast(sum(pos) OVER wd as bigint) AS tp,
+  round(cast(sum(pos) OVER wd as double) / sum(n) OVER wd, 9) AS precision,
+  CASE WHEN sum(pos) OVER () > 0 THEN
+    round(cast(sum(pos) OVER wd as double) / sum(pos) OVER (), 9)
+  END AS recall
+FROM g
+WINDOW wd AS (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW)
+""".strip()
+
+
 EXTRA_CHECKS = {
+    "e16_classifier_auc": (q_classifier_eval, _sql_classifier_eval()),
+    "e17_classifier_pr": (q_classifier_pr, _sql_classifier_pr()),
     # x30/x31/e11/e13/e14 were promoted verbatim to the driver-graded set
     # in r6 (merged_checks.py); x24-x29 are graded there in merged form —
     # their standalone shapes below stay for local fine-grained diagnosis,

@@ -215,3 +215,101 @@ def load_classifier(spark, path: str) -> tuple[list[float], float]:
 
     model = json.loads(read_text_file(spark, path))
     return model["weights"], float(model.get("bias", 0.0))
+
+
+def classifier_eval(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact AUC-ROC of a scored frame -> one row (n_pos, n_neg, auc) —
+    the evaluation half of the train/score loop (did the quality/domain
+    classifier actually separate?), computed WITHOUT a global row sort.
+
+    AUC is the Mann-Whitney probability P(s⁺ > s⁻) + ½·P(s⁺ = s⁻),
+    assembled from per-DISTINCT-SCORE class counts:
+
+        auc = Σ_s [ pos(s) · cum_neg(<s) + ½ · pos(s) · neg(s) ]
+              / (n_pos · n_neg)
+
+    Plan shape at 100 TB: one groupBy(score) with map-side partial
+    counts (shuffle bounded by DISTINCT scores, not rows), then one
+    ordered window over that distinct-score frame for the cumulative
+    negatives, then a single-row agg. A continuous score makes the
+    distinct set row-sized — pass ``round_to`` to quantize scores first
+    (the standard binned-AUC trade; integer scores like the classifier's
+    exact ``feature_sum`` need no rounding and the result is exact).
+    All numerators are exact integer sums; the only float op is the
+    final division, so a SQL oracle reproduces the value bit-for-bit.
+
+    Degenerate frames (one class absent) return auc NULL rather than
+    divide — the caller can't rank what it never saw.
+    """
+    score = (f"round(cast(`{score_col}` as double), {round_to})"
+             if round_to is not None else f"`{score_col}`")
+    per_score = (df
+                 .selectExpr(f"{score} AS __s",
+                             f"cast(`{label_col}` as int) AS __y")
+                 .where("__s is not null and __y is not null")
+                 .groupBy("__s")
+                 .agg(F.expr("sum(__y)").alias("pos"),
+                      F.expr("sum(1 - __y)").alias("neg")))
+    w = ("(ORDER BY __s ROWS BETWEEN UNBOUNDED PRECEDING "
+         "AND 1 PRECEDING)")
+    return (per_score
+            .selectExpr("pos", "neg",
+                        f"coalesce(sum(neg) OVER {w}, 0L) AS cneg")
+            .selectExpr(
+                "sum(pos) AS n_pos", "sum(neg) AS n_neg",
+                # 2x the numerator stays integer (the ½-tie term would
+                # otherwise force float summation order on the engines)
+                "sum(2 * pos * cneg + pos * neg) AS __num2")
+            .selectExpr(
+                "cast(n_pos as bigint) AS n_pos",
+                "cast(n_neg as bigint) AS n_neg",
+                "case when n_pos > 0 and n_neg > 0 then "
+                "round(cast(__num2 as double) / "
+                "(2.0d * n_pos * n_neg), 9) end AS auc"))
+
+
+def precision_recall_table(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Precision/recall at every distinct score threshold ->
+    (threshold, n_kept, tp, precision, recall), threshold semantics
+    "keep rows with score >= threshold" — the sweep a pipeline reads to
+    pick its classifier gate. Same grouped-by-score shape as
+    ``classifier_eval`` (shuffle bounded by distinct scores; ``round_to``
+    quantizes continuous scores); counts are exact integers, the two
+    ratios are single divisions, so the table oracles bit-for-bit.
+    """
+    score = (f"round(cast(`{score_col}` as double), {round_to})"
+             if round_to is not None else f"`{score_col}`")
+    per_score = (df
+                 .selectExpr(f"{score} AS threshold",
+                             f"cast(`{label_col}` as int) AS __y")
+                 .where("threshold is not null and __y is not null")
+                 .groupBy("threshold")
+                 .agg(F.expr("count(1)").alias("n"),
+                      F.expr("sum(__y)").alias("pos")))
+    wdesc = ("(ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+             "AND CURRENT ROW)")
+    wall = "(ORDER BY threshold ROWS BETWEEN UNBOUNDED PRECEDING AND "  \
+           "UNBOUNDED FOLLOWING)"
+    return (per_score
+            .selectExpr(
+                "threshold",
+                f"sum(n) OVER {wdesc} AS n_kept",
+                f"sum(pos) OVER {wdesc} AS tp",
+                f"sum(pos) OVER {wall} AS __all_pos")
+            .selectExpr(
+                "threshold",
+                "cast(n_kept as bigint) AS n_kept",
+                "cast(tp as bigint) AS tp",
+                "round(cast(tp as double) / n_kept, 9) AS precision",
+                "case when __all_pos > 0 then "
+                "round(cast(tp as double) / __all_pos, 9) end AS recall"))

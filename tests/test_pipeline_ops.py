@@ -1948,3 +1948,73 @@ def test_ivfpq_index_save_nondefault_id_and_empty(spark, tmp_path):
     m0 = save_ivfpq_index(empty, str(tmp_path / "idx0"), cents, books,
                           id_col="doc_id")
     assert m0 == {"n_vectors": 0, "n_cells": 0, "m": 4}
+
+
+def test_classifier_eval_auc_matches_rank_reference(spark):
+    """classifier_eval's grouped-count AUC equals the Mann-Whitney
+    rank-statistic reference (average ranks for ties) on a tie-heavy
+    frame; degenerate one-class frames return NULL; round_to groups
+    continuous scores before counting."""
+    import numpy as np
+
+    from sparvi_spark.operators.classify import classifier_eval
+
+    rng = np.random.default_rng(5)
+    scores = np.concatenate([rng.integers(0, 20, 300),    # heavy ties
+                             rng.integers(10, 30, 200)])
+    labels = np.concatenate([np.zeros(300, int), np.ones(200, int)])
+    df = spark.createDataFrame(
+        [(int(s), int(y)) for s, y in zip(scores, labels)],
+        "score int, y int")
+    got = classifier_eval(df, "y", "score").collect()[0]
+    # reference: U statistic from average ranks
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores), float)
+    sorted_scores = scores[order]
+    i = 0
+    while i < len(sorted_scores):
+        j = i
+        while j < len(sorted_scores) and sorted_scores[j] == sorted_scores[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average 1-based rank
+        i = j
+    n_pos, n_neg = int(labels.sum()), int((1 - labels).sum())
+    u = ranks[labels == 1].sum() - n_pos * (n_pos + 1) / 2.0
+    assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
+    assert got["auc"] == round(u / (n_pos * n_neg), 9)
+    # one-class frame -> NULL auc, not a divide
+    one = spark.createDataFrame([(1, 1), (2, 1)], "score int, y int")
+    assert classifier_eval(one, "y", "score").collect()[0]["auc"] is None
+    # continuous scores quantize through round_to (same grouped plan)
+    cont = spark.createDataFrame(
+        [(float(s) + 1e-12, int(y)) for s, y in zip(scores, labels)],
+        "score double, y int")
+    got2 = classifier_eval(cont, "y", "score", round_to=6).collect()[0]
+    assert got2["auc"] == got["auc"]
+
+
+def test_precision_recall_table_matches_reference(spark):
+    """Every (threshold, n_kept, tp, precision, recall) row equals the
+    brute-force keep-score>=t reference."""
+    import numpy as np
+
+    from sparvi_spark.operators.classify import precision_recall_table
+
+    rng = np.random.default_rng(11)
+    scores = rng.integers(0, 10, 200)
+    labels = (scores + rng.integers(-3, 4, 200) > 5).astype(int)
+    df = spark.createDataFrame(
+        [(int(s), int(y)) for s, y in zip(scores, labels)],
+        "score int, y int")
+    rows = {r["threshold"]: r
+            for r in precision_recall_table(df, "y", "score").collect()}
+    all_pos = int(labels.sum())
+    for t in np.unique(scores):
+        keep = scores >= t
+        r = rows[int(t)]
+        assert r["n_kept"] == int(keep.sum())
+        assert r["tp"] == int(labels[keep].sum())
+        assert r["precision"] == round(float(labels[keep].sum())
+                                       / keep.sum(), 9)
+        assert r["recall"] == round(float(labels[keep].sum())
+                                    / all_pos, 9)
