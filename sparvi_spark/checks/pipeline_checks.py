@@ -2219,9 +2219,82 @@ WINDOW wd AS (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# e18/e19: token-level vocabulary drift between the src0 sub-corpus and
+# the rest (operators/drift.vocab_drift / vocab_tvd) — counts are exact
+# integers, probabilities one IEEE division, the TVD terms decimal-routed,
+# so both engines hash-match.
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K, VOCAB_MIN_COUNT = 25, 2
+
+
+def _vocab_sides(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, "documents", sf_dir)
+    return (docs.where(F.col("source") == "src0"),
+            docs.where(F.col("source") != "src0"))
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.drift import vocab_drift
+
+    a, b = _vocab_sides(spark, sf_dir)
+    return vocab_drift(a, b, top_k=VOCAB_TOP_K, min_count=VOCAB_MIN_COUNT)
+
+
+def q_vocab_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparvi_spark.operators.drift import vocab_tvd
+
+    a, b = _vocab_sides(spark, sf_dir)
+    return vocab_tvd(a, b)
+
+
+_VOCAB_BASE = f"""
+ca AS (SELECT tk AS token, count(*) AS n_a
+       FROM (SELECT unnest({_DUCK_TOKS}) AS tk FROM documents
+             WHERE source = 'src0') GROUP BY 1),
+cb AS (SELECT tk AS token, count(*) AS n_b
+       FROM (SELECT unnest({_DUCK_TOKS}) AS tk FROM documents
+             WHERE source <> 'src0') GROUP BY 1),
+j AS (SELECT coalesce(ca.token, cb.token) AS token,
+        coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+t AS (SELECT (SELECT sum(n_a) FROM ca) AS ta,
+             (SELECT sum(n_b) FROM cb) AS tb)
+""".strip()
+
+
+def _sql_vocab_drift() -> str:
+    return f"""
+WITH {_VOCAB_BASE}
+SELECT token, cast(n_a as bigint) AS n_a, cast(n_b as bigint) AS n_b,
+  round(cast(n_a as double) / ta, 9) AS p_a,
+  round(cast(n_b as double) / tb, 9) AS p_b,
+  round(cast(n_a as double) / ta - cast(n_b as double) / tb, 9) AS delta
+FROM j CROSS JOIN t
+WHERE n_a >= {VOCAB_MIN_COUNT} OR n_b >= {VOCAB_MIN_COUNT}
+ORDER BY abs(cast(n_a as double) / ta - cast(n_b as double) / tb) DESC,
+  token ASC
+LIMIT {VOCAB_TOP_K}
+""".strip()
+
+
+def _sql_vocab_tvd() -> str:
+    return f"""
+WITH {_VOCAB_BASE}
+SELECT round(cast(sum(cast(round(abs(cast(n_a as double) / ta
+    - cast(n_b as double) / tb), 15) as decimal(38,18))) as double)
+    / 2.0, 9) AS tvd,
+  cast(count(*) as bigint) AS n_tokens_union
+FROM j CROSS JOIN t
+""".strip()
+
+
 EXTRA_CHECKS = {
     "e16_classifier_auc": (q_classifier_eval, _sql_classifier_eval()),
     "e17_classifier_pr": (q_classifier_pr, _sql_classifier_pr()),
+    "e18_vocab_drift": (q_vocab_drift, _sql_vocab_drift()),
+    "e19_vocab_tvd": (q_vocab_tvd, _sql_vocab_tvd()),
     # x30/x31/e11/e13/e14 were promoted verbatim to the driver-graded set
     # in r6 (merged_checks.py); x24-x29 are graded there in merged form —
     # their standalone shapes below stay for local fine-grained diagnosis,

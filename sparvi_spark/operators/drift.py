@@ -202,3 +202,91 @@ def numeric_histogram(
             .agg(F.expr("count(1)").alias("cnt"),
                  F.expr("first(mn)").alias("mn"),
                  F.expr("first(mx)").alias("mx")))
+
+
+def vocab_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    min_count: int = 1,
+) -> DataFrame:
+    """Token-level distribution shift between two corpora ->
+    (token, n_a, n_b, p_a, p_b, delta), the ``top_k`` tokens by |Δp|
+    with deterministic ties (token ascending) — the vocabulary view of
+    drift (corpus_diff is doc-level, numeric_drift is metric-level; a
+    crawl whose token mix moved is the thing neither sees).
+
+    Exactness: counts are integers, p = count/total is one IEEE
+    division, delta one subtraction — every output column replays
+    bit-for-bit in a SQL oracle (no ln/smoothing in the compared
+    numbers; KL-style views are a consumer-side log away and rank
+    near-identically for triage). ``min_count`` drops tokens rarer than
+    N in BOTH corpora (long-tail noise; the dropped mass still counts
+    in the totals, so retained probabilities are unaffected).
+
+    Scale shape: one explode + one groupBy(token) per side (shuffles
+    carry (token, count) with map-side partials, bounded by vocabulary),
+    a full-outer join on token, and a top-k via orderBy+limit
+    (TakeOrderedAndProject — per-partition top-k, never a global
+    window). Totals ride in as one-row broadcast literals.
+    """
+    from sparvi_spark.operators.dedup import tokens_expr
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (df.selectExpr(f"explode({tokens_expr(text_col)}) AS token")
+                .groupBy("token")
+                .agg(F.expr("count(1)").alias(f"n_{side}")))
+
+    ca, cb = counts(df_a, "a"), counts(df_b, "b")
+    tot_a = ca.agg(F.expr("sum(n_a)").alias("ta"))
+    tot_b = cb.agg(F.expr("sum(n_b)").alias("tb"))
+    joined = (ca.join(cb, "token", "full_outer")
+              .selectExpr("token",
+                          "coalesce(n_a, 0L) AS n_a",
+                          "coalesce(n_b, 0L) AS n_b")
+              .where(f"n_a >= {min_count} or n_b >= {min_count}")
+              .crossJoin(F.broadcast(tot_a))
+              .crossJoin(F.broadcast(tot_b)))
+    return (joined.selectExpr(
+        "token", "n_a", "n_b",
+        "round(cast(n_a as double) / ta, 9) AS p_a",
+        "round(cast(n_b as double) / tb, 9) AS p_b",
+        "round(cast(n_a as double) / ta "
+        "- cast(n_b as double) / tb, 9) AS delta")
+        .orderBy(F.expr("abs(delta)").desc(), F.col("token").asc())
+        .limit(top_k))
+
+
+def vocab_tvd(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row total-variation distance between the two corpora's token
+    distributions: tvd = ½ Σ_tokens |p_a − p_b| ∈ [0, 1] (0 = identical
+    mix, 1 = disjoint vocabularies) — the scalar a monitor alerts on,
+    with ``vocab_drift`` as its drill-down. The per-token |Δp| terms
+    route through DECIMAL before summing so summation order cannot move
+    the result between engines (same discipline as drift_metrics)."""
+    from sparvi_spark.operators.dedup import tokens_expr
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (df.selectExpr(f"explode({tokens_expr(text_col)}) AS token")
+                .groupBy("token")
+                .agg(F.expr("count(1)").alias(f"n_{side}")))
+
+    ca, cb = counts(df_a, "a"), counts(df_b, "b")
+    tot_a = ca.agg(F.expr("sum(n_a)").alias("ta"))
+    tot_b = cb.agg(F.expr("sum(n_b)").alias("tb"))
+    return (ca.join(cb, "token", "full_outer")
+            .selectExpr("coalesce(n_a, 0L) AS n_a",
+                        "coalesce(n_b, 0L) AS n_b")
+            .crossJoin(F.broadcast(tot_a))
+            .crossJoin(F.broadcast(tot_b))
+            .selectExpr(
+                f"cast(round(abs(cast(n_a as double) / ta "
+                f"- cast(n_b as double) / tb), 15) as {_DEC}) AS __t")
+            .agg(F.expr("round(cast(sum(__t) as double) / 2.0d, 9)")
+                 .alias("tvd"),
+                 F.expr("count(1)").alias("n_tokens_union")))

@@ -2018,3 +2018,43 @@ def test_precision_recall_table_matches_reference(spark):
                                        / keep.sum(), 9)
         assert r["recall"] == round(float(labels[keep].sum())
                                     / all_pos, 9)
+
+
+def test_vocab_drift_and_tvd_match_reference(spark):
+    """vocab_drift rows and vocab_tvd equal a driver-side counting
+    reference; disjoint vocabularies give tvd == 1.0, identical corpora
+    give 0.0; min_count drops rare tokens without moving probabilities."""
+    from collections import Counter
+
+    from sparvi_spark.operators.drift import vocab_drift, vocab_tvd
+
+    a_rows = [(1, "apple banana apple cherry"), (2, "banana apple date")]
+    b_rows = [(3, "apple banana banana fig"), (4, "fig fig grape")]
+    df_a = spark.createDataFrame(a_rows, "doc_id int, text string")
+    df_b = spark.createDataFrame(b_rows, "doc_id int, text string")
+    ca = Counter(t for _, s in a_rows for t in s.split())
+    cb = Counter(t for _, s in b_rows for t in s.split())
+    ta, tb = sum(ca.values()), sum(cb.values())
+    got = {r["token"]: r for r in
+           vocab_drift(df_a, df_b, top_k=100).collect()}
+    assert set(got) == set(ca) | set(cb)
+    for tok, r in got.items():
+        assert r["n_a"] == ca.get(tok, 0) and r["n_b"] == cb.get(tok, 0)
+        assert r["delta"] == round(ca.get(tok, 0) / ta
+                                   - cb.get(tok, 0) / tb, 9), tok
+    ref_tvd = round(sum(abs(ca.get(t, 0) / ta - cb.get(t, 0) / tb)
+                        for t in set(ca) | set(cb)) / 2, 9)
+    row = vocab_tvd(df_a, df_b).collect()[0]
+    assert abs(row["tvd"] - ref_tvd) < 1e-9
+    assert row["n_tokens_union"] == len(set(ca) | set(cb))
+    # identical corpora -> 0; disjoint vocabularies -> 1
+    assert vocab_tvd(df_a, df_a).collect()[0]["tvd"] == 0.0
+    dj = spark.createDataFrame([(9, "zulu yankee xray")],
+                               "doc_id int, text string")
+    assert vocab_tvd(df_a, dj).collect()[0]["tvd"] == 1.0
+    # min_count drops the long tail but keeps probabilities intact
+    only_common = vocab_drift(df_a, df_b, top_k=100,
+                              min_count=2).collect()
+    assert all(r["n_a"] >= 2 or r["n_b"] >= 2 for r in only_common)
+    appl = next(r for r in only_common if r["token"] == "apple")
+    assert appl["p_a"] == round(ca["apple"] / ta, 9)  # total unchanged
