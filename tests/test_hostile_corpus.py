@@ -144,3 +144,32 @@ def test_fingerprint_and_tokenize_complete_on_hostile_corpus(hostile):
     assert bp.where("n_tokens > 64").count() == 0
     mat = binpack_token_ids(enc, 64, n_shards=2)
     assert mat.where("n_tokens > 64").count() == 0
+
+
+def test_engine_export_flow_completes_on_hostile_corpus(spark, tmp_path, hostile):
+    """The composed engine path — screen (quality/dup/contamination
+    gates) -> curation rewrites -> filter -> dedup -> shard export ->
+    BPE tokenize + pack — completes on the hostile corpus and publishes
+    only filterable survivors. Glue-level insurance: each operator is
+    hostile-tested above, but the engine chains them through persist/
+    unpersist, gates, and state appends."""
+    from sparvi_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    ref = hostile.where("doc_id >= 11")
+    out = str(tmp_path / "corpus")
+    s = eng.export_training_corpus(
+        hostile, "hostile", out, n_shards=2, ref=ref,
+        require_gate=False, dedup_lines_min_count=2,
+        strip_duplicate_spans_n=8,
+        tokenize_merges=4, pack_ctx=64,
+        quality_overrides={"min_words": 5, "min_stopword_hits": 0,
+                           "min_alpha_word_frac": 0.0},
+        run_at="2026-01-07 00:00:00")
+    assert s["exported"] is True
+    back = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in back.collect()}
+    assert ids and ids <= {7, 8, 10, 11, 12}  # survivors only
+    assert 1 not in ids and 2 not in ids     # NULL/empty never exported
+    screen = eng.state.read("corpus_screens").collect()
+    assert len(screen) == 1 and screen[0]["n_docs"] >= len(ids)
