@@ -306,6 +306,100 @@ class Engine:
             "column_name string, n_expected bigint, n_actual bigint, "
             "tvd double, chi2 double, psi double")
 
+    def save_vocab_baseline(self, docs: DataFrame, corpus_name: str,
+                            text_col: str = "text", top_k: int = 1000,
+                            as_of: str | None = None) -> None:
+        """Store the reference corpus' token distribution as state: its
+        ``top_k`` token counts plus the TRUE corpus token total (so the
+        baseline's out-of-vocab mass is representable exactly). The
+        vocabulary analogue of ``save_drift_baseline`` — kilobytes of
+        state standing in for any corpus size; later checks never reread
+        the reference corpus. One explode + one vocabulary-bounded
+        groupBy + a per-partition top-k (TakeOrderedAndProject)."""
+        from sparvi_spark.operators.dedup import tokens_expr
+
+        as_of = as_of or _utcnow()
+        counts = (docs.selectExpr(
+            f"explode({tokens_expr(text_col)}) AS token")
+            .groupBy("token").agg(F.expr("count(1)").alias("cnt")))
+        total = counts.agg(F.expr("sum(cnt)")).first()[0] or 0
+        top = (counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+               .limit(top_k).collect())
+        self.state.append_rows("vocab_baselines", [
+            {"corpus_name": corpus_name, "token": r["token"],
+             "cnt": int(r["cnt"]), "total": int(total),
+             "top_k": int(top_k), "collected_at": as_of}
+            for r in top])
+
+    def check_vocab_drift(self, docs: DataFrame, corpus_name: str,
+                          text_col: str = "text",
+                          tvd_alert: float = 0.2,
+                          as_of: str | None = None) -> DataFrame | None:
+        """Token-mix drift of ``docs`` against the stored vocabulary
+        baseline -> one-row (tvd, n_tokens, oov_frac, n_vocab).
+
+        tvd = ½( Σ_baseline-tokens |p_batch − p_base| + |oov_batch −
+        oov_base| ) where each side's OOV mass is 1 − Σ top-k/total —
+        a lower bound on the full-vocabulary TVD that needs only the
+        stored K rows. Batch cost: ONE scan — tokens explode, left-join
+        the kilobyte baseline vocabulary (broadcast), and a single
+        groupBy whose key collapses every non-baseline token to one
+        ``__oov__`` bucket, so the shuffle is K+1 rows regardless of the
+        batch's own vocabulary. The scalar lands in historical_metrics
+        (metric_type='drift', column_name='__vocab__'); above
+        ``tvd_alert`` a ``vocab_drift`` event publishes — the same
+        consumer path numeric drift uses. None with no baseline."""
+        from sparvi_spark.functions import local_df
+        from sparvi_spark.operators.dedup import tokens_expr
+
+        as_of = as_of or _utcnow()
+        base_rows = (self.state.read("vocab_baselines")
+                     .where(F.col("corpus_name") == corpus_name)
+                     .selectExpr("*", "max(collected_at) OVER () AS __l")
+                     .where("collected_at = __l")
+                     .collect())
+        if not base_rows:
+            return None
+        base = {r["token"]: int(r["cnt"]) for r in base_rows}
+        base_total = int(base_rows[0]["total"])
+        vocab = local_df(self.spark,
+                         [(t,) for t in sorted(base)], "token string")
+        got = (docs.selectExpr(
+            f"explode({tokens_expr(text_col)}) AS token")
+            .join(F.broadcast(vocab.withColumn("__in", F.lit(1))),
+                  "token", "left")
+            .selectExpr("case when __in = 1 then token "
+                        "else '__oov__' end AS k")
+            .groupBy("k").agg(F.expr("count(1)").alias("cnt"))
+            .collect())
+        batch = {r["k"]: int(r["cnt"]) for r in got}
+        oov_b = batch.pop("__oov__", 0)
+        n_b = oov_b + sum(batch.values())
+        if n_b == 0:
+            return local_df(self.spark, [(None, 0, None, len(base))],
+                            "tvd double, n_tokens bigint, "
+                            "oov_frac double, n_vocab int")
+        oov_base = 1.0 - (sum(base.values()) / base_total
+                          if base_total else 0.0)
+        # deterministic driver-side sum: tokens in sorted order
+        tvd = abs(oov_b / n_b - oov_base)
+        for t in sorted(base):
+            tvd += abs(batch.get(t, 0) / n_b - base[t] / base_total)
+        tvd = round(tvd / 2.0, 9)
+        oov_frac = round(oov_b / n_b, 9)
+        self.state.append_rows("historical_metrics", [
+            {"metric_name": "vocab_tvd", "metric_value": tvd,
+             "metric_type": "drift", "table_name": corpus_name,
+             "column_name": "__vocab__", "source": "vocab_drift_check",
+             "ts": as_of}])
+        if tvd > tvd_alert:
+            self.publish_event("vocab_drift", corpus_name,
+                               f"tvd={tvd} oov={oov_frac}", as_of)
+        return local_df(self.spark,
+                        [(tvd, n_b, oov_frac, len(base))],
+                        "tvd double, n_tokens bigint, oov_frac double, "
+                        "n_vocab int")
+
     # ------------------------------------------------------------------ §3.4
     def run_anomaly_detection(self, configs: list[dict[str, Any]],
                               history_days: int = 30,

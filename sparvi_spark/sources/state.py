@@ -70,6 +70,14 @@ ENTITIES: dict[str, str] = {
     "corpus_signatures": (
         "corpus_name string, doc_id string, sig array<bigint>, "
         "added_at timestamp, run_date date"),
+    # top-K token frequencies of a reference corpus (Engine.
+    # save_vocab_baseline / check_vocab_drift): K rows + the TRUE total
+    # (so the baseline's out-of-vocab mass is representable) — kilobytes
+    # of state standing in for the corpus' token distribution, the
+    # vocabulary analogue of drift_baselines
+    "vocab_baselines": (
+        "corpus_name string, token string, cnt bigint, total bigint, "
+        "top_k int, collected_at timestamp, run_date date"),
 }
 
 

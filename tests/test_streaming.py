@@ -524,3 +524,69 @@ def test_streaming_corpus_intake_survives_hostile_microbatch(spark, tmp_path):
     # near-dup 2 dropped; unshingleable docs admitted untouched
     assert admitted == [1, 3, 4, 5, 6]
     assert summaries and summaries[0]["n_in_batch_dups"] == 1
+
+
+def test_streaming_vocab_monitor_alerts_on_token_shift(spark, tmp_path):
+    """Continuous vocabulary drift: an in-distribution microbatch stays
+    quiet, a token-mix-shifted one (same NUMERIC shape — different
+    words) raises the vocab_drift event within its batch; tiny batches
+    are skipped. With the baseline top_k covering the whole reference
+    vocabulary, the engine's truncated TVD equals the exact operator
+    (drift.vocab_tvd) on the same pair of corpora."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.engine import Engine
+    from sparvi_spark.operators.drift import vocab_tvd
+    from sparvi_spark.streaming.vocab import streaming_vocab_monitor
+
+    engine = Engine(spark, str(tmp_path / "wh"))
+    ref_docs = [(i, "the quick brown fox jumps over the lazy dog again")
+                for i in range(60)]
+    ref = spark.createDataFrame(ref_docs, "doc_id int, text string")
+    engine.save_vocab_baseline(ref, "crawl", top_k=100,
+                               as_of="2026-01-01 00:00:00")
+
+    drop = tmp_path / "in"
+    drop.mkdir()
+
+    def write_drop(name, rows):
+        ids, texts = zip(*rows)
+        pq.write_table(pa.table({"doc_id": list(ids),
+                                 "text": list(texts)}), str(drop / name))
+
+    write_drop("b1.parquet", ref_docs[:30])  # in-distribution
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(drop)))
+    seen = []
+    q = streaming_vocab_monitor(
+        stream, engine, "crawl", min_docs=20,
+        on_drift=lambda df, bid: seen.append(df.collect()[0]))
+    try:
+        q.processAllAvailable()
+        assert len(seen) == 1 and seen[0]["tvd"] == 0.0  # identical mix
+        assert seen[0]["oov_frac"] == 0.0
+        assert engine.state.read("engine_events").where(
+            F.col("event_type") == "vocab_drift").count() == 0
+
+        shifted = [(100 + i, "acheter maintenant des pilules pas cher "
+                             "offre limitee cliquez ici")
+                   for i in range(30)]
+        write_drop("b2.parquet", shifted)                  # spam shift
+        write_drop("b3.parquet", ref_docs[:5])             # below min_docs
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(seen) == 2  # b3 skipped
+    assert seen[1]["tvd"] > 0.5 and seen[1]["oov_frac"] > 0.9
+    assert engine.state.read("engine_events").where(
+        F.col("event_type") == "vocab_drift").count() == 1
+    # truncation-free coherence: engine TVD == the exact operator's
+    sh = spark.createDataFrame(shifted, "doc_id int, text string")
+    exact = vocab_tvd(ref, sh).collect()[0]["tvd"]
+    assert abs(seen[1]["tvd"] - exact) < 1e-9
+    # vocab_tvd scalar landed in metric history for the trend machinery
+    hist = engine.state.read("historical_metrics").where(
+        "metric_name = 'vocab_tvd'").count()
+    assert hist == 2
