@@ -430,7 +430,25 @@ def main() -> None:
     except Exception as exc:  # baseline disclosure must never fail bench
         print(f"# duckdb baseline skipped: {exc}", file=sys.stderr)
 
-    print(json.dumps({
+    # ARTIFACT CONTRACT (r10, learned the hard way in r9): the driver
+    # captures only the TAIL (~2,000 chars observed) of stdout and parses
+    # the last JSON line. BENCH_r09 recorded `parsed: null` because the
+    # per-query ratio table grew this line to ~5.5 KB and the head —
+    # headline_total, every ratio field — fell off the capture window.
+    # Rule: the stdout line stays < ~1,900 chars; bulky per-query detail
+    # (ratio table, raw samples, serial timings) goes to BENCH_DETAIL.json
+    # next to this script, referenced by path from the headline line.
+    detail_path = str(Path(__file__).resolve().parent / "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({
+            "per_query_ratio": per_query_ratio,
+            "suite_samples": samples,
+            "spark_serial": spark_serial,
+            "queries_serial_headline": timings,
+            "duckdb_probes": duckdb_probes,
+            "sf": sf,
+        }, f, indent=1)
+    headline_line = json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
@@ -438,21 +456,28 @@ def main() -> None:
         "queries": timings,
         "suite_concurrent_wall_sec": suite_wall,
         "suite_concurrent_walls": walls,
-        "suite_samples": samples,
         "suite_clean_samples": len(clean),
         "suite_clean_spread": (round(spread, 4)
                                if spread is not None else None),
         "suite_queries": len(suite_fns),
         "spark_serial_total": spark_serial_total,
         "duckdb_total": duckdb_total,
-        "duckdb_probes": duckdb_probes,
         "duckdb_total_excl_outliers": duckdb_excl,
         "duckdb_outliers": list(_BASELINE_OUTLIERS),
         "ratio_all": ratio_all,
         "ratio_excl_outliers": ratio_excl,
-        "per_query_ratio": per_query_ratio,
+        "detail_file": "BENCH_DETAIL.json",
         "sf": sf,
-    }))
+    })
+    if len(headline_line) > 1900:  # contract guard: trim queries first
+        print(f"# WARNING: headline line {len(headline_line)} chars "
+              "exceeds the 1,900-char driver capture budget; trimming "
+              "per-query timings to the detail file", file=sys.stderr)
+        obj = json.loads(headline_line)
+        obj["queries"] = {"see": "BENCH_DETAIL.json"}
+        headline_line = json.dumps(obj)
+    print(f"# headline line: {len(headline_line)} chars", file=sys.stderr)
+    print(headline_line)
     spark.stop()
 
 

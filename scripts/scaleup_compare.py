@@ -44,6 +44,10 @@ _QUERY_TABLES = {
     # r9 additions (VERDICT r8 task 4): the two heaviest graded families
     # whose linear-by-construction claims had no multi-decade evidence
     "tokenize_pack": {"documents"}, "contamination": {"documents"},
+    # r10: A/B of the Arrow rolling-hash shingle lane (VERDICT r9 task 3)
+    # against the same DuckDB baseline as the expr path, plus the one
+    # gram consumer (e11 signature pairs) the sweep never covered
+    "contamination_arrow": {"documents"}, "sig_pairs": {"documents"},
 }
 
 if ONLY is not None:
@@ -244,11 +248,19 @@ def spark_queries(spark, sf_dir, sem_cents):
         # x15 at full scale: candidate corpus screened against the src0
         # reference via distinct-shingle semi-join; ref grows with the
         # data (every copy keeps its source), the honest scaling.
-        "contamination": lambda: _contamination(docs()),
+        "contamination": lambda: _contamination(docs(), "expr"),
+        # the same screen on the Arrow rolling-hash lane (scale-mode
+        # default) — identical counts modulo 64-bit collisions, so both
+        # rows share one DuckDB baseline
+        "contamination_arrow": lambda: _contamination(docs(), "arrow"),
+        # e11 incremental signature state at full scale: sign both sides
+        # (xxhash64 KM double-hash, the production path), band join new
+        # vs stored, estimator verify — the monitor-shape claim
+        "sig_pairs": lambda: _sig_pairs(docs()),
     }
 
 
-def _contamination(d):
+def _contamination(d, backend):
     from pyspark.sql import functions as F
 
     from sparvi_spark.operators.dedup import contamination
@@ -256,9 +268,33 @@ def _contamination(d):
     return contamination(
         d.where(F.col("source") != "src0"),
         d.where(F.col("source") == "src0"),
-        "doc_id", "text", n=3,
+        "doc_id", "text", n=3, backend=backend,
     ).agg(F.count(F.lit(1)).alias("n_docs"),
           F.sum("n_contaminated").alias("hits"))
+
+
+def _sig_pairs(d):
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.dedup import (
+        minhash_pairs_from_sigs, minhash_signatures)
+
+    # n=3 shingles, NOT the graded check's capped n=1: over full synthetic
+    # corpora, 1-gram token SETS are near-identical across docs (shared
+    # generator vocabulary), so n=1 banding emits ~956k candidates from
+    # 4.1k x 0.9k docs — a quadratic verify workload that measures the
+    # blowup, not the monitor. 3-gram sets are doc-specific (1,633
+    # candidates on the same corpus), the production shape.
+    new_sigs = minhash_signatures(
+        d.where(F.col("source") != "src0"), "doc_id", "text",
+        n=3, num_hashes=64).select(F.col("doc_id").alias("id"), "sig")
+    ref_sigs = minhash_signatures(
+        d.where(F.col("source") == "src0"), "doc_id", "text",
+        n=3, num_hashes=64).select(F.col("doc_id").alias("ref_id"), "sig")
+    return minhash_pairs_from_sigs(
+        new_sigs, ref_sigs, num_hashes=64, bands=16, threshold=0.5).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("est_jaccard"), 3).alias("est_sum"))
 
 
 def _tokenize_pack(d):
@@ -452,6 +488,47 @@ hit AS (SELECT doc_id, count(*) AS n_contaminated FROM cand
         WHERE shingle IN (SELECT shingle FROM refset) GROUP BY 1)
 SELECT count(*) AS n_docs, sum(coalesce(h.n_contaminated, 0)) AS hits
 FROM tot t LEFT JOIN hit h USING (doc_id)"""
+    # the Arrow A/B row screens the same workload — one DuckDB baseline
+    duck["contamination_arrow"] = duck["contamination"]
+
+    # r10: e11 at full scale. DuckDB gets the SAME Kirsch-Mitzenmacher
+    # double-hash construction the Spark path uses (two string hashes per
+    # gram + cheap int combos per slot), not 64 string-hash passes — the
+    # baseline should pay the algorithm's cost, not a strawman's.
+    _H, _B, _RPB, _T = 64, 16, 4, 0.5
+    _sig_cols = ", ".join(
+        f"list_min(list_transform(range(1, len(h1) + 1), "
+        f"j -> h1[j] + {i} * h2[j])) AS s{i}" for i in range(_H))
+    _band_rows = " UNION ALL ".join(
+        "SELECT doc_id, src, {b} AS band, hash(concat_ws('|', {cols})) "
+        "AS bh FROM sig".format(
+            b=b, cols=", ".join(f"s{k}"
+                                for k in range(b * _RPB, (b + 1) * _RPB)))
+        for b in range(_B))
+    _match = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(_H))
+    duck["sig_pairs"] = f"""
+WITH tk0 AS (SELECT doc_id, source AS src, {_DUCK_TOKS} AS tk
+             FROM documents),
+t0 AS (SELECT doc_id, src, list_distinct(list_transform(
+         range(1, greatest(len(tk) - 2, 0) + 1),
+         i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))) AS grams
+       FROM tk0 WHERE len(tk) >= 3),
+g AS (SELECT doc_id, src, grams FROM t0 WHERE len(grams) >= 1),
+h AS (SELECT doc_id, src,
+        list_transform(grams, s -> hash(s) & 4294967295) AS h1,
+        list_transform(grams, s -> (hash(s || '#') & 4294967294) | 1) AS h2
+      FROM g),
+sig AS (SELECT doc_id, src, {_sig_cols} FROM h),
+banded AS ({_band_rows}),
+cands AS (SELECT DISTINCT a.doc_id AS id, b.doc_id AS ref_id
+          FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+          WHERE a.src <> 'src0' AND b.src = 'src0'),
+est AS (SELECT c.id, c.ref_id, ({_match}) / 64.0 AS ej
+        FROM cands c JOIN sig a ON a.doc_id = c.id AND a.src <> 'src0'
+        JOIN sig b ON b.doc_id = c.ref_id AND b.src = 'src0')
+SELECT count(*) AS n_pairs, round(sum(ej), 3) AS est_sum
+FROM est WHERE ej >= {_T}"""
 
     from sparvi_spark.checks.pipeline_checks import _duck_cosine
 

@@ -62,15 +62,21 @@ from sparvi_spark.checks.pipeline_checks import (
     SQL_TOP_TOKENS,
     _sql_binpack,
     _sql_categorical_drift,
+    _sql_classifier_eval,
+    _sql_classifier_pr,
     _sql_classifier_scores,
     _sql_eval_split,
     _sql_numeric_drift,
+    _sql_vocab_drift,
+    _sql_vocab_tvd,
     _sql_semantic_dedup,
     _sql_shard_plan,
     _sql_sig_pairs,
     q_binpack,
     q_bpe_tokenize,
     q_categorical_drift,
+    q_classifier_eval,
+    q_classifier_pr,
     q_classifier_scores,
     q_corpus_diff,
     q_dedup_corpus,
@@ -89,6 +95,8 @@ from sparvi_spark.checks.pipeline_checks import (
     q_sig_pairs,
     q_stratified_sample_agg,
     q_top_tokens,
+    q_vocab_drift,
+    q_vocab_tvd,
 )
 from sparvi_spark.checks.profile_checks import SQL_PREVIEW, q_preview
 from sparvi_spark.checks.trend_checks import (
@@ -175,12 +183,24 @@ CHECKS = {
         ("categorical", q_categorical_drift, _sql_categorical_drift(),
          ["category"],
          ["p_expected", "p_actual", "delta", "abs_delta"], []),
+        # r10: the round-9 vocabulary-drift family, previously EXTRA-only
+        # (e18/e19) — now driver-graded in the drift slot it belongs to
+        ("vocab", q_vocab_drift, _sql_vocab_drift(), ["token"],
+         ["n_a", "n_b", "p_a", "p_b", "delta"], []),
+        ("vocab_tvd", q_vocab_tvd, _sql_vocab_tvd(), [],
+         ["tvd", "n_tokens_union"], []),
     ]),
     "x27_doc_scores": melted_check([
         ("classifier", q_classifier_scores, _sql_classifier_scores(),
          ["doc_id"], ["n_tokens", "feature_sum", "label"], []),
         ("lm_bigram", q_lm_score, SQL_LM_SCORE, ["doc_id"],
          ["n_bigrams", "avg_p"], []),
+        # r10: classifier EVALUATION (round-9 e16/e17) driver-graded in the
+        # classifier slot — exact grouped-count AUC and the P/R sweep
+        ("clf_auc", q_classifier_eval, _sql_classifier_eval(), [],
+         ["n_pos", "n_neg", "auc"], []),
+        ("clf_pr", q_classifier_pr, _sql_classifier_pr(), ["threshold"],
+         ["n_kept", "tp", "precision", "recall"], []),
     ]),
     "x26_shard_split": aligned_union_check([
         ("shard_plan", q_shard_plan, _sql_shard_plan(),

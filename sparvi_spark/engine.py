@@ -912,6 +912,14 @@ class Engine:
         (``scoped_caches`` — a long-running stream would otherwise leak
         one CacheManager entry per microbatch); ``kept`` survives as a
         localCheckpoint.
+
+        ``hash_fn`` deliberately does NOT resolve from the engine-wide
+        scale mode (unlike the stateless operators): stored signatures
+        are only comparable to future batches signed by the SAME hash
+        family, so a process-global mode flip between microbatches would
+        silently stop catching cross-batch duplicates. The family is
+        pinned per corpus by the caller — pass ``hash_fn="arrow"``
+        explicitly (and consistently) to run the vectorized lane.
         """
         from sparvi_spark.operators.dedup import (
             dedup_near, minhash_lsh_pairs, minhash_pairs_from_sigs,

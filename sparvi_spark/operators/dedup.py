@@ -373,6 +373,18 @@ def dedup_near(
     return df.join(dups, df[id_col] == F.col("__dup"), "left_anti")
 
 
+def _affine_sig_expr(num_hashes: int) -> str:
+    """``sig`` expression over a staged ``__pb`` base-hash array: slot i =
+    min over grams of the affine permutation (a_i·x + b_i) mod P. The
+    params ride as two constant arrays zipped per slot — one codegen
+    block total instead of num_hashes unrolled ones."""
+    ab = [_affine_params(i) for i in range(num_hashes)]
+    a_arr = ", ".join(f"{a}L" for a, _ in ab)
+    b_arr = ", ".join(f"{b}L" for _, b in ab)
+    return (f"zip_with(array({a_arr}), array({b_arr}), "
+            f"(a, b) -> array_min(transform(__pb, x -> (x * a + b) % {PORTABLE_P})))")
+
+
 def _with_sig(grams: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
     """Attach a per-row ``sig`` column to a (__id, __grams, ...) frame.
 
@@ -381,58 +393,147 @@ def _with_sig(grams: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
     (id, shingle) pair; per-row evaluation moves zero data, so it scales
     linearly with input splits on a cluster.
 
-    xxhash64 mode uses Kirsch-Mitzenmacher double hashing: each shingle is
-    string-hashed exactly TWICE (h1, h2 staged as their own array columns),
-    and slot i's hash is the integer combo ``h1 + i*h2`` — the standard
-    MinHash/Bloom construction. Versus hashing every shingle once per slot
-    this is ~9× faster (measured 7.4s → 0.8s at sf0.1 docs, 64 hashes):
-    higher-order lambdas run interpreted, so the per-slot work must be a
-    cheap int op, not a string hash. Values are masked to 32 bits so the
-    combo can't overflow under ANSI arithmetic (i*b < 2^38), and h2 is
-    forced odd so slots stay distinct permutations. zip_with over two
-    primitive arrays beats one array<struct> (struct field access per
-    element is ~8× slower interpreted).
+    Both modes stage ONE base hash per shingle as its own array column
+    (lambda bodies re-evaluate embedded subexpressions per element; and
+    a string hash per slot would cost ~9× — measured 7.4s → 0.8s at
+    sf0.1 docs, 64 hashes), then take num_hashes affine-permutation mins
+    (a_i·x + b_i mod P, params < P = 1e9+7 so products stay < 2^60 under
+    ANSI arithmetic) over it. xxhash64 mode's base is the engine-native
+    string hash; portable mode's is the oracle-reproducible character
+    polynomial.
 
-    Portable mode stages the polynomial base-hash array as its own column
-    first (lambda bodies re-evaluate embedded subexpressions per element),
-    then takes num_hashes affine mins over it — still a narrow projection.
+    HISTORY (r10 fix): xxhash64 mode previously used Kirsch-Mitzenmacher
+    double hashing — slot i = min(h1 + i·h2) over two staged hashes. KM
+    is sound for Bloom filters but WRONG for MinHash: as i grows the
+    argmin is captured by the gram with the smallest h2, so all slots
+    beyond small i are determined by ~two independent draws, bands are
+    correlated, and a J=0.989 near-dup pair was observed losing ALL 16
+    bands at once (caught by the r10 arrow-lane parity test on sf0.001
+    docs: pair (474, 498), string-jaccard 0.989362, zero candidates).
+    Affine permutations over one base hash reshuffle the ordering per
+    slot (multiplication mod prime), restoring the ~independent-slot
+    recall the banding math assumes — and cost LESS (one string hash
+    per gram instead of two).
     """
     if hash_fn == "portable":
-        staged = grams.withColumn("__pb", F.expr(
-            f"transform(__grams, g -> {portable_hash_expr('g')})"))
-        # affine params as two constant arrays zipped per slot — one codegen
-        # block total instead of num_hashes unrolled ones (see docstring)
-        ab = [_affine_params(i) for i in range(num_hashes)]
-        a_arr = ", ".join(f"{a}L" for a, _ in ab)
-        b_arr = ", ".join(f"{b}L" for _, b in ab)
-        sig = (f"zip_with(array({a_arr}), array({b_arr}), "
-               f"(a, b) -> array_min(transform(__pb, x -> (x * a + b) % {PORTABLE_P})))")
-        return staged.withColumn("sig", F.expr(sig)).drop("__pb")
-    return (
-        grams
-        .withColumn("__h1", F.expr(
-            "transform(__grams, g -> xxhash64(g) & 4294967295L)"))
-        .withColumn("__h2", F.expr(
-            "transform(__grams, g -> xxhash64(g, 1) & 4294967294L | 1L)"))
-        .withColumn("sig", F.expr(
-            f"transform(sequence(0, {num_hashes - 1}), "
-            f"i -> array_min(zip_with(__h1, __h2, (a, b) -> a + i * b)))"))
-        .drop("__h1", "__h2")
-    )
+        base = portable_hash_expr("g")
+    else:
+        base = f"pmod(xxhash64(g), {PORTABLE_P})"
+    staged = grams.withColumn("__pb", F.expr(
+        f"transform(__grams, g -> {base})"))
+    return (staged
+            .withColumn("sig", F.expr(_affine_sig_expr(num_hashes)))
+            .drop("__pb"))
+
+
+def _gram_hash_sig_arrow(df: DataFrame, id_col: str, text_col: str,
+                         n: int, num_hashes: int) -> DataFrame:
+    """(__id, __grams: array<bigint> DISTINCT-sorted, sig: array<bigint>)
+    in ONE Arrow pass — the vectorized scale lane for the whole MinHash
+    pipeline.
+
+    Same construction as ``_shingle_hash_rows`` (JVM tokenize, numpy
+    rolling 64-bit gram hashes, per-doc distinct via one lexsort), then
+    the SAME affine-permutation scheme as ``_with_sig`` — base hash
+    x = gram_hash mod P, slot i = min((a_i·x + b_i) mod P), one
+    ``np.minimum.reduceat`` per slot. (NOT Kirsch-Mitzenmacher h1+i·h2:
+    see ``_with_sig``'s history note — KM correlates MinHash slots and
+    measurably drops J≈0.99 pairs.) Min over the distinct set equals
+    min over the multiset, so the signature rides the dedup for free.
+
+    Everything downstream of the interpreted path works unchanged on
+    the output: band hashes slice ``sig`` (plain longs), and exact
+    verification intersects ``__grams`` — bigint arrays instead of
+    strings, which also makes the verify join's array_intersect cheaper.
+    Pair quality is the string path's modulo 64-bit collisions (~1e-8 at
+    10⁶ distinct shingles); signatures are a DIFFERENT (equally valid)
+    hash family than xxhash64's, so candidate sets can differ on
+    borderline pairs — verification decides with exact Jaccard either
+    way. NOT oracle-reproducible; graded checks pin ``portable``.
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    toks = (df.select(F.col(id_col).alias("__id"),
+                      F.expr(tokens_expr(text_col)).alias("__toks"))
+            .where(f"size(__toks) >= {n}"))
+    out_schema = f"__id {id_type}, __grams array<bigint>, sig array<bigint>"
+
+    def emit(batches):
+        import numpy as np
+        from pandas.util import hash_array
+
+        P = np.uint64(0x9E3779B97F4A7C15)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            tok_lists = [np.asarray(t, dtype=object) for t in pdf["__toks"]]
+            lens = np.fromiter((len(t) for t in tok_lists),
+                               dtype=np.int64, count=m)
+            flat = np.concatenate(tok_lists)
+            th = hash_array(flat)
+            nw = len(flat) - (n - 1)
+            with np.errstate(over="ignore"):
+                c = th[:nw].copy()
+                for k in range(1, n):
+                    c = (c * P) ^ th[k:k + nw]
+            doc_of = np.repeat(np.arange(m, dtype=np.int64), lens)
+            valid = doc_of[:nw] == doc_of[n - 1:n - 1 + nw]
+            c, d = c[valid], doc_of[:nw][valid]
+            order = np.lexsort((c, d))
+            c, d = c[order], d[order]
+            keep = np.empty(len(c), dtype=bool)
+            keep[:1] = True
+            keep[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+            c, d = c[keep], d[keep]
+            x = (c % np.uint64(PORTABLE_P)).astype(np.int64)
+            # every doc passed the >=n-token filter, so every doc index
+            # 0..m-1 appears in d and searchsorted yields true starts
+            starts = np.searchsorted(d, np.arange(m, dtype=np.int64))
+            sig = np.empty((num_hashes, m), dtype=np.int64)
+            for i in range(num_hashes):
+                a, b = _affine_params(i)  # a, b, x < P=1e9+7 -> < 2^60
+                sig[i] = np.minimum.reduceat((a * x + b) % PORTABLE_P,
+                                             starts)
+            ghash = c.view(np.int64)
+            bounds = np.append(starts[1:], len(ghash))
+            yield pd.DataFrame({
+                "__id": pdf["__id"].to_numpy(),
+                "__grams": [ghash[s:e] for s, e in zip(starts, bounds)],
+                "sig": list(sig.T),
+            })
+
+    return toks.mapInPandas(emit, out_schema)
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64,
-    hash_fn: str = "xxhash64", grams: DataFrame | None = None,
+    hash_fn: str | None = None, grams: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: sig[i] = min(h_i(shingle)) — per-row, shuffle-free.
 
-    ``hash_fn="xxhash64"``: engine-native seeded hashes (production).
+    ``hash_fn="xxhash64"``: engine-native seeded hashes (interpreted
+    HOF projection — the oracle-comparable production default).
     ``hash_fn="portable"``: one polynomial base hash per shingle + affine
     (a_i·x+b_i) mod P per signature slot — oracle-reproducible.
-    Returns (id, sig: array<bigint>). ``grams`` lets callers share a
-    precomputed (__id, __grams) frame from ``_doc_gram_arrays``.
+    ``hash_fn="arrow"``: the vectorized numpy lane
+    (``_gram_hash_sig_arrow``) — same KM construction over a different
+    base hash family, ~10× less per-core cost on real corpora.
+    ``None`` resolves from the engine-wide scale mode (arrow at scale,
+    xxhash64 otherwise). Returns (id, sig: array<bigint>). ``grams``
+    lets callers share a precomputed (__id, __grams) frame from
+    ``_doc_gram_arrays`` (expr lanes only).
     """
+    from sparvi_spark.config import resolve_backend
+
+    hash_fn = resolve_backend(hash_fn, "arrow", "xxhash64")
+    if hash_fn == "arrow":
+        if grams is not None:
+            raise ValueError("hash_fn='arrow' computes its own gram "
+                             "hashes; precomputed grams are expr-lane only")
+        return _gram_hash_sig_arrow(df, id_col, text_col, n, num_hashes) \
+            .select(F.col("__id").alias(id_col), "sig")
     g = grams if grams is not None else _doc_gram_arrays(df, id_col, text_col, n)
     return _with_sig(g, num_hashes, hash_fn).select(
         F.col("__id").alias(id_col), "sig")
@@ -446,14 +547,23 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
-    hash_fn: str = "xxhash64",
+    hash_fn: str | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
     Band hashes bucket-join candidate pairs (near-linear vs O(n²)); the
     verification join recomputes exact Jaccard so output quality matches the
     exact operator on whatever candidates banding surfaces.
+
+    ``hash_fn``: "xxhash64" (interpreted-expression production path),
+    "portable" (oracle-reproducible), "arrow" (vectorized numpy gram-hash
+    + signature lane, verification intersects bigint arrays — same exact
+    Jaccard modulo 64-bit collisions). ``None`` resolves from the
+    engine-wide scale mode (arrow at scale, xxhash64 otherwise).
     """
+    from sparvi_spark.config import resolve_backend
+
+    hash_fn = resolve_backend(hash_fn, "arrow", "xxhash64")
     rows_per_band = num_hashes // bands
     # One persisted frame carries the shingle SET, its size, and the banded
     # signature per doc — ALL computed as per-row projections (array_distinct
@@ -467,14 +577,19 @@ def minhash_lsh_pairs(
                      f"(acc, v) -> (acc * {PORTABLE_BAND_M} + v) % {PORTABLE_P})")
     else:
         band_hash = f"xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band}))"
-    grams = _doc_gram_arrays(df, id_col, text_col, n)
+    if hash_fn == "arrow":
+        signed = _gram_hash_sig_arrow(df, id_col, text_col, n, num_hashes)
+    else:
+        signed = _with_sig(_doc_gram_arrays(df, id_col, text_col, n),
+                           num_hashes, hash_fn)
     # sig is INSIDE the persisted projection: band hashes reference it
     # `bands` times, and without the cache boundary Catalyst collapses the
     # projects and re-evaluates the whole num_hashes-way signature once PER
     # BAND (measured 16x hashing blowup). Post-persist, each band hash reads
-    # the materialized array.
+    # the materialized array. (The arrow lane needs the boundary just as
+    # much: re-collapse would re-run the Python worker per band.)
     base = _persist(
-        _with_sig(grams, num_hashes, hash_fn)
+        signed
         .withColumn("__sz", F.size("__grams"))
         .select("__id", "__grams", "__sz", "sig")
     )
@@ -525,7 +640,7 @@ def minhash_lsh_pairs_cross(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
-    hash_fn: str = "xxhash64",
+    hash_fn: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN two corpora (candidate x reference) —
     MinHash banding + exact-Jaccard verification, the near-dup level of
@@ -541,7 +656,13 @@ def minhash_lsh_pairs_cross(
     broadcasts, leaving the candidate side one map-side join + the
     verification joins. To drop near-dup-contaminated docs:
     ``df.join(pairs.select("id").distinct(), id_col, "left_anti")``.
+
+    ``hash_fn`` as in ``minhash_lsh_pairs`` ("arrow" = vectorized numpy
+    lane; ``None`` resolves from scale mode).
     """
+    from sparvi_spark.config import resolve_backend
+
+    hash_fn = resolve_backend(hash_fn, "arrow", "xxhash64")
     rows_per_band = num_hashes // bands
     if hash_fn == "portable":
         band_hash = (f"aggregate(slice(sig, b * {rows_per_band} + 1, "
@@ -553,9 +674,14 @@ def minhash_lsh_pairs_cross(
     def _base(frame: DataFrame) -> DataFrame:
         # sig inside the persisted projection for the same
         # re-evaluation-per-band reason as minhash_lsh_pairs
+        if hash_fn == "arrow":
+            signed = _gram_hash_sig_arrow(frame, id_col, text_col, n,
+                                          num_hashes)
+        else:
+            signed = _with_sig(_doc_gram_arrays(frame, id_col, text_col, n),
+                               num_hashes, hash_fn)
         return _persist(
-            _with_sig(_doc_gram_arrays(frame, id_col, text_col, n),
-                      num_hashes, hash_fn)
+            signed
             .withColumn("__sz", F.size("__grams"))
             .select("__id", "__grams", "__sz", "sig")
         )
@@ -601,13 +727,16 @@ def minhash_pairs_from_sigs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
-    hash_fn: str = "xxhash64",
+    hash_fn: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs between two SIGNATURE sets -> (id, ref_id,
     est_jaccard) — no text, no gram sets. Inputs: ``new_sigs`` as
     (id, sig), ``ref_sigs`` as (ref_id, sig), both signed by the SAME
     hash family (``minhash_signatures`` with identical num_hashes /
-    hash_fn).
+    hash_fn). ``hash_fn`` here only picks the BAND hash over the given
+    signatures ("portable" = oracle-reproducible polynomial; "xxhash64"
+    and "arrow" both band with xxhash64 — the signatures are plain
+    longs either way); ``None`` resolves from scale mode.
 
     Verification here is the MinHash estimator itself: the fraction of
     matching signature components is an unbiased estimate of Jaccard
@@ -620,6 +749,9 @@ def minhash_pairs_from_sigs(
     the band join is two-sided equi (cost = colliding cross pairs), and
     the ref side of the verify join broadcasts when small.
     """
+    from sparvi_spark.config import resolve_backend
+
+    hash_fn = resolve_backend(hash_fn, "arrow", "xxhash64")
     rows_per_band = num_hashes // bands
     if hash_fn == "portable":
         band_hash = (f"aggregate(slice(sig, b * {rows_per_band} + 1, "
@@ -877,12 +1009,86 @@ def _gram_pairs(v: DataFrame, id_type: str, threshold: float) -> DataFrame:
 # reference repo (its dedup surface stops at exact duplicates).
 # ---------------------------------------------------------------------------
 
+def _shingle_hash_rows(df: DataFrame, id_col: str, text_col: str,
+                       n: int) -> DataFrame:
+    """(__id, n_shingles, gram): each doc's DISTINCT shingle set as 64-bit
+    rolling hashes — the Arrow scale lane shared by gram consumers.
+
+    Tokenization stays JVM-SIDE (the identical ``tokens_expr`` split the
+    parity path uses), so the only semantic difference from
+    ``_doc_gram_arrays`` is that shingles are represented by a hash of
+    the token n-tuple instead of the joined string. Tokens cannot contain
+    whitespace (they come from a \\s+ split), so ``' '.join`` is injective
+    on token tuples and the two representations identify the same set —
+    modulo 64-bit collisions (~1e-8 at 10⁶ distinct shingles; acceptable
+    for the scale lane, which is why the oracle-parity default stays on
+    strings).
+
+    Inside the Arrow batch everything is vectorized ACROSS documents:
+    one token flat-array per batch, one siphash pass
+    (``pandas.util.hash_array``, fixed key -> deterministic across
+    executor processes, unlike builtin ``hash``), one wrapping-uint64
+    polynomial combine per extra gram position, one lexsort for the
+    per-doc distinct — no per-row Python, no per-window lambda. This is
+    the lever the interpreted HOF prototype (see ``contamination``'s
+    negative-result note) was missing.
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    toks = (df.select(F.col(id_col).alias("__id"),
+                      F.expr(tokens_expr(text_col)).alias("__toks"))
+            .where(f"size(__toks) >= {n}"))
+    out_schema = f"__id {id_type}, n_shingles bigint, gram bigint"
+
+    def emit(batches):
+        import numpy as np
+        from pandas.util import hash_array
+
+        P = np.uint64(0x9E3779B97F4A7C15)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            tok_lists = [np.asarray(t, dtype=object) for t in pdf["__toks"]]
+            lens = np.fromiter((len(t) for t in tok_lists),
+                               dtype=np.int64, count=m)
+            flat = np.concatenate(tok_lists)
+            th = hash_array(flat)  # uint64 siphash, fixed key
+            nw = len(flat) - (n - 1)
+            with np.errstate(over="ignore"):
+                c = th[:nw].copy()
+                for k in range(1, n):
+                    c = (c * P) ^ th[k:k + nw]
+            # windows that straddle a document boundary are not shingles
+            doc_of = np.repeat(np.arange(m, dtype=np.int64), lens)
+            valid = doc_of[:nw] == doc_of[n - 1:n - 1 + nw]
+            c, d = c[valid], doc_of[:nw][valid]
+            # per-doc distinct: sort (doc, hash), keep group firsts
+            order = np.lexsort((c, d))
+            c, d = c[order], d[order]
+            keep = np.empty(len(c), dtype=bool)
+            keep[:1] = True
+            keep[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+            c, d = c[keep], d[keep]
+            counts = np.bincount(d, minlength=m)
+            ids = pdf["__id"].to_numpy()
+            yield pd.DataFrame({
+                "__id": ids[d],
+                "n_shingles": counts[d],
+                "gram": c.view(np.int64),  # exact bit-pattern as bigint
+            })
+
+    return toks.mapInPandas(emit, out_schema)
+
+
 def contamination(
     df: DataFrame,
     ref: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
+    backend: str | None = None,
 ) -> DataFrame:
     """Per-doc overlap with the reference corpus' shingle set.
 
@@ -899,20 +1105,38 @@ def contamination(
     n_shingles. Cost is linear in corpus size — no pairwise comparisons
     anywhere.
 
-    A hashed-window variant (n-ary xxhash64 per window so the join
-    carries 8-byte keys, no shingle string built) was prototyped and
-    MEASURED SLOWER on the 10× sweep corpus — 8.5-10.3s vs 4.4s for this
-    string path — because interpreted per-window lambda calls cost more
-    than concat_ws string building and the join was never the
-    bottleneck. Deliberately not shipped; re-evaluate only with a
-    measurement showing the crossover.
+    ``backend``: ``"expr"`` (oracle-parity default) builds shingle
+    STRINGS JVM-side and joins on them; ``"arrow"`` (the scale-mode
+    default) runs the numpy rolling-hash lane (``_shingle_hash_rows``)
+    and joins 8-byte keys — identical counts modulo 64-bit hash
+    collisions. ``None`` resolves from the engine-wide scale mode.
+
+    Negative result, kept for the record (r8): a hashed-window variant
+    built from INTERPRETED per-window xxhash64 lambdas measured SLOWER
+    than this string path on the 10× sweep (8.5-10.3s vs 4.4s) — HOFs
+    never codegen, so per-window lambda calls cost more than concat_ws.
+    The Arrow lane is the shape that actually closes the gap (r10,
+    SCALING.md round-10 table): the hash build moves to vectorized
+    numpy, ~µs-per-window interpreter cost drops to ~ns-per-window.
     """
-    doc_sh = _doc_gram_arrays(df, id_col, text_col, n).select(
-        "__id", F.size("__grams").alias("n_shingles"),
-        F.explode("__grams").alias("shingle"))
-    ref_sh = (_doc_shingles(ref, id_col, text_col, n)
-              .select("shingle").distinct()
-              .withColumn("__hit", F.lit(1)))
+    from sparvi_spark.config import resolve_backend
+
+    backend = resolve_backend(backend, "arrow", "expr")
+    if backend not in ("expr", "arrow"):
+        raise ValueError(f"unknown contamination backend {backend!r}")
+    if backend == "arrow":
+        doc_sh = (_shingle_hash_rows(df, id_col, text_col, n)
+                  .withColumnRenamed("gram", "shingle"))
+        ref_sh = (_shingle_hash_rows(ref, id_col, text_col, n)
+                  .select(F.col("gram").alias("shingle")).distinct()
+                  .withColumn("__hit", F.lit(1)))
+    else:
+        doc_sh = _doc_gram_arrays(df, id_col, text_col, n).select(
+            "__id", F.size("__grams").alias("n_shingles"),
+            F.explode("__grams").alias("shingle"))
+        ref_sh = (_doc_shingles(ref, id_col, text_col, n)
+                  .select("shingle").distinct()
+                  .withColumn("__hit", F.lit(1)))
     return (
         doc_sh.join(ref_sh, "shingle", "left")
         .groupBy("__id")

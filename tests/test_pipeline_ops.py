@@ -538,6 +538,111 @@ def test_contamination_fractions(spark):
     assert out[3]["contamination_frac"] == 0.0
 
 
+def test_contamination_arrow_backend_parity(spark):
+    """The Arrow rolling-hash lane (scale-mode default) must produce the
+    SAME rows as the oracle-parity string path: same docs, same
+    n_shingles (distinct hashes == distinct strings barring 64-bit
+    collisions), same hit counts — on hostile inputs (1-word docs, NULL
+    text, duplicated shingles) and on the real documents table."""
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.dedup import contamination
+    from sparvi_spark.testdata import load_table
+
+    hostile = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one"), (4, "a b c a b c a b c"),
+         (5, "a b c d e"), (6, "x\ty  z w v"), (7, "a b c x y z")],
+        "doc_id int, text string")
+    frames = [
+        (hostile.where("doc_id >= 4"), hostile.where("doc_id < 4")),
+    ]
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    frames.append((docs.where(F.col("source") != "src0"),
+                   docs.where(F.col("source") == "src0")))
+    for cand, ref in frames:
+        expr = sorted(contamination(cand, ref, "doc_id", "text", n=3,
+                                    backend="expr").collect())
+        arrow = sorted(contamination(cand, ref, "doc_id", "text", n=3,
+                                     backend="arrow").collect())
+        assert arrow == expr
+    # scale mode flips the default to the arrow lane; explicit arg wins
+    from sparvi_spark.config import scale_mode_ctx
+
+    with scale_mode_ctx(True):
+        got = sorted(contamination(hostile.where("doc_id >= 4"),
+                                   hostile.where("doc_id < 4"),
+                                   "doc_id", "text", n=3).collect())
+    assert got == sorted(contamination(
+        hostile.where("doc_id >= 4"), hostile.where("doc_id < 4"),
+        "doc_id", "text", n=3, backend="expr").collect())
+
+
+def test_minhash_arrow_lane_matches_expr_pairs(spark):
+    """hash_fn='arrow' (vectorized numpy gram-hash + KM signature lane)
+    must emit the SAME verified pairs with the SAME exact-Jaccard values
+    as the xxhash64 expression path on corpora whose near-dups are well
+    clear of the banding recall boundary: candidates may differ between
+    hash families, but verification is exact either way, so any pair at
+    jaccard >= threshold that both bandings surface carries identical
+    numbers. Also covers signatures (shape + in-doc stability), the
+    cross variant, hostile short docs, and the scale-mode default."""
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.config import scale_mode_ctx
+    from sparvi_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_lsh_pairs_cross, minhash_signatures)
+    from sparvi_spark.testdata import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    kw = dict(n=3, num_hashes=64, bands=16, threshold=0.5)
+    expr_pairs = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in
+        minhash_lsh_pairs(docs, "doc_id", "text",
+                          hash_fn="xxhash64", **kw).collect())
+    arrow_pairs = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in
+        minhash_lsh_pairs(docs, "doc_id", "text",
+                          hash_fn="arrow", **kw).collect())
+    assert expr_pairs and arrow_pairs == expr_pairs
+    with scale_mode_ctx(True):  # None resolves to the arrow lane
+        assert sorted(
+            (r["id_a"], r["id_b"], r["jaccard"]) for r in
+            minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()
+        ) == expr_pairs
+
+    # hostile short docs: the arrow lane drops <n-token docs like expr
+    hostile = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one"),
+         (5, "aa bb cc dd ee"), (6, "aa bb cc dd ff")],
+        "doc_id int, text string")
+    hp = minhash_lsh_pairs(hostile, "doc_id", "text", n=3, num_hashes=16,
+                           bands=8, threshold=0.3, hash_fn="arrow")
+    assert {(r["id_a"], r["id_b"]) for r in hp.collect()} == {(5, 6)}
+
+    # signatures: right shape, and identical docs sign identically
+    sigs = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(
+        hostile, "doc_id", "text", n=3, num_hashes=16,
+        hash_fn="arrow").collect()}
+    assert set(sigs) == {5, 6} and len(sigs[5]) == 16
+    twin = spark.createDataFrame(
+        [(7, "aa bb cc dd ee")], "doc_id int, text string")
+    tsig = minhash_signatures(twin, "doc_id", "text", n=3, num_hashes=16,
+                              hash_fn="arrow").collect()[0]["sig"]
+    assert list(tsig) == sigs[5]
+
+    # cross variant agrees with the expr cross on the same corpus split
+    cand = docs.where(F.col("source") != "src0")
+    ref = docs.where(F.col("source") == "src0")
+    for fn in ("xxhash64", "arrow"):
+        got = sorted((r["id"], r["ref_id"], r["jaccard"]) for r in
+                     minhash_lsh_pairs_cross(cand, ref, "doc_id", "text",
+                                             hash_fn=fn, **kw).collect())
+        if fn == "xxhash64":
+            expr_cross = got
+        else:
+            assert got == expr_cross
+
+
 def test_pattern_counts_groups(spark):
     from sparvi_spark.operators.text import pattern_counts
 
