@@ -119,7 +119,7 @@ def main() -> None:
     from sparvi_spark.streaming.drift import streaming_drift_monitor
 
     ev = load_table(spark, "events", BASE).select(
-        F.col("metric_value").cast("double").alias("x")).toPandas()
+        F.col("value").cast("double").alias("x")).toPandas()
     engine.save_drift_baseline(
         spark.createDataFrame(ev), "lat_feed", ["x"])
 
@@ -139,24 +139,28 @@ def main() -> None:
         "b10x_sec": round(walls[2][1], 3), "rows_10x": walls[2][0]}
     print(f"# drift: {results['drift_monitor']}", file=sys.stderr)
 
-    # ---- corpus intake (near-dedup admission) ------------------------
+    # ---- corpus intake (near-dedup admission), both signature lanes --
     from sparvi_spark.streaming.corpus import streaming_corpus_intake
 
-    drops = [
-        lambda p: write_docs(p, 1, 0),             # warm (seeds state)
-        lambda p: write_docs(p, 1, 10_000_000),    # 1x vs 5k sigs
-        lambda p: write_docs(p, 10, 20_000_000),   # 10x vs 10k sigs
-    ]
-    walls = _run_monitor(
-        spark,
-        lambda s: streaming_corpus_intake(
-            s, engine, "lat_intake", os.path.join(work, "corpus")),
-        drops, "doc_id long, text string", os.path.join(work, "c_in"))
-    results["corpus_intake"] = {
-        "warm_sec": round(walls[0][1], 3),
-        "b1x_sec": round(walls[1][1], 3), "rows_1x": walls[1][0],
-        "b10x_sec": round(walls[2][1], 3), "rows_10x": walls[2][0]}
-    print(f"# intake: {results['corpus_intake']}", file=sys.stderr)
+    for lane in ("xxhash64", "arrow"):
+        drops = [
+            lambda p: write_docs(p, 1, 0),             # warm (seeds state)
+            lambda p: write_docs(p, 1, 10_000_000),    # 1x vs 5k sigs
+            lambda p: write_docs(p, 10, 20_000_000),   # 10x vs 10k sigs
+        ]
+        walls = _run_monitor(
+            spark,
+            lambda s, _l=lane: streaming_corpus_intake(
+                s, engine, f"lat_intake_{_l}",
+                os.path.join(work, f"corpus_{_l}"), hash_fn=_l),
+            drops, "doc_id long, text string",
+            os.path.join(work, f"c_in_{lane}"))
+        results[f"corpus_intake_{lane}"] = {
+            "warm_sec": round(walls[0][1], 3),
+            "b1x_sec": round(walls[1][1], 3), "rows_1x": walls[1][0],
+            "b10x_sec": round(walls[2][1], 3), "rows_10x": walls[2][0]}
+        print(f"# intake {lane}: {results[f'corpus_intake_{lane}']}",
+              file=sys.stderr)
 
     print(json.dumps({"monitors": results, "sf_dir": BASE}))
     shutil.rmtree(work, ignore_errors=True)

@@ -923,20 +923,41 @@ class Engine:
         """
         from sparvi_spark.operators.dedup import (
             dedup_near, minhash_lsh_pairs, minhash_pairs_from_sigs,
-            minhash_signatures, scoped_caches)
+            minhash_signed, scoped_caches)
 
         run_at = run_at or _utcnow()
+        # A streaming microbatch often arrives in 1-2 input partitions
+        # (one small file per trigger) while the signature build is the
+        # most CPU-heavy per-row work in the engine — widen narrow
+        # batches so it parallelizes (one narrow shuffle of the batch,
+        # paid once; wide batches pass through untouched).
+        width = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < max(2, width // 4):
+            docs = docs.repartition(width)
         # the batch plan feeds the pair search, the signatures, the kept
         # anti-join, and two counts — persist so the in-batch LSH pipeline
         # runs once, not once per consumer (streaming hot path)
         docs = docs.persist()
+        # ONE gram+signature build for the whole call: the pair search
+        # reads it via signed=, and the state append filters it to the
+        # kept ids — previously the append re-ran the full build on
+        # batch_kept (measured: the build is ~half the per-batch wall).
+        # Persisted OUTSIDE scoped_caches: the append in the tail below
+        # still reads it after the scope releases the LSH band caches.
+        signed = minhash_signed(docs, id_col, text_col, n=n,
+                                num_hashes=num_hashes,
+                                hash_fn=hash_fn).persist()
         with scoped_caches():
             pairs = minhash_lsh_pairs(docs, id_col, text_col, n=n,
                                       num_hashes=num_hashes, bands=bands,
-                                      threshold=threshold, hash_fn=hash_fn)
+                                      threshold=threshold, hash_fn=hash_fn,
+                                      signed=signed)
             batch_kept = dedup_near(docs, pairs, id_col).persist()
-            sigs = minhash_signatures(batch_kept, id_col, text_col, n=n,
-                                      num_hashes=num_hashes, hash_fn=hash_fn)
+            # in-batch survivors' signatures, FILTERED from the shared
+            # signed base (same rows minhash_signatures(batch_kept) would
+            # produce, no second gram+sig build)
+            sigs = (signed.select(F.col("__id").alias(id_col), "sig")
+                    .join(batch_kept.select(id_col), id_col))
             state_sigs = (self.state.read("corpus_signatures")
                           .where(F.col("corpus_name") == corpus_name)
                           .select(F.col("doc_id").alias("ref_id"), "sig"))
@@ -950,7 +971,6 @@ class Engine:
                 contaminated, batch_kept[id_col] == F.col("__dup"),
                 "left_anti").localCheckpoint())
             # counts INSIDE the scope: they materialize batch_kept's cache
-            # (sigs recompute from it, not from the released LSH base)
             n_in, n_batch_kept, n_kept = (
                 docs.count(), batch_kept.count(), kept.count())
         # the sink/append tail can raise (transient sink failure in a
@@ -971,6 +991,7 @@ class Engine:
             self.state.append("corpus_signatures", kept_sigs)
         finally:
             batch_kept.unpersist()
+            signed.unpersist()
             docs.unpersist()
         summary = {
             "kept": kept, "n_in": n_in,

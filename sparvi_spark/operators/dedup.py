@@ -539,6 +539,28 @@ def minhash_signatures(
         F.col("__id").alias(id_col), "sig")
 
 
+def minhash_signed(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                   num_hashes: int = 64,
+                   hash_fn: str | None = None) -> DataFrame:
+    """(__id, __grams, __sz, sig): the shared signed base every MinHash
+    consumer reads — gram SET (strings in the expr lanes, 64-bit hashes
+    in the arrow lane), its size, and the affine-min signature, all as
+    per-row projections. Callers that feed SEVERAL consumers (pair
+    search + state append, see ``Engine.dedup_corpus_incremental``)
+    persist this ONCE and pass it to ``minhash_lsh_pairs(signed=...)``
+    instead of paying the gram+signature build per consumer."""
+    from sparvi_spark.config import resolve_backend
+
+    hash_fn = resolve_backend(hash_fn, "arrow", "xxhash64")
+    if hash_fn == "arrow":
+        signed = _gram_hash_sig_arrow(df, id_col, text_col, n, num_hashes)
+    else:
+        signed = _with_sig(_doc_gram_arrays(df, id_col, text_col, n),
+                           num_hashes, hash_fn)
+    return (signed.withColumn("__sz", F.size("__grams"))
+            .select("__id", "__grams", "__sz", "sig"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -548,6 +570,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     hash_fn: str | None = None,
+    signed: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
@@ -560,6 +583,10 @@ def minhash_lsh_pairs(
     + signature lane, verification intersects bigint arrays — same exact
     Jaccard modulo 64-bit collisions). ``None`` resolves from the
     engine-wide scale mode (arrow at scale, xxhash64 otherwise).
+
+    ``signed``: an already-PERSISTED ``minhash_signed`` frame (built with
+    the same n/num_hashes/hash_fn) to reuse instead of building one —
+    the caller owns its lifecycle.
     """
     from sparvi_spark.config import resolve_backend
 
@@ -577,22 +604,14 @@ def minhash_lsh_pairs(
                      f"(acc, v) -> (acc * {PORTABLE_BAND_M} + v) % {PORTABLE_P})")
     else:
         band_hash = f"xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band}))"
-    if hash_fn == "arrow":
-        signed = _gram_hash_sig_arrow(df, id_col, text_col, n, num_hashes)
-    else:
-        signed = _with_sig(_doc_gram_arrays(df, id_col, text_col, n),
-                           num_hashes, hash_fn)
     # sig is INSIDE the persisted projection: band hashes reference it
     # `bands` times, and without the cache boundary Catalyst collapses the
     # projects and re-evaluates the whole num_hashes-way signature once PER
     # BAND (measured 16x hashing blowup). Post-persist, each band hash reads
     # the materialized array. (The arrow lane needs the boundary just as
     # much: re-collapse would re-run the Python worker per band.)
-    base = _persist(
-        signed
-        .withColumn("__sz", F.size("__grams"))
-        .select("__id", "__grams", "__sz", "sig")
-    )
+    base = signed if signed is not None else _persist(
+        minhash_signed(df, id_col, text_col, n, num_hashes, hash_fn))
 
     # inline() expands the band structs straight to columns — one analyzed
     # plan instead of explode-then-extract (each DataFrame op costs a

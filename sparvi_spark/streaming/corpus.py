@@ -32,13 +32,18 @@ def streaming_corpus_intake(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
     on_batch: Callable[[dict, int], None] | None = None,
 ):
     """Start a query that admits each microbatch's near-dedup survivors
     into ``corpus_path`` (parquet append). Returns the StreamingQuery.
 
     ``on_batch(summary, batch_id)`` receives the
-    ``dedup_corpus_incremental`` summary (counts only). Batch-parity:
+    ``dedup_corpus_incremental`` summary (counts only). ``hash_fn`` is
+    pinned per corpus (stored signatures are only comparable to batches
+    signed by the same family — see the engine docstring); pass
+    ``"arrow"`` for the vectorized signature lane (measured ~2-4× less
+    per-batch wall, scripts/streaming_latency.py). Batch-parity:
     admitting the same data in any microbatch partitioning yields the
     same survivor SET as one batch call whenever duplicates arrive after
     their originals (streaming keep-first == batch keep-smallest when
@@ -66,7 +71,7 @@ def streaming_corpus_intake(
             summary = engine.dedup_corpus_incremental(
                 batch, corpus_name, id_col=id_col, text_col=text_col,
                 n=n, num_hashes=num_hashes, bands=bands,
-                threshold=threshold,
+                threshold=threshold, hash_fn=hash_fn,
                 sink=lambda kept: kept.write.mode("overwrite")
                 .parquet(f"{corpus_path}/ingest_batch={batch_id}"))
             if on_batch is not None:
