@@ -48,6 +48,7 @@ _QUERY_TABLES = {
     # against the same DuckDB baseline as the expr path, plus the one
     # gram consumer (e11 signature pairs) the sweep never covered
     "contamination_arrow": {"documents"}, "sig_pairs": {"documents"},
+    "dup_spans_arrow": {"documents"},
 }
 
 if ONLY is not None:
@@ -205,7 +206,12 @@ def spark_queries(spark, sf_dir, sem_cents):
         # linear positional-n-gram pipeline; 8-byte hash keys on the
         # Spark side, raw gram strings on DuckDB's (its natural form)
         "dup_spans": lambda: duplicate_spans(
-            docs(), "doc_id", "text", n=8).agg(
+            docs(), "doc_id", "text", n=8, gram_mode="hash").agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_tokens").alias("tok_total")),
+        # r10: the positional Arrow window-hash lane, same DuckDB baseline
+        "dup_spans_arrow": lambda: duplicate_spans(
+            docs(), "doc_id", "text", n=8, gram_mode="arrow").agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum("span_tokens").alias("tok_total")),
         # r7 additions: the families the driver started grading in r6
@@ -374,6 +380,7 @@ sp AS (SELECT doc_id, max(e) - min(pos) AS span_tokens
 SELECT count(*) AS n_spans, sum(span_tokens) AS tok_total FROM sp"""
     duck = {
         "dup_spans": dup_spans_sql,
+        "dup_spans_arrow": dup_spans_sql,  # one baseline for the A/B
         "profile_numeric": DUCK_SQL["profile_numeric"],
         "percentiles": DUCK_SQL["percentiles"],
         "percentiles_refine": DUCK_SQL["percentiles"],

@@ -1327,6 +1327,51 @@ def _numpy_assign(df: DataFrame, vec_col: str,
 # positional n-gram keys + corpus-wide counts + per-doc interval merging.
 # ---------------------------------------------------------------------------
 
+def _window_hash_rows(df: DataFrame, id_col: str, text_col: str,
+                      n: int) -> DataFrame:
+    """(__id, pos, key): EVERY length-n token window's rolling 64-bit
+    hash with its in-doc position — the Arrow POSITIONAL gram lane
+    feeding ``duplicate_spans``. Same construction as
+    ``_shingle_hash_rows`` (JVM tokenize + per-token xxhash64, numpy
+    rolling combine) minus the per-doc distinct: ExactSubstr needs
+    every occurrence, not the set."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    toks = _token_hash_frame(df, id_col, text_col, n)
+    out_schema = f"__id {id_type}, pos int, key bigint"
+
+    def emit(batches):
+        import numpy as np
+
+        P = np.uint64(0x9E3779B97F4A7C15)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            tok_lists = [np.asarray(t, dtype=np.int64) for t in pdf["__th"]]
+            lens = np.fromiter((len(t) for t in tok_lists),
+                               dtype=np.int64, count=m)
+            th = np.concatenate(tok_lists).view(np.uint64)
+            nw = len(th) - (n - 1)
+            with np.errstate(over="ignore"):
+                c = th[:nw].copy()
+                for k in range(1, n):
+                    c = (c * P) ^ th[k:k + nw]
+            doc_of = np.repeat(np.arange(m, dtype=np.int64), lens)
+            doc_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            idx = np.nonzero(doc_of[:nw] == doc_of[n - 1:n - 1 + nw])[0]
+            d = doc_of[idx]
+            ids = pdf["__id"].to_numpy()
+            yield pd.DataFrame({
+                "__id": ids[d],
+                "pos": (idx - doc_start[d]).astype(np.int32),
+                "key": c[idx].view(np.int64),
+            })
+
+    return toks.mapInPandas(emit, out_schema)
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,
@@ -1334,7 +1379,7 @@ def duplicate_spans(
     n: int = 10,
     min_count: int = 2,
     scope: str = "corpus",
-    gram_mode: str = "hash",
+    gram_mode: str | None = None,
 ) -> DataFrame:
     """Maximal duplicated passages -> (id, span_start, span_end,
     span_tokens, n_windows), token-index bounds [start, end).
@@ -1355,21 +1400,35 @@ def duplicate_spans(
     shuffle row is (8-byte key, id, pos) — the 100 TB path (a 64-bit
     collision can only ADD a false duplicate window, expected n²/2⁶⁵);
     ``gram_mode="exact"`` keys by the token string itself
-    (collision-free; the oracle-parity path).
+    (collision-free; the oracle-parity path); ``gram_mode="arrow"``
+    (the scale-mode default, r10) builds the same positional 8-byte
+    keys in the vectorized numpy lane (``_window_hash_rows``) — per-
+    window cost drops from an interpreted slice+concat+hash lambda to
+    a batch rolling combine. ``None`` resolves from scale mode
+    (arrow at scale, hash otherwise).
     """
+    from sparvi_spark.config import resolve_backend
+
+    gram_mode = resolve_backend(gram_mode, "arrow", "hash")
     if scope not in ("corpus", "cross_doc"):
         raise ValueError(f"unknown scope {scope!r}")
-    toks = df.select(F.col(id_col).alias("__id"),
-                     F.expr(tokens_expr(text_col)).alias("__toks"))
-    # \x1f separator: without it ('ab','c') and ('a','bc') key identically
-    gram = f"concat_ws('\\u001f', slice(__toks, i + 1, {n}))"
-    key = f"xxhash64({gram})" if gram_mode == "hash" else gram
-    pos = (toks.where(F.size("__toks") >= n)
-           .select("__id", F.explode(F.expr(
-               f"transform(sequence(0, size(__toks) - {n}), "
-               f"i -> struct(i as pos, {key} as key))")).alias("w"))
-           .select("__id", F.col("w.pos").alias("pos"),
-                   F.col("w.key").alias("key")))
+    if gram_mode not in ("hash", "exact", "arrow"):
+        raise ValueError(f"unknown gram_mode {gram_mode!r}")
+    if gram_mode == "arrow":
+        pos = _window_hash_rows(df, id_col, text_col, n)
+    else:
+        toks = df.select(F.col(id_col).alias("__id"),
+                         F.expr(tokens_expr(text_col)).alias("__toks"))
+        # \x1f separator: without it ('ab','c') and ('a','bc') key
+        # identically
+        gram = f"concat_ws('\\u001f', slice(__toks, i + 1, {n}))"
+        key = f"xxhash64({gram})" if gram_mode == "hash" else gram
+        pos = (toks.where(F.size("__toks") >= n)
+               .select("__id", F.explode(F.expr(
+                   f"transform(sequence(0, size(__toks) - {n}), "
+                   f"i -> struct(i as pos, {key} as key))")).alias("w"))
+               .select("__id", F.col("w.pos").alias("pos"),
+                       F.col("w.key").alias("key")))
     if scope == "corpus":
         hot = (pos.groupBy("key").agg(F.count(F.lit(1)).alias("__c"))
                .where(F.col("__c") >= min_count))

@@ -618,6 +618,14 @@ def test_minhash_arrow_lane_matches_expr_pairs(spark):
     hp = minhash_lsh_pairs(hostile, "doc_id", "text", n=3, num_hashes=16,
                            bands=8, threshold=0.3, hash_fn="arrow")
     assert {(r["id_a"], r["id_b"]) for r in hp.collect()} == {(5, 6)}
+    # n=1 (token-set) edge: the rolling-combine loop is a no-op and the
+    # jaccard must equal the expr lane's token-set numbers exactly
+    for fn in ("xxhash64", "arrow"):
+        p1 = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              minhash_lsh_pairs(hostile, "doc_id", "text", n=1,
+                                num_hashes=16, bands=16,
+                                threshold=0.3, hash_fn=fn).collect()}
+        assert p1 == {(5, 6): 0.666667}  # |{aa,bb,cc,dd}| / |6 tokens|
 
     # signatures: right shape, and identical docs sign identically
     sigs = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(
@@ -1764,7 +1772,7 @@ def test_duplicate_spans_matches_reference(spark):
     }
     df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
     for scope in ("corpus", "cross_doc"):
-        for mode in ("hash", "exact"):
+        for mode in ("hash", "exact", "arrow"):
             got = sorted(
                 (r["doc_id"], r["span_start"], r["span_end"],
                  r["span_tokens"], r["n_windows"])
