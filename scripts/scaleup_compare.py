@@ -48,7 +48,7 @@ _QUERY_TABLES = {
     # against the same DuckDB baseline as the expr path, plus the one
     # gram consumer (e11 signature pairs) the sweep never covered
     "contamination_arrow": {"documents"}, "sig_pairs": {"documents"},
-    "dup_spans_arrow": {"documents"},
+    "dup_spans_arrow": {"documents"}, "sig_pairs_arrow": {"documents"},
 }
 
 if ONLY is not None:
@@ -262,7 +262,8 @@ def spark_queries(spark, sf_dir, sem_cents):
         # e11 incremental signature state at full scale: sign both sides
         # (xxhash64 KM double-hash, the production path), band join new
         # vs stored, estimator verify — the monitor-shape claim
-        "sig_pairs": lambda: _sig_pairs(docs()),
+        "sig_pairs": lambda: _sig_pairs(docs(), "xxhash64"),
+        "sig_pairs_arrow": lambda: _sig_pairs(docs(), "arrow"),
     }
 
 
@@ -279,7 +280,7 @@ def _contamination(d, backend):
           F.sum("n_contaminated").alias("hits"))
 
 
-def _sig_pairs(d):
+def _sig_pairs(d, hash_fn):
     from pyspark.sql import functions as F
 
     from sparvi_spark.operators.dedup import (
@@ -292,11 +293,13 @@ def _sig_pairs(d):
     # blowup, not the monitor. 3-gram sets are doc-specific (1,633
     # candidates on the same corpus), the production shape.
     new_sigs = minhash_signatures(
-        d.where(F.col("source") != "src0"), "doc_id", "text",
-        n=3, num_hashes=64).select(F.col("doc_id").alias("id"), "sig")
+        d.where(F.col("source") != "src0"), "doc_id", "text", n=3,
+        num_hashes=64, hash_fn=hash_fn).select(
+        F.col("doc_id").alias("id"), "sig")
     ref_sigs = minhash_signatures(
-        d.where(F.col("source") == "src0"), "doc_id", "text",
-        n=3, num_hashes=64).select(F.col("doc_id").alias("ref_id"), "sig")
+        d.where(F.col("source") == "src0"), "doc_id", "text", n=3,
+        num_hashes=64, hash_fn=hash_fn).select(
+        F.col("doc_id").alias("ref_id"), "sig")
     return minhash_pairs_from_sigs(
         new_sigs, ref_sigs, num_hashes=64, bands=16, threshold=0.5).agg(
         F.count(F.lit(1)).alias("n_pairs"),
@@ -536,6 +539,7 @@ est AS (SELECT c.id, c.ref_id, ({_match}) / 64.0 AS ej
         JOIN sig b ON b.doc_id = c.ref_id AND b.src = 'src0')
 SELECT count(*) AS n_pairs, round(sum(ej), 3) AS est_sum
 FROM est WHERE ej >= {_T}"""
+    duck["sig_pairs_arrow"] = duck["sig_pairs"]  # one baseline for the A/B
 
     from sparvi_spark.checks.pipeline_checks import _duck_cosine
 

@@ -30,6 +30,12 @@ New round-5 slots: x24_drift (x24+x25), x27_doc_scores (x27+x28),
 x26_shard_split (x26+x29), e10_tokenize_pack (e10+e09), and the singles
 x30_semantic_dedup, x31_duplicate_spans, e11_sig_pairs, e13_dedup_lines,
 e14_corpus_diff promoted verbatim from EXTRA.
+Round-10: the round-9 families join their natural slots — e16/e17
+(classifier AUC + P/R sweep) as x27_doc_scores melt parts clf_auc /
+clf_pr, e18/e19 (vocabulary drift + TVD) as x24_drift parts vocab /
+vocab_tvd. The AUC and PR parts deliberately derive from ONE identical
+grouped subplan (classify._score_class_counts) so the union's physical
+plan ReusedExchange runs the scoring pass once for both.
 """
 
 from __future__ import annotations

@@ -2155,14 +2155,16 @@ FROM j GROUP BY doc_id, island
 # ---------------------------------------------------------------------------
 
 def _clf_eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keep_cols carries lang through the scoring projections — no re-join
+    # of documents on doc_id (r10; the oracle SQL keeps its join, DuckDB's
+    # natural form — values identical, it's the same label per row)
     from sparvi_spark.operators.classify import linear_scores
 
     docs = load_table(spark, "documents", sf_dir)
     scored = linear_scores(docs, _clf_weights(), bias=CLF_BIAS,
-                           emit_sum=True)
-    return scored.join(
-        docs.selectExpr("doc_id", "cast(lang = 'en' as int) AS y"),
-        "doc_id")
+                           emit_sum=True, keep_cols=["lang"])
+    return scored.selectExpr("doc_id", "feature_sum",
+                             "cast(lang = 'en' as int) AS y")
 
 
 def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

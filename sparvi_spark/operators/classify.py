@@ -69,8 +69,12 @@ def linear_scores(
     bias: float = 0.0,
     round_to: int = 9,
     emit_sum: bool = False,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, n_tokens, margin, label) per document.
+    """(id, n_tokens, margin, label[, feature_sum][, *keep_cols]) per
+    document. ``keep_cols`` threads input columns through the staged
+    projections (appended after the score columns) — evaluation callers
+    carry the label source along instead of re-joining the input on id.
 
     ``weights`` is the trained dense weight table (its length is the
     feature dimension); tokens are lowercased whitespace words (the text
@@ -101,8 +105,9 @@ def linear_scores(
     # form (one division + one add, IEEE basic ops).
     margin = (f"((cast({float(bias)!r} as double) + cast(__fsum as double) "
               f"/ {WEIGHT_SCALE}.0d) / cast(n_tokens as double))")
-    return (df.selectExpr(f"`{id_col}`", f"{toks} AS __toks")
-            .selectExpr(f"`{id_col}`", "size(__toks) AS n_tokens",
+    keep = [f"`{c}`" for c in (keep_cols or [])]
+    return (df.selectExpr(f"`{id_col}`", *keep, f"{toks} AS __toks")
+            .selectExpr(f"`{id_col}`", *keep, "size(__toks) AS n_tokens",
                         f"aggregate(__toks, 0L, (s, t) -> s + {feat}) "
                         f"AS __fsum")
             .selectExpr(
@@ -111,6 +116,7 @@ def linear_scores(
                 f"round({margin}, {round_to}) AS margin",
                 f"{margin} > 0.0d AS label",
                 *([f"__fsum AS feature_sum"] if emit_sum else []),
+                *keep,
             ))
 
 
@@ -217,6 +223,26 @@ def load_classifier(spark, path: str) -> tuple[list[float], float]:
     return model["weights"], float(model.get("bias", 0.0))
 
 
+def _score_class_counts(df: DataFrame, label_col: str, score_col: str,
+                        round_to: int | None) -> DataFrame:
+    """(__s, n, pos): per-distinct-score row + positive counts — the ONE
+    grouped subplan both ``classifier_eval`` and
+    ``precision_recall_table`` derive from. Deliberately IDENTICAL
+    (same aliases, same aggregate list, same filter text) so that when
+    the two evaluations ride in one union (the graded x27 melt), Spark's
+    ReusedExchange dedupes the whole scored->groupBy pipeline — the
+    scoring pass runs once for both parts instead of once each."""
+    score = (f"round(cast(`{score_col}` as double), {round_to})"
+             if round_to is not None else f"`{score_col}`")
+    return (df
+            .selectExpr(f"{score} AS __s",
+                        f"cast(`{label_col}` as int) AS __y")
+            .where("__s is not null and __y is not null")
+            .groupBy("__s")
+            .agg(F.expr("count(1)").alias("n"),
+                 F.expr("sum(__y)").alias("pos")))
+
+
 def classifier_eval(
     df: DataFrame,
     label_col: str,
@@ -246,20 +272,12 @@ def classifier_eval(
     Degenerate frames (one class absent) return auc NULL rather than
     divide — the caller can't rank what it never saw.
     """
-    score = (f"round(cast(`{score_col}` as double), {round_to})"
-             if round_to is not None else f"`{score_col}`")
-    per_score = (df
-                 .selectExpr(f"{score} AS __s",
-                             f"cast(`{label_col}` as int) AS __y")
-                 .where("__s is not null and __y is not null")
-                 .groupBy("__s")
-                 .agg(F.expr("sum(__y)").alias("pos"),
-                      F.expr("sum(1 - __y)").alias("neg")))
+    per_score = _score_class_counts(df, label_col, score_col, round_to)
     w = ("(ORDER BY __s ROWS BETWEEN UNBOUNDED PRECEDING "
          "AND 1 PRECEDING)")
     return (per_score
-            .selectExpr("pos", "neg",
-                        f"coalesce(sum(neg) OVER {w}, 0L) AS cneg")
+            .selectExpr("pos", "n - pos AS neg",
+                        f"coalesce(sum(n - pos) OVER {w}, 0L) AS cneg")
             .selectExpr(
                 "sum(pos) AS n_pos", "sum(neg) AS n_neg",
                 # 2x the numerator stays integer (the ½-tie term would
@@ -287,15 +305,8 @@ def precision_recall_table(
     quantizes continuous scores); counts are exact integers, the two
     ratios are single divisions, so the table oracles bit-for-bit.
     """
-    score = (f"round(cast(`{score_col}` as double), {round_to})"
-             if round_to is not None else f"`{score_col}`")
-    per_score = (df
-                 .selectExpr(f"{score} AS threshold",
-                             f"cast(`{label_col}` as int) AS __y")
-                 .where("threshold is not null and __y is not null")
-                 .groupBy("threshold")
-                 .agg(F.expr("count(1)").alias("n"),
-                      F.expr("sum(__y)").alias("pos")))
+    per_score = (_score_class_counts(df, label_col, score_col, round_to)
+                 .withColumnRenamed("__s", "threshold"))
     wdesc = ("(ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING "
              "AND CURRENT ROW)")
     wall = "(ORDER BY threshold ROWS BETWEEN UNBOUNDED PRECEDING AND "  \
