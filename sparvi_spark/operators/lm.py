@@ -81,6 +81,7 @@ def bigram_lm_score(
     text_col: str = "text",
     smooth_a: float = SMOOTH_A,
     round_to: int = 9,
+    doc_bg: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_bigrams, avg_p) per document with >= 2 tokens — mean
     smoothed transition probability under the model (higher = more
@@ -92,7 +93,8 @@ def bigram_lm_score(
     DECIMAL so in-document summation order cannot matter.
     """
     a = float(smooth_a)
-    doc_bg = _doc_bigrams(df, id_col, text_col)
+    if doc_bg is None:
+        doc_bg = _doc_bigrams(df, id_col, text_col)
     scored = (doc_bg
               .join(model["bigrams"], ["w1", "w2"], "left")
               .join(model["contexts"], ["w1"], "left")
@@ -117,6 +119,26 @@ def self_lm_score(
 ) -> DataFrame:
     """Score a corpus against its own bigram statistics — the outlier
     screen: documents whose transitions are rare in-corpus (gibberish,
-    boilerplate explosions, wrong language) land at the bottom."""
-    return bigram_lm_score(df, train_bigram_lm(df, text_col),
-                           id_col, text_col, round_to=round_to)
+    boilerplate explosions, wrong language) land at the bottom.
+
+    The (id, w1, w2) explode is built ONCE and persisted for the query
+    (dedup._persist — scoped-cache registered): it feeds both the model
+    counts and the scoring join, and without the boundary each consumer
+    re-ran the interpreted explode (r10; same idiom as the MinHash
+    signed base). ``train_bigram_lm`` stays the separate-corpus API."""
+    from sparvi_spark.operators.dedup import _persist
+
+    toks = _toks(text_col)
+    doc_bg = _persist(_doc_bigrams(df, id_col, text_col))
+    model = {
+        "bigrams": doc_bg.groupBy("w1", "w2").agg(
+            F.expr("count(1)").alias("c12")),
+        # contexts/vocab as in train_bigram_lm (vocab needs EVERY token,
+        # incl. single-token docs' — not derivable from bigrams)
+        "vocab": (df.selectExpr(f"explode({toks}) as w")
+                  .agg(F.expr("count(distinct w)").alias("v"))),
+    }
+    model["contexts"] = model["bigrams"].groupBy("w1").agg(
+        F.expr("sum(c12)").alias("c1"))
+    return bigram_lm_score(df, model, id_col, text_col,
+                           round_to=round_to, doc_bg=doc_bg)
