@@ -42,8 +42,10 @@ def streaming_corpus_intake(
     ``dedup_corpus_incremental`` summary (counts only). ``hash_fn`` is
     pinned per corpus (stored signatures are only comparable to batches
     signed by the same family — see the engine docstring); pass
-    ``"arrow"`` for the vectorized signature lane (measured ~2-4× less
-    per-batch wall, scripts/streaming_latency.py). Batch-parity:
+    ``"arrow"`` for the vectorized signature lane (measured ~25% less
+    per-batch wall at 50k-doc batches — 5.8s vs 7.8s,
+    scripts/streaming_latency.py; the gap was 2-4× before the zip_with
+    signature fix made the expression lane competitive too). Batch-parity:
     admitting the same data in any microbatch partitioning yields the
     same survivor SET as one batch call whenever duplicates arrive after
     their originals (streaming keep-first == batch keep-smallest when
