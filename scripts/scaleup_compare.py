@@ -49,6 +49,8 @@ _QUERY_TABLES = {
     # gram consumer (e11 signature pairs) the sweep never covered
     "contamination_arrow": {"documents"}, "sig_pairs": {"documents"},
     "dup_spans_arrow": {"documents"}, "sig_pairs_arrow": {"documents"},
+    # r11: the last unswept graded gram family (VERDICT r10 task 4)
+    "simhash_pairs": {"documents"}, "simhash_pairs_arrow": {"documents"},
 }
 
 if ONLY is not None:
@@ -260,10 +262,18 @@ def spark_queries(spark, sf_dir, sem_cents):
         # rows share one DuckDB baseline
         "contamination_arrow": lambda: _contamination(docs(), "arrow"),
         # e11 incremental signature state at full scale: sign both sides
-        # (xxhash64 KM double-hash, the production path), band join new
-        # vs stored, estimator verify — the monitor-shape claim
+        # (xxhash64 base + affine-permutation slots, the production
+        # path), band join new vs stored, estimator verify — the
+        # monitor-shape claim
         "sig_pairs": lambda: _sig_pairs(docs(), "xxhash64"),
         "sig_pairs_arrow": lambda: _sig_pairs(docs(), "arrow"),
+        # r11: SimHash pigeonhole pairs (d06/d08 family) — the last
+        # graded gram family without multi-decade rows. The vote build
+        # is the same interpreted-HOF shape that cost contamination
+        # 7x/core pre-Arrow; the A/B isolates the new numpy vote lane
+        # (bit-identical fingerprints -> identical pair counts).
+        "simhash_pairs": lambda: _simhash_pairs(docs(), "xxhash64"),
+        "simhash_pairs_arrow": lambda: _simhash_pairs(docs(), "arrow"),
     }
 
 
@@ -278,6 +288,20 @@ def _contamination(d, backend):
         "doc_id", "text", n=3, backend=backend,
     ).agg(F.count(F.lit(1)).alias("n_docs"),
           F.sum("n_contaminated").alias("hits"))
+
+
+def _simhash_pairs(d, hash_fn):
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.dedup import simhash_pairs
+
+    # production shape: 64-bit fingerprints, 4x16-bit pigeonhole chunks,
+    # hamming <= 3 (exact recall at < n_chunks). Aggregated so the timer
+    # measures the vote build + band join, not pandas transfer.
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3,
+                         hash_fn=hash_fn, bits=64, n_chunks=4).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("hamming").alias("ham_sum"))
 
 
 def _sig_pairs(d, hash_fn):
@@ -501,14 +525,19 @@ FROM tot t LEFT JOIN hit h USING (doc_id)"""
     # the Arrow A/B row screens the same workload — one DuckDB baseline
     duck["contamination_arrow"] = duck["contamination"]
 
-    # r10: e11 at full scale. DuckDB gets the SAME Kirsch-Mitzenmacher
-    # double-hash construction the Spark path uses (two string hashes per
-    # gram + cheap int combos per slot), not 64 string-hash passes — the
-    # baseline should pay the algorithm's cost, not a strawman's.
+    # r10/r11: e11 at full scale. DuckDB gets the SAME affine-permutation
+    # construction the Spark path ships (ONE string hash per gram staged
+    # as a base array, then slot i = min((a_i*x+b_i) mod P) as cheap int
+    # combos), not 64 string-hash passes and not the retired KM
+    # double-hash — the baseline should pay the shipped algorithm's
+    # cost, not a strawman's or a superseded scheme's.
+    from sparvi_spark.operators.dedup import PORTABLE_P, _affine_params
+
     _H, _B, _RPB, _T = 64, 16, 4, 0.5
+    _ab = [_affine_params(i) for i in range(_H)]
     _sig_cols = ", ".join(
-        f"list_min(list_transform(range(1, len(h1) + 1), "
-        f"j -> h1[j] + {i} * h2[j])) AS s{i}" for i in range(_H))
+        f"list_min(list_transform(h1, x -> (x * {a} + {b}) "
+        f"% {PORTABLE_P})) AS s{i}" for i, (a, b) in enumerate(_ab))
     _band_rows = " UNION ALL ".join(
         "SELECT doc_id, src, {b} AS band, hash(concat_ws('|', {cols})) "
         "AS bh FROM sig".format(
@@ -526,8 +555,8 @@ t0 AS (SELECT doc_id, src, list_distinct(list_transform(
        FROM tk0 WHERE len(tk) >= 3),
 g AS (SELECT doc_id, src, grams FROM t0 WHERE len(grams) >= 1),
 h AS (SELECT doc_id, src,
-        list_transform(grams, s -> hash(s) & 4294967295) AS h1,
-        list_transform(grams, s -> (hash(s || '#') & 4294967294) | 1) AS h2
+        list_transform(grams,
+          s -> CAST(hash(s) % {PORTABLE_P} AS BIGINT)) AS h1
       FROM g),
 sig AS (SELECT doc_id, src, {_sig_cols} FROM h),
 banded AS ({_band_rows}),
@@ -540,6 +569,33 @@ est AS (SELECT c.id, c.ref_id, ({_match}) / 64.0 AS ej
 SELECT count(*) AS n_pairs, round(sum(ej), 3) AS est_sum
 FROM est WHERE ej >= {_T}"""
     duck["sig_pairs_arrow"] = duck["sig_pairs"]  # one baseline for the A/B
+
+    # r11: SimHash — DuckDB replays the SAME construction (one hash per
+    # token occurrence, 64 majority-vote bits packed to a ubigint, 4x16
+    # pigeonhole chunks, bit_count verify). Like sig_pairs, the baseline
+    # pays the algorithm's per-slot loop, not a strawman's 64 string-hash
+    # passes; its hash family differs from xxhash64, so pair counts can
+    # differ on borderline fingerprints — the slope is the claim.
+    _sh_expr = " | ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN "
+        f"(x >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN (1::UBIGINT << {b}) ELSE 0::UBIGINT END)"
+        for b in range(64))
+    duck["simhash_pairs"] = f"""
+WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
+h AS (SELECT doc_id, list_transform(tk, t -> hash(t)) AS hs
+      FROM tk WHERE len(tk) >= 1),
+sim AS (SELECT doc_id, ({_sh_expr}) AS sh FROM h),
+ch AS (SELECT doc_id, sh, c, (sh >> (c * 16)) & 65535 AS chv
+       FROM sim, unnest([0, 1, 2, 3]) AS u(c)),
+cands AS (SELECT DISTINCT a.doc_id AS ida, a.sh AS sha,
+            b.doc_id AS idb, b.sh AS shb
+          FROM ch a JOIN ch b ON a.c = b.c AND a.chv = b.chv
+          WHERE a.doc_id < b.doc_id),
+p AS (SELECT bit_count(xor(sha, shb)) AS hamming FROM cands)
+SELECT count(*) AS n_pairs, sum(hamming) AS ham_sum FROM p
+WHERE hamming <= 3"""
+    duck["simhash_pairs_arrow"] = duck["simhash_pairs"]
 
     from sparvi_spark.checks.pipeline_checks import _duck_cosine
 

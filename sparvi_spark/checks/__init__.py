@@ -81,6 +81,39 @@ def aligned_union_check(parts, columns, tag_col="part"):
     return fn, sql
 
 
+def melt_part_df(df, tag: str, keys, nums, strs):
+    """Melt ONE part's DataFrame into the long (part, k1, k2, metric,
+    num_val, str_val) shape ``melted_check`` unions — extracted so
+    hand-fused slot builders can share a subplan across parts and still
+    emit the exact projection the generated oracle SQL pairs with.
+
+    SQL-TEXT projection, not Column objects: the struct/lit/cast chatter
+    built ~3 py4j calls per metric — measured 120-190ms of pure
+    plan-build per melted slot (40-55% of the build), all GIL-serialized
+    under the concurrent suite. One selectExpr pair per part parses
+    JVM-side; the resolved plan is identical."""
+    ks = [
+        (f"cast(`{keys[i]}` as string)" if i < len(keys)
+         else "cast(null as string)") + f" as k{i + 1}"
+        for i in range(2)
+    ]
+    items = [
+        f"named_struct('metric', '{_sq(m)}', "
+        f"'num_val', cast(`{m}` as double), "
+        f"'str_val', cast(null as string))"
+        for m in nums
+    ] + [
+        f"named_struct('metric', '{_sq(m)}', "
+        f"'num_val', cast(null as double), "
+        f"'str_val', cast(`{m}` as string))"
+        for m in strs
+    ]
+    return df.selectExpr(
+        f"'{_sq(tag)}' as part", *ks,
+        f"explode(array({', '.join(items)})) as u",
+    ).selectExpr("part", "k1", "k2", "u.metric", "u.num_val", "u.str_val")
+
+
 def melted_check(parts):
     """Long-format merge for same-family checks with heterogeneous
     schemas: every source value still flows into the driver's hash,
@@ -96,36 +129,16 @@ def melted_check(parts):
     - ``strs`` melt to (metric, str_val STRING).
 
     One pass per part on both sides: Spark explodes an array of structs,
-    DuckDB unnests a struct list — the underlying query runs once."""
+    DuckDB unnests a struct list — the underlying query runs once.
+
+    Hand-fused Spark builders that share a subplan across parts (the
+    a01 idiom) melt each part with :func:`melt_part_df` and union —
+    bit-identical projection text, so the generated oracle SQL below
+    still pairs with them."""
     def fn(spark, sf_dir, _parts=tuple(parts)):
-        # SQL-TEXT projection, not Column objects: the struct/lit/cast
-        # chatter built ~3 py4j calls per metric — measured 120-190ms of
-        # pure plan-build per melted slot (40-55% of the build), all
-        # GIL-serialized under the concurrent suite. One selectExpr pair
-        # per part parses JVM-side; the resolved plan is identical.
         out = None
         for tag, f, _sql, keys, nums, strs in _parts:
-            ks = [
-                (f"cast(`{keys[i]}` as string)" if i < len(keys)
-                 else "cast(null as string)") + f" as k{i + 1}"
-                for i in range(2)
-            ]
-            items = [
-                f"named_struct('metric', '{_sq(m)}', "
-                f"'num_val', cast(`{m}` as double), "
-                f"'str_val', cast(null as string))"
-                for m in nums
-            ] + [
-                f"named_struct('metric', '{_sq(m)}', "
-                f"'num_val', cast(null as double), "
-                f"'str_val', cast(`{m}` as string))"
-                for m in strs
-            ]
-            d = f(spark, sf_dir).selectExpr(
-                f"'{_sq(tag)}' as part", *ks,
-                f"explode(array({', '.join(items)})) as u",
-            ).selectExpr("part", "k1", "k2", "u.metric", "u.num_val",
-                         "u.str_val")
+            d = melt_part_df(f(spark, sf_dir), tag, keys, nums, strs)
             out = d if out is None else out.unionAll(d)
         return out
 

@@ -64,6 +64,10 @@ class Engine:
         self.spark = spark
         self.state = StateStore(spark, warehouse, table_format=state_format)
         self.scale_mode = resolve_scale_mode(scale_mode, spark)
+        # corpus_name -> validated (hash_family, shingle_n, num_hashes):
+        # dedup_corpus_incremental's signature-scheme check, memoized so
+        # steady-state microbatches don't rescan state (see its docstring)
+        self._sig_family_ok: dict[str, tuple[str, int, int]] = {}
 
     # ------------------------------------------------------------------ §3.1
     def run_profile(self, df: DataFrame, table_name: str,
@@ -863,6 +867,47 @@ class Engine:
                           vec_col=vec_col, k=k, nprobe=nprobe,
                           exclude_self=exclude_self)
 
+    def _check_sig_family(self, corpus_name: str, hash_fn: str,
+                          n: int, num_hashes: int) -> None:
+        """Refuse to band a batch's signatures against stored rows
+        produced under a DIFFERENT scheme (hash family, shingle n, or
+        signature width): cross-family agreement is ~0, so the mismatch
+        would silently re-admit every stored doc as new. NULL-stamped
+        rows (pre-r11 state) can't be checked — warn once per corpus and
+        proceed. Memoized per (engine, corpus) after one clean pass;
+        our own appends keep the stamp consistent from then on."""
+        want = (hash_fn, int(n), int(num_hashes))
+        if self._sig_family_ok.get(corpus_name) == want:
+            return
+        stored = (self.state.read("corpus_signatures")
+                  .where(F.col("corpus_name") == corpus_name)
+                  .select("hash_family", "shingle_n", "num_hashes")
+                  .distinct().collect())
+        bad = [(r["hash_family"], r["shingle_n"], r["num_hashes"])
+               for r in stored
+               if r["hash_family"] is not None
+               and (r["hash_family"], r["shingle_n"],
+                    r["num_hashes"]) != want]
+        if bad:
+            raise ValueError(
+                f"corpus {corpus_name!r} holds signatures stamped "
+                f"{sorted(set(bad))}, incompatible with this batch's "
+                f"(hash_family, shingle_n, num_hashes)={want}: "
+                f"cross-family signatures never agree, so banding them "
+                f"would silently re-admit stored docs as duplicates. "
+                f"Re-sign the corpus state under one scheme (or pass the "
+                f"stored scheme's hash_fn/n/num_hashes).")
+        if any(r["hash_family"] is None for r in stored):
+            import warnings
+
+            warnings.warn(
+                f"corpus {corpus_name!r} holds legacy signature rows "
+                f"with no hash_family stamp; assuming they were signed "
+                f"with {want} — if the corpus predates a hash_fn or "
+                f"construction change, stored docs will NOT be matched.",
+                stacklevel=3)
+        self._sig_family_ok[corpus_name] = want
+
     def dedup_corpus_incremental(self, docs: DataFrame, corpus_name: str,
                                  id_col: str = "doc_id",
                                  text_col: str = "text",
@@ -920,12 +965,28 @@ class Engine:
         silently stop catching cross-batch duplicates. The family is
         pinned per corpus by the caller — pass ``hash_fn="arrow"``
         explicitly (and consistently) to run the vectorized lane.
+
+        The pin is ENFORCED, not just documented (r11): every appended
+        signature row is stamped with (hash_family, shingle_n,
+        num_hashes), and before the cross-batch band join the batch's
+        params are validated against the stored rows' — a mismatch
+        raises ValueError instead of silently comparing incomparable
+        signatures (agreement would drop to ~0 and previously admitted
+        docs would be re-admitted with no error; the same hazard applies
+        across VERSION flips that change the construction, like r10's
+        KM -> affine fix, which is why the family string is stored
+        rather than inferred from the code). Rows stamped NULL (state
+        written before r11) can't be validated — they warn once per
+        corpus and are still banded against. The validation verdict is
+        memoized per corpus on this engine instance so steady-state
+        microbatches pay no extra state scan.
         """
         from sparvi_spark.operators.dedup import (
             dedup_near, minhash_lsh_pairs, minhash_pairs_from_sigs,
             minhash_signed, scoped_caches)
 
         run_at = run_at or _utcnow()
+        self._check_sig_family(corpus_name, hash_fn, n, num_hashes)
         # A streaming microbatch often arrives in 1-2 input partitions
         # (one small file per trigger) while the signature build is the
         # most CPU-heavy per-row work in the engine — widen narrow
@@ -944,41 +1005,45 @@ class Engine:
         # batch_kept (measured: the build is ~half the per-batch wall).
         # Persisted OUTSIDE scoped_caches: the append in the tail below
         # still reads it after the scope releases the LSH band caches.
-        signed = minhash_signed(docs, id_col, text_col, n=n,
-                                num_hashes=num_hashes,
-                                hash_fn=hash_fn).persist()
-        with scoped_caches():
-            pairs = minhash_lsh_pairs(docs, id_col, text_col, n=n,
-                                      num_hashes=num_hashes, bands=bands,
-                                      threshold=threshold, hash_fn=hash_fn,
-                                      signed=signed)
-            batch_kept = dedup_near(docs, pairs, id_col).persist()
-            # in-batch survivors' signatures, FILTERED from the shared
-            # signed base (same rows minhash_signatures(batch_kept) would
-            # produce, no second gram+sig build)
-            sigs = (signed.select(F.col("__id").alias(id_col), "sig")
-                    .join(batch_kept.select(id_col), id_col))
-            state_sigs = (self.state.read("corpus_signatures")
-                          .where(F.col("corpus_name") == corpus_name)
-                          .select(F.col("doc_id").alias("ref_id"), "sig"))
-            cross = minhash_pairs_from_sigs(
-                sigs.select(F.col(id_col).alias("id"), "sig"), state_sigs,
-                num_hashes=num_hashes, bands=bands, threshold=threshold,
-                hash_fn=hash_fn)
-            contaminated = cross.select(
-                F.col("id").alias("__dup")).distinct()
-            kept = (batch_kept.join(
-                contaminated, batch_kept[id_col] == F.col("__dup"),
-                "left_anti").localCheckpoint())
-            # counts INSIDE the scope: they materialize batch_kept's cache
-            n_in, n_batch_kept, n_kept = (
-                docs.count(), batch_kept.count(), kept.count())
-        # the sink/append tail can raise (transient sink failure in a
-        # streaming intake); without the finally a failed microbatch
-        # leaks two CacheManager entries — the same leak class
-        # scoped_caches exists to prevent. kept is localCheckpoint-pinned,
-        # so releasing its parents here is safe even on the success path.
+        # ANY step after the first persist can raise (state read, counts,
+        # a transient sink failure in a streaming intake); the finally
+        # covers everything from here down so a failed microbatch never
+        # leaks a CacheManager entry — the same leak class scoped_caches
+        # exists to prevent. kept is localCheckpoint-pinned, so releasing
+        # its parents in the finally is safe even on the success path.
+        batch_kept = signed = None
         try:
+            signed = minhash_signed(docs, id_col, text_col, n=n,
+                                    num_hashes=num_hashes,
+                                    hash_fn=hash_fn).persist()
+            with scoped_caches():
+                pairs = minhash_lsh_pairs(docs, id_col, text_col, n=n,
+                                          num_hashes=num_hashes,
+                                          bands=bands, threshold=threshold,
+                                          hash_fn=hash_fn, signed=signed)
+                batch_kept = dedup_near(docs, pairs, id_col).persist()
+                # in-batch survivors' signatures, FILTERED from the shared
+                # signed base (same rows minhash_signatures(batch_kept)
+                # would produce, no second gram+sig build)
+                sigs = (signed.select(F.col("__id").alias(id_col), "sig")
+                        .join(batch_kept.select(id_col), id_col))
+                state_sigs = (self.state.read("corpus_signatures")
+                              .where(F.col("corpus_name") == corpus_name)
+                              .select(F.col("doc_id").alias("ref_id"),
+                                      "sig"))
+                cross = minhash_pairs_from_sigs(
+                    sigs.select(F.col(id_col).alias("id"), "sig"),
+                    state_sigs, num_hashes=num_hashes, bands=bands,
+                    threshold=threshold, hash_fn=hash_fn)
+                contaminated = cross.select(
+                    F.col("id").alias("__dup")).distinct()
+                kept = (batch_kept.join(
+                    contaminated, batch_kept[id_col] == F.col("__dup"),
+                    "left_anti").localCheckpoint())
+                # counts INSIDE the scope: they materialize batch_kept's
+                # cache
+                n_in, n_batch_kept, n_kept = (
+                    docs.count(), batch_kept.count(), kept.count())
             if sink is not None and n_kept:
                 sink(kept)
             kept_sigs = (sigs.join(
@@ -987,11 +1052,16 @@ class Engine:
                     F.lit(corpus_name).alias("corpus_name"),
                     F.col(id_col).cast("string").alias("doc_id"),
                     "sig",
+                    F.lit(hash_fn).alias("hash_family"),
+                    F.lit(n).cast("int").alias("shingle_n"),
+                    F.lit(num_hashes).cast("int").alias("num_hashes"),
                     F.lit(run_at).cast("timestamp").alias("added_at")))
             self.state.append("corpus_signatures", kept_sigs)
         finally:
-            batch_kept.unpersist()
-            signed.unpersist()
+            if batch_kept is not None:
+                batch_kept.unpersist()
+            if signed is not None:
+                signed.unpersist()
             docs.unpersist()
         summary = {
             "kept": kept, "n_in": n_in,

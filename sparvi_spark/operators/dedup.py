@@ -525,8 +525,10 @@ def minhash_signatures(
     ``hash_fn="portable"``: one polynomial base hash per shingle + affine
     (a_i·x+b_i) mod P per signature slot — oracle-reproducible.
     ``hash_fn="arrow"``: the vectorized numpy lane
-    (``_gram_hash_sig_arrow``) — same KM construction over a different
-    base hash family, ~10× less per-core cost on real corpora.
+    (``_gram_hash_sig_arrow``) — the same affine-permutation
+    construction (a_i·x+b_i mod P, see ``_with_sig``'s history note on
+    why Kirsch-Mitzenmacher is wrong for MinHash) over a numpy base
+    hash, ~10× less per-core cost on real corpora.
     ``None`` resolves from the engine-wide scale mode (arrow at scale,
     xxhash64 otherwise). Returns (id, sig: array<bigint>). ``grams``
     lets callers share a precomputed (__id, __grams) frame from
@@ -807,15 +809,74 @@ def minhash_pairs_from_sigs(
     )
 
 
+def _simhash_arrow(df: DataFrame, id_col: str, text_col: str,
+                   bits: int) -> DataFrame:
+    """Vectorized numpy bit-vote lane for ``simhash`` — same construction
+    as the xxhash64 expression lane over the SAME token hashes (JVM
+    tokenize + per-token xxhash64 via ``_token_hash_frame``, 8 bytes per
+    token over Arrow), so fingerprints are BIT-IDENTICAL to the expr
+    lane for every doc with ≥1 token (parity-pinned in
+    test_simhash_arrow_lane_matches_expr). Docs whose text is NULL are
+    DROPPED here; the expr lane's vote CASEs collapse NULL to the else-0
+    branch, fingerprinting null docs 0 — which would band every pair of
+    null docs together at hamming 0. Dropping is the saner semantics
+    for a dedup screen; the divergence is pinned in the parity test.
+
+    Why it exists: the expr lane's vote build is
+    transform(sequence(0,63), b -> aggregate(__h, ...)) — an interpreted
+    nested HOF costing 64 interpreter passes per token. One numpy pass
+    does all 64 bits with ``np.add.reduceat`` per bit over the
+    batch-flattened hash array — the same per-core cliff (and fix) as
+    the contamination/MinHash gram lanes (SCALING.md)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    toks = _token_hash_frame(df, id_col, text_col, 1)
+    out_schema = f"__id {id_type}, simhash bigint"
+
+    def emit(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            arrs = pdf["__th"].to_numpy()
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                               count=len(arrs))
+            h = np.concatenate(arrs).astype(np.uint64)
+            starts = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sim = np.zeros(len(arrs), dtype=np.uint64)
+            one = np.uint64(1)
+            for b in range(bits):
+                votes_b = np.add.reduceat(
+                    (((h >> np.uint64(b)) & one).astype(np.int64) * 2 - 1),
+                    starts)
+                sim |= (votes_b > 0).astype(np.uint64) << np.uint64(b)
+            yield pd.DataFrame({"__id": pdf["__id"].to_numpy(),
+                                "simhash": sim.view(np.int64)})
+
+    return (toks.mapInPandas(emit, out_schema)
+            .select(F.col("__id").alias(id_col), "simhash"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str,
-            hash_fn: str = "xxhash64", bits: int = 64) -> DataFrame:
+            hash_fn: str | None = None, bits: int = 64) -> DataFrame:
     """SimHash fingerprint per document (JVM-side bit votes).
 
     For each bit position, majority vote of token-hash bits; packed into one
     bigint. ``hash_fn="portable"`` (with bits<=30) uses the polynomial token
-    hash so a DuckDB oracle reproduces fingerprints exactly. Returns
-    (id, simhash: bigint).
+    hash so a DuckDB oracle reproduces fingerprints exactly;
+    ``hash_fn="arrow"`` runs the vectorized numpy vote lane over the same
+    xxhash64 token hashes (bit-identical fingerprints, ~order-of-magnitude
+    less per-core cost — see ``_simhash_arrow``); ``None`` resolves from
+    the engine-wide scale mode (arrow at scale, xxhash64 otherwise).
+    Returns (id, simhash: bigint).
     """
+    from sparvi_spark.config import resolve_backend
+
+    hash_fn = resolve_backend(hash_fn, "arrow", "xxhash64")
+    if hash_fn == "arrow":
+        return _simhash_arrow(df, id_col, text_col, bits)
     if hash_fn == "portable":
         token_hash = portable_hash_expr("t")
         bits = min(bits, 30)  # portable base hash has 30 usable bits
@@ -843,7 +904,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
-    hash_fn: str = "xxhash64", bits: int = 64, n_chunks: int = 4,
+    hash_fn: str | None = None, bits: int = 64, n_chunks: int = 4,
 ) -> DataFrame:
     """Hamming-near SimHash pairs via pigeonhole banding.
 
@@ -852,7 +913,10 @@ def simhash_pairs(
     ``max_hamming < n_chunks`` recall is EXACT and the final
     ``bit_count(xor)`` filter makes the banding a pure optimization.
     Defaults (4×16-bit over xxhash64) keep the production behavior;
-    ``hash_fn="portable", bits=30`` is oracle-reproducible in ANSI SQL.
+    ``hash_fn="portable", bits=30`` is oracle-reproducible in ANSI SQL;
+    ``hash_fn="arrow"`` fingerprints on the vectorized vote lane
+    (bit-identical to xxhash64 — banding and pairs unchanged);
+    ``None`` resolves from the engine-wide scale mode.
     """
     sh = simhash(df, id_col, text_col, hash_fn=hash_fn, bits=bits)
     if hash_fn == "portable":

@@ -225,37 +225,59 @@ def vocab_drift(
     N in BOTH corpora (long-tail noise; the dropped mass still counts
     in the totals, so retained probabilities are unaffected).
 
-    Scale shape: one explode + one groupBy(token) per side (shuffles
-    carry (token, count) with map-side partials, bounded by vocabulary),
-    a full-outer join on token, and a top-k via orderBy+limit
-    (TakeOrderedAndProject — per-partition top-k, never a global
-    window). Totals ride in as one-row broadcast literals.
+    Scale shape (r11): ONE tagged union + explode + groupBy(token) for
+    BOTH sides — side membership rides as a 0/1 column and the per-side
+    counts are two conditional sums, so the whole operator is one
+    shuffle bounded by vocabulary (the previous two-groupBy +
+    full-outer-join form paid two exchanges and a join sort for the
+    same integers). Top-k via orderBy+limit (TakeOrderedAndProject —
+    per-partition top-k, never a global window). Totals ride in as one
+    one-row broadcast literal. ``vocab_tvd`` builds the IDENTICAL
+    grouped subplan, so when both ride in one union (the graded x24
+    melt) ReusedExchange runs the token pass once for the pair.
     """
-    from sparvi_spark.operators.dedup import tokens_expr
-
-    def counts(df: DataFrame, side: str) -> DataFrame:
-        return (df.selectExpr(f"explode({tokens_expr(text_col)}) AS token")
-                .groupBy("token")
-                .agg(F.expr("count(1)").alias(f"n_{side}")))
-
-    ca, cb = counts(df_a, "a"), counts(df_b, "b")
-    tot_a = ca.agg(F.expr("sum(n_a)").alias("ta"))
-    tot_b = cb.agg(F.expr("sum(n_b)").alias("tb"))
-    joined = (ca.join(cb, "token", "full_outer")
-              .selectExpr("token",
-                          "coalesce(n_a, 0L) AS n_a",
-                          "coalesce(n_b, 0L) AS n_b")
-              .where(f"n_a >= {min_count} or n_b >= {min_count}")
-              .crossJoin(F.broadcast(tot_a))
-              .crossJoin(F.broadcast(tot_b)))
+    joined = (_vocab_counts(df_a, df_b, text_col)
+              .where(f"n_a >= {min_count} or n_b >= {min_count}"))
+    # Order by the UNROUNDED |Δp| (then token): the oracle SQL orders by
+    # the raw difference, so ranking on the 9-dp-rounded delta could
+    # pick a different top-k member when two tokens' true deltas differ
+    # only past 1e-9 (rounded tie breaks token-asc, raw ranks by
+    # magnitude). Same expression both engines = no LIMIT-boundary flake.
     return (joined.selectExpr(
         "token", "n_a", "n_b",
         "round(cast(n_a as double) / ta, 9) AS p_a",
         "round(cast(n_b as double) / tb, 9) AS p_b",
         "round(cast(n_a as double) / ta "
-        "- cast(n_b as double) / tb, 9) AS delta")
-        .orderBy(F.expr("abs(delta)").desc(), F.col("token").asc())
-        .limit(top_k))
+        "- cast(n_b as double) / tb, 9) AS delta",
+        "abs(cast(n_a as double) / ta "
+        "- cast(n_b as double) / tb) AS __absd")
+        .orderBy(F.col("__absd").desc(), F.col("token").asc())
+        .limit(top_k)
+        .drop("__absd"))
+
+
+def _vocab_counts(df_a: DataFrame, df_b: DataFrame,
+                  text_col: str) -> DataFrame:
+    """(token, n_a, n_b, ta, tb): per-token counts for both corpora in
+    ONE explode + ONE groupBy — side membership is a 0/1 literal on a
+    tagged union, the per-side counts conditional sums, so tokens absent
+    from a side count 0 with no outer join. ``ta``/``tb`` (the UNfiltered
+    corpus token totals) ride along as a one-row broadcast. Shared
+    verbatim by ``vocab_drift`` and ``vocab_tvd`` so their subplans
+    canonicalize identically (ReusedExchange in a union)."""
+    from sparvi_spark.operators.dedup import tokens_expr
+
+    tagged = (df_a.selectExpr("1 AS __a",
+                              f"{tokens_expr(text_col)} AS __t")
+              .unionAll(df_b.selectExpr("0 AS __a",
+                                        f"{tokens_expr(text_col)} AS __t")))
+    counts = (tagged.selectExpr("__a", "explode(__t) AS token")
+              .groupBy("token")
+              .agg(F.expr("cast(sum(__a) as bigint)").alias("n_a"),
+                   F.expr("cast(sum(1 - __a) as bigint)").alias("n_b")))
+    tot = counts.agg(F.expr("sum(n_a)").alias("ta"),
+                     F.expr("sum(n_b)").alias("tb"))
+    return counts.crossJoin(F.broadcast(tot))
 
 
 def vocab_tvd(
@@ -268,22 +290,9 @@ def vocab_tvd(
     mix, 1 = disjoint vocabularies) — the scalar a monitor alerts on,
     with ``vocab_drift`` as its drill-down. The per-token |Δp| terms
     route through DECIMAL before summing so summation order cannot move
-    the result between engines (same discipline as drift_metrics)."""
-    from sparvi_spark.operators.dedup import tokens_expr
-
-    def counts(df: DataFrame, side: str) -> DataFrame:
-        return (df.selectExpr(f"explode({tokens_expr(text_col)}) AS token")
-                .groupBy("token")
-                .agg(F.expr("count(1)").alias(f"n_{side}")))
-
-    ca, cb = counts(df_a, "a"), counts(df_b, "b")
-    tot_a = ca.agg(F.expr("sum(n_a)").alias("ta"))
-    tot_b = cb.agg(F.expr("sum(n_b)").alias("tb"))
-    return (ca.join(cb, "token", "full_outer")
-            .selectExpr("coalesce(n_a, 0L) AS n_a",
-                        "coalesce(n_b, 0L) AS n_b")
-            .crossJoin(F.broadcast(tot_a))
-            .crossJoin(F.broadcast(tot_b))
+    the result between engines (same discipline as drift_metrics).
+    Same one-pass grouped base as ``vocab_drift`` (see _vocab_counts)."""
+    return (_vocab_counts(df_a, df_b, text_col)
             .selectExpr(
                 f"cast(round(abs(cast(n_a as double) / ta "
                 f"- cast(n_b as double) / tb), 15) as {_DEC}) AS __t")

@@ -121,24 +121,32 @@ def self_lm_score(
     screen: documents whose transitions are rare in-corpus (gibberish,
     boilerplate explosions, wrong language) land at the bottom.
 
-    The (id, w1, w2) explode is built ONCE and persisted for the query
-    (dedup._persist — scoped-cache registered): it feeds both the model
-    counts and the scoring join, and without the boundary each consumer
-    re-ran the interpreted explode (r10; same idiom as the MinHash
-    signed base). ``train_bigram_lm`` stays the separate-corpus API."""
-    from sparvi_spark.operators.dedup import _persist
-
+    The (id, w1, w2) explode is built ONCE and persisted for the query:
+    it feeds both the model counts and the scoring join, and without the
+    boundary each consumer re-ran the interpreted explode (r10; same
+    idiom as the MinHash signed base). The persist is self-contained —
+    the scored result (one row per doc) is localCheckpoint-pinned
+    eagerly, then doc_bg is unpersisted in a finally, so no caller
+    (scoped or not, incl. the graded q_lm_score path and long-running
+    sessions) is ever left holding a stray CacheManager entry (r11; was
+    dedup._persist, which only releases under an active scoped_caches).
+    ``train_bigram_lm`` stays the separate-corpus API."""
     toks = _toks(text_col)
-    doc_bg = _persist(_doc_bigrams(df, id_col, text_col))
-    model = {
-        "bigrams": doc_bg.groupBy("w1", "w2").agg(
-            F.expr("count(1)").alias("c12")),
-        # contexts/vocab as in train_bigram_lm (vocab needs EVERY token,
-        # incl. single-token docs' — not derivable from bigrams)
-        "vocab": (df.selectExpr(f"explode({toks}) as w")
-                  .agg(F.expr("count(distinct w)").alias("v"))),
-    }
-    model["contexts"] = model["bigrams"].groupBy("w1").agg(
-        F.expr("sum(c12)").alias("c1"))
-    return bigram_lm_score(df, model, id_col, text_col,
-                           round_to=round_to, doc_bg=doc_bg)
+    doc_bg = _doc_bigrams(df, id_col, text_col).persist()
+    try:
+        model = {
+            "bigrams": doc_bg.groupBy("w1", "w2").agg(
+                F.expr("count(1)").alias("c12")),
+            # contexts/vocab as in train_bigram_lm (vocab needs EVERY
+            # token, incl. single-token docs' — not derivable from
+            # bigrams)
+            "vocab": (df.selectExpr(f"explode({toks}) as w")
+                      .agg(F.expr("count(distinct w)").alias("v"))),
+        }
+        model["contexts"] = model["bigrams"].groupBy("w1").agg(
+            F.expr("sum(c12)").alias("c1"))
+        return bigram_lm_score(df, model, id_col, text_col,
+                               round_to=round_to,
+                               doc_bg=doc_bg).localCheckpoint()
+    finally:
+        doc_bg.unpersist()

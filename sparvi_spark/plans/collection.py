@@ -44,25 +44,44 @@ class CollectionPlan:
 
 def table_size_bytes(df: DataFrame) -> int | None:
     """P15 table size (app.py:3679-3710 uses warehouse catalogs; the Spark
-    equivalent is the sum of the scan's input file sizes from the plan's
-    FileIndex — no job, metadata only). None for non-file sources."""
+    equivalent is the sum of the scan's input file sizes — no job,
+    metadata only). None for non-file sources.
+
+    Sizes come from the Hadoop FileSystem API, not ``os.path`` — the
+    same listing works for every scheme the scan can read (file://,
+    s3a://, hdfs://); a local-path stat would return None forever on an
+    object store. One ``listStatus`` per parent DIRECTORY instead of one
+    status call per file: a 100 TB table is ~10⁵ files but only ~10²-10³
+    partition dirs, and each py4j round-trip is a serialized driver hop.
+    """
     try:
         files = df.inputFiles()
     except Exception:
         return None
     if not files:
         return None
-    import os
-    from urllib.parse import urlparse
+    from collections import defaultdict
 
-    total = 0
+    by_dir: dict[str, set[str]] = defaultdict(set)
     for f in files:
-        p = urlparse(f).path or f
-        try:
-            total += os.path.getsize(p)
-        except OSError:
-            return None
-    return total
+        parent, _, name = f.rpartition("/")
+        by_dir[parent].add(name)
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    total, found = 0, 0
+    try:
+        for parent, names in by_dir.items():
+            path = jvm.org.apache.hadoop.fs.Path(parent)
+            fs = path.getFileSystem(conf)
+            for st in fs.listStatus(path):
+                if st.getPath().getName() in names:
+                    total += st.getLen()
+                    found += 1
+    except Exception:
+        return None
+    # a file vanished between planning and listing -> unknown, not partial
+    return total if found == sum(len(v) for v in by_dir.values()) else None
 
 
 def collect_metadata(

@@ -66,9 +66,18 @@ ENTITIES: dict[str, str] = {
     # MinHash signatures of every doc admitted to a corpus
     # (Engine.dedup_corpus_incremental): num_hashes longs per doc — the
     # corpus' dedup state WITHOUT the corpus (a billion docs ≈ 0.5 TB of
-    # signatures vs the corpus' 100 TB of text)
+    # signatures vs the corpus' 100 TB of text). hash_family/shingle_n/
+    # num_hashes pin the signature scheme the rows were produced under:
+    # signatures from DIFFERENT schemes never agree, so a silent family
+    # flip between batches (e.g. xxhash64 -> arrow, or a version upgrade
+    # changing the construction, as r10's KM -> affine fix did) would
+    # quietly stop catching cross-batch duplicates — the engine validates
+    # the batch's params against stored rows and raises on mismatch
+    # (legacy NULL-stamped rows warn). Parquet schema-read fills the
+    # three columns with NULL on pre-r11 state files.
     "corpus_signatures": (
         "corpus_name string, doc_id string, sig array<bigint>, "
+        "hash_family string, shingle_n int, num_hashes int, "
         "added_at timestamp, run_date date"),
     # top-K token frequencies of a reference corpus (Engine.
     # save_vocab_baseline / check_vocab_drift): K rows + the TRUE total

@@ -702,6 +702,51 @@ def test_dedup_corpus_incremental_sink_failure_leaves_no_state(spark, engine):
         F.col("corpus_name") == "cs").count() == 2
 
 
+def test_dedup_corpus_incremental_hash_family_pinned(spark, engine):
+    """Signature-scheme enforcement (r11): every appended row is stamped
+    with (hash_family, shingle_n, num_hashes); a later batch signed under
+    a different scheme raises instead of silently banding incomparable
+    signatures (cross-family agreement ~0 would re-admit stored docs);
+    legacy NULL-stamped rows warn and proceed."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog by the river "
+             "bank where tall reeds sway gently in the evening wind")],
+        "doc_id int, text string")
+    engine.dedup_corpus_incremental(docs, "cf")
+    row = engine.state.read("corpus_signatures").where(
+        F.col("corpus_name") == "cf").collect()[0]
+    assert (row["hash_family"], row["shingle_n"],
+            row["num_hashes"]) == ("xxhash64", 3, 64)
+
+    b2 = spark.createDataFrame([(2, "some fresh unseen prose here about "
+                                    "boats and gulls above the mast")],
+                               "doc_id int, text string")
+    with pytest.raises(ValueError, match="incompatible"):
+        engine.dedup_corpus_incremental(b2, "cf", hash_fn="portable")
+    with pytest.raises(ValueError, match="incompatible"):
+        engine.dedup_corpus_incremental(b2, "cf", num_hashes=32)
+    # matching scheme still flows (memoized verdict, no rescan)
+    s = engine.dedup_corpus_incremental(b2, "cf")
+    assert s["n_kept"] == 1
+
+    # legacy rows with no stamp: warn once, still banded against —
+    # a near-dup of the legacy doc is caught (same construction)
+    legacy_sig = engine.state.read("corpus_signatures").where(
+        F.col("corpus_name") == "cf").select(
+        F.lit("cl").alias("corpus_name"), "doc_id", "sig",
+        "added_at")
+    engine.state.append("corpus_signatures", legacy_sig)
+    b3 = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog by the river "
+             "bank where tall reeds sway gently in the evening breeze")],
+        "doc_id int, text string")
+    with pytest.warns(UserWarning, match="legacy"):
+        s3 = engine.dedup_corpus_incremental(b3, "cl")
+    assert s3["n_vs_corpus_dups"] == 1 and s3["n_kept"] == 0
+
+
 def test_classifier_sidecar_and_quality_overrides(spark, engine, tmp_path):
     """save/load classifier round-trips through the sidecar, and
     quality_overrides reach the export's Gopher filter (min_words low

@@ -578,7 +578,7 @@ def test_contamination_arrow_backend_parity(spark):
 
 
 def test_minhash_arrow_lane_matches_expr_pairs(spark):
-    """hash_fn='arrow' (vectorized numpy gram-hash + KM signature lane)
+    """hash_fn='arrow' (vectorized numpy gram-hash + affine signature lane)
     must emit the SAME verified pairs with the SAME exact-Jaccard values
     as the xxhash64 expression path on corpora whose near-dups are well
     clear of the banding recall boundary: candidates may differ between
@@ -649,6 +649,121 @@ def test_minhash_arrow_lane_matches_expr_pairs(spark):
             expr_cross = got
         else:
             assert got == expr_cross
+
+
+def test_simhash_arrow_lane_matches_expr(spark):
+    """hash_fn='arrow' simhash votes over the SAME xxhash64 token hashes
+    as the expression lane, so fingerprints (and therefore banded pairs)
+    are bit-identical — not just statistically close. Null-text docs are
+    the one divergence: the expr lane's vote CASEs collapse NULL to the
+    else-0 branch so a null doc gets fingerprint 0 (two null docs would
+    'pair' at hamming 0); the arrow lane drops the row instead. Also
+    pins the scale-mode default."""
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.config import scale_mode_ctx
+    from sparvi_spark.operators.dedup import simhash, simhash_pairs
+    from sparvi_spark.testdata import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    expr_fp = {r["doc_id"]: r["simhash"] for r in
+               simhash(docs, "doc_id", "text", hash_fn="xxhash64").collect()}
+    arrow_fp = {r["doc_id"]: r["simhash"] for r in
+                simhash(docs, "doc_id", "text", hash_fn="arrow").collect()}
+    assert arrow_fp
+    assert all(expr_fp[k] == v for k, v in arrow_fp.items())
+    assert len(arrow_fp) == len(expr_fp)  # sf0.001 docs has no null text
+    # hostile rows: empty string tokenizes to [''] (fingerprinted in both
+    # lanes, identically); NULL text drops in arrow, zeroes in expr
+    hostile = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "aa bb cc")], "doc_id int, text string")
+    hx = {r["doc_id"]: r["simhash"] for r in
+          simhash(hostile, "doc_id", "text", hash_fn="xxhash64").collect()}
+    ha = {r["doc_id"]: r["simhash"] for r in
+          simhash(hostile, "doc_id", "text", hash_fn="arrow").collect()}
+    assert set(ha) == {2, 3} and hx[1] == 0
+    assert ha[2] == hx[2] and ha[3] == hx[3]
+    # pairs ride the identical fingerprints -> identical pair sets
+    kw = dict(max_hamming=8, bits=64, n_chunks=4)
+    pe = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in simhash_pairs(
+        docs, "doc_id", "text", hash_fn="xxhash64", **kw).collect())
+    pa = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in simhash_pairs(
+        docs, "doc_id", "text", hash_fn="arrow", **kw).collect())
+    assert pe and pa == pe
+    with scale_mode_ctx(True):  # None resolves to the arrow lane
+        assert sorted(
+            (r["id_a"], r["id_b"], r["hamming"]) for r in
+            simhash_pairs(docs, "doc_id", "text", **kw).collect()) == pe
+
+
+def test_minhash_banding_recall_vs_theory(spark):
+    """Statistical recall pin for MinHash banding (r11, VERDICT r10 #3):
+    plant pairs with EXACT known Jaccard across [0.80, 0.99] and assert
+    every lane's observed pair recall clears the banding math's
+    expectation 1-(1-J^r)^b minus a tolerance. The r10 KM defect (see
+    ``_with_sig``'s history note: Kirsch-Mitzenmacher h1+i*h2 correlates
+    MinHash slots — the argmin is captured by the gram with the smallest
+    h2, so a near-dup pair whose smallest-h2 gram falls in the symmetric
+    difference loses ~every band at once) survived 8 rounds because no
+    test asserted recall against this bound; a numpy replica of the KM
+    construction over the same corpus is kept below as a NEGATIVE
+    control proving the assertion has teeth. Deterministic end to end:
+    fixed corpus, fixed hash families, fixed numpy seed."""
+    import numpy as np
+
+    from sparvi_spark.operators.dedup import minhash_lsh_pairs
+
+    # Pair k: docs (2k, 2k+1) over a PRIVATE token universe (p{k}…) so no
+    # cross-pair candidate can confound recall. Both docs share the first
+    # 100-m tokens; each holds m private ones -> token-SET (n=1 shingles)
+    # jaccard is exactly (100-m)/(100+m). m in 1..11 spans J 0.98->0.80.
+    n_pairs, rows, true_j = 88, [], {}
+    for k in range(n_pairs):
+        m = 1 + k % 11
+        shared = [f"p{k}s{i}" for i in range(100 - m)]
+        a = shared + [f"p{k}a{i}" for i in range(m)]
+        b = shared + [f"p{k}b{i}" for i in range(m)]
+        rows += [(2 * k, " ".join(a)), (2 * k + 1, " ".join(b))]
+        true_j[k] = (100 - m) / (100 + m)
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    num_hashes, bands = 64, 16
+    r = num_hashes // bands
+    expect = np.mean([1 - (1 - j ** r) ** bands for j in true_j.values()])
+    assert expect > 0.999  # every planted pair is deep in the keep zone
+    bound = expect - 0.05  # tolerance: >=84/88 pairs must surface
+
+    for lane in ("xxhash64", "portable", "arrow"):
+        got = {(r_["id_a"], r_["id_b"]) for r_ in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=1, num_hashes=num_hashes,
+            bands=bands, threshold=0.5, hash_fn=lane).collect()}
+        recall = sum((2 * k, 2 * k + 1) in got
+                     for k in range(n_pairs)) / n_pairs
+        assert recall >= bound, (lane, recall, bound)
+
+    # NEGATIVE control: the retired KM construction over the same corpus
+    # (two independent P-bounded base hashes per token — the retired lane
+    # staged pmod'd hashes, so h1 + 63*h2 < 2^36 never wraps — slot i =
+    # min(h1 + i*h2)) banded the same way misses far more than the bound
+    # allows: as i grows the argmin is captured by the smallest-h2 token,
+    # so recall collapses to ~P(argmin-h2 token is shared) ≈ J instead of
+    # 1-(1-J^r)^b. I.e. this test would have FAILED on the pre-r10 lane.
+    rng = np.random.default_rng(11)
+    km_hits = 0
+    for k in range(n_pairs):
+        toks_a = rows[2 * k][1].split()
+        toks_b = rows[2 * k + 1][1].split()
+        uni = sorted(set(toks_a) | set(toks_b))
+        h1 = dict(zip(uni, rng.integers(0, 2 ** 30, len(uni))))
+        h2 = dict(zip(uni, rng.integers(0, 2 ** 30, len(uni))))
+        def km_sig(toks):
+            a1 = np.array([h1[t] for t in set(toks)], dtype=np.int64)
+            a2 = np.array([h2[t] for t in set(toks)], dtype=np.int64)
+            return [int((a1 + i * a2).min()) for i in range(num_hashes)]
+        sa, sb = km_sig(toks_a), km_sig(toks_b)
+        km_hits += any(sa[b * r:(b + 1) * r] == sb[b * r:(b + 1) * r]
+                       for b in range(bands))
+    assert km_hits / n_pairs < bound  # KM would flunk the pin above
 
 
 def test_pattern_counts_groups(spark):
