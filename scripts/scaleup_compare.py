@@ -576,25 +576,36 @@ FROM est WHERE ej >= {_T}"""
     # pays the algorithm's per-slot loop, not a strawman's 64 string-hash
     # passes; its hash family differs from xxhash64, so pair counts can
     # differ on borderline fingerprints — the slope is the claim.
+    # bit values as precomputed literals: DuckDB's << evaluates 1 << 63
+    # in signed space and raises Out of Range before the UBIGINT cast
     _sh_expr = " | ".join(
         f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN "
         f"(x >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
-        f"THEN (1::UBIGINT << {b}) ELSE 0::UBIGINT END)"
+        f"THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
         for b in range(64))
+    # like the Spark side (r11), band DISTINCT fingerprints and expand:
+    # identical-fp cliques otherwise contribute k² candidate rows each
+    # (1.4e9 vs 9.1e6 at 500k docs) — the algorithm both engines pay
     duck["simhash_pairs"] = f"""
 WITH tk AS (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents),
 h AS (SELECT doc_id, list_transform(tk, t -> hash(t)) AS hs
       FROM tk WHERE len(tk) >= 1),
 sim AS (SELECT doc_id, ({_sh_expr}) AS sh FROM h),
-ch AS (SELECT doc_id, sh, c, (sh >> (c * 16)) & 65535 AS chv
-       FROM sim, unnest([0, 1, 2, 3]) AS u(c)),
-cands AS (SELECT DISTINCT a.doc_id AS ida, a.sh AS sha,
-            b.doc_id AS idb, b.sh AS shb
-          FROM ch a JOIN ch b ON a.c = b.c AND a.chv = b.chv
-          WHERE a.doc_id < b.doc_id),
-p AS (SELECT bit_count(xor(sha, shb)) AS hamming FROM cands)
-SELECT count(*) AS n_pairs, sum(hamming) AS ham_sum FROM p
-WHERE hamming <= 3"""
+fps AS (SELECT DISTINCT sh FROM sim),
+ch AS (SELECT sh, c, (sh >> (c * 16)) & 65535 AS chv
+       FROM fps, unnest([0, 1, 2, 3]) AS u(c)),
+fpp AS (SELECT DISTINCT a.sh AS fa, b.sh AS fb,
+          bit_count(xor(a.sh, b.sh)) AS hamming
+        FROM ch a JOIN ch b ON a.c = b.c AND a.chv = b.chv
+        WHERE a.sh < b.sh AND bit_count(xor(a.sh, b.sh)) <= 3),
+pairs AS (
+  SELECT least(x.doc_id, y.doc_id) AS ida,
+         greatest(x.doc_id, y.doc_id) AS idb, p.hamming
+  FROM fpp p JOIN sim x ON x.sh = p.fa JOIN sim y ON y.sh = p.fb
+  UNION ALL
+  SELECT x.doc_id, y.doc_id, 0
+  FROM sim x JOIN sim y ON x.sh = y.sh AND x.doc_id < y.doc_id)
+SELECT count(*) AS n_pairs, sum(hamming) AS ham_sum FROM pairs"""
     duck["simhash_pairs_arrow"] = duck["simhash_pairs"]
 
     from sparvi_spark.checks.pipeline_checks import _duck_cosine
@@ -673,9 +684,16 @@ WHERE vec_id NOT IN (SELECT id_b FROM dups)"""
                 best_d = min(best_d, time.perf_counter() - t0)
             # symmetric timer boundary: DataFrame build + Catalyst planning
             # + execution all inside the clock, exactly as DuckDB's
-            # con.execute() pays parse+plan+run inside its clock
+            # con.execute() pays parse+plan+run inside its clock.
+            # clearCache BEFORE each rep (r11): operators that _persist
+            # an internal frame (simhash_pairs fingerprints, the LSH
+            # signed base) register it in the session CacheManager, and
+            # Spark matches caches by canonicalized plan — so rep 2 of
+            # an identical query would read rep 1's cache and best-of-2
+            # silently times a cache scan instead of the build.
             best_s = 1e9
             for _ in range(2):
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 sq[name]().toPandas()
                 best_s = min(best_s, time.perf_counter() - t0)

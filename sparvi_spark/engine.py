@@ -1030,11 +1030,18 @@ class Engine:
                 state_sigs = (self.state.read("corpus_signatures")
                               .where(F.col("corpus_name") == corpus_name)
                               .select(F.col("doc_id").alias("ref_id"),
-                                      "sig"))
+                                      "sig", "band_hashes"))
+                # small_side="new": the microbatch is bounded, the state
+                # grows without bound — broadcast the batch so the state
+                # only streams (never shuffles) per trigger.
+                # ref_bands_col: stored rows carry their band hashes
+                # (stamped at the append below), so the stream doesn't
+                # re-slice every stored signature either.
                 cross = minhash_pairs_from_sigs(
                     sigs.select(F.col(id_col).alias("id"), "sig"),
                     state_sigs, num_hashes=num_hashes, bands=bands,
-                    threshold=threshold, hash_fn=hash_fn)
+                    threshold=threshold, hash_fn=hash_fn,
+                    small_side="new", ref_bands_col="band_hashes")
                 contaminated = cross.select(
                     F.col("id").alias("__dup")).distinct()
                 kept = (batch_kept.join(
@@ -1046,6 +1053,8 @@ class Engine:
                     docs.count(), batch_kept.count(), kept.count())
             if sink is not None and n_kept:
                 sink(kept)
+            from sparvi_spark.operators.dedup import band_hashes_expr
+
             kept_sigs = (sigs.join(
                 kept.select(id_col), id_col)
                 .select(
@@ -1055,6 +1064,10 @@ class Engine:
                     F.lit(hash_fn).alias("hash_family"),
                     F.lit(n).cast("int").alias("shingle_n"),
                     F.lit(num_hashes).cast("int").alias("num_hashes"),
+                    # band hashes computed ONCE here instead of once per
+                    # future microbatch over the whole store
+                    F.expr(band_hashes_expr(hash_fn, num_hashes, bands))
+                    .alias("band_hashes"),
                     F.lit(run_at).cast("timestamp").alias("added_at")))
             self.state.append("corpus_signatures", kept_sigs)
         finally:

@@ -749,6 +749,20 @@ def minhash_lsh_pairs_cross(
     )
 
 
+def band_hashes_expr(hash_fn: str, num_hashes: int, bands: int) -> str:
+    """SQL expr: array of ``bands`` band hashes over a ``sig`` column —
+    THE banding construction (shared by ``minhash_pairs_from_sigs`` and
+    the engine's state append, which precomputes it once per admitted
+    doc so the per-batch band join never re-slices stored signatures)."""
+    rpb = num_hashes // bands
+    if hash_fn == "portable":
+        bh = (f"aggregate(slice(sig, b * {rpb} + 1, {rpb}), 0L, "
+              f"(acc, v) -> (acc * {PORTABLE_BAND_M} + v) % {PORTABLE_P})")
+    else:
+        bh = f"xxhash64(slice(sig, b * {rpb} + 1, {rpb}))"
+    return f"transform(sequence(0, {bands - 1}), b -> {bh})"
+
+
 def minhash_pairs_from_sigs(
     new_sigs: DataFrame,
     ref_sigs: DataFrame,
@@ -756,6 +770,8 @@ def minhash_pairs_from_sigs(
     bands: int = 16,
     threshold: float = 0.5,
     hash_fn: str | None = None,
+    small_side: str | None = None,
+    ref_bands_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs between two SIGNATURE sets -> (id, ref_id,
     est_jaccard) — no text, no gram sets. Inputs: ``new_sigs`` as
@@ -765,6 +781,17 @@ def minhash_pairs_from_sigs(
     signatures ("portable" = oracle-reproducible polynomial; "xxhash64"
     and "arrow" both band with xxhash64 — the signatures are plain
     longs either way); ``None`` resolves from scale mode.
+    ``small_side`` ("new"/"ref"/None) declares which input is bounded:
+    that side broadcasts, so the other — typically a stored corpus far
+    too large to shuffle per call — only streams (see the join comment
+    below). None preserves planner choice for comparable-size inputs.
+    ``ref_bands_col`` names a column on ``ref_sigs`` holding
+    PRECOMPUTED band hashes (``band_hashes_expr``, stamped at state
+    append): rows carrying a correctly-sized array skip the per-call
+    re-slice of their signature — the steepest O(state) term per
+    microbatch (measured ~6µs/stored row at 500k sigs) — and NULL /
+    wrong-width rows (legacy state, changed ``bands``) fall back to
+    computing inline, per row.
 
     Verification here is the MinHash estimator itself: the fraction of
     matching signature components is an unbiased estimate of Jaccard
@@ -780,30 +807,49 @@ def minhash_pairs_from_sigs(
     from sparvi_spark.config import resolve_backend
 
     hash_fn = resolve_backend(hash_fn, "arrow", "xxhash64")
-    rows_per_band = num_hashes // bands
-    if hash_fn == "portable":
-        band_hash = (f"aggregate(slice(sig, b * {rows_per_band} + 1, "
-                     f"{rows_per_band}), 0L, "
-                     f"(acc, v) -> (acc * {PORTABLE_BAND_M} + v) % {PORTABLE_P})")
-    else:
-        band_hash = f"xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band}))"
+    computed = band_hashes_expr(hash_fn, num_hashes, bands)
 
-    def _banded(frame: DataFrame, in_id: str, out_id: str) -> DataFrame:
-        # one fused projection: inline() expands the band structs (same
-        # physical plan as explode-then-extract, one analysis round)
+    def _banded(frame: DataFrame, in_id: str, out_id: str,
+                bands_col: str | None = None) -> DataFrame:
+        # one fused projection: posexplode over the (stored or computed)
+        # band-hash array — same physical shape as the previous
+        # inline(transform(...)) struct expansion, one analysis round
+        src = (f"case when `{bands_col}` is not null "
+               f"and size(`{bands_col}`) = {bands} "
+               f"then `{bands_col}` else {computed} end"
+               if bands_col else computed)
         return frame.selectExpr(
             f"`{in_id}` AS {out_id}",
-            f"inline(transform(sequence(0, {bands - 1}), "
-            f"b -> struct(b as band, {band_hash} as bh)))")
+            f"posexplode({src}) AS (band, bh)")
 
-    cands = (_banded(new_sigs, "id", "id")
-             .join(_banded(ref_sigs, "ref_id", "ref_id"), ["band", "bh"])
+    # ``small_side="new"`` (the incremental-intake shape: a bounded
+    # microbatch banded against an ever-growing signature store)
+    # broadcasts the batch's band rows AND keeps every later join's
+    # build side batch-derived, so the STORED side only ever STREAMS —
+    # zero shuffle of O(state) rows per batch. Without the hints the
+    # mapInPandas/checkpoint inputs carry no size stats, Spark plans
+    # sort-merge, and each microbatch shuffles the whole store (an
+    # O(state) sort per trigger — measured as the dominant growth term
+    # in scripts/intake_state_growth.py before this change).
+    nb = _banded(new_sigs, "id", "id")
+    rb = _banded(ref_sigs, "ref_id", "ref_id", bands_col=ref_bands_col)
+    if small_side == "new":
+        nb = F.broadcast(nb)
+    elif small_side == "ref":
+        rb = F.broadcast(rb)
+    cands = (nb.join(rb, ["band", "bh"])
              .select("id", "ref_id").distinct())
     est = (f"round(size(filter(zip_with(__sa, __sb, (x, y) -> x = y), "
            f"m -> m)) / cast({num_hashes} as double), 6)")
+    new_side = new_sigs.selectExpr("id", "sig AS __sa")
+    verify = cands.join(
+        F.broadcast(new_side) if small_side == "new" else new_side, "id")
+    if small_side == "new":
+        # candidates are output-bounded; broadcasting (cands x batch
+        # sigs) lets the stored-sig verify scan stream as well
+        verify = F.broadcast(verify)
     return (
-        cands.join(new_sigs.selectExpr("id", "sig AS __sa"), "id")
-        .join(ref_sigs.selectExpr("ref_id", "sig AS __sb"), "ref_id")
+        verify.join(ref_sigs.selectExpr("ref_id", "sig AS __sb"), "ref_id")
         .selectExpr("id", "ref_id", f"{est} AS est_jaccard")
         .where(F.col("est_jaccard") >= threshold)
     )
@@ -918,31 +964,47 @@ def simhash_pairs(
     (bit-identical to xxhash64 — banding and pairs unchanged);
     ``None`` resolves from the engine-wide scale mode.
     """
-    sh = simhash(df, id_col, text_col, hash_fn=hash_fn, bits=bits)
+    sh = _persist(simhash(df, id_col, text_col, hash_fn=hash_fn,
+                          bits=bits).withColumnRenamed(id_col, "__id"))
     if hash_fn == "portable":
         bits = min(bits, 30)
     width = -(-bits // n_chunks)  # ceil
     mask = (1 << width) - 1
-    chunks = sh.select(
-        id_col, "simhash",
-        F.explode(F.expr(
-            f"transform(sequence(0, {n_chunks - 1}), c -> struct(c as chunk, "
-            f"shiftright(simhash, c * {width}) & {mask} as ch))"
-        )).alias("cc"),
-    ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ch").alias("ch"))
-    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
-                      "chunk", "ch")
-    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
-                      "chunk", "ch")
-    return (
-        a.join(b, ["chunk", "ch"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    # Band over DISTINCT fingerprints, not docs (r11). SimHash is
+    # designed to collapse near-identical docs onto FEW fingerprints, so
+    # real corpora carry large identical-fp cliques — and banding doc
+    # rows makes every clique of size k contribute k² candidate rows per
+    # shared chunk. Measured at the 100× sweep (500k docs, 129k distinct
+    # fps): 1.40e9 doc-level candidates vs 9.1e6 fp-level — a 155×
+    # collapse for the identical output. Two docs with EQUAL fps always
+    # share every chunk (the same-fp branch below, hamming 0 by
+    # definition); docs with different fps pair iff their fps share a
+    # chunk — exactly the original banding condition, so recall is
+    # unchanged (still exact for max_hamming < n_chunks).
+    fps = sh.select("simhash").distinct()
+    chunks = fps.selectExpr(
+        "simhash",
+        f"inline(transform(sequence(0, {n_chunks - 1}), c -> "
+        f"struct(c as chunk, shiftright(simhash, c * {width}) & {mask} "
+        f"as ch)))")
+    fa = chunks.selectExpr("simhash AS f_a", "chunk", "ch")
+    fb = chunks.selectExpr("simhash AS f_b", "chunk", "ch")
+    fp_pairs = (fa.join(fb, ["chunk", "ch"])
+                .where(F.col("f_a") < F.col("f_b"))
+                .withColumn("hamming", F.expr("bit_count(f_a ^ f_b)"))
+                .where(F.col("hamming") <= max_hamming)
+                .select("f_a", "f_b", "hamming")
+                .distinct())
+    ida = sh.selectExpr("__id AS ia", "simhash AS f_a")
+    idb = sh.selectExpr("__id AS ib", "simhash AS f_b")
+    cross = (fp_pairs.join(ida, "f_a").join(idb, "f_b")
+             .selectExpr("least(ia, ib) AS id_a",
+                         "greatest(ia, ib) AS id_b", "hamming"))
+    same = (ida.join(idb.withColumnRenamed("f_b", "f_a"), "f_a")
+            .where(F.col("ia") < F.col("ib"))
+            .selectExpr("ia AS id_a", "ib AS id_b",
+                        "cast(0 as int) AS hamming"))
+    return cross.unionAll(same).select("id_a", "id_b", "hamming")
 
 
 def embedding_neardup_pairs(

@@ -73,11 +73,16 @@ ENTITIES: dict[str, str] = {
     # changing the construction, as r10's KM -> affine fix did) would
     # quietly stop catching cross-batch duplicates — the engine validates
     # the batch's params against stored rows and raises on mismatch
-    # (legacy NULL-stamped rows warn). Parquet schema-read fills the
-    # three columns with NULL on pre-r11 state files.
+    # (legacy NULL-stamped rows warn). band_hashes precomputes the LSH
+    # band hashes ONCE at admission (dedup.band_hashes_expr) so the
+    # per-batch band join streams stored rows without re-slicing every
+    # signature — the steepest O(state) term per microbatch; NULL or
+    # wrong-width rows fall back to inline computation. Parquet
+    # schema-read fills all new columns with NULL on pre-r11 files.
     "corpus_signatures": (
         "corpus_name string, doc_id string, sig array<bigint>, "
         "hash_family string, shingle_n int, num_hashes int, "
+        "band_hashes array<bigint>, "
         "added_at timestamp, run_date date"),
     # top-K token frequencies of a reference corpus (Engine.
     # save_vocab_baseline / check_vocab_drift): K rows + the TRUE total
