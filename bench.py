@@ -285,6 +285,22 @@ def main() -> None:
         time.sleep(0.2)  # settle: let post-suite JVM threads idle down
         return min(once() for _ in range(3))
 
+    def read_steal() -> tuple[int, int]:
+        # Hypervisor steal ticks from /proc/stat (field 8 of the "cpu"
+        # line). On this Firecracker guest the host intermittently takes
+        # 30%+ of CPU capacity (r11 observed 455k steal vs 970k user
+        # ticks after one test-suite run) — invisible to loadavg inside
+        # the VM. The numpy probe already FLAGS the slowdown; bracketing
+        # each sample with steal deltas records WHY it was flagged, so a
+        # contaminated artifact is self-explaining. Returns (steal_ticks,
+        # total_ticks); (0, 0) off-Linux.
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return (vals[7] if len(vals) > 7 else 0), sum(vals)
+        except Exception:
+            return 0, 0
+
     probes_taken: list[float] = [spin_probe() for _ in range(3)]
     probe_base = min(probes_taken)
 
@@ -308,15 +324,19 @@ def main() -> None:
     while draws < 5 + 5 and _n_clean() < 5:
         draws += 1
         isolate()
+        st0 = read_steal()
         pre = spin_probe()
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=16) as ex:
             list(ex.map(run_one, suite_fns))
         wall = round(time.perf_counter() - t0, 4)
         post = spin_probe()
+        st1 = read_steal()
+        steal_pct = round((st1[0] - st0[0]) / max(1, st1[1] - st0[1]), 4)
         probes_taken += [pre, post]
         probe_base = min(probes_taken)
-        samples.append({"wall": wall, "_pre": pre, "_post": post})
+        samples.append({"wall": wall, "_pre": pre, "_post": post,
+                        "steal_pct": steal_pct})
     # flags against the final running-min base: every sample's ratios are
     # comparable, including ones drawn before the best probe was seen
     for s in samples:
@@ -459,6 +479,8 @@ def main() -> None:
         "suite_clean_samples": len(clean),
         "suite_clean_spread": (round(spread, 4)
                                if spread is not None else None),
+        "suite_steal_pct_max": max(
+            (s.get("steal_pct", 0.0) for s in samples), default=0.0),
         "suite_queries": len(suite_fns),
         "spark_serial_total": spark_serial_total,
         "duckdb_total": duckdb_total,

