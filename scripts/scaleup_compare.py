@@ -36,6 +36,9 @@ SCALE_DIR = f"/tmp/sparvi_scaleup_x{MULT}"
 # which scaled tables each query reads (build only what the run needs)
 _QUERY_TABLES = {
     "profile_numeric": {"lineitem"}, "percentiles": {"lineitem"},
+    # r11: the scale-mode sum lane (numeric_exprs exact=False, double
+    # accumulation) vs the decimal parity lane — the profile fold A/B
+    "profile_numeric_scale": {"lineitem"},
     "percentiles_refine": {"lineitem"}, "langid": {"documents"},
     "text_quality": {"documents"}, "dedup_minhash": {"documents"},
     "dup_spans": {"documents"}, "semantic_dedup": {"embeddings"},
@@ -188,6 +191,15 @@ def spark_queries(spark, sf_dir, sem_cents):
             e for c in ("l_quantity", "l_extendedprice", "l_discount")
             for e in (F.count(c).alias(f"{c}_n"),
                       F.sum(F.col(c).cast("decimal(28,8)")).alias(f"{c}_s"),
+                      F.min(c).alias(f"{c}_mn"), F.max(c).alias(f"{c}_mx"))]),
+        # the 100 TB profile lane: identical aggregate set, DOUBLE sums
+        # (operators/profile.numeric_exprs exact=False) — Spark's decimal
+        # agg buffer above precision 18 is BigDecimal-per-row and made
+        # the parity lane 18x slower than DuckDB at 100x (r11)
+        "profile_numeric_scale": lambda: li().agg(*[
+            e for c in ("l_quantity", "l_extendedprice", "l_discount")
+            for e in (F.count(c).alias(f"{c}_n"),
+                      F.sum(F.col(c).cast("double")).alias(f"{c}_s"),
                       F.min(c).alias(f"{c}_mn"), F.max(c).alias(f"{c}_mx"))]),
         "percentiles": lambda: exact_percentiles(
             li(), ["l_quantity", "l_extendedprice", "l_discount"]),
@@ -409,6 +421,15 @@ SELECT count(*) AS n_spans, sum(span_tokens) AS tok_total FROM sp"""
         "dup_spans": dup_spans_sql,
         "dup_spans_arrow": dup_spans_sql,  # one baseline for the A/B
         "profile_numeric": DUCK_SQL["profile_numeric"],
+        # DuckDB's native double sums — the fair baseline for the
+        # Spark double-sum scale lane
+        "profile_numeric_scale": """
+SELECT count(l_quantity), sum(l_quantity),
+  min(l_quantity), max(l_quantity),
+  count(l_extendedprice), sum(l_extendedprice),
+  min(l_extendedprice), max(l_extendedprice),
+  count(l_discount), sum(l_discount),
+  min(l_discount), max(l_discount) FROM lineitem""",
         "percentiles": DUCK_SQL["percentiles"],
         "percentiles_refine": DUCK_SQL["percentiles"],
         "langid": f"""

@@ -528,16 +528,47 @@ def exact_percentiles_refine(
     return local_df(spark, out_rows, schema)
 
 
-def numeric_exprs(c: str) -> list[Column]:
+def numeric_exprs(c: str, exact: bool = True) -> list[Column]:
+    """Per-column numeric aggregate expressions, in two lanes.
+
+    ``exact=True`` (oracle-parity): sums route through DECIMAL so the
+    totals are order-independent and replay bit-for-bit in a SQL oracle.
+    Sum of squares via decimal(19,4) x decimal(18,4) — exact scale-8
+    product up to |value| < 10^15 (the same widening the check-side
+    _num_agg_exprs documents; dec*dec at (28,8) overflows the product's
+    decimal(38,6) for |value| >= ~1e16). Beyond the bound the TRY
+    arithmetic yields NULL per row instead of an ANSI crash, and the
+    overflow counter lets profile_table report stddev as honestly
+    unknown (None) rather than a silently-wrong partial sum.
+
+    ``exact=False`` (the 100 TB lane): sums accumulate in DOUBLE.
+    Spark's decimal aggregation buffer above Long-backed precision 18 is
+    BigDecimal-per-row — measured on a 60M-row lineitem (r11 sweep):
+    sum(decimal(28,8)) 6.0s vs sum(double) 0.47s for the same three
+    columns, a ~13x/core cliff that turned the whole fused profile pass
+    18x slower than DuckDB (whose decimal sums are native int128) at
+    100x. Double sums under Spark's partial-aggregation tree accumulate
+    per-partition then merge — pairwise-summation-like error, ~1e-10
+    relative on random data, and the same accuracy class as DuckDB's own
+    SUM(double). The profile document rounds avg to 6dp / stddev to 4dp,
+    so the sketch-mode outputs agree with the exact lane in practice
+    (pinned by test); the decimal lane stays the parity default.
+    """
     col = F.col(c)
+    if not exact:
+        d = col.cast("double")
+        return [
+            F.count(col).alias(f"{c}__cnt"),
+            F.min(col).cast("double").alias(f"{c}__min"),
+            F.max(col).cast("double").alias(f"{c}__max"),
+            F.sum(d).alias(f"{c}__sum_dec"),
+            F.sum(d * d).alias(f"{c}__sumsq_dec"),
+            F.lit(0).alias(f"{c}__sq_ovfl"),
+            F.count(F.when(col == 0, 1)).alias(f"{c}__zeros"),
+            F.count(F.when(col < 0, 1)).alias(f"{c}__negatives"),
+            F.count(F.when(col > 0, 1)).alias(f"{c}__positives"),
+        ]
     dec = col.cast(DEC)
-    # sum of squares via decimal(19,4) x decimal(18,4) — exact scale-8
-    # product up to |value| < 10^15 (the same widening the check-side
-    # _num_agg_exprs documents; dec*dec at (28,8) overflows the product's
-    # decimal(38,6) for |value| >= ~1e16). Beyond the bound the TRY
-    # arithmetic yields NULL per row instead of an ANSI crash, and the
-    # overflow counter lets profile_table report stddev as honestly
-    # unknown (None) rather than a silently-wrong partial sum.
     sq = (f"try_multiply(try_cast(`{c}` as decimal(19,4)), "
           f"try_cast(`{c}` as decimal(18,4)))")
     return [
@@ -702,7 +733,7 @@ def profile_table(
         exprs.append(null_count(c))
         exprs.append(distinct_count(c, exact=exact))
     for c in buckets["numeric"]:
-        exprs.extend(numeric_exprs(c))
+        exprs.extend(numeric_exprs(c, exact=exact))
     for c in buckets["datetime"]:
         exprs.extend(datetime_exprs(c, str(as_of)))
     for c in buckets["text"]:

@@ -112,6 +112,24 @@ def test_profile_approx_mode(spark):
     for c, d in exact["distinct_counts"].items():
         a = approx["distinct_counts"][c]
         assert a == 0 or abs(a - d) <= max(0.1 * d, 2), (c, a, d)
+    # the scale lane's DOUBLE sums (numeric_exprs exact=False — the
+    # decimal agg buffer is a measured 13x/core cliff at 100x, r11)
+    # must agree with the decimal parity lane after the document's own
+    # rounding: avg to 6dp, stddev to 4dp, both compared with one-ulp
+    # slack at the rounding boundary
+    for c, s in exact["summary_statistics"].items():
+        if "zero_count" not in s:  # text/date summaries share the dict
+            continue
+        a = approx["summary_statistics"][c]
+        assert a["min"] == s["min"] and a["max"] == s["max"], c
+        assert a["zero_count"] == s["zero_count"], c
+        for k, tol in (("avg", 2e-6), ("stddev", 2e-4)):
+            if s[k] is None:
+                assert a[k] is None, (c, k)
+            else:
+                assert abs(a[k] - s[k]) <= tol, (c, k, a[k], s[k])
+        rel = abs(a["sum"] - s["sum"]) / max(abs(s["sum"]), 1.0)
+        assert rel <= 1e-9, (c, a["sum"], s["sum"])
 
 
 def test_operators_on_empty_input(spark):
