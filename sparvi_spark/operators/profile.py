@@ -553,35 +553,62 @@ def numeric_exprs(c: str, exact: bool = True) -> list[Column]:
     SUM(double). The profile document rounds avg to 6dp / stddev to 4dp,
     so the sketch-mode outputs agree with the exact lane in practice
     (pinned by test); the decimal lane stays the parity default.
+
+    NON-FINITE VALUES (r11): NaN/±Inf are EXCLUDED from cnt/min/max/
+    sum/sumsq in both lanes and surfaced as ``{c}__nonfinite``
+    (summary key ``non_finite_count``). Before this, the lanes silently
+    DIVERGED on poisoned input: the decimal casts null NaN/Inf out of
+    the sum but count(col) kept them in the denominator (avg over
+    [1, NaN, Inf, 2] reported 0.75 — a plausible, wrong number), while
+    the double lane propagated NaN into every stat. Finite-only stats
+    + an explicit count is the only honest shape; sign counts keep
+    their ordering semantics (±Inf IS positive/negative, NaN neither).
     """
     col = F.col(c)
+    d_sql = f"cast(`{c}` as double)"
+    fin_sql = (f"(case when isnan({d_sql}) or "
+               f"abs({d_sql}) = cast('Infinity' as double) "
+               f"then null else `{c}` end)")
+    fin = F.expr(fin_sql)
+    nonfinite = F.count(F.when(
+        F.expr(f"isnan({d_sql}) or "
+               f"abs({d_sql}) = cast('Infinity' as double)"), 1)
+    ).alias(f"{c}__nonfinite")
     if not exact:
-        d = col.cast("double")
+        d = fin.cast("double")
         return [
-            F.count(col).alias(f"{c}__cnt"),
-            F.min(col).cast("double").alias(f"{c}__min"),
-            F.max(col).cast("double").alias(f"{c}__max"),
+            F.count(fin).alias(f"{c}__cnt"),
+            F.min(fin).cast("double").alias(f"{c}__min"),
+            F.max(fin).cast("double").alias(f"{c}__max"),
             F.sum(d).alias(f"{c}__sum_dec"),
             F.sum(d * d).alias(f"{c}__sumsq_dec"),
             F.lit(0).alias(f"{c}__sq_ovfl"),
+            nonfinite,
             F.count(F.when(col == 0, 1)).alias(f"{c}__zeros"),
             F.count(F.when(col < 0, 1)).alias(f"{c}__negatives"),
-            F.count(F.when(col > 0, 1)).alias(f"{c}__positives"),
+            # Spark ORDERS NaN above every double (NaN > 0 is true), unlike
+            # IEEE comparison — exclude it so NaN is signed neither way
+            F.count(F.when((col > 0) & ~F.expr(f"isnan({d_sql})"), 1))
+            .alias(f"{c}__positives"),
         ]
-    dec = col.cast(DEC)
-    sq = (f"try_multiply(try_cast(`{c}` as decimal(19,4)), "
-          f"try_cast(`{c}` as decimal(18,4)))")
+    dec = fin.cast(DEC)
+    sq = (f"try_multiply(try_cast({fin_sql} as decimal(19,4)), "
+          f"try_cast({fin_sql} as decimal(18,4)))")
     return [
-        F.count(col).alias(f"{c}__cnt"),
-        F.min(col).cast("double").alias(f"{c}__min"),
-        F.max(col).cast("double").alias(f"{c}__max"),
+        F.count(fin).alias(f"{c}__cnt"),
+        F.min(fin).cast("double").alias(f"{c}__min"),
+        F.max(fin).cast("double").alias(f"{c}__max"),
         F.sum(dec).alias(f"{c}__sum_dec"),
         F.sum(F.expr(sq)).cast("decimal(38,8)").alias(f"{c}__sumsq_dec"),
-        F.count(F.when(col.isNotNull() & F.expr(sq).isNull(), 1))
+        F.count(F.when(fin.isNotNull() & F.expr(sq).isNull(), 1))
         .alias(f"{c}__sq_ovfl"),
+        nonfinite,
         F.count(F.when(col == 0, 1)).alias(f"{c}__zeros"),
         F.count(F.when(col < 0, 1)).alias(f"{c}__negatives"),
-        F.count(F.when(col > 0, 1)).alias(f"{c}__positives"),
+        # Spark ORDERS NaN above every double (NaN > 0 is true), unlike
+        # IEEE comparison — exclude it so NaN is signed neither way
+        F.count(F.when((col > 0) & ~F.expr(f"isnan({d_sql})"), 1))
+        .alias(f"{c}__positives"),
     ]
 
 
@@ -770,6 +797,7 @@ def profile_table(
             "avg": avg, "sum": float(sd) if sd is not None else None, "stddev": std,
             "zero_count": row[f"{c}__zeros"], "negative_count": row[f"{c}__negatives"],
             "positive_count": row[f"{c}__positives"],
+            "non_finite_count": row[f"{c}__nonfinite"],
         }
     for c in buckets["datetime"]:
         summary[c] = {

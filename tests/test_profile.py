@@ -132,6 +132,28 @@ def test_profile_approx_mode(spark):
         assert rel <= 1e-9, (c, a["sum"], s["sum"])
 
 
+def test_profile_nonfinite_values(spark):
+    """NaN/±Inf are excluded from numeric stats and disclosed as
+    non_finite_count — in BOTH lanes. Before r11 the decimal lane
+    dropped them from the sum but kept them in the count (avg over
+    [1, NaN, Inf, 2] reported 0.75, a plausible wrong number) and the
+    double lane returned NaN for every stat."""
+    from sparvi_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (float("inf"),), (2.0,),
+         (float("-inf"),), (None,)], "x double")
+    for exact in (True, False):
+        s = profile_table(df, "t", exact=exact)["summary_statistics"]["x"]
+        assert s["non_finite_count"] == 3, (exact, s)
+        assert s["min"] == 1.0 and s["max"] == 2.0, (exact, s)
+        assert s["sum"] == 3.0 and s["avg"] == 1.5, (exact, s)
+        assert s["stddev"] == pytest.approx(0.7071, abs=1e-4), (exact, s)
+        # sign counts keep ordering semantics: +Inf is positive,
+        # -Inf negative, NaN neither
+        assert s["positive_count"] == 3 and s["negative_count"] == 1, s
+
+
 def test_operators_on_empty_input(spark):
     """Every core operator must handle a 0-row input without raising and
     with sane zero/NULL semantics (the reference's health score explicitly
