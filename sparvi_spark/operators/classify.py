@@ -70,11 +70,18 @@ def linear_scores(
     round_to: int = 9,
     emit_sum: bool = False,
     keep_cols: list[str] | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, n_tokens, margin, label[, feature_sum][, *keep_cols]) per
     document. ``keep_cols`` threads input columns through the staged
     projections (appended after the score columns) — evaluation callers
     carry the label source along instead of re-joining the input on id.
+    ``tokens_col`` names a PRE-SPLIT token-array column to score instead
+    of splitting ``text_col`` — callers that already tokenized the
+    corpus for another consumer (the graded x27 melt shares one tokens
+    frame between this scorer and the bigram LM) skip the second split
+    pass; the arrays must be the same lowercased-whitespace split for
+    outputs to stay bit-identical.
 
     ``weights`` is the trained dense weight table (its length is the
     feature dimension); tokens are lowercased whitespace words (the text
@@ -91,7 +98,8 @@ def linear_scores(
     dim = len(weights)
     qw = quantize_weights(weights)
     wlit = "array(%s)" % ", ".join(f"{w}L" for w in qw)
-    toks = f"split(lower(trim(`{text_col}`)), '\\\\s+')"
+    toks = (f"`{tokens_col}`" if tokens_col
+            else f"split(lower(trim(`{text_col}`)), '\\\\s+')")
     feat = (f"element_at({wlit}, "
             f"cast({_tok_hash('t')} % {dim} as int) + 1)")
     # STAGED projections so each expensive expression evaluates ONCE:

@@ -116,6 +116,7 @@ def self_lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 9,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Score a corpus against its own bigram statistics — the outlier
     screen: documents whose transitions are rare in-corpus (gibberish,
@@ -135,8 +136,14 @@ def self_lm_score(
     path and long-running sessions) is ever left holding a stray
     CacheManager entry (r11; was dedup._persist, which only releases
     under an active scoped_caches). ``train_bigram_lm`` stays the
-    separate-corpus API."""
-    toks = _toks(text_col)
+    separate-corpus API.
+
+    ``tokens_col`` names a PRE-SPLIT token-array column on ``df`` —
+    callers that already tokenized the corpus for another consumer (the
+    graded x27 melt shares one tokens frame with linear_scores) skip
+    this function's own split; arrays must be the same lowercased-
+    whitespace split for outputs to stay bit-identical."""
+    toks = f"`{tokens_col}`" if tokens_col else _toks(text_col)
     tk = df.selectExpr(f"`{id_col}` as __id", f"{toks} as __tk").persist()
     doc_bg = (tk.where("size(__tk) >= 2")
               .selectExpr("__id",
