@@ -362,6 +362,7 @@ def main() -> None:
     # only in SCALING.md prose). Same protocol as the headline queries:
     # untimed warm run, fn()+toPandas inside the timer, isolate between.
     spark_serial: dict[str, float] = {}
+    st0 = read_steal()
     for name, (fn, _sql) in sorted(collect_all_checks(prepared=False).items()):
         fn(spark, sf_dir).toPandas()  # untimed warm run
         best = float("inf")
@@ -371,9 +372,16 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         spark_serial[name] = round(best, 4)
         isolate()
+    st1 = read_steal()
+    # one steal number over the whole serial pass: unlike the suite
+    # samples it has no retry loop, so a steal wave inflates the
+    # recorded total silently (observed 12.9s -> 19.9s between adjacent
+    # runs) — the artifact must say whether the pass was hit
+    serial_steal_pct = round((st1[0] - st0[0]) / max(1, st1[1] - st0[1]), 4)
     spark_serial_total = round(sum(spark_serial.values()), 4)
     print(f"# spark serial total ({len(spark_serial)} queries): "
-          f"{spark_serial_total:.2f}s", file=sys.stderr)
+          f"{spark_serial_total:.2f}s (steal {serial_steal_pct:.2%})",
+          file=sys.stderr)
 
     # NOTE (r8): a "prepared-plan wall" field was added and then REMOVED
     # here — re-executing the same DataFrame objects reuses shuffle map
@@ -483,6 +491,7 @@ def main() -> None:
             (s.get("steal_pct", 0.0) for s in samples), default=0.0),
         "suite_queries": len(suite_fns),
         "spark_serial_total": spark_serial_total,
+        "spark_serial_steal_pct": serial_steal_pct,
         "duckdb_total": duckdb_total,
         "duckdb_total_excl_outliers": duckdb_excl,
         "duckdb_outliers": list(_BASELINE_OUTLIERS),
