@@ -297,7 +297,11 @@ def main() -> None:
         try:
             with open("/proc/stat") as f:
                 vals = [int(x) for x in f.readline().split()[1:]]
-            return (vals[7] if len(vals) > 7 else 0), sum(vals)
+            # fields: user nice system idle iowait irq softirq steal
+            # guest guest_nice — guest/guest_nice are ALREADY included
+            # in user/nice, so summing all ten would double-count them
+            # and understate the steal fraction on guest-hosting boxes
+            return (vals[7] if len(vals) > 7 else 0), sum(vals[:8])
         except Exception:
             return 0, 0
 

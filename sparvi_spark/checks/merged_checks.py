@@ -261,9 +261,10 @@ def q_doc_scores_fused(spark, sf_dir):
     # split cost, with `text` already in the load_table cache). Kept
     # because it deletes a redundant subplan and, on an uncached corpus
     # at scale, decodes the text column once instead of twice.
+    from sparvi_spark.operators.dedup import tokens_expr
+
     tk = docs.selectExpr(
-        "doc_id", "lang",
-        "split(lower(trim(text)), '\\\\s+') AS __tk").persist()
+        "doc_id", "lang", f"{tokens_expr('text')} AS __tk").persist()
     try:
         scored = linear_scores(tk, _clf_weights(), bias=CLF_BIAS,
                                emit_sum=True, keep_cols=["lang"],

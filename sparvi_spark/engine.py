@@ -64,10 +64,13 @@ class Engine:
         self.spark = spark
         self.state = StateStore(spark, warehouse, table_format=state_format)
         self.scale_mode = resolve_scale_mode(scale_mode, spark)
-        # corpus_name -> validated (hash_family, shingle_n, num_hashes):
-        # dedup_corpus_incremental's signature-scheme check, memoized so
-        # steady-state microbatches don't rescan state (see its docstring)
-        self._sig_family_ok: dict[str, tuple[str, int, int]] = {}
+        # corpus_name -> (validated (hash_family, shingle_n, num_hashes),
+        # state version pointer at validation): dedup_corpus_incremental's
+        # signature-scheme check, memoized so steady-state microbatches
+        # don't rescan state; keyed on the committed version so an
+        # external re-sign invalidates it (see _check_sig_family)
+        self._sig_family_ok: dict[
+            str, tuple[tuple[str, int, int], str | None]] = {}
 
     # ------------------------------------------------------------------ §3.1
     def run_profile(self, df: DataFrame, table_name: str,
@@ -876,8 +879,19 @@ class Engine:
         rows (pre-r11 state) can't be checked — warn once per corpus and
         proceed. Memoized per (engine, corpus) after one clean pass;
         our own appends keep the stamp consistent from then on."""
+        from sparvi_spark.sources.state import read_pointer
+
         want = (hash_fn, int(n), int(num_hashes))
-        if self._sig_family_ok.get(corpus_name) == want:
+        # The memo is keyed on the state table's COMMITTED VERSION
+        # pointer, not just the scheme: a plain per-corpus memo would
+        # keep banding against state that an external writer re-signed
+        # after our one clean pass (the exact silent failure this check
+        # exists to prevent, hidden behind the cache). Reading the
+        # pointer is one tiny local file read per call; our own appends
+        # re-point the memo right after committing (they stamp the same
+        # scheme), so steady-state microbatches still skip the scan.
+        ptr = read_pointer(self.state._path("corpus_signatures"))
+        if self._sig_family_ok.get(corpus_name) == (want, ptr):
             return
         stored = (self.state.read("corpus_signatures")
                   .where(F.col("corpus_name") == corpus_name)
@@ -906,7 +920,7 @@ class Engine:
                 f"with {want} — if the corpus predates a hash_fn or "
                 f"construction change, stored docs will NOT be matched.",
                 stacklevel=3)
-        self._sig_family_ok[corpus_name] = want
+        self._sig_family_ok[corpus_name] = (want, ptr)
 
     def dedup_corpus_incremental(self, docs: DataFrame, corpus_name: str,
                                  id_col: str = "doc_id",
@@ -1070,6 +1084,15 @@ class Engine:
                     .alias("band_hashes"),
                     F.lit(run_at).cast("timestamp").alias("added_at")))
             self.state.append("corpus_signatures", kept_sigs)
+            # our append stamped this batch's scheme — re-point the memo
+            # at the new committed version so the next microbatch skips
+            # the state scan (an external commit landing in this tiny
+            # window would be validated under the append lease anyway)
+            from sparvi_spark.sources.state import read_pointer
+
+            self._sig_family_ok[corpus_name] = (
+                (hash_fn, int(n), int(num_hashes)),
+                read_pointer(self.state._path("corpus_signatures")))
         finally:
             if batch_kept is not None:
                 batch_kept.unpersist()

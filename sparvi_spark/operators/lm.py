@@ -47,8 +47,17 @@ def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (the dedup._doc_shingles / langid cliff). As a column reference it
     evaluates once per row and the transform is linear."""
     toks = _toks(text_col)
-    return (df.selectExpr(f"`{id_col}` as __id", f"{toks} as __tk")
-            .where("size(__tk) >= 2")
+    return _bigrams_from_tokens(
+        df.selectExpr(f"`{id_col}` as __id", f"{toks} as __tk"))
+
+
+def _bigrams_from_tokens(tk: DataFrame) -> DataFrame:
+    """(__id, token-array ``__tk``) -> (__id, w1, w2) — the ONE canonical
+    bigram-explode used by both the text path above and the shared-
+    tokens path in ``self_lm_score`` (the DuckDB oracle SQL_LM_SCORE
+    replays this exact construction; keeping a single copy means a
+    future change cannot silently desynchronize the two callers)."""
+    return (tk.where("size(__tk) >= 2")
             .selectExpr("__id",
                         "explode(transform(sequence(1, size(__tk) - 1), "
                         "i -> struct(element_at(__tk, i) as w1, "
@@ -145,13 +154,7 @@ def self_lm_score(
     whitespace split for outputs to stay bit-identical."""
     toks = f"`{tokens_col}`" if tokens_col else _toks(text_col)
     tk = df.selectExpr(f"`{id_col}` as __id", f"{toks} as __tk").persist()
-    doc_bg = (tk.where("size(__tk) >= 2")
-              .selectExpr("__id",
-                          "explode(transform(sequence(1, size(__tk) - 1), "
-                          "i -> struct(element_at(__tk, i) as w1, "
-                          "element_at(__tk, i + 1) as w2))) as p")
-              .selectExpr("__id", "p.w1 as w1", "p.w2 as w2")
-              .persist())
+    doc_bg = _bigrams_from_tokens(tk).persist()
     try:
         model = {
             "bigrams": doc_bg.groupBy("w1", "w2").agg(

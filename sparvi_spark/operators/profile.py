@@ -785,6 +785,16 @@ def profile_table(
 
     for c in buckets["numeric"]:
         cnt, sd, ssd = row[f"{c}__cnt"], row[f"{c}__sum_dec"], row[f"{c}__sumsq_dec"]
+        # The double scale lane has no per-row overflow counter (its
+        # __sq_ovfl is a literal 0): |value| >= ~1.34e154 squares to
+        # +Inf and the sums come back Inf/NaN. Honest-None at read time
+        # covers BOTH lanes — same contract as the decimal lane's
+        # try_multiply counter, detected on the aggregate instead.
+        import math as _math
+        if sd is not None and not _math.isfinite(float(sd)):
+            sd = None
+        if ssd is not None and not _math.isfinite(float(ssd)):
+            ssd = None
         avg = None
         std = None
         if cnt and sd is not None:

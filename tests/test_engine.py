@@ -746,6 +746,35 @@ def test_dedup_corpus_incremental_hash_family_pinned(spark, engine):
         s3 = engine.dedup_corpus_incremental(b3, "cl")
     assert s3["n_vs_corpus_dups"] == 1 and s3["n_kept"] == 0
 
+    # memo invalidation (r11 review fix): the per-corpus verdict is keyed
+    # on the state table's committed version pointer, so an EXTERNAL
+    # re-sign (full rewrite + pointer flip, the documented remediation
+    # for a scheme change) after one clean pass is caught on the next
+    # batch instead of being banded against silently for the engine's
+    # lifetime. Plain appends don't flip the pointer — they are covered
+    # by the append lease, not the memo.
+    import os as _os
+
+    from sparvi_spark.sources.state import next_version, write_pointer
+
+    base = engine.state._path("corpus_signatures")
+    resigned = engine.state.read("corpus_signatures").select(
+        "corpus_name", "doc_id", "sig",
+        F.lit("portable").alias("hash_family"),
+        F.lit(3).cast("int").alias("shingle_n"),
+        F.lit(64).cast("int").alias("num_hashes"),
+        F.lit(None).cast("array<bigint>").alias("band_hashes"),
+        "added_at", "run_date")
+    newv = next_version(base)
+    (resigned.coalesce(1).write.partitionBy("run_date")
+     .parquet(_os.path.join(base, newv)))
+    write_pointer(base, newv)
+    b4 = spark.createDataFrame([(11, "entirely new words about kites and "
+                                     "string and a long afternoon")],
+                               "doc_id int, text string")
+    with pytest.raises(ValueError, match="incompatible"):
+        engine.dedup_corpus_incremental(b4, "cf")
+
 
 def test_classifier_sidecar_and_quality_overrides(spark, engine, tmp_path):
     """save/load classifier round-trips through the sidecar, and

@@ -216,6 +216,15 @@ def test_profile_large_magnitudes_and_single_row(spark):
     p1 = profile_table(one, "one")
     assert p1["summary_statistics"]["x"]["stddev"] is None
 
+    # scale lane (double sums, no per-row overflow counter): |v| >=
+    # ~1.34e154 squares to +Inf — the aggregate-level finiteness guard
+    # must report honest None, not inf/NaN (r11 review fix)
+    huge = spark.createDataFrame([(1e155,), (2e155,)], "x double")
+    ph = profile_table(huge, "huge", exact=False)
+    s = ph["summary_statistics"]["x"]
+    assert s["stddev"] is None, s
+    assert s["max"] == 2e155 and s["non_finite_count"] == 0, s
+
 
 def test_correlation_matrix_matches_numpy(spark):
     """One-pass pairwise Pearson vs numpy, including pairwise-complete
