@@ -325,7 +325,10 @@ def main() -> None:
                    if s["_pre"] <= probe_base * 1.25
                    and s["_post"] <= probe_base * 1.25)
 
-    while draws < 5 + 5 and _n_clean() < 5:
+    # 5 target + up to 7 retry draws (was 5): the r11 box's steal waves
+    # last minutes — two extra ~35s draws buy a real chance of riding
+    # one out, for ~70s worst-case added runtime
+    while draws < 5 + 7 and _n_clean() < 5:
         draws += 1
         isolate()
         st0 = read_steal()
@@ -365,23 +368,35 @@ def main() -> None:
     # per-action scheduling floor (that decomposition previously lived
     # only in SCALING.md prose). Same protocol as the headline queries:
     # untimed warm run, fn()+toPandas inside the timer, isolate between.
-    spark_serial: dict[str, float] = {}
-    st0 = read_steal()
-    for name, (fn, _sql) in sorted(collect_all_checks(prepared=False).items()):
-        fn(spark, sf_dir).toPandas()  # untimed warm run
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).toPandas()
-            best = min(best, time.perf_counter() - t0)
-        spark_serial[name] = round(best, 4)
-        isolate()
-    st1 = read_steal()
+    def serial_pass(prev: dict[str, float] | None) -> tuple[
+            dict[str, float], float]:
+        out: dict[str, float] = {}
+        st0 = read_steal()
+        for name, (fn, _sql) in sorted(
+                collect_all_checks(prepared=False).items()):
+            fn(spark, sf_dir).toPandas()  # untimed warm run
+            best = float("inf") if prev is None else prev[name]
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).toPandas()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 4)
+            isolate()
+        st1 = read_steal()
+        return out, round((st1[0] - st0[0]) / max(1, st1[1] - st0[1]), 4)
+
     # one steal number over the whole serial pass: unlike the suite
-    # samples it has no retry loop, so a steal wave inflates the
+    # samples it has no per-sample retry, so a steal wave inflates the
     # recorded total silently (observed 12.9s -> 19.9s between adjacent
-    # runs) — the artifact must say whether the pass was hit
-    serial_steal_pct = round((st1[0] - st0[0]) / max(1, st1[1] - st0[1]), 4)
+    # runs on identical code) — the artifact must say whether the pass
+    # was hit, and a hit pass gets ONE full retry (per-query min across
+    # passes, each number still a fresh-build best-of-2)
+    spark_serial, serial_steal_pct = serial_pass(None)
+    if serial_steal_pct > 0.005:
+        print(f"# serial pass saw {serial_steal_pct:.2%} steal — "
+              f"retrying once", file=sys.stderr)
+        spark_serial, retry_steal = serial_pass(spark_serial)
+        serial_steal_pct = min(serial_steal_pct, retry_steal)
     spark_serial_total = round(sum(spark_serial.values()), 4)
     print(f"# spark serial total ({len(spark_serial)} queries): "
           f"{spark_serial_total:.2f}s (steal {serial_steal_pct:.2%})",
