@@ -55,6 +55,8 @@ def read_table(
     num_partitions: int | None = None,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
+    columns: list[str] | None = None,
+    predicates: list[str] | None = None,
 ) -> DataFrame:
     """Read one monitored table as a DataFrame.
 
@@ -63,6 +65,14 @@ def read_table(
     | ``duckdb`` (JDBC). For JDBC, pass partition_column + bounds to
     parallelize the read across executors; defaults would funnel the whole
     table through one task.
+
+    ``columns``/``predicates`` (JDBC only) prune and filter INSIDE the
+    warehouse via a dialect-rendered derived table (sources/dialects):
+    columns are case-exact quoted per the warehouse's folding rules,
+    predicates are caller-authored warehouse-SQL fragments AND-ed
+    together (same trust level as V24 custom-SQL rules). Spark's own
+    JDBC pushdown covers simple Catalyst filters; this path covers
+    expressions it cannot push and previews that must never scan.
     """
     ctype = conn["type"].lower()
     if ctype in ("parquet", "orc", "csv", "json"):
@@ -70,11 +80,23 @@ def read_table(
         reader = spark.read
         if ctype == "csv":
             reader = reader.option("header", "true").option("inferSchema", "true")
-        return getattr(reader, ctype)(path)
+        df = getattr(reader, ctype)(path)
+        if columns:
+            df = df.select(*columns)
+        if predicates:
+            for p in predicates:
+                df = df.where(p)
+        return df
+    dbtable = table
+    if columns or predicates:
+        from sparvi_spark.sources.dialects import dialect_for
+
+        dbtable = dialect_for(ctype).pushdown_subquery(
+            table, columns=columns, predicates=predicates)
     reader = (
         spark.read.format("jdbc")
         .option("url", _jdbc_url(conn))
-        .option("dbtable", table)
+        .option("dbtable", dbtable)
     )
     for k in ("user", "password", "driver"):
         if k in conn:
