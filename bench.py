@@ -392,14 +392,21 @@ def main() -> None:
     # was hit, and a hit pass gets ONE full retry (per-query min across
     # passes, each number still a fresh-build best-of-2)
     spark_serial, serial_steal_pct = serial_pass(None)
+    serial_steal_pcts = [serial_steal_pct]
     if serial_steal_pct > 0.005:
         print(f"# serial pass saw {serial_steal_pct:.2%} steal — "
               f"retrying once", file=sys.stderr)
         spark_serial, retry_steal = serial_pass(spark_serial)
-        serial_steal_pct = min(serial_steal_pct, retry_steal)
+        serial_steal_pcts.append(retry_steal)
+        # per-query numbers are mins across BOTH passes, so the honest
+        # summary figure is the MAX of the passes' steal fractions (any
+        # retained timing may have been drawn during the worse pass);
+        # both figures are disclosed in spark_serial_steal_pcts
+        serial_steal_pct = max(serial_steal_pcts)
     spark_serial_total = round(sum(spark_serial.values()), 4)
     print(f"# spark serial total ({len(spark_serial)} queries): "
-          f"{spark_serial_total:.2f}s (steal {serial_steal_pct:.2%})",
+          f"{spark_serial_total:.2f}s (steal "
+          f"{', '.join(f'{s:.2%}' for s in serial_steal_pcts)})",
           file=sys.stderr)
 
     # NOTE (r8): a "prepared-plan wall" field was added and then REMOVED
@@ -485,7 +492,13 @@ def main() -> None:
     # Rule: the stdout line stays < ~1,900 chars; bulky per-query detail
     # (ratio table, raw samples, serial timings) goes to BENCH_DETAIL.json
     # next to this script, referenced by path from the headline line.
-    detail_path = str(Path(__file__).resolve().parent / "BENCH_DETAIL.json")
+    # env-overridable so judge/builder re-runs don't clobber the driver's
+    # recorded per-round detail (r11: it had to be restored from a
+    # snapshot). The driver runs bench.py with no env -> default path
+    # unchanged; local diagnostic runs set SPARK_GRAFT_BENCH_DETAIL.
+    detail_name = os.environ.get("SPARK_GRAFT_BENCH_DETAIL",
+                                 "BENCH_DETAIL.json")
+    detail_path = str(Path(__file__).resolve().parent / detail_name)
     with open(detail_path, "w") as f:
         json.dump({
             "per_query_ratio": per_query_ratio,
@@ -511,12 +524,13 @@ def main() -> None:
         "suite_queries": len(suite_fns),
         "spark_serial_total": spark_serial_total,
         "spark_serial_steal_pct": serial_steal_pct,
+        "spark_serial_steal_pcts": serial_steal_pcts,
         "duckdb_total": duckdb_total,
         "duckdb_total_excl_outliers": duckdb_excl,
         "duckdb_outliers": list(_BASELINE_OUTLIERS),
         "ratio_all": ratio_all,
         "ratio_excl_outliers": ratio_excl,
-        "detail_file": "BENCH_DETAIL.json",
+        "detail_file": detail_name,
         "sf": sf,
     })
     if len(headline_line) > 1900:  # contract guard: trim queries first
@@ -524,7 +538,7 @@ def main() -> None:
               "exceeds the 1,900-char driver capture budget; trimming "
               "per-query timings to the detail file", file=sys.stderr)
         obj = json.loads(headline_line)
-        obj["queries"] = {"see": "BENCH_DETAIL.json"}
+        obj["queries"] = {"see": detail_name}
         headline_line = json.dumps(obj)
     print(f"# headline line: {len(headline_line)} chars", file=sys.stderr)
     print(headline_line)

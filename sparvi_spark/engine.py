@@ -890,8 +890,14 @@ class Engine:
         # pointer is one tiny local file read per call; our own appends
         # re-point the memo right after committing (they stamp the same
         # scheme), so steady-state microbatches still skip the scan.
+        # This only covers LOCAL pointer-dir state: ACID formats write
+        # no pointer and remote roots can't be open()ed, so read_pointer
+        # returns None there — in that case memoization is DISABLED
+        # (every call rescans the stamps) rather than collapsing the key
+        # to (scheme, None) and never catching an external re-sign.
         ptr = read_pointer(self.state._path("corpus_signatures"))
-        if self._sig_family_ok.get(corpus_name) == (want, ptr):
+        if ptr is not None \
+                and self._sig_family_ok.get(corpus_name) == (want, ptr):
             return
         stored = (self.state.read("corpus_signatures")
                   .where(F.col("corpus_name") == corpus_name)
@@ -918,9 +924,95 @@ class Engine:
                 f"corpus {corpus_name!r} holds legacy signature rows "
                 f"with no hash_family stamp; assuming they were signed "
                 f"with {want} — if the corpus predates a hash_fn or "
-                f"construction change, stored docs will NOT be matched.",
+                f"construction change, stored docs will NOT be matched. "
+                f"Engine.restamp_corpus_signatures() asserts-and-stamps "
+                f"legacy rows under an explicit family claim.",
                 stacklevel=3)
-        self._sig_family_ok[corpus_name] = (want, ptr)
+        if ptr is not None:
+            self._sig_family_ok[corpus_name] = (want, ptr)
+
+    def restamp_corpus_signatures(self, corpus_name: str, hash_fn: str,
+                                  n: int, num_hashes: int,
+                                  bands: int | None = None) -> dict[str, Any]:
+        """Assert-or-stamp legacy NULL-stamped signature rows under an
+        EXPLICIT family claim — the migration path for pre-stamping state
+        (``_check_sig_family`` can only warn on NULL rows; after a real
+        scheme change the warning repeats forever while cross-batch dups
+        are silently missed).
+
+        The claim is validated before anything is written:
+
+        - rows already stamped with a DIFFERENT scheme -> raise (the
+          stamps are authoritative; a claim contradicting them is wrong);
+        - any row whose ``size(sig) != num_hashes`` -> raise (the claim
+          is provably false regardless of what the caller believes);
+        - otherwise NULL-stamped rows of ``corpus_name`` are rewritten
+          with the claimed (hash_family, shingle_n, num_hashes), via the
+          state store's transactional ``rewrite``. When ``bands`` is
+          given, missing/wrong-width ``band_hashes`` are also filled
+          (same ``band_hashes_expr`` the append path stamps), retiring
+          the per-batch inline-fallback cost for legacy rows.
+
+        Returns {"n_rows", "n_restamped"}. The family memo for the
+        corpus is dropped so the next batch re-validates the new stamps.
+        """
+        from sparvi_spark.operators.dedup import band_hashes_expr
+
+        want = (hash_fn, int(n), int(num_hashes))
+        rows = (self.state.read("corpus_signatures")
+                .where(F.col("corpus_name") == corpus_name))
+        stored = (rows.where(F.col("hash_family").isNotNull())
+                  .select("hash_family", "shingle_n", "num_hashes")
+                  .distinct().collect())
+        bad = [(r["hash_family"], r["shingle_n"], r["num_hashes"])
+               for r in stored
+               if (r["hash_family"], r["shingle_n"],
+                   r["num_hashes"]) != want]
+        if bad:
+            raise ValueError(
+                f"restamp claim {want} contradicts existing stamps "
+                f"{sorted(set(bad))} on corpus {corpus_name!r}; stamped "
+                f"rows are authoritative — re-sign the corpus instead "
+                f"of restamping.")
+        agg = rows.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum(F.when(F.col("hash_family").isNull(), 1)
+                             .otherwise(0)), F.lit(0)).alias("n_legacy"),
+            F.coalesce(F.sum(F.when(F.size("sig") != int(num_hashes), 1)
+                             .otherwise(0)), F.lit(0)).alias("n_bad_width"),
+        ).first()
+        if agg["n_bad_width"]:
+            raise ValueError(
+                f"restamp claim num_hashes={num_hashes} is provably "
+                f"wrong for corpus {corpus_name!r}: {agg['n_bad_width']} "
+                f"stored rows have a different signature width.")
+        if not agg["n_legacy"] and bands is None:
+            return {"n_rows": agg["n_rows"], "n_restamped": 0}
+
+        def _transform(df: DataFrame) -> DataFrame:
+            df = df.withColumn(
+                "__legacy", (F.col("corpus_name") == corpus_name)
+                & F.col("hash_family").isNull())
+            for col, val in (("hash_family", F.lit(hash_fn)),
+                             ("shingle_n", F.lit(int(n))),
+                             ("num_hashes", F.lit(int(num_hashes)))):
+                df = df.withColumn(col, F.when(F.col("__legacy"), val)
+                                   .otherwise(F.col(col)))
+            if bands is not None:
+                fill = ((F.col("corpus_name") == corpus_name)
+                        & (F.col("band_hashes").isNull()
+                           | (F.size("band_hashes") != int(bands))))
+                df = df.withColumn(
+                    "band_hashes",
+                    F.when(fill,
+                           F.expr(band_hashes_expr(hash_fn, num_hashes,
+                                                   bands)))
+                    .otherwise(F.col("band_hashes")))
+            return df.drop("__legacy")
+
+        self.state.rewrite("corpus_signatures", _transform)
+        self._sig_family_ok.pop(corpus_name, None)
+        return {"n_rows": agg["n_rows"], "n_restamped": agg["n_legacy"]}
 
     def dedup_corpus_incremental(self, docs: DataFrame, corpus_name: str,
                                  id_col: str = "doc_id",

@@ -875,10 +875,10 @@ def _simhash_arrow(df: DataFrame, id_col: str, text_col: str,
     token over Arrow), so fingerprints are BIT-IDENTICAL to the expr
     lane for every doc with ≥1 token (parity-pinned in
     test_simhash_arrow_lane_matches_expr). Docs whose text is NULL are
-    DROPPED here; the expr lane's vote CASEs collapse NULL to the else-0
-    branch, fingerprinting null docs 0 — which would band every pair of
-    null docs together at hamming 0. Dropping is the saner semantics
-    for a dedup screen; the divergence is pinned in the parity test.
+    DROPPED — in every lane since r12 (``simhash`` filters zero-token
+    docs in the expr lanes too), so a scale-mode flip never changes the
+    returned row set; identical row sets incl. null docs are pinned in
+    the parity test.
 
     Why it exists: the expr lane's vote build is
     transform(sequence(0,63), b -> aggregate(__h, ...)) — an interpreted
@@ -943,10 +943,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     # Token hashes materialized once per row (see _doc_shingles note: a
     # lambda-embedded subexpression is re-evaluated per element — here the
     # votes loop reads the hash array `bits` times).
+    # Zero-token docs (NULL or whitespace-only text) are DROPPED — same
+    # semantics in every lane (r12): the arrow lane's >=1-token filter
+    # and a DuckDB unnest oracle both emit no fingerprint for them,
+    # while the vote CASEs here would otherwise collapse them all to
+    # fingerprint 0 and pair every null doc at hamming 0.
     hashed = df.select(
         F.col(id_col),
         F.expr(f"transform({tokens_expr(text_col)}, t -> {token_hash})").alias("__h"),
-    )
+    ).where("size(__h) >= 1")
     votes = (
         f"transform(sequence(0, {bits - 1}), b -> "
         "aggregate(__h, 0L, (acc, h) -> acc + "

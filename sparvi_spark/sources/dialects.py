@@ -16,9 +16,10 @@ differ per warehouse and fail *silently* when wrong:
 - **Row-bounding syntax.** Postgres/Snowflake/DuckDB take ``LIMIT n``;
   Derby (and the SQL standard) want ``FETCH FIRST n ROWS ONLY``. The
   reference's preview/sample endpoints (P14) need this per warehouse.
-- **Bounded sampling.** Snowflake has ``SAMPLE (n ROWS)``; Postgres
-  ``TABLESAMPLE SYSTEM (pct)`` (page-level, only on base tables);
-  engines without a sample clause fall back to the LIMIT form.
+- **Bounded sampling.** Snowflake has ``SAMPLE (n ROWS)``; DuckDB
+  ``USING SAMPLE n ROWS``; engines without a row-count sample clause
+  (Postgres's TABLESAMPLE is percentage-only and FROM-attached) fall
+  back to the LIMIT form so placement stays uniform (after the body).
 - **Spark-type -> warehouse-DDL mapping** for metadata/result
   writebacks: ``double`` is DOUBLE PRECISION in Postgres but DOUBLE in
   Snowflake/Derby; ``string`` is TEXT / VARCHAR / VARCHAR(32672);
@@ -131,7 +132,11 @@ DIALECTS: dict[str, Dialect] = {
     "postgresql": Dialect(
         name="postgresql",
         unquoted_fold="lower",
-        sample_tpl="TABLESAMPLE SYSTEM ({n})",
+        # no sample_tpl: Postgres TABLESAMPLE SYSTEM takes a PERCENTAGE
+        # (sample_rows(1000) would be a syntax error, sample_rows(50) a
+        # half-table scan) and attaches inside FROM, not after the query
+        # body like every other clause here — LIMIT fallback is the only
+        # row-bounded form with uniform placement
         type_map={
             "string": "TEXT", "double": "DOUBLE PRECISION",
             "float": "REAL", "int": "INTEGER", "bigint": "BIGINT",

@@ -66,13 +66,16 @@ def read_table(
     parallelize the read across executors; defaults would funnel the whole
     table through one task.
 
-    ``columns``/``predicates`` (JDBC only) prune and filter INSIDE the
-    warehouse via a dialect-rendered derived table (sources/dialects):
+    ``columns``/``predicates`` prune and filter INSIDE the warehouse
+    via a dialect-rendered derived table (sources/dialects):
     columns are case-exact quoted per the warehouse's folding rules,
     predicates are caller-authored warehouse-SQL fragments AND-ed
     together (same trust level as V24 custom-SQL rules). Spark's own
     JDBC pushdown covers simple Catalyst filters; this path covers
     expressions it cannot push and previews that must never scan.
+    ``columns`` also prunes file sources (Spark pushes the projection to
+    the scan); ``predicates`` are warehouse-dialect strings and raise on
+    file sources — use ``.where()`` with Spark SQL there instead.
     """
     ctype = conn["type"].lower()
     if ctype in ("parquet", "orc", "csv", "json"):
@@ -84,13 +87,29 @@ def read_table(
         if columns:
             df = df.select(*columns)
         if predicates:
-            for p in predicates:
-                df = df.where(p)
+            # predicates are documented as warehouse-SQL fragments (quoted
+            # identifiers like '"grp" = 3'); Spark SQL parses double quotes
+            # as STRING LITERALS, so applying them here would silently
+            # filter out every row rather than erroring — refuse instead
+            # and make the caller use Spark-dialect .where() on the result
+            raise ValueError(
+                "read_table: predicates are warehouse-SQL fragments and "
+                f"only apply to JDBC sources, not {ctype!r} files; filter "
+                "the returned DataFrame with Spark-SQL .where() instead")
         return df
     dbtable = table
+    drop_partition_col = False
     if columns or predicates:
         from sparvi_spark.sources.dialects import dialect_for
 
+        if columns and partition_column is not None \
+                and partition_column not in columns:
+            # the partitioned JDBC read appends stride predicates on
+            # partition_column to every task's query; pruning it out of
+            # the derived table would make the warehouse reject every
+            # task at load time — read it, drop it after
+            columns = [*columns, partition_column]
+            drop_partition_col = True
         dbtable = dialect_for(ctype).pushdown_subquery(
             table, columns=columns, predicates=predicates)
     reader = (
@@ -136,7 +155,8 @@ def read_table(
             # empty table: min/max probe returned NULL — a partitioned read
             # with NULL bounds raises in the JDBC source, and there is
             # nothing to parallelize anyway, so fall back to a plain read
-            return reader.load()
+            df = reader.load()
+            return df.drop(partition_column) if drop_partition_col else df
         if not user_upper and isinstance(upper_bound, int) \
                 and not isinstance(upper_bound, bool):
             # upperBound is EXCLUSIVE for the last stride boundary in the
@@ -149,7 +169,8 @@ def read_table(
                   .option("numPartitions", num_partitions or 8)
                   .option("lowerBound", lower_bound)
                   .option("upperBound", upper_bound))
-    return reader.load()
+    df = reader.load()
+    return df.drop(partition_column) if drop_partition_col else df
 
 
 def read_corpus(

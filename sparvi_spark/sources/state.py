@@ -649,22 +649,34 @@ class StateStore:
         format's job."""
         from sparvi_spark.operators.trends import retain_latest as _retain
 
+        self.rewrite(entity, lambda df: _retain(df, keys, order_col, n))
+
+    def rewrite(self, entity: str, transform) -> None:
+        """Transactionally replace an entity table with
+        ``transform(read(entity))`` — the versioned-rewrite protocol
+        ``retain_latest`` documents (pointer-file commit under the state
+        lease on the parquet backend; one snapshot-isolated overwrite on
+        an ACID format). ``transform`` is a DataFrame -> DataFrame
+        function whose output must carry the entity's schema columns
+        (extras are dropped by the projection here). Used for retention
+        compaction and one-time state migrations
+        (Engine.restamp_corpus_signatures)."""
         base = self._path(entity)
         cols = [f.strip().split(" ")[0] for f in ENTITIES[entity].split(",")]
         if self._acid:
             if self.fmt not in self.ACID_FORMATS:
                 raise ValueError(
-                    f"retain_latest needs a transactional table format "
+                    f"rewrite needs a transactional table format "
                     f"(one of {self.ACID_FORMATS}); {self.fmt!r} would "
                     f"read and overwrite the same path with no snapshot "
                     f"— use the parquet backend's pointer protocol "
                     f"instead")
-            kept = _retain(self.read(entity), keys, order_col, n)
+            kept = transform(self.read(entity))
             (kept.select(*cols).coalesce(4).write.format(self.fmt)
              .mode("overwrite").partitionBy("run_date").save(base))
             return
         with state_lease(base) as lease_owner:
-            kept = _retain(self.read(entity), keys, order_col, n)
+            kept = transform(self.read(entity))
             version = next_version(base)
             kept.select(*cols).coalesce(4).write.mode("overwrite") \
                 .partitionBy("run_date") \

@@ -32,7 +32,11 @@ def test_row_bounding_and_sampling_syntax():
     assert DIALECTS["derby"].limit(10) == "FETCH FIRST 10 ROWS ONLY"
     # engine-native sampling where it exists; LIMIT fallback where not
     assert DIALECTS["snowflake"].sample_rows(50) == "SAMPLE (50 ROWS)"
-    assert DIALECTS["postgresql"].sample_rows(5) == "TABLESAMPLE SYSTEM (5)"
+    assert DIALECTS["duckdb"].sample_rows(50) == "USING SAMPLE 50 ROWS"
+    # Postgres TABLESAMPLE is percentage-only and FROM-attached — the
+    # row-bounded API must fall back to LIMIT (sample_rows(1000) as a
+    # TABLESAMPLE percent would be a syntax error)
+    assert DIALECTS["postgresql"].sample_rows(1000) == "LIMIT 1000"
     assert DIALECTS["derby"].sample_rows(50) == "FETCH FIRST 50 ROWS ONLY"
 
 

@@ -776,6 +776,61 @@ def test_dedup_corpus_incremental_hash_family_pinned(spark, engine):
         engine.dedup_corpus_incremental(b4, "cf")
 
 
+def test_restamp_corpus_signatures(spark, engine):
+    """r12: the migration path for legacy NULL-stamped signature state —
+    assert-or-stamp under an explicit family claim. Restamped state is
+    then validated cleanly (no legacy warning, cross-batch dup still
+    caught); a provably-wrong claim (signature width) and a claim
+    contradicting existing stamps both raise before anything writes."""
+    import warnings
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog by the river "
+             "bank where tall reeds sway gently in the evening wind")],
+        "doc_id int, text string")
+    engine.dedup_corpus_incremental(docs, "rs")
+    # fabricate a pre-stamping corpus: same sigs, stamps stripped
+    legacy = engine.state.read("corpus_signatures").where(
+        F.col("corpus_name") == "rs").select(
+        F.lit("rl").alias("corpus_name"), "doc_id", "sig", "added_at")
+    engine.state.append("corpus_signatures", legacy)
+
+    # provably-wrong width claim raises, state untouched
+    with pytest.raises(ValueError, match="provably"):
+        engine.restamp_corpus_signatures("rl", "xxhash64", 3, 32)
+    assert engine.state.read("corpus_signatures").where(
+        (F.col("corpus_name") == "rl")
+        & F.col("hash_family").isNull()).count() == 1
+
+    out = engine.restamp_corpus_signatures("rl", "xxhash64", 3, 64,
+                                           bands=16)
+    assert out == {"n_rows": 1, "n_restamped": 1}
+    row = engine.state.read("corpus_signatures").where(
+        F.col("corpus_name") == "rl").collect()[0]
+    assert (row["hash_family"], row["shingle_n"],
+            row["num_hashes"]) == ("xxhash64", 3, 64)
+    # bands= also backfills the precomputed band hashes
+    assert row["band_hashes"] is not None and len(row["band_hashes"]) == 16
+    # other corpora untouched
+    assert engine.state.read("corpus_signatures").where(
+        F.col("corpus_name") == "rs").count() == 1
+
+    # restamped state validates silently AND still catches the dup
+    b2 = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog by the river "
+             "bank where tall reeds sway gently in the evening breeze")],
+        "doc_id int, text string")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        s2 = engine.dedup_corpus_incremental(b2, "rl")
+    assert not [w for w in caught if "legacy" in str(w.message)]
+    assert s2["n_vs_corpus_dups"] == 1 and s2["n_kept"] == 0
+
+    # claim contradicting AUTHORITATIVE stamps raises
+    with pytest.raises(ValueError, match="contradicts"):
+        engine.restamp_corpus_signatures("rl", "portable", 3, 64)
+
+
 def test_classifier_sidecar_and_quality_overrides(spark, engine, tmp_path):
     """save/load classifier round-trips through the sidecar, and
     quality_overrides reach the export's Gopher filter (min_words low

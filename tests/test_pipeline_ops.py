@@ -654,11 +654,11 @@ def test_minhash_arrow_lane_matches_expr_pairs(spark):
 def test_simhash_arrow_lane_matches_expr(spark):
     """hash_fn='arrow' simhash votes over the SAME xxhash64 token hashes
     as the expression lane, so fingerprints (and therefore banded pairs)
-    are bit-identical — not just statistically close. Null-text docs are
-    the one divergence: the expr lane's vote CASEs collapse NULL to the
-    else-0 branch so a null doc gets fingerprint 0 (two null docs would
-    'pair' at hamming 0); the arrow lane drops the row instead. Also
-    pins the scale-mode default."""
+    are bit-identical — not just statistically close. r12: NULL-text
+    docs are DROPPED in every lane (previously the expr lane's vote
+    CASEs collapsed NULL to fingerprint 0, so a scale-mode flip changed
+    the returned row set on dirty data); row sets are now identical
+    including null docs. Also pins the scale-mode default."""
     from pyspark.sql import functions as F
 
     from sparvi_spark.config import scale_mode_ctx
@@ -674,14 +674,17 @@ def test_simhash_arrow_lane_matches_expr(spark):
     assert all(expr_fp[k] == v for k, v in arrow_fp.items())
     assert len(arrow_fp) == len(expr_fp)  # sf0.001 docs has no null text
     # hostile rows: empty string tokenizes to [''] (fingerprinted in both
-    # lanes, identically); NULL text drops in arrow, zeroes in expr
+    # lanes, identically); NULL text drops in EVERY lane (r12 — the expr
+    # lanes previously zeroed it, pairing all null docs at hamming 0)
     hostile = spark.createDataFrame(
         [(1, None), (2, ""), (3, "aa bb cc")], "doc_id int, text string")
     hx = {r["doc_id"]: r["simhash"] for r in
           simhash(hostile, "doc_id", "text", hash_fn="xxhash64").collect()}
     ha = {r["doc_id"]: r["simhash"] for r in
           simhash(hostile, "doc_id", "text", hash_fn="arrow").collect()}
-    assert set(ha) == {2, 3} and hx[1] == 0
+    hp = {r["doc_id"]: r["simhash"] for r in
+          simhash(hostile, "doc_id", "text", hash_fn="portable").collect()}
+    assert set(ha) == set(hx) == set(hp) == {2, 3}
     assert ha[2] == hx[2] and ha[3] == hx[3]
     # pairs ride the identical fingerprints -> identical pair sets
     kw = dict(max_hamming=8, bits=64, n_chunks=4)
