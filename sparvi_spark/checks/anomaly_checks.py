@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 from sparvi_spark.operators.anomalies import (
     format_anomalies,
     iqr_anomalies,
-    moving_average_anomalies,
     zscore_anomalies,
 )
 from sparvi_spark.testdata import load_table
@@ -57,6 +56,170 @@ SERIES_CTE = (
 _OUT_COLS = ["metric_name", "ts_day", "value", "score", "is_anomaly", "threshold"]
 
 
+# ---------------------------------------------------------------------------
+# One-statement Spark-SQL texts for the graded anomaly slots (r12).
+#
+# The detector DataFrame builders in operators/anomalies.py are selectExpr
+# chains; under the concurrent suite every chained Dataset creation is a
+# py4j round trip plus an eager re-analysis of the whole plan so far, all
+# GIL-serialized (SCALING.md r11-late: the suite wall is plan construction,
+# not execution). The texts below are the SAME expression strings those
+# builders emit — composed with the operators' own ``_d``/``_interp_sorted``
+# helpers, nested SELECTs mirroring each selectExpr/where stage — rendered
+# into ONE spark.sql call per slot. The analyzed plan (and every value) is
+# identical; scripts/snapshot_checks.py pins bit-for-bit equality across
+# all three SFs, and the DuckDB oracles are unchanged.
+# ---------------------------------------------------------------------------
+
+from sparvi_spark.operators.anomalies import (  # noqa: E402
+    _INF,
+    _d,
+    _interp_sorted,
+    CUSUM_BASE_THRESHOLD,
+    IQR_BASE_THRESHOLD,
+    MA_BASE_THRESHOLD,
+    ZSCORE_BASE_THRESHOLD,
+)
+
+_WG = "(PARTITION BY `metric_name`)"
+_WO = "(PARTITION BY `metric_name` ORDER BY `ts`)"
+
+
+def _wf(window: int) -> str:
+    return (f"(PARTITION BY `metric_name` ORDER BY `ts` "
+            f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)")
+
+
+def _zscore_sql(src: str, sensitivity: float = 1.0,
+                window: int | None = None) -> str:
+    threshold = ZSCORE_BASE_THRESHOLD / sensitivity
+    v = "`value`"
+    if window is None:
+        mean = f"avg({v}) OVER {_WG}"
+        std = f"stddev_pop({v}) OVER {_WG}"
+        score = (f"case when {std} = {_d(0)} then {_d(0)} "
+                 f"else abs(({v} - ({mean})) / ({std})) end")
+        return (f"SELECT * FROM (SELECT *, {score} AS score, "
+                f"{score} > {_d(threshold)} AS is_anomaly, "
+                f"{_d(threshold)} AS threshold, "
+                f"count({v}) OVER {_WG} AS __cnt FROM {src}) "
+                f"WHERE __cnt >= 2")
+    wf = _wf(window)
+    mean = (f"case when count({v}) OVER {_WG} <= {window} "
+            f"then avg({v}) OVER {_WG} else avg({v}) OVER {wf} end")
+    std = (f"case when count({v}) OVER {_WG} <= {window} "
+           f"then stddev_pop({v}) OVER {_WG} "
+           f"else stddev_pop({v}) OVER {wf} end")
+    score = (f"case when ({std}) = {_d(0)} then {_d(0)} "
+             f"else abs(({v} - ({mean})) / ({std})) end")
+    return (f"SELECT * FROM (SELECT *, {score} AS score, "
+            f"{score} > {_d(threshold)} AS is_anomaly, "
+            f"{_d(threshold)} AS threshold, "
+            f"row_number() OVER {_WO} AS __rn, "
+            f"count({v}) OVER {_WG} AS __npts FROM {src}) "
+            f"WHERE (__npts <= {window} and __npts >= 2) "
+            f"or (__npts > {window} and __rn > {window})")
+
+
+def _iqr_sql(src: str, sensitivity: float = 1.0,
+             window: int | None = None) -> str:
+    threshold = IQR_BASE_THRESHOLD / sensitivity
+    v = "`value`"
+    if window is None:
+        inner = (f"SELECT * FROM (SELECT *, "
+                 f"percentile({v}, {_d(0.25)}) OVER {_WG} AS __q1, "
+                 f"percentile({v}, {_d(0.75)}) OVER {_WG} AS __q3, "
+                 f"count({v}) OVER {_WG} AS __cnt FROM {src}) "
+                 f"WHERE __cnt >= 4")
+    else:
+        wf = _wf(window)
+        arr = f"sort_array(collect_list({v}) OVER {wf})"
+        inner = (
+            f"SELECT * FROM (SELECT *, "
+            f"row_number() OVER {_WO} AS __rn, "
+            f"count({v}) OVER {_WG} AS __npts, "
+            f"case when count({v}) OVER {_WG} <= {window} "
+            f"then percentile({v}, 0.25) OVER {_WG} "
+            f"else {_interp_sorted(arr, 0.25)} end AS __q1, "
+            f"case when count({v}) OVER {_WG} <= {window} "
+            f"then percentile({v}, 0.75) OVER {_WG} "
+            f"else {_interp_sorted(arr, 0.75)} end AS __q3 FROM {src}) "
+            f"WHERE (__npts <= {window} and __npts >= 4) "
+            f"or (__npts > {window} and __rn > {window})")
+    iqr = "(__q3 - __q1)"
+    lower = f"(__q1 - {iqr} * {_d(threshold)})"
+    upper = f"(__q3 + {iqr} * {_d(threshold)})"
+    past_low = (f"case when {iqr} > {_d(0)} "
+                f"then abs(({lower} - {v}) / {iqr}) else {_INF} end")
+    past_high = (f"case when {iqr} > {_d(0)} "
+                 f"then abs(({v} - {upper}) / {iqr}) else {_INF} end")
+    score = (f"case when {v} < {lower} then {past_low} "
+             f"when {v} > {upper} then {past_high} else {_d(0)} end")
+    return (f"SELECT *, {score} AS score, "
+            f"({v} < {lower}) or ({v} > {upper}) AS is_anomaly, "
+            f"{_d(threshold)} AS threshold FROM ({inner})")
+
+
+def _ma_sql(src: str, sensitivity: float = 1.0, window: int = 7,
+            std_window: int | None = None) -> str:
+    sw = std_window or window
+    threshold = MA_BASE_THRESHOLD / sensitivity
+    v = "`value`"
+    wfwd = (f"(PARTITION BY `metric_name` ORDER BY `ts` "
+            f"ROWS BETWEEN CURRENT ROW AND {sw - 1} FOLLOWING)")
+    base1 = (f"SELECT * FROM (SELECT *, row_number() OVER {_WO} AS __rn, "
+             f"avg({v}) OVER {_wf(window)} AS __ma FROM {src}) "
+             f"WHERE __rn > {window}")
+    base2 = (f"SELECT *, count(1) OVER {_WG} AS __n_ma, "
+             f"row_number() OVER {_WO} AS __mi, "
+             f"stddev_pop(__ma) OVER {wfwd} AS __fwd_std, "
+             f"stddev_pop(__ma) OVER {_WG} AS __global_std FROM ({base1})")
+    tail_std = (f"max(case when __mi = __n_ma - {sw} + 1 "
+                f"then __fwd_std end) OVER {_WG}")
+    std = (f"case when __n_ma < {sw} then __global_std "
+           f"when __mi <= __n_ma - {sw} + 1 then __fwd_std "
+           f"else {tail_std} end")
+    base3 = f"SELECT *, {std} AS __std FROM ({base2})"
+    score = (f"case when __std = {_d(0)} then {_d(0)} "
+             f"else abs(({v} - __ma) / __std) end")
+    return (f"SELECT *, {score} AS score, "
+            f"case when __std = {_d(0)} then false "
+            f"else {score} > {_d(threshold)} end AS is_anomaly, "
+            f"{_d(threshold)} AS threshold, __ma AS moving_avg "
+            f"FROM ({base3})")
+
+
+def _cusum_sql(src: str, sensitivity: float = 1.0,
+               slack: float = 0.5) -> str:
+    threshold = CUSUM_BASE_THRESHOLD / sensitivity
+    v = "`value`"
+    run = (f"(PARTITION BY `metric_name` ORDER BY `ts` "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    l1 = (f"SELECT * FROM (SELECT *, avg({v}) OVER {_WG} AS __mean, "
+          f"stddev_pop({v}) OVER {_WG} AS __std, "
+          f"count({v}) OVER {_WG} AS __cnt "
+          f"FROM (SELECT * FROM {src} WHERE {v} is not null)) "
+          f"WHERE __cnt >= 2")
+    k = f"{_d(slack)} * __std"
+    l2 = (f"SELECT *, sum({v} - __mean - {k}) OVER {run} AS __psum, "
+          f"sum(__mean - {v} - {k}) OVER {run} AS __nsum FROM ({l1})")
+    l3 = (f"SELECT *, "
+          f"__psum - least({_d(0)}, min(__psum) OVER {run}) AS __sp, "
+          f"__nsum - least({_d(0)}, min(__nsum) OVER {run}) AS __sn "
+          f"FROM ({l2})")
+    score = (f"case when __std = {_d(0)} then {_d(0)} "
+             f"else greatest(__sp, __sn) / __std end")
+    return (f"SELECT *, {score} AS score, "
+            f"{score} > {_d(threshold)} AS is_anomaly, "
+            f"{_d(threshold)} AS threshold FROM ({l3})")
+
+
+def _series_view(spark: SparkSession, sf_dir: str) -> str:
+    from sparvi_spark.checks import frame_view
+
+    return frame_view(spark, sf_dir, "__a_series", metric_series)
+
+
 def _finalize(df: DataFrame) -> DataFrame:
     return df.select(
         "metric_name",
@@ -69,29 +232,28 @@ def _finalize(df: DataFrame) -> DataFrame:
 
 
 def q_anomaly_scores_4way(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The a01 graded slot (4 detectors × one tagged union) built with the
-    finalize + tag projection FUSED into one selectExpr per part — the
-    generic union_check wrapper adds a tag select on top of _finalize
-    (one extra analysis round per part, 4 per build, all GIL-serialized
-    under the concurrent suite). The resolved plan and every value are
-    identical to union_check over the four q_* checks; the standalone
-    checks remain the EXTRA/diagnostic surface."""
-    s = metric_series(spark, sf_dir)
+    """The a01 graded slot (4 detectors × one tagged union) rendered as
+    ONE spark.sql statement over the memoized series view (r12): the r11
+    hand-fused builder still paid ~16 Dataset creations (4 detector
+    chains + 4 tag selects + 3 unions), each a py4j round trip plus an
+    eager re-analysis — one SQL text is a single round trip and one
+    analysis of the final plan. Expression text comes from the same
+    ``_d``-composed strings the operator builders emit, so every value
+    is bit-identical (snapshot-pinned); the standalone q_* checks remain
+    the EXTRA/diagnostic surface."""
+    src = _series_view(spark, sf_dir)
     parts = [
-        ("zscore_global", zscore_anomalies(s, ["metric_name"])),
-        ("zscore_rolling", zscore_anomalies(s, ["metric_name"],
-                                            window=ROLL_W)),
-        ("iqr_global", iqr_anomalies(s, ["metric_name"])),
-        ("iqr_rolling", iqr_anomalies(s, ["metric_name"], window=ROLL_W)),
+        ("zscore_global", _zscore_sql(src)),
+        ("zscore_rolling", _zscore_sql(src, window=ROLL_W)),
+        ("iqr_global", _iqr_sql(src)),
+        ("iqr_rolling", _iqr_sql(src, window=ROLL_W)),
     ]
-    out = None
-    for tag, d in parts:
-        d = d.selectExpr(
-            f"'{tag}' as method", "metric_name",
-            "date_format(ts, 'yyyy-MM-dd') as ts_day", "value",
-            "round(score, 4) as score", "is_anomaly", "threshold")
-        out = d if out is None else out.unionAll(d)
-    return out
+    sql = " UNION ALL ".join(
+        f"SELECT '{tag}' as method, metric_name, "
+        f"date_format(ts, 'yyyy-MM-dd') as ts_day, value, "
+        f"round(score, 4) as score, is_anomaly, threshold FROM ({part})"
+        for tag, part in parts)
+    return spark.sql(sql)
 
 
 # ---------------------------------------------------------------------------
@@ -190,9 +352,13 @@ MA_W = 7
 
 
 def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _finalize(
-        moving_average_anomalies(metric_series(spark, sf_dir), ["metric_name"], window=MA_W)
-    )
+    # one-statement build (see q_anomaly_scores_4way): same text as
+    # _finalize(moving_average_anomalies(series)), one analysis pass
+    src = _series_view(spark, sf_dir)
+    return spark.sql(
+        f"SELECT metric_name, date_format(ts, 'yyyy-MM-dd') AS ts_day, "
+        f"value, round(score, 4) AS score, is_anomaly, threshold "
+        f"FROM ({_ma_sql(src, window=MA_W)})")
 
 
 SQL_MOVING_AVERAGE = f"""
@@ -309,25 +475,33 @@ FROM j
 # ---------------------------------------------------------------------------
 
 def q_detection_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparvi_spark.operators.anomalies import detect_anomalies
+    """One-statement build of the a07 config fan-out (r12; see
+    q_anomaly_scores_4way). Each config nests exactly the stages
+    detect_anomalies composes — eligibility count filter, detector,
+    format_anomalies' anomaly filter + severity — as SQL text; the
+    detector texts are the shared ``_*_sql`` builders above."""
+    from sparvi_spark.operators.anomalies import _SEVERITY_CUTS
 
-    series = metric_series(spark, sf_dir)
+    src = _series_view(spark, sf_dir)
+    eligible = (f"(SELECT * FROM (SELECT *, "
+                f"count(`value`) OVER {_WG} AS __npts0 FROM {src}) "
+                f"WHERE __npts0 >= 7)")
     configs = [
-        ("cfg_z", {"detection_method": "zscore", "sensitivity": 2.0}),
-        ("cfg_i", {"detection_method": "iqr", "sensitivity": 1.0}),
-        ("cfg_c", {"detection_method": "cusum", "sensitivity": 2.0}),
+        ("cfg_z", "zscore", _zscore_sql(eligible, sensitivity=2.0)),
+        ("cfg_i", "iqr", _iqr_sql(eligible, sensitivity=1.0)),
+        ("cfg_c", "cusum", _cusum_sql(eligible, sensitivity=2.0)),
     ]
-    outs = []
-    for cid, cfg in configs:
-        det = detect_anomalies(series, ["metric_name"], config=cfg)
-        outs.append(det.select(
-            F.lit(cid).alias("config_id"), "metric_name",
-            F.date_format("ts", "yyyy-MM-dd").alias("ts_day"), "value",
-            F.round("score", 4).alias("score"), "method", "severity"))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    stmts = []
+    for cid, method, det in configs:
+        hi, med = _SEVERITY_CUTS.get(method, (5.0, 2.5))
+        sev = (f"case when score > {_d(hi)} then 'high' "
+               f"when score > {_d(med)} then 'medium' else 'low' end")
+        stmts.append(
+            f"SELECT '{cid}' AS config_id, metric_name, "
+            f"date_format(ts, 'yyyy-MM-dd') AS ts_day, value, "
+            f"round(score, 4) AS score, '{method}' AS method, "
+            f"{sev} AS severity FROM ({det}) WHERE is_anomaly")
+    return spark.sql(" UNION ALL ".join(stmts))
 
 
 SQL_DETECTION_RUN = f"""
