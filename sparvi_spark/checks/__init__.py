@@ -81,17 +81,10 @@ def aligned_union_check(parts, columns, tag_col="part"):
     return fn, sql
 
 
-def melt_part_df(df, tag: str, keys, nums, strs):
-    """Melt ONE part's DataFrame into the long (part, k1, k2, metric,
-    num_val, str_val) shape ``melted_check`` unions — extracted so
-    hand-fused slot builders can share a subplan across parts and still
-    emit the exact projection the generated oracle SQL pairs with.
-
-    SQL-TEXT projection, not Column objects: the struct/lit/cast chatter
-    built ~3 py4j calls per metric — measured 120-190ms of pure
-    plan-build per melted slot (40-55% of the build), all GIL-serialized
-    under the concurrent suite. One selectExpr pair per part parses
-    JVM-side; the resolved plan is identical."""
+def _melt_texts(keys, nums, strs):
+    """The melt projection's SQL text pieces — shared verbatim by the
+    DataFrame path (melt_part_df) and the one-statement SQL path
+    (melt_part_sql) so both resolve to the identical plan."""
     ks = [
         (f"cast(`{keys[i]}` as string)" if i < len(keys)
          else "cast(null as string)") + f" as k{i + 1}"
@@ -108,10 +101,38 @@ def melt_part_df(df, tag: str, keys, nums, strs):
         f"'str_val', cast(`{m}` as string))"
         for m in strs
     ]
+    return ks, items
+
+
+def melt_part_df(df, tag: str, keys, nums, strs):
+    """Melt ONE part's DataFrame into the long (part, k1, k2, metric,
+    num_val, str_val) shape ``melted_check`` unions — extracted so
+    hand-fused slot builders can share a subplan across parts and still
+    emit the exact projection the generated oracle SQL pairs with.
+
+    SQL-TEXT projection, not Column objects: the struct/lit/cast chatter
+    built ~3 py4j calls per metric — measured 120-190ms of pure
+    plan-build per melted slot (40-55% of the build), all GIL-serialized
+    under the concurrent suite. One selectExpr pair per part parses
+    JVM-side; the resolved plan is identical."""
+    ks, items = _melt_texts(keys, nums, strs)
     return df.selectExpr(
         f"'{_sq(tag)}' as part", *ks,
         f"explode(array({', '.join(items)})) as u",
     ).selectExpr("part", "k1", "k2", "u.metric", "u.num_val", "u.str_val")
+
+
+def melt_part_sql(part_sql: str, tag: str, keys, nums, strs) -> str:
+    """The Spark-SQL text equivalent of ``melt_part_df`` over a part's
+    Spark-dialect SELECT text — one-statement slot builders UNION ALL
+    these and call spark.sql once (r12 plan-build floor work; see
+    module comment on _VIEWS)."""
+    ks, items = _melt_texts(keys, nums, strs)
+    return (
+        "SELECT part, k1, k2, u.metric, u.num_val, u.str_val FROM ("
+        f"SELECT '{_sq(tag)}' as part, {', '.join(ks)}, "
+        f"explode(array({', '.join(items)})) as u FROM ({part_sql}))"
+    )
 
 
 def melted_check(parts):

@@ -288,6 +288,423 @@ def q_doc_scores_fused(spark, sf_dir):
     return out
 
 
+# ---------------------------------------------------------------------------
+# r12 one-statement Spark builders for the remaining hot slots. Same
+# rationale as the anomaly family (see checks/__init__ _VIEWS comment):
+# each slot renders ONE Spark-SQL statement over per-(session, sf_dir)
+# temp views and calls spark.sql once, replacing 15-40 chained Dataset
+# creations (each a py4j round trip + eager re-analysis). The SQL text
+# mirrors the part builders' expression text stage for stage, so every
+# value is bit-identical — pinned by scripts/snapshot_checks.py at all
+# three SFs against the pre-rewrite outputs, and by the unchanged DuckDB
+# oracle SQL (which is still generated from the same part specs).
+# ---------------------------------------------------------------------------
+
+from sparvi_spark.checks import melt_part_sql, table_views  # noqa: E402
+from sparvi_spark.checks.anomaly_checks import (  # noqa: E402
+    _series_view,
+    _zscore_sql,
+)
+from sparvi_spark.checks.trend_checks import (  # noqa: E402
+    SPINE_END,
+    SPINE_START,
+)
+
+_HS = ("case when (passing + failing) > 0 then "
+       "round(passing * cast(100 as double) / (passing + failing), 2) end")
+
+
+def _sp_results(events: str) -> str:
+    # trend_checks._results: validation-result emulation over events
+    return (f"SELECT user_id AS rule_id, event_id, ts AS run_at, "
+            f"(event_type != 'error') AS is_valid FROM {events}")
+
+
+def _sp_latest(src: str, part_keys: str, extra_cols: str = "") -> str:
+    # trends.latest_per_key(keys, run_at, tiebreak=[event_id])
+    return (f"SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY "
+            f"{part_keys} ORDER BY run_at DESC, event_id DESC) AS __rn "
+            f"FROM ({src})) WHERE __rn = 1")
+
+
+def _sp_daily_rollup(events: str) -> str:
+    results = (f"SELECT user_id AS rule_id, event_id, ts AS run_at, "
+               f"(event_type != 'error') AS is_valid, to_date(ts) AS day "
+               f"FROM {events}")
+    latest = _sp_latest(results, "rule_id, day")
+    per_day = (f"SELECT day, count(case when is_valid then 1 end) AS passed, "
+               f"count(case when not is_valid then 1 end) AS failed, "
+               f"count(1) AS seen FROM ({latest}) GROUP BY day")
+    spine = (f"SELECT explode(sequence(date '{SPINE_START}', "
+             f"date '{SPINE_END}', interval 1 day)) AS day")
+    return (
+        f"SELECT date_format(spine.day, 'yyyy-MM-dd') AS day, "
+        f"coalesce(passed, 0) AS passed, coalesce(failed, 0) AS failed, "
+        f"coalesce(seen, 0) AS seen, "
+        f"case when coalesce(passed, 0) + coalesce(failed, 0) > 0 then "
+        f"round(passed * cast(100 as double) / (passed + failed), 2) end "
+        f"AS health_score "
+        f"FROM ({spine}) spine LEFT JOIN ({per_day}) per_day "
+        f"ON spine.day = per_day.day")
+
+
+def _sp_anomalies(series: str) -> str:
+    # anomaly_checks._anomalies: zscore @ sensitivity 2 + format_anomalies
+    return (f"SELECT metric_name, ts, value AS value, score, is_anomaly, "
+            f"threshold, 'zscore' AS method, "
+            f"case when score > cast(5.0 as double) then 'high' "
+            f"when score > cast(3.5 as double) then 'medium' "
+            f"else 'low' end AS severity "
+            f"FROM ({_zscore_sql(series, sensitivity=2.0)}) WHERE is_anomaly")
+
+
+def _sp_dashboard_combined(events: str, series: str) -> str:
+    daily = (f"SELECT to_date(ts) AS day, count(1) AS total, "
+             f"count(case when severity = 'high' then 1 end) AS high, "
+             f"count(case when severity = 'medium' then 1 end) AS medium, "
+             f"count(case when severity = 'low' then 1 end) AS low "
+             f"FROM ({_sp_anomalies(series)}) GROUP BY to_date(ts)")
+    spine = (f"SELECT explode(sequence(date '{SPINE_START}', "
+             f"date '{SPINE_END}', interval 1 day)) AS day")
+    trend = (f"SELECT date_format(day, 'yyyy-MM-dd') AS day, total, high, "
+             f"medium, low FROM (SELECT spine.day, "
+             f"coalesce(total, 0) AS total, coalesce(high, 0) AS high, "
+             f"coalesce(medium, 0) AS medium, coalesce(low, 0) AS low "
+             f"FROM ({spine}) spine LEFT JOIN ({daily}) daily "
+             f"ON spine.day = daily.day)")
+    dd = (f"SELECT date_format(to_date(ts), 'yyyy-MM-dd') AS day, "
+          f"round(cast(sum(cast(value as decimal(18,2))) as double) "
+          f"/ count(value), 4) AS avg_value, "
+          f"count(distinct user_id) AS n_entities, count(1) AS n_rows "
+          f"FROM {events} GROUP BY date_format(to_date(ts), 'yyyy-MM-dd')")
+    return (f"SELECT day, total, high, medium, low, avg_value, n_entities, "
+            f"n_rows FROM ({trend}) LEFT JOIN ({dd}) USING (day)")
+
+
+def _sp_health_summary(events: str) -> str:
+    latest = _sp_latest(_sp_results(events), "rule_id")
+    agg = (f"SELECT count(1) AS total_rules, "
+           f"count(case when is_valid then 1 end) AS passing, "
+           f"count(case when not is_valid then 1 end) AS failing, "
+           f"date_format(max(run_at), 'yyyy-MM-dd HH:mm:ss') AS last_run "
+           f"FROM ({latest})")
+    res2 = (f"SELECT event_type AS grp, user_id AS rule_id, event_id, "
+            f"ts AS run_at, (value > 100) AS is_valid FROM {events}")
+    latest2 = _sp_latest(res2, "grp, rule_id")
+    agg2 = (f"SELECT grp, count(1) AS total_rules, "
+            f"count(case when is_valid then 1 end) AS passing, "
+            f"count(case when not is_valid then 1 end) AS failing, "
+            f"date_format(max(run_at), 'yyyy-MM-dd HH:mm:ss') AS last_run "
+            f"FROM ({latest2}) GROUP BY grp")
+    return (f"SELECT '__overall__' AS grp, total_rules, passing, failing, "
+            f"last_run, {_HS} AS health_score FROM ({agg}) "
+            f"UNION ALL "
+            f"SELECT grp, total_rules, passing, failing, last_run, "
+            f"{_HS} AS health_score FROM ({agg2})")
+
+
+def _sp_anomaly_summary_combined(series: str) -> str:
+    anom = _sp_anomalies(series)
+    sev = (f"SELECT 'severity' AS section, severity AS key, cnt FROM ("
+           f"SELECT severity, count(1) AS cnt FROM ({anom}) "
+           f"GROUP BY severity)")
+    top = (f"SELECT 'top_metric' AS section, metric_name AS key, cnt FROM ("
+           f"SELECT metric_name, cnt FROM (SELECT *, row_number() OVER ("
+           f"ORDER BY cnt DESC, metric_name ASC) AS __rn FROM ("
+           f"SELECT metric_name, count(1) AS cnt FROM ({anom}) "
+           f"GROUP BY metric_name)) WHERE __rn <= 3)")
+    return f"{sev} UNION ALL {top}"
+
+
+def q_rollups_fused(spark, sf_dir):
+    v = table_views(spark, sf_dir, ["events"])
+    series = _series_view(spark, sf_dir)
+    sql = " UNION ALL ".join([
+        melt_part_sql(_sp_daily_rollup(v["events"]), "daily_rollup",
+                      ["day"], ["passed", "failed", "seen", "health_score"],
+                      []),
+        melt_part_sql(_sp_dashboard_combined(v["events"], series),
+                      "dashboard_daily", ["day"],
+                      ["total", "high", "medium", "low", "avg_value",
+                       "n_entities", "n_rows"], []),
+    ])
+    return spark.sql(sql)
+
+
+def q_summaries_fused(spark, sf_dir):
+    v = table_views(spark, sf_dir, ["events"])
+    series = _series_view(spark, sf_dir)
+    sql = " UNION ALL ".join([
+        melt_part_sql(_sp_health_summary(v["events"]), "health_summary",
+                      ["grp"],
+                      ["total_rules", "passing", "failing", "health_score"],
+                      ["last_run"]),
+        melt_part_sql(_sp_anomaly_summary_combined(series),
+                      "anomaly_summary", ["section", "key"], ["cnt"], []),
+    ])
+    return spark.sql(sql)
+
+
+def _sp_metric_history(events: str) -> str:
+    from sparvi_spark.checks.trend_checks import FETCH_LIMIT, FETCH_SINCE
+
+    base = (f"SELECT event_type AS metric_name, event_id, "
+            f"value AS metric_value, ts FROM {events}")
+    fetched = (f"SELECT * FROM ({base}) WHERE metric_name = 'click' "
+               f"AND ts >= cast('{FETCH_SINCE}' as timestamp) "
+               f"ORDER BY ts DESC, event_id DESC LIMIT {FETCH_LIMIT}")
+    return (f"SELECT metric_name, event_id, "
+            f"round(metric_value, 4) AS metric_value, "
+            f"date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s "
+            f"FROM ({fetched})")
+
+
+def _sp_top_tokens(documents: str) -> str:
+    from sparvi_spark.operators.dedup import tokens_expr
+
+    counted = (f"SELECT token, count(1) AS cnt FROM (SELECT "
+               f"explode({tokens_expr('text')}) AS token FROM {documents}) "
+               f"WHERE token != '' GROUP BY token")
+    topk = (f"SELECT token, cnt FROM ({counted}) "
+            f"ORDER BY cnt DESC, token ASC LIMIT 10")
+    return (f"SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, "
+            f"token ASC) AS rank FROM ({topk})")
+
+
+def q_misc_small_fused(spark, sf_dir):
+    v = table_views(spark, sf_dir, ["events", "customer", "documents"])
+    sql = " UNION ALL ".join([
+        melt_part_sql(f"SELECT * FROM {v['customer']} "
+                      f"ORDER BY c_custkey LIMIT 50",
+                      "preview", ["c_custkey"],
+                      ["c_nationkey", "c_acctbal"],
+                      ["c_name", "c_mktsegment"]),
+        melt_part_sql(_sp_metric_history(v["events"]), "metric_history",
+                      ["metric_name", "event_id"], ["metric_value"],
+                      ["ts_s"]),
+        melt_part_sql(_sp_top_tokens(v["documents"]), "top_tokens",
+                      ["token"], ["cnt", "rank"], []),
+    ])
+    return spark.sql(sql)
+
+
+# -- x13: fused sampling + dedup_corpus + retention, one statement ---------
+
+def _sp_sampling_fused(documents: str) -> str:
+    from sparvi_spark.checks.pipeline_checks import SAMPLE_PCT, STRAT_N
+    from sparvi_spark.operators.sampling import HASH_A, HASH_B, HASH_M
+
+    h = f"pmod(cast(doc_id as bigint) * {HASH_A}L + {HASH_B}L, {HASH_M}L)"
+    inner = (f"SELECT source, doc_id, __bk, row_number() OVER ("
+             f"PARTITION BY source ORDER BY {h}, doc_id) AS __rk FROM ("
+             f"SELECT source, doc_id, {h} % 100 AS __bk FROM {documents})")
+    base = (f"SELECT source, "
+            f"cast(sum(case when __bk < {SAMPLE_PCT} then 1 else 0 end) "
+            f"as bigint) AS bn, "
+            f"cast(sum(case when __bk < {SAMPLE_PCT} then doc_id else 0 "
+            f"end) as bigint) AS bc, "
+            f"cast(sum(case when __rk <= {STRAT_N} then 1 else 0 end) "
+            f"as bigint) AS sn, "
+            f"cast(sum(case when __rk <= {STRAT_N} then doc_id else 0 "
+            f"end) as bigint) AS sc FROM ({inner}) GROUP BY source")
+    return (f"SELECT u.part AS part, u.key AS key, u.n AS n, "
+            f"u.id_checksum AS id_checksum FROM (SELECT explode(array("
+            f"named_struct('part', 'sample_bernoulli', 'key', source, "
+            f"'n', bn, 'id_checksum', bc), "
+            f"named_struct('part', 'sample_stratified', 'key', source, "
+            f"'n', sn, 'id_checksum', sc))) AS u FROM ({base})) "
+            f"WHERE u.n > 0")
+
+
+def _sp_dedup_corpus(documents: str) -> str:
+    from sparvi_spark.checks.pipeline_checks import DOC_CAP, JACCARD_T
+    from sparvi_spark.operators.dedup import tokens_expr
+
+    sh = (f"SELECT DISTINCT doc_id AS id, shingle FROM (SELECT doc_id, "
+          f"explode({tokens_expr('text')}) AS shingle FROM {documents} "
+          f"WHERE doc_id < {DOC_CAP})")
+    sz = f"SELECT id, count(1) AS sz FROM ({sh}) GROUP BY id"
+    shared = (f"SELECT a.id AS id_a, b.id AS id_b, count(1) AS shared "
+              f"FROM ({sh}) a JOIN ({sh}) b USING (shingle) "
+              f"WHERE a.id < b.id GROUP BY a.id, b.id")
+    dups = (f"SELECT DISTINCT id_b FROM ({shared}) "
+            f"JOIN ({sz}) x ON id_a = x.id JOIN ({sz}) y ON id_b = y.id "
+            f"WHERE round(shared * cast(1 as double) "
+            f"/ (x.sz + y.sz - shared), 6) >= {JACCARD_T}")
+    return (f"SELECT source, count(1) AS n_kept, "
+            f"cast(sum(doc_id) as bigint) AS id_checksum "
+            f"FROM {documents} WHERE doc_id < {DOC_CAP} "
+            f"AND doc_id NOT IN ({dups}) GROUP BY source")
+
+
+def _sp_retention(events: str) -> str:
+    kept = (f"SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY "
+            f"user_id ORDER BY ts DESC, event_id DESC) AS __rn "
+            f"FROM {events}) WHERE __rn <= 10")
+    return (f"SELECT user_id, count(1) AS kept, "
+            f"sum(event_id) AS id_checksum FROM ({kept}) GROUP BY user_id")
+
+
+def q_id_checksums_fused_sql(spark, sf_dir):
+    v = table_views(spark, sf_dir, ["documents", "events"])
+    stmts = [_sp_sampling_fused(v["documents"])]
+    stmts.append(
+        f"SELECT 'dedup_corpus' as part, source AS key, n_kept AS n, "
+        f"id_checksum AS id_checksum FROM ({_sp_dedup_corpus(v['documents'])})")
+    stmts.append(
+        f"SELECT 'retention' as part, CAST(user_id AS STRING) AS key, "
+        f"kept AS n, id_checksum AS id_checksum "
+        f"FROM ({_sp_retention(v['events'])})")
+    return spark.sql(" UNION ALL ".join(stmts))
+
+
+# -- x24: numeric + categorical + vocab drift, one statement ---------------
+
+def _sp_numeric_drift(orders: str) -> str:
+    from sparvi_spark.checks.pipeline_checks import (
+        DRIFT_BINS,
+        DRIFT_COLS,
+        DRIFT_SPLIT,
+    )
+    from sparvi_spark.operators.drift import _DEC, bucket_expr
+
+    b = DRIFT_BINS
+    split = f"cast('{DRIFT_SPLIT}' as timestamp)"
+
+    def melt(side: str, cond: str) -> str:
+        stack = ", ".join(f"'{c}', cast(`{c}` as double)"
+                          for c in DRIFT_COLS)
+        return (f"SELECT column_name, v, '{side}' as side FROM ("
+                f"SELECT stack({len(DRIFT_COLS)}, {stack}) "
+                f"as (column_name, v) FROM (SELECT * FROM {orders} "
+                f"WHERE {cond})) WHERE v is not null")
+
+    m = (f"{melt('e', f'o_orderdate < {split}')} UNION ALL "
+         f"{melt('a', f'o_orderdate >= {split}')}")
+    edges = (f"SELECT column_name, "
+             f"min(case when side = 'e' then v end) AS mn, "
+             f"max(case when side = 'e' then v end) AS mx "
+             f"FROM ({m}) GROUP BY column_name")
+    binned = (f"SELECT /*+ BROADCAST(edges) */ column_name, side, "
+              f"{bucket_expr(b)} AS b FROM ({m}) m JOIN ({edges}) edges "
+              f"USING (column_name)")
+    counts = (f"SELECT column_name, b, "
+              f"count(case when side = 'e' then 1 end) AS ce, "
+              f"count(case when side = 'a' then 1 end) AS ca "
+              f"FROM ({binned}) GROUP BY column_name, b")
+    pe = (f"((cast(ce as double) + 0.5d) / "
+          f"(cast(ne as double) + 0.5d * {b}))")
+    pa = (f"((cast(ca as double) + 0.5d) / "
+          f"(cast(na as double) + 0.5d * {b}))")
+    terms = (f"SELECT column_name, ne, na, "
+             f"cast(round(abs({pa} - {pe}), 15) as {_DEC}) AS __tvd_t, "
+             f"cast(round(({pa} - {pe}) * ({pa} - {pe}) / {pe}, 15) "
+             f"as {_DEC}) AS __chi2_t FROM ("
+             f"SELECT column_name, ce, ca, "
+             f"sum(ce) OVER (PARTITION BY column_name) AS ne, "
+             f"sum(ca) OVER (PARTITION BY column_name) AS na "
+             f"FROM ({counts}))")
+    pe0 = f"(0.5d / (cast(max(ne) as double) + 0.5d * {b}))"
+    pa0 = f"(0.5d / (cast(max(na) as double) + 0.5d * {b}))"
+    miss = f"cast({b} - count(1) as double)"
+    return (f"SELECT column_name, "
+            f"max(ne) AS n_expected, max(na) AS n_actual, "
+            f"round(cast((sum(__tvd_t) + cast(round({miss} * "
+            f"abs({pa0} - {pe0}), 15) as {_DEC})) * 0.5 as double), 9) "
+            f"AS tvd, "
+            f"round(cast(sum(__chi2_t) + cast(round({miss} * "
+            f"(({pa0} - {pe0}) * ({pa0} - {pe0}) / {pe0}), 15) "
+            f"as {_DEC}) as double), 9) AS chi2 "
+            f"FROM ({terms}) GROUP BY column_name")
+
+
+def _sp_categorical_drift(orders: str) -> str:
+    from sparvi_spark.checks.pipeline_checks import DRIFT_SPLIT
+
+    split = f"cast('{DRIFT_SPLIT}' as timestamp)"
+
+    def side(name: str, cond: str) -> str:
+        return (f"SELECT category, count(1) AS c_{name} FROM (SELECT "
+                f"coalesce(cast(`o_orderpriority` as string), '<<NULL>>') "
+                f"AS category FROM (SELECT * FROM {orders} WHERE {cond})) "
+                f"GROUP BY category")
+
+    both = (f"SELECT category, coalesce(c_e, 0) AS c_e, "
+            f"coalesce(c_a, 0) AS c_a FROM "
+            f"({side('e', f'o_orderdate < {split}')}) "
+            f"FULL OUTER JOIN ({side('a', f'o_orderdate >= {split}')}) "
+            f"USING (category)")
+    p = (f"SELECT category, "
+         f"round(cast(c_e as double) / ne, 9) AS p_expected, "
+         f"round(cast(c_a as double) / na, 9) AS p_actual, "
+         f"round(cast(c_a as double) / na - cast(c_e as double) / ne, 9) "
+         f"AS delta FROM (SELECT category, c_e, c_a, "
+         f"sum(c_e) OVER () AS ne, sum(c_a) OVER () AS na FROM ({both}))")
+    return (f"SELECT category, p_expected, p_actual, delta, "
+            f"abs(delta) AS abs_delta FROM ({p}) "
+            f"ORDER BY abs_delta DESC, category")
+
+
+def _sp_vocab_base(documents: str) -> str:
+    from sparvi_spark.operators.dedup import tokens_expr
+
+    toks = tokens_expr("text")
+    tagged = (f"SELECT 1 AS __a, {toks} AS __t FROM {documents} "
+              f"WHERE source = 'src0' UNION ALL "
+              f"SELECT 0 AS __a, {toks} AS __t FROM {documents} "
+              f"WHERE source != 'src0'")
+    counts = (f"SELECT token, cast(sum(__a) as bigint) AS n_a, "
+              f"cast(sum(1 - __a) as bigint) AS n_b FROM ("
+              f"SELECT __a, explode(__t) AS token FROM ({tagged})) "
+              f"GROUP BY token")
+    return (f"SELECT /*+ BROADCAST(tot) */ * FROM ({counts}) CROSS JOIN "
+            f"(SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM ({counts})) tot")
+
+
+def _sp_vocab_drift(documents: str) -> str:
+    from sparvi_spark.checks.pipeline_checks import (
+        VOCAB_MIN_COUNT,
+        VOCAB_TOP_K,
+    )
+
+    pa = "cast(n_a as double) / ta"
+    pb = "cast(n_b as double) / tb"
+    return (f"SELECT token, n_a, n_b, p_a, p_b, delta FROM ("
+            f"SELECT token, n_a, n_b, round({pa}, 9) AS p_a, "
+            f"round({pb}, 9) AS p_b, round({pa} - {pb}, 9) AS delta, "
+            f"abs({pa} - {pb}) AS __absd "
+            f"FROM ({_sp_vocab_base(documents)}) "
+            f"WHERE n_a >= {VOCAB_MIN_COUNT} or n_b >= {VOCAB_MIN_COUNT} "
+            f"ORDER BY __absd DESC, token ASC LIMIT {VOCAB_TOP_K})")
+
+
+def _sp_vocab_tvd(documents: str) -> str:
+    from sparvi_spark.operators.drift import _DEC
+
+    return (f"SELECT round(cast(sum(__t) as double) / 2.0d, 9) AS tvd, "
+            f"count(1) AS n_tokens_union FROM (SELECT "
+            f"cast(round(abs(cast(n_a as double) / ta "
+            f"- cast(n_b as double) / tb), 15) as {_DEC}) AS __t "
+            f"FROM ({_sp_vocab_base(documents)}))")
+
+
+def q_drift_fused(spark, sf_dir):
+    v = table_views(spark, sf_dir, ["orders", "documents"])
+    sql = " UNION ALL ".join([
+        melt_part_sql(_sp_numeric_drift(v["orders"]), "numeric",
+                      ["column_name"],
+                      ["n_expected", "n_actual", "tvd", "chi2"], []),
+        melt_part_sql(_sp_categorical_drift(v["orders"]), "categorical",
+                      ["category"],
+                      ["p_expected", "p_actual", "delta", "abs_delta"], []),
+        melt_part_sql(_sp_vocab_drift(v["documents"]), "vocab", ["token"],
+                      ["n_a", "n_b", "p_a", "p_b", "delta"], []),
+        melt_part_sql(_sp_vocab_tvd(v["documents"]), "vocab_tvd", [],
+                      ["tvd", "n_tokens_union"], []),
+    ])
+    return spark.sql(sql)
+
+
 CHECKS = {
     # -- merged slots for previously-graded families --------------------
     "a01_anomaly_scores": (q_anomaly_scores_4way, _A01_SQL),
@@ -302,32 +719,34 @@ CHECKS = {
         ("embedding_cosine", q_embedding_neardup, SQL_EMBEDDING_NEARDUP,
          {"id_a": "id_a", "id_b": "id_b", "score": "cosine", **_PAIR_PAD}),
     ], columns=["id_a", "id_b", "shared", "sz_a", "sz_b", "score"]),
-    "x13_id_checksums": (q_id_checksums_fused, _X13_SQL),
-    "t02_rollups": melted_check([
+    # r12: the five slots below keep their generated oracle SQL but build
+    # the Spark side as ONE spark.sql statement (see the r12 comment above)
+    "x13_id_checksums": (q_id_checksums_fused_sql, _X13_SQL),
+    "t02_rollups": (q_rollups_fused, melted_check([
         ("daily_rollup", q_daily_rollup, SQL_DAILY_ROLLUP, ["day"],
          ["passed", "failed", "seen", "health_score"], []),
         ("dashboard_daily", q_dashboard_combined, SQL_DASHBOARD_COMBINED,
          ["day"],
          ["total", "high", "medium", "low", "avg_value", "n_entities",
           "n_rows"], []),
-    ]),
-    "t03_summaries": melted_check([
+    ])[1]),
+    "t03_summaries": (q_summaries_fused, melted_check([
         ("health_summary", q_health_summary, SQL_HEALTH_SUMMARY, ["grp"],
          ["total_rules", "passing", "failing", "health_score"],
          ["last_run"]),
         ("anomaly_summary", q_anomaly_summary_combined,
          SQL_ANOMALY_SUMMARY_COMBINED, ["section", "key"], ["cnt"], []),
-    ]),
-    "p14_misc_small": melted_check([
+    ])[1]),
+    "p14_misc_small": (q_misc_small_fused, melted_check([
         ("preview", q_preview, SQL_PREVIEW, ["c_custkey"],
          ["c_nationkey", "c_acctbal"], ["c_name", "c_mktsegment"]),
         ("metric_history", q_metric_history, SQL_METRIC_HISTORY,
          ["metric_name", "event_id"], ["metric_value"], ["ts_s"]),
         ("top_tokens", q_top_tokens, SQL_TOP_TOKENS, ["token"],
          ["cnt", "rank"], []),
-    ]),
+    ])[1]),
     # -- round-5 LLM-pipeline families, now driver-graded ----------------
-    "x24_drift": melted_check([
+    "x24_drift": (q_drift_fused, melted_check([
         ("numeric", q_numeric_drift, _sql_numeric_drift(), ["column_name"],
          ["n_expected", "n_actual", "tvd", "chi2"], []),
         ("categorical", q_categorical_drift, _sql_categorical_drift(),
@@ -339,7 +758,7 @@ CHECKS = {
          ["n_a", "n_b", "p_a", "p_b", "delta"], []),
         ("vocab_tvd", q_vocab_tvd, _sql_vocab_tvd(), [],
          ["tvd", "n_tokens_union"], []),
-    ]),
+    ])[1]),
     "x27_doc_scores": (q_doc_scores_fused, _X27_SQL),
     "x26_shard_split": aligned_union_check([
         ("shard_plan", q_shard_plan, _sql_shard_plan(),
