@@ -681,13 +681,40 @@ SQL_PREVIEW = "SELECT * FROM customer ORDER BY c_custkey LIMIT 50"
 # (table_name, section, key, value) — both are tiny schema-derived facts.
 
 def q_type_health(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dist = q_type_distribution(spark, sf_dir).select(
-        "table_name", F.lit("type_dist").alias("section"),
-        F.col("bucket").alias("key"), F.col("n_cols").alias("value"))
-    health = q_health_scores(spark, sf_dir).select(
-        "table_name", F.lit("health").alias("section"),
-        F.lit("score").alias("key"), F.col("health_score").alias("value"))
-    return dist.unionAll(health)
+    """One spark.sql statement (r12). The type-distribution section is a
+    driver-side schema walk — it becomes an inline VALUES literal (zero
+    jobs). The health section needs exactly ONE number per table (its
+    row count): a per-table count(*) agg over the cached table views
+    replaces the previous union-all-rows-then-groupBy plan, which
+    streamed every row of all ten tables through a union just to count
+    them (~1.3M row touches and 16 Exchanges at sf0.1; counts over the
+    cached relations read batch row counts instead of rows). Values are
+    identical on every non-empty table; an EMPTY table now emits its
+    base-30 row exactly like the DuckDB oracle always has (the old
+    groupBy-over-union form silently omitted it — this closes that
+    latent divergence rather than widening it)."""
+    from sparvi_spark.checks import table_views
+
+    v = table_views(spark, sf_dir, list(TABLES))
+    dist_rows = []
+    for t in TABLES:
+        df = load_table(spark, t, sf_dir)
+        counts: dict[str, int] = {}
+        for f in df.schema.fields:
+            b = type_bucket(f.dataType)
+            counts[b] = counts.get(b, 0) + 1
+        for b, n in sorted(counts.items()):
+            dist_rows.append(f"('{t}', '{b}', cast({n} as bigint))")
+    dist = (f"SELECT col1 AS table_name, 'type_dist' AS section, "
+            f"col2 AS key, col3 AS value "
+            f"FROM (VALUES {', '.join(dist_rows)})")
+    health = " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, 'health' AS section, "
+        f"'score' AS key, cast(greatest({100 - _schema_penalty(t)} - "
+        f"case when count(1) = 0 then 30 else 0 end, 0) as bigint) "
+        f"AS value FROM {v[t]}"
+        for t in TABLES)
+    return spark.sql(f"{dist} UNION ALL {health}")
 
 
 SQL_TYPE_HEALTH = (
