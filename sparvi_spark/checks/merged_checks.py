@@ -204,6 +204,93 @@ def q_id_checksums_fused(spark, sf_dir):
     return out
 
 
+# d02: the three pair-score parts with the gram work SHARED (r12). The
+# registry previously built each part independently: the jaccard part
+# and the minhash part each ran the capped-docs gram build (tokenize +
+# array_distinct per doc), and the jaccard part additionally paid a
+# stop-shingle groupBy+join+groupBy chain that is a provable no-op here
+# (DOC_CAP=120 docs means every shingle's document frequency is <= 120,
+# far under DEFAULT_MAX_SHINGLE_DF=10_000 — and the declared oracle SQL
+# has no stop-shingle filter at all, so the unfiltered form IS the
+# declared semantics). The fused builder persists ONE minhash_signed
+# base (__id, __grams, __sz, sig) and derives:
+#   - the jaccard part from base (explode __grams; sizes are the __sz
+#     projection — no sizes groupBy, no hot-shingle subplan: 3 fewer
+#     exchanges),
+#   - the minhash part via minhash_lsh_pairs(signed=base) (no second
+#     gram+signature build),
+#   - the embedding part unchanged (independent input table).
+# Values are bit-identical (same gram sets, same counts, same rounding)
+# — pinned by snapshot parity at sf0.001/0.01/0.1; the generated oracle
+# SQL is unchanged.
+_D02_COLS = ["id_a", "id_b", "shared", "sz_a", "sz_b", "score"]
+_D02_PARTS = [
+    ("jaccard_exact", q_jaccard_pairs, SQL_JACCARD_PAIRS, {
+        "id_a": "id_a", "id_b": "id_b",
+        "shared": "CAST(shared AS DOUBLE)",
+        "sz_a": "CAST(sz_a AS DOUBLE)", "sz_b": "CAST(sz_b AS DOUBLE)",
+        "score": "jaccard"}),
+    ("minhash_lsh", q_minhash_lsh, SQL_MINHASH_LSH,
+     {"id_a": "id_a", "id_b": "id_b", "score": "jaccard", **_PAIR_PAD}),
+    ("embedding_cosine", q_embedding_neardup, SQL_EMBEDDING_NEARDUP,
+     {"id_a": "id_a", "id_b": "id_b", "score": "cosine", **_PAIR_PAD}),
+]
+_D02_SQL = aligned_union_check(_D02_PARTS, columns=_D02_COLS)[1]
+
+
+def q_pair_scores_fused(spark, sf_dir):
+    """d02 Spark side (see the comment block above)."""
+    from sparvi_spark.checks.pipeline_checks import (
+        JACCARD_T,
+        MH_BANDS,
+        MH_HASHES,
+        capped_docs,
+    )
+    from sparvi_spark.operators.dedup import (
+        _persist,
+        minhash_lsh_pairs,
+        minhash_signed,
+    )
+
+    docs = capped_docs(spark, sf_dir)
+    base = _persist(minhash_signed(docs, "doc_id", "text", 1, MH_HASHES,
+                                   "portable"))
+    # jaccard part over the shared base — unfiltered oracle semantics:
+    # the per-doc set size is the gram-array size (a projection), and the
+    # all-pairs shared counts come straight off the exploded sets
+    sh = base.selectExpr("__id", "explode(__grams) AS shingle")
+    shared = (sh.selectExpr("__id AS id_a", "shingle")
+              .join(sh.selectExpr("__id AS id_b", "shingle"), "shingle")
+              .where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("shared")))
+    jac = (shared
+           .join(base.selectExpr("__id AS id_a", "__sz AS sz_a"), "id_a")
+           .join(base.selectExpr("__id AS id_b", "__sz AS sz_b"), "id_b")
+           .selectExpr(
+               "id_a", "id_b", "shared", "sz_a", "sz_b",
+               "round(shared * cast(1 as double) "
+               "/ (sz_a + sz_b - shared), 6) AS jaccard")
+           .where(F.col("jaccard") >= JACCARD_T))
+    frames = {
+        "jaccard_exact": jac,
+        "minhash_lsh": minhash_lsh_pairs(
+            docs, "doc_id", "text", n=1, num_hashes=MH_HASHES,
+            bands=MH_BANDS, threshold=JACCARD_T, hash_fn="portable",
+            signed=base),
+        "embedding_cosine": q_embedding_neardup(spark, sf_dir),
+    }
+    from sparvi_spark.checks import _sq
+
+    out = None
+    for tag, _f, _sql, exprs in _D02_PARTS:
+        d = frames[tag].selectExpr(
+            f"'{_sq(tag)}' as part",
+            *[f"{exprs[c]} AS {c}" for c in _D02_COLS])
+        out = d if out is None else out.unionAll(d)
+    return out
+
+
 # x27: the four doc-scores parts, ONE melt spec used twice — the
 # generated oracle SQL pairs with a hand-fused Spark builder (the a01
 # idiom) so the classifier scoring pass runs ONCE for the classifier,
@@ -225,44 +312,39 @@ _X27_SQL = melted_check(_X27_PARTS)[1]
 
 
 def q_doc_scores_fused(spark, sf_dir):
-    """x27 Spark side, hand-fused (r11): ONE ``linear_scores`` pass —
-    localCheckpoint-pinned, n_docs small rows — feeds the classifier
-    melt part (direct projection) AND both evaluation parts (grouped by
-    feature_sum; AUC and P/R still share their exchange). The generated
-    melt fn re-ran the interpreted per-token scoring fold once for the
-    classifier part and once for the shared eval subplan (~0.4s of the
-    1.5s serial at sf0.1). Values are bit-identical: the checkpoint is a
-    materialization point, not a recompute. The lm_bigram part
-    shares the slot's single tokenize via ``tokens_col`` (self_lm_score
-    pins its result via localCheckpoint before the shared frame is
-    released)."""
-    from sparvi_spark.checks import melt_part_df
+    """x27 Spark side, hand-fused (r11, restructured r12): ONE
+    ``linear_scores`` pass — localCheckpoint-pinned, n_docs small rows —
+    feeds the classifier melt part (direct projection) AND both
+    evaluation parts (grouped by feature_sum; AUC and P/R still share
+    their exchange). Values are bit-identical: the checkpoint is a
+    materialization point, not a recompute. The lm_bigram part shares
+    the slot's single tokenize via ``tokens_col``.
+
+    r12 change (results unchanged, pinned by snapshot parity): the
+    four-part melt union was ~25 chained Dataset creations (each a py4j
+    round trip + eager re-analysis); it is now ONE spark.sql statement
+    over temp views of the two checkpointed frames, with the eval parts'
+    SQL text copied stage-for-stage from classifier_eval /
+    precision_recall_table (identical per-score subplan text, so their
+    exchange is still deduped at runtime). Running the two eager
+    materializations from a 2-thread pool (guide §2.6) was tried and
+    measured a wash with extra variance — the jobs are too short for
+    tail back-fill to pay on this workload — so they stay sequential."""
+    from sparvi_spark.checks import dir_tag, melt_part_sql
     from sparvi_spark.checks.pipeline_checks import (
         CLF_BIAS,
         _clf_weights,
     )
-    from sparvi_spark.operators.classify import (
-        classifier_eval,
-        linear_scores,
-        precision_recall_table,
-    )
+    from sparvi_spark.operators.classify import linear_scores
+    from sparvi_spark.operators.dedup import tokens_expr
     from sparvi_spark.operators.lm import self_lm_score
     from sparvi_spark.testdata import load_table
 
     docs = load_table(spark, "documents", sf_dir)
     # ONE tokenize for the whole slot (r11): the classifier fold and the
-    # bigram LM consume the same lowercased-whitespace split, so both
-    # read a single persisted (doc_id, lang, token-array) frame instead
-    # of each splitting `text` again. Outputs are bit-identical (same
-    # arrays, same downstream math); both consumers pin their results
-    # via localCheckpoint before the frame is released. Honest local
-    # measurement: a WASH at sf0.1 (warm A/B 0.95s both forms — the
-    # arrays-frame persist materialization costs about what the saved
-    # split cost, with `text` already in the load_table cache). Kept
-    # because it deletes a redundant subplan and, on an uncached corpus
-    # at scale, decodes the text column once instead of twice.
-    from sparvi_spark.operators.dedup import tokens_expr
-
+    # bigram LM consume the same lowercased-whitespace split from a
+    # single persisted (doc_id, lang, token-array) frame; both consumers
+    # pin their results via localCheckpoint before the frame is released.
     tk = docs.selectExpr(
         "doc_id", "lang", f"{tokens_expr('text')} AS __tk").persist()
     try:
@@ -272,20 +354,57 @@ def q_doc_scores_fused(spark, sf_dir):
         lm = self_lm_score(tk, tokens_col="__tk")
     finally:
         tk.unpersist()
-    lab = scored.selectExpr("doc_id", "feature_sum",
-                            "cast(lang = 'en' as int) AS y")
-    frames = {
-        "classifier": scored.select("doc_id", "n_tokens", "feature_sum",
-                                    "label"),
-        "lm_bigram": lm,
-        "clf_auc": classifier_eval(lab, "y", "feature_sum"),
-        "clf_pr": precision_recall_table(lab, "y", "feature_sum"),
+    tag = dir_tag(sf_dir)
+    sv, lv = f"x27_scored__{tag}", f"x27_lm__{tag}"
+    scored.createOrReplaceTempView(sv)
+    lm.createOrReplaceTempView(lv)
+    # SQL texts mirror classifier_eval / precision_recall_table /
+    # _score_class_counts expression-for-expression (classify.py).
+    lab = (f"SELECT doc_id, feature_sum, cast(lang = 'en' as int) AS y "
+           f"FROM {sv}")
+    per_score = (
+        f"SELECT __s, count(1) AS n, sum(__y) AS pos FROM ("
+        f"SELECT `feature_sum` AS __s, cast(`y` as int) AS __y "
+        f"FROM ({lab})) WHERE __s is not null and __y is not null "
+        f"GROUP BY __s")
+    w_auc = ("(ORDER BY __s ROWS BETWEEN UNBOUNDED PRECEDING "
+             "AND 1 PRECEDING)")
+    auc = (
+        f"SELECT cast(n_pos as bigint) AS n_pos, "
+        f"cast(n_neg as bigint) AS n_neg, "
+        f"case when n_pos > 0 and n_neg > 0 then "
+        f"round(cast(__num2 as double) / (2.0d * n_pos * n_neg), 9) end "
+        f"AS auc FROM ("
+        f"SELECT sum(pos) AS n_pos, sum(neg) AS n_neg, "
+        f"sum(2 * pos * cneg + pos * neg) AS __num2 FROM ("
+        f"SELECT pos, n - pos AS neg, "
+        f"coalesce(sum(n - pos) OVER {w_auc}, 0L) AS cneg "
+        f"FROM ({per_score})))")
+    wdesc = ("(ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+             "AND CURRENT ROW)")
+    wall = ("(ORDER BY threshold ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "UNBOUNDED FOLLOWING)")
+    pr = (
+        f"SELECT threshold, cast(n_kept as bigint) AS n_kept, "
+        f"cast(tp as bigint) AS tp, "
+        f"round(cast(tp as double) / n_kept, 9) AS precision, "
+        f"case when __all_pos > 0 then "
+        f"round(cast(tp as double) / __all_pos, 9) end AS recall FROM ("
+        f"SELECT threshold, sum(n) OVER {wdesc} AS n_kept, "
+        f"sum(pos) OVER {wdesc} AS tp, "
+        f"sum(pos) OVER {wall} AS __all_pos FROM ("
+        f"SELECT __s AS threshold, n, pos FROM ({per_score})))")
+    part_sqls = {
+        "classifier": (f"SELECT doc_id, n_tokens, feature_sum, label "
+                       f"FROM {sv}"),
+        "lm_bigram": f"SELECT * FROM {lv}",
+        "clf_auc": auc,
+        "clf_pr": pr,
     }
-    out = None
-    for tag, _f, _sql, keys, nums, strs in _X27_PARTS:
-        d = melt_part_df(frames[tag], tag, keys, nums, strs)
-        out = d if out is None else out.unionAll(d)
-    return out
+    sql = " UNION ALL ".join(
+        melt_part_sql(part_sqls[tag_], tag_, keys, nums, strs)
+        for tag_, _f, _sql, keys, nums, strs in _X27_PARTS)
+    return spark.sql(sql)
 
 
 # ---------------------------------------------------------------------------
@@ -708,17 +827,7 @@ def q_drift_fused(spark, sf_dir):
 CHECKS = {
     # -- merged slots for previously-graded families --------------------
     "a01_anomaly_scores": (q_anomaly_scores_4way, _A01_SQL),
-    "d02_pair_scores": aligned_union_check([
-        ("jaccard_exact", q_jaccard_pairs, SQL_JACCARD_PAIRS, {
-            "id_a": "id_a", "id_b": "id_b",
-            "shared": "CAST(shared AS DOUBLE)",
-            "sz_a": "CAST(sz_a AS DOUBLE)", "sz_b": "CAST(sz_b AS DOUBLE)",
-            "score": "jaccard"}),
-        ("minhash_lsh", q_minhash_lsh, SQL_MINHASH_LSH,
-         {"id_a": "id_a", "id_b": "id_b", "score": "jaccard", **_PAIR_PAD}),
-        ("embedding_cosine", q_embedding_neardup, SQL_EMBEDDING_NEARDUP,
-         {"id_a": "id_a", "id_b": "id_b", "score": "cosine", **_PAIR_PAD}),
-    ], columns=["id_a", "id_b", "shared", "sz_a", "sz_b", "score"]),
+    "d02_pair_scores": (q_pair_scores_fused, _D02_SQL),
     # r12: the five slots below keep their generated oracle SQL but build
     # the Spark side as ONE spark.sql statement (see the r12 comment above)
     "x13_id_checksums": (q_id_checksums_fused_sql, _X13_SQL),
