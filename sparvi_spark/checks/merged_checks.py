@@ -690,43 +690,54 @@ def _sp_numeric_drift(orders: str) -> str:
     b = DRIFT_BINS
     split = f"cast('{DRIFT_SPLIT}' as timestamp)"
 
-    def melt(side: str, cond: str) -> str:
-        stack = ", ".join(f"'{c}', cast(`{c}` as double)"
-                          for c in DRIFT_COLS)
-        return (f"SELECT column_name, v, '{side}' as side FROM ("
-                f"SELECT stack({len(DRIFT_COLS)}, {stack}) "
-                f"as (column_name, v) FROM (SELECT * FROM {orders} "
-                f"WHERE {cond})) WHERE v is not null")
-
-    m = (f"{melt('e', f'o_orderdate < {split}')} UNION ALL "
-         f"{melt('a', f'o_orderdate >= {split}')}")
-    edges = (f"SELECT column_name, "
-             f"min(case when side = 'e' then v end) AS mn, "
-             f"max(case when side = 'e' then v end) AS mx "
-             f"FROM ({m}) GROUP BY column_name")
-    binned = (f"SELECT /*+ BROADCAST(edges) */ column_name, side, "
+    # ONE scan per pass with a CASE side (r12) — the previous two
+    # per-side filtered scans read orders twice per pass (4x per
+    # statement, since m feeds both edges and binned). This is also the
+    # DECLARED construction: the oracle melt is `CASE WHEN o_orderdate <
+    # split THEN 'e' ELSE 'a' END` over one scan (NULL order dates land
+    # in 'a' on both engines; the old per-side WHERE dropped them).
+    # Keys are INTS end to end (r12): the melt emits a column INDEX and
+    # side flag instead of name/'e' strings — string group keys force
+    # every hash aggregate off the fixed-width fast map (the p01 lesson:
+    # 0.81s -> 0.049s for an identical plan at sf0.1); the name attaches
+    # back via a CASE over the final per-column rows.
+    stack = ", ".join(f"{i}, cast(`{c}` as double)"
+                      for i, c in enumerate(DRIFT_COLS))
+    name_case = ("case " + " ".join(
+        f"when __ci = {i} then '{c}'" for i, c in enumerate(DRIFT_COLS))
+        + " end")
+    m = (f"SELECT __ci, v, __e FROM ("
+         f"SELECT stack({len(DRIFT_COLS)}, {stack}) as (__ci, v), "
+         f"case when o_orderdate < {split} then 1 else 0 end as __e "
+         f"FROM {orders}) WHERE v is not null")
+    edges = (f"SELECT __ci, "
+             f"min(case when __e = 1 then v end) AS mn, "
+             f"max(case when __e = 1 then v end) AS mx "
+             f"FROM ({m}) GROUP BY __ci")
+    binned = (f"SELECT /*+ BROADCAST(edges) */ __ci, __e, "
               f"{bucket_expr(b)} AS b FROM ({m}) m JOIN ({edges}) edges "
-              f"USING (column_name)")
-    counts = (f"SELECT column_name, b, "
-              f"count(case when side = 'e' then 1 end) AS ce, "
-              f"count(case when side = 'a' then 1 end) AS ca "
-              f"FROM ({binned}) GROUP BY column_name, b")
+              f"USING (__ci)")
+    counts = (f"SELECT __ci, b, "
+              f"count(case when __e = 1 then 1 end) AS ce, "
+              f"count(case when __e = 0 then 1 end) AS ca "
+              f"FROM ({binned}) GROUP BY __ci, b")
     pe = (f"((cast(ce as double) + 0.5d) / "
           f"(cast(ne as double) + 0.5d * {b}))")
     pa = (f"((cast(ca as double) + 0.5d) / "
           f"(cast(na as double) + 0.5d * {b}))")
-    terms = (f"SELECT column_name, ne, na, "
+    terms = (f"SELECT __ci, ne, na, "
              f"cast(round(abs({pa} - {pe}), 15) as {_DEC}) AS __tvd_t, "
              f"cast(round(({pa} - {pe}) * ({pa} - {pe}) / {pe}, 15) "
              f"as {_DEC}) AS __chi2_t FROM ("
-             f"SELECT column_name, ce, ca, "
-             f"sum(ce) OVER (PARTITION BY column_name) AS ne, "
-             f"sum(ca) OVER (PARTITION BY column_name) AS na "
+             f"SELECT __ci, ce, ca, "
+             f"sum(ce) OVER (PARTITION BY __ci) AS ne, "
+             f"sum(ca) OVER (PARTITION BY __ci) AS na "
              f"FROM ({counts}))")
     pe0 = f"(0.5d / (cast(max(ne) as double) + 0.5d * {b}))"
     pa0 = f"(0.5d / (cast(max(na) as double) + 0.5d * {b}))"
     miss = f"cast({b} - count(1) as double)"
-    return (f"SELECT column_name, "
+    return (f"SELECT {name_case} AS column_name, n_expected, n_actual, "
+            f"tvd, chi2 FROM (SELECT __ci, "
             f"max(ne) AS n_expected, max(na) AS n_actual, "
             f"round(cast((sum(__tvd_t) + cast(round({miss} * "
             f"abs({pa0} - {pe0}), 15) as {_DEC})) * 0.5 as double), 9) "
@@ -734,7 +745,7 @@ def _sp_numeric_drift(orders: str) -> str:
             f"round(cast(sum(__chi2_t) + cast(round({miss} * "
             f"(({pa0} - {pe0}) * ({pa0} - {pe0}) / {pe0}), 15) "
             f"as {_DEC}) as double), 9) AS chi2 "
-            f"FROM ({terms}) GROUP BY column_name")
+            f"FROM ({terms}) GROUP BY __ci)")
 
 
 def _sp_categorical_drift(orders: str) -> str:
@@ -742,17 +753,21 @@ def _sp_categorical_drift(orders: str) -> str:
 
     split = f"cast('{DRIFT_SPLIT}' as timestamp)"
 
-    def side(name: str, cond: str) -> str:
-        return (f"SELECT category, count(1) AS c_{name} FROM (SELECT "
-                f"coalesce(cast(`o_orderpriority` as string), '<<NULL>>') "
-                f"AS category FROM (SELECT * FROM {orders} WHERE {cond})) "
-                f"GROUP BY category")
-
-    both = (f"SELECT category, coalesce(c_e, 0) AS c_e, "
-            f"coalesce(c_a, 0) AS c_a FROM "
-            f"({side('e', f'o_orderdate < {split}')}) "
-            f"FULL OUTER JOIN ({side('a', f'o_orderdate >= {split}')}) "
-            f"USING (category)")
+    # ONE scan + ONE groupBy (r12) — replaces two per-side scans and a
+    # full-outer join of the per-side aggregates. CASE-counting both
+    # sides in one aggregation yields the same (category, c_e, c_a)
+    # rows: a NULL order date counts in NEITHER case branch (exactly the
+    # oracle's per-side WHERE), and the HAVING reproduces the full-outer
+    # row set (the oracle emits a category iff it has rows on at least
+    # one side; a hypothetical category whose rows all have NULL dates
+    # would otherwise appear here as (0, 0)).
+    both = (f"SELECT category, "
+            f"count(case when o_orderdate < {split} then 1 end) AS c_e, "
+            f"count(case when o_orderdate >= {split} then 1 end) AS c_a "
+            f"FROM (SELECT "
+            f"coalesce(cast(`o_orderpriority` as string), '<<NULL>>') "
+            f"AS category, o_orderdate FROM {orders}) "
+            f"GROUP BY category HAVING c_e > 0 OR c_a > 0")
     p = (f"SELECT category, "
          f"round(cast(c_e as double) / ne, 9) AS p_expected, "
          f"round(cast(c_a as double) / na, 9) AS p_actual, "
@@ -768,10 +783,12 @@ def _sp_vocab_base(documents: str) -> str:
     from sparvi_spark.operators.dedup import tokens_expr
 
     toks = tokens_expr("text")
-    tagged = (f"SELECT 1 AS __a, {toks} AS __t FROM {documents} "
-              f"WHERE source = 'src0' UNION ALL "
-              f"SELECT 0 AS __a, {toks} AS __t FROM {documents} "
-              f"WHERE source != 'src0'")
+    # ONE scan with a CASE tag (r12; was a two-scan union). The explicit
+    # NOT NULL filter preserves the per-side WHERE semantics both the
+    # old form and the oracle share: a NULL source matches neither
+    # `= 'src0'` nor `<> 'src0'`.
+    tagged = (f"SELECT case when source = 'src0' then 1 else 0 end AS __a, "
+              f"{toks} AS __t FROM {documents} WHERE source IS NOT NULL")
     counts = (f"SELECT token, cast(sum(__a) as bigint) AS n_a, "
               f"cast(sum(1 - __a) as bigint) AS n_b FROM ("
               f"SELECT __a, explode(__t) AS token FROM ({tagged})) "
