@@ -139,45 +139,49 @@ def self_lm_score(
     screen: documents whose transitions are rare in-corpus (gibberish,
     boilerplate explosions, wrong language) land at the bottom.
 
-    The corpus is TOKENIZED ONCE: a persisted (id, token-array) frame
-    feeds the bigram explode (model counts + scoring join) AND the
-    vocabulary count — previously vocab re-split every document's text
-    in a second scan (r11; measured 1.22s -> 0.93s at sf0.1, exact
-    parity). The (id, w1, w2) explode is likewise built once and
-    persisted: it feeds both the model counts and the scoring join, and
-    without the boundary each consumer re-ran the interpreted explode
-    (r10; same idiom as the MinHash signed base). The persists are
-    self-contained — the scored result (one row per doc) is
-    localCheckpoint-pinned eagerly, then both frames are unpersisted in
-    a finally, so no caller (scoped or not, incl. the graded q_lm_score
-    path and long-running sessions) is ever left holding a stray
-    CacheManager entry (r11; was dedup._persist, which only releases
-    under an active scoped_caches). ``train_bigram_lm`` stays the
-    separate-corpus API.
+    ``train_bigram_lm`` stays the separate-corpus API.
 
     ``tokens_col`` names a PRE-SPLIT token-array column on ``df`` —
     callers that already tokenized the corpus for another consumer (the
     graded x27 melt shares one tokens frame with linear_scores) skip
     this function's own split; arrays must be the same lowercased-
-    whitespace split for outputs to stay bit-identical."""
+    whitespace split for outputs to stay bit-identical.
+
+    r12 shape: when a corpus scores AGAINST ITSELF, the model lookups
+    are self-counts of the bigram stream — c(w1,w2) and c(w1·) are
+    window counts over doc_bg PARTITION BY (w1, w2) / (w1), and every
+    (w1, w2) in the stream is by construction in the model, so the old
+    left-join coalesce(…, 0) branches were dead. The train-groupBy +
+    two shuffle joins collapse to ONE exchange on w1 (the second window
+    reuses the w1 partitioning, adding only a sort) + the final per-doc
+    aggregation — 4 exchanges → 2, string-pair join keys gone, measured
+    1.17s → 0.87s best-of-interleaved at sf0.1 with bit-exact parity.
+    The result is fully LAZY (no persists to guard, so the r11
+    localCheckpoint + finally-unpersist scaffolding is gone too).
+    Caveat at extreme scale: a window partition cannot be split by AQE
+    skew handling the way a join can, and a hot context token ("the")
+    lands in one partition — the cross-scoring API
+    (``train_bigram_lm`` + ``bigram_lm_score``) keeps the join shape
+    and remains the right lane when one token's bigrams exceed a
+    partition's memory; the old self-scoring path had the identical
+    exposure through its join ON w1, so this is not a regression."""
     toks = f"`{tokens_col}`" if tokens_col else _toks(text_col)
-    tk = df.selectExpr(f"`{id_col}` as __id", f"{toks} as __tk").persist()
-    doc_bg = _bigrams_from_tokens(tk).persist()
-    try:
-        model = {
-            "bigrams": doc_bg.groupBy("w1", "w2").agg(
-                F.expr("count(1)").alias("c12")),
-            # vocab needs EVERY token, incl. single-token docs' and each
-            # doc's last — not derivable from bigrams, but derivable
-            # from the shared token arrays without re-splitting text
-            "vocab": (tk.selectExpr("explode(__tk) as w")
-                      .agg(F.expr("count(distinct w)").alias("v"))),
-        }
-        model["contexts"] = model["bigrams"].groupBy("w1").agg(
-            F.expr("sum(c12)").alias("c1"))
-        return bigram_lm_score(df, model, id_col, text_col,
-                               round_to=round_to,
-                               doc_bg=doc_bg).localCheckpoint()
-    finally:
-        doc_bg.unpersist()
-        tk.unpersist()
+    tk = df.selectExpr(f"`{id_col}` as __id", f"{toks} as __tk")
+    doc_bg = _bigrams_from_tokens(tk)
+    vocab = (tk.selectExpr("explode(__tk) as w")
+             .agg(F.expr("count(distinct w)").alias("v")))
+    a = float(SMOOTH_A)
+    prob = (f"((cast(c12 as double) + {a!r}d) / "
+            f"(cast(c1 as double) + {a!r}d * cast(v as double)))")
+    return (doc_bg.join(F.broadcast(vocab))
+            .selectExpr("__id",
+                        "count(1) OVER (PARTITION BY w1) as c1",
+                        "count(1) OVER (PARTITION BY w1, w2) as c12",
+                        "v")
+            .selectExpr("__id",
+                        f"cast(round({prob}, 15) as {_DEC}) as __p")
+            .groupBy("__id")
+            .agg(F.expr("count(1)").alias("n_bigrams"),
+                 F.expr(f"round(cast(sum(__p) as double) / count(1), "
+                        f"{round_to})").alias("avg_p"))
+            .withColumnRenamed("__id", id_col))
