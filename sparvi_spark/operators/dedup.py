@@ -802,23 +802,32 @@ def minhash_pairs_from_sigs(
     gram sets an exact verify would need; see
     ``Engine.dedup_corpus_incremental``. Banding is identical to
     ``minhash_lsh_pairs``, so candidate recall matches the self-join's;
-    the band join is two-sided equi (cost = colliding cross pairs), and
-    the ref side of the verify join broadcasts when small.
+    the band join is two-sided equi (cost = colliding cross pairs). With
+    ``small_side="new"`` the stored side is scanned exactly ONCE per
+    call — its band rows carry the row's signature through the join, so
+    verification needs no second pass over the store (see the inline
+    comment); that lane assumes one signature row per ref_id (the state
+    contract).
     """
     from sparvi_spark.config import resolve_backend
 
     hash_fn = resolve_backend(hash_fn, "arrow", "xxhash64")
     computed = band_hashes_expr(hash_fn, num_hashes, bands)
 
+    def _bands_src(bands_col: str | None, bands: int, computed: str) -> str:
+        # stored band hashes when present and correctly sized, inline
+        # re-computation per row otherwise (legacy/NULL/changed-bands)
+        return (f"case when `{bands_col}` is not null "
+                f"and size(`{bands_col}`) = {bands} "
+                f"then `{bands_col}` else {computed} end"
+                if bands_col else computed)
+
     def _banded(frame: DataFrame, in_id: str, out_id: str,
                 bands_col: str | None = None) -> DataFrame:
         # one fused projection: posexplode over the (stored or computed)
         # band-hash array — same physical shape as the previous
         # inline(transform(...)) struct expansion, one analysis round
-        src = (f"case when `{bands_col}` is not null "
-               f"and size(`{bands_col}`) = {bands} "
-               f"then `{bands_col}` else {computed} end"
-               if bands_col else computed)
+        src = _bands_src(bands_col, bands, computed)
         return frame.selectExpr(
             f"`{in_id}` AS {out_id}",
             f"posexplode({src}) AS (band, bh)")
@@ -832,33 +841,57 @@ def minhash_pairs_from_sigs(
     # sort-merge, and each microbatch shuffles the whole store (an
     # O(state) sort per trigger — measured as the dominant growth term
     # in scripts/intake_state_growth.py before this change).
-    nb = _banded(new_sigs, "id", "id")
-    rb = _banded(ref_sigs, "ref_id", "ref_id", bands_col=ref_bands_col)
-    if small_side == "new":
-        nb = F.broadcast(nb)
-    elif small_side == "ref":
-        rb = F.broadcast(rb)
-    cands = (nb.join(rb, ["band", "bh"])
-             .select("id", "ref_id").distinct())
     est = (f"round(size(filter(zip_with(__sa, __sb, (x, y) -> x = y), "
            f"m -> m)) / cast({num_hashes} as double), 6)")
     new_side = new_sigs.selectExpr("id", "sig AS __sa")
-    verify = cands.join(
-        F.broadcast(new_side) if small_side == "new" else new_side, "id")
-    # Broadcasting (cands x batch sigs) lets the stored-sig verify scan
-    # STREAM instead of shuffle — but cands is NOT output-bounded: it is
-    # one row per band collision with the store (pre-threshold), which
-    # grows with state size via false-positive collisions, and each
-    # verify row carries the num_hashes-long signature (~0.5 KB at 64).
-    # On a collision-heavy batch against a very large store the
-    # broadcast can exceed Spark's 8 GB broadcast-table limit and FAIL
-    # the job (where a shuffle join would complete slowly).
-    # ``verify_broadcast`` overrides: None follows small_side (the
-    # monitor-shape default, right for bounded batches at measured
-    # collision rates — see scripts/intake_state_growth.py); pass False
-    # to let the planner shuffle when the collision volume is unknown.
-    if (verify_broadcast if verify_broadcast is not None
-            else small_side == "new"):
+    nb = _banded(new_sigs, "id", "id")
+    if small_side == "new":
+        # The incremental-intake shape (a bounded microbatch banded
+        # against an ever-growing signature store): ONE streamed pass
+        # over the store, period (r12; closes SCALING.md O(state) term
+        # 3). The stored side's band rows CARRY the row's signature
+        # through the broadcast-hash band join — collision survivors
+        # keep it, everything else drops at the join — so the verify
+        # step consumes the signature it already has instead of
+        # re-scanning all O(state) stored (ref_id, sig) rows through a
+        # second join (measured ~1.2s of columnar decode per trigger at
+        # 500k sigs; ~40 GB per trigger at 1e9). The per-pair dedup
+        # (the old ``.distinct()``) becomes first(sig) under a
+        # (id, ref_id) groupBy — identical rows because the store holds
+        # ONE signature row per doc (the state-append contract; with
+        # duplicate ref_ids the old shape emitted one row per
+        # duplicate). The groupBy exchange carries collision rows only
+        # (bounded by batch size × collision rate, never by state) and
+        # SPILLS under pressure — strictly safer than the r11 shape,
+        # whose (cands × batch-sigs) verify broadcast could exceed the
+        # 8 GB broadcast cap on a collision-heavy batch
+        # (``verify_broadcast`` existed to opt out; this lane no longer
+        # broadcasts anything unbounded, so the flag is moot here).
+        rbs = ref_sigs.selectExpr(
+            "ref_id", "sig AS __sb",
+            f"posexplode({_bands_src(ref_bands_col, bands, computed)}) "
+            f"AS (band, bh)")
+        cands = (F.broadcast(nb).join(rbs, ["band", "bh"])
+                 .groupBy("id", "ref_id")
+                 .agg(F.first("__sb").alias("__sb")))
+        return (
+            cands.join(F.broadcast(new_side), "id")
+            .selectExpr("id", "ref_id", f"{est} AS est_jaccard")
+            .where(F.col("est_jaccard") >= threshold)
+        )
+    rb = _banded(ref_sigs, "ref_id", "ref_id", bands_col=ref_bands_col)
+    if small_side == "ref":
+        rb = F.broadcast(rb)
+    cands = (nb.join(rb, ["band", "bh"])
+             .select("id", "ref_id").distinct())
+    verify = cands.join(new_side, "id")
+    # ``verify_broadcast``: broadcasting (cands × new sigs) lets the
+    # ref-side verify scan stream instead of shuffle when cands is
+    # known-bounded; None preserves planner choice (cands is NOT
+    # output-bounded — one row per band collision, each carrying a
+    # num_hashes-long signature, so a forced broadcast can exceed the
+    # 8 GB broadcast-table cap where a shuffle would complete slowly).
+    if verify_broadcast:
         verify = F.broadcast(verify)
     return (
         verify.join(ref_sigs.selectExpr("ref_id", "sig AS __sb"), "ref_id")

@@ -1282,6 +1282,46 @@ def test_minhash_cross_finds_planted_near_dups(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [3]
 
 
+def test_sig_pairs_intake_lane_single_store_scan(spark, tmp_path):
+    """The small_side="new" intake lane (r12): identical pairs to the
+    planner-choice lane on the same inputs, while the stored side is
+    scanned exactly ONCE — its band rows carry the signature through
+    the join, so verification needs no second O(state) pass."""
+    from pyspark.sql import functions as F
+
+    from sparvi_spark.operators.dedup import (band_hashes_expr,
+                                              minhash_pairs_from_sigs)
+
+    (spark.range(40).selectExpr("cast(id as string) as id")
+     .selectExpr("id", "transform(sequence(1, 32), "
+                 "i -> xxhash64(id, i)) as sig")
+     .write.parquet(str(tmp_path / "new")))
+    (spark.range(200).selectExpr("cast(id + 20 as string) as ref_id")
+     .selectExpr("ref_id", "transform(sequence(1, 32), "
+                 "i -> xxhash64(ref_id, i)) as sig")
+     .withColumn("band_hashes",
+                 F.expr(band_hashes_expr("xxhash64", 32, 8)))
+     .write.parquet(str(tmp_path / "ref")))
+    new = spark.read.parquet(str(tmp_path / "new"))
+    ref = spark.read.parquet(str(tmp_path / "ref"))
+    kw = dict(num_hashes=32, bands=8, threshold=0.5, hash_fn="xxhash64",
+              ref_bands_col="band_hashes")
+    intake = minhash_pairs_from_sigs(new, ref, small_side="new", **kw)
+    default = minhash_pairs_from_sigs(new, ref, **kw)
+    got = sorted(map(tuple, intake.collect()))
+    assert got == sorted(map(tuple, default.collect()))
+    # ids 20..39 share the ref construction -> 20 exact-signature pairs
+    assert len(got) == 20 and all(r[2] == 1.0 for r in got)
+    # the FINAL adaptive plan scans the store exactly once (no verify
+    # re-scan) and never shuffles it
+    plan = intake._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    ref_scans = [ln for ln in final.splitlines()
+                 if "FileScan parquet" in ln and "/ref" in ln]
+    assert len(ref_scans) == 1, final
+    assert "SortMergeJoin" not in final, final
+
+
 def test_temperature_sampling(spark):
     """tau=1 keeps everything; tau=0 equalizes to the smallest group;
     intermediate tau raises the tail's share, all deterministically."""
