@@ -1154,9 +1154,23 @@ class Engine:
                     contaminated, batch_kept[id_col] == F.col("__dup"),
                     "left_anti").localCheckpoint())
                 # counts INSIDE the scope: they materialize batch_kept's
-                # cache
-                n_in, n_batch_kept, n_kept = (
-                    docs.count(), batch_kept.count(), kept.count())
+                # cache. ONE action for all three (union of tagged
+                # cached scans + a 3-group count) instead of three
+                # per-trigger driver actions — every action is a py4j
+                # round trip plus an AQE job submission, a fixed cost
+                # the streaming hot path pays per microbatch (guide §1
+                # per-action floor; all three inputs are already
+                # materialized here — kept by its localCheckpoint, docs
+                # and batch_kept by the actions upstream of it — so the
+                # fused job reads caches only).
+                cnt = {r["__t"]: r["count"] for r in (
+                    docs.select(F.lit(0).alias("__t"))
+                    .unionAll(batch_kept.select(F.lit(1).alias("__t")))
+                    .unionAll(kept.select(F.lit(2).alias("__t")))
+                    .groupBy("__t").count().collect())}
+                n_in = int(cnt.get(0, 0))
+                n_batch_kept = int(cnt.get(1, 0))
+                n_kept = int(cnt.get(2, 0))
             if sink is not None and n_kept:
                 sink(kept)
             from sparvi_spark.operators.dedup import band_hashes_expr
