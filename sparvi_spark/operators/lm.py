@@ -134,6 +134,7 @@ def self_lm_score(
     text_col: str = "text",
     round_to: int = 9,
     tokens_col: str | None = None,
+    shape: str | None = None,
 ) -> DataFrame:
     """Score a corpus against its own bigram statistics — the outlier
     screen: documents whose transitions are rare in-corpus (gibberish,
@@ -147,24 +148,30 @@ def self_lm_score(
     this function's own split; arrays must be the same lowercased-
     whitespace split for outputs to stay bit-identical.
 
-    r12 shape: when a corpus scores AGAINST ITSELF, the model lookups
-    are self-counts of the bigram stream — c(w1,w2) and c(w1·) are
-    window counts over doc_bg PARTITION BY (w1, w2) / (w1), and every
-    (w1, w2) in the stream is by construction in the model, so the old
-    left-join coalesce(…, 0) branches were dead. The train-groupBy +
-    two shuffle joins collapse to ONE exchange on w1 (the second window
-    reuses the w1 partitioning, adding only a sort) + the final per-doc
-    aggregation — 4 exchanges → 2, string-pair join keys gone, measured
-    1.17s → 0.87s best-of-interleaved at sf0.1 with bit-exact parity.
-    The result is fully LAZY (no persists to guard, so the r11
-    localCheckpoint + finally-unpersist scaffolding is gone too).
-    Caveat at extreme scale: a window partition cannot be split by AQE
-    skew handling the way a join can, and a hot context token ("the")
-    lands in one partition — the cross-scoring API
-    (``train_bigram_lm`` + ``bigram_lm_score``) keeps the join shape
-    and remains the right lane when one token's bigrams exceed a
-    partition's memory; the old self-scoring path had the identical
-    exposure through its join ON w1, so this is not a regression."""
+    ``shape`` picks the physical plan; every lane computes the SAME
+    integer counts, so outputs are bit-identical (same IEEE division,
+    same decimal rounding) and the choice is purely physical:
+
+    - ``"agg"`` (default, r13 — the skew-safe lane): c(w1,w2) is a
+      two-level aggregation of the bigram stream (map-side partial agg,
+      shuffle bounded by DISTINCT bigrams, never by stream length) and
+      c(w1·) = sum over w2 is a window over the AGGREGATED model frame
+      (a w1 partition there holds at most |vocab| one-row-per-bigram
+      rows, bounded regardless of corpus size). The model then joins
+      back onto the stream on (w1, w2) — a join AQE can broadcast when
+      the model is small and SKEW-SPLIT when one bigram is hot, which
+      no window over the raw stream can be. The r12 window lane put
+      count(1) OVER (PARTITION BY w1) on the FULL bigram stream: at
+      100 TB a natural-language corpus guarantees a hot "the" partition
+      that one task must sort alone (VERDICT r12 item 1). Cost: the
+      stream subtree is consumed twice (model build + join probe) — two
+      passes over the token arrays instead of one, which measures at
+      parity locally (see OPTIMIZATION_r13.md) and is the right trade
+      at scale, where a single straggler partition dominates wall.
+    - ``"window"`` (the r12 lane, kept for A/B and for corpora KNOWN to
+      have no hot context token): c1/c12 as two window counts sharing
+      one full-stream Exchange on w1.
+    """
     toks = f"`{tokens_col}`" if tokens_col else _toks(text_col)
     tk = df.selectExpr(f"`{id_col}` as __id", f"{toks} as __tk")
     doc_bg = _bigrams_from_tokens(tk)
@@ -173,11 +180,22 @@ def self_lm_score(
     a = float(SMOOTH_A)
     prob = (f"((cast(c12 as double) + {a!r}d) / "
             f"(cast(c1 as double) + {a!r}d * cast(v as double)))")
-    return (doc_bg.join(F.broadcast(vocab))
-            .selectExpr("__id",
-                        "count(1) OVER (PARTITION BY w1) as c1",
-                        "count(1) OVER (PARTITION BY w1, w2) as c12",
-                        "v")
+    shape = shape or "agg"
+    if shape == "agg":
+        model = (doc_bg.groupBy("w1", "w2")
+                 .agg(F.expr("count(1)").alias("c12"))
+                 .selectExpr("w1", "w2", "c12",
+                             "sum(c12) OVER (PARTITION BY w1) as c1"))
+        scored = doc_bg.join(model, ["w1", "w2"]).join(F.broadcast(vocab))
+    elif shape == "window":
+        scored = (doc_bg.join(F.broadcast(vocab))
+                  .selectExpr("__id",
+                              "count(1) OVER (PARTITION BY w1) as c1",
+                              "count(1) OVER (PARTITION BY w1, w2) as c12",
+                              "v"))
+    else:
+        raise ValueError(f"unknown self_lm_score shape {shape!r}")
+    return (scored
             .selectExpr("__id",
                         f"cast(round({prob}, 15) as {_DEC}) as __p")
             .groupBy("__id")
