@@ -800,20 +800,44 @@ def collect_rule_jobs(
                                  rec["operator"], rec["expected_lo"],
                                  rec["expected_hi"], rec["actual_value"]))
 
-    schema = StructType([
-        StructField(tag_col, StringType()),
-        StructField("rule_name", StringType()),
-        StructField("operator", StringType()),
-        StructField("expected_lo", DoubleType()),
-        StructField("expected_hi", DoubleType()),
-        StructField("actual_value", DoubleType()),
-    ])
-    from sparvi_spark.functions import local_df
+    if not rows:
+        schema = StructType([
+            StructField(tag_col, StringType()),
+            StructField("rule_name", StringType()),
+            StructField("operator", StringType()),
+            StructField("expected_lo", DoubleType()),
+            StructField("expected_hi", DoubleType()),
+            StructField("actual_value", DoubleType()),
+        ])
+        return (spark.createDataFrame([], schema)
+                .withColumn("is_valid", F.expr(IS_VALID_CASE))
+                .select(tag_col, "rule_name", "operator", "expected_lo",
+                        "expected_hi", "actual_value", "is_valid"))
 
-    return (local_df(spark, rows, schema)
-            .withColumn("is_valid", F.expr(IS_VALID_CASE))
-            .select(tag_col, "rule_name", "operator", "expected_lo",
-                    "expected_hi", "actual_value", "is_valid"))
+    # One VALUES statement instead of an RDD-backed local frame (r13):
+    # parallelize()-based local relations execute a real Spark job per
+    # downstream action (Python->JVM row ship + task), ~0.15s of the
+    # v00 run; a VALUES literal is a LocalRelation the driver folds.
+    # is_valid stays the SAME SQL CASE text, so verdicts are
+    # bit-identical to run_rules and the oracle.
+    def _d(v) -> str:
+        if v is None:
+            return "cast(null as double)"
+        v = float(v)
+        if v != v:
+            return "cast('NaN' as double)"
+        if v in (float("inf"), float("-inf")):
+            return f"cast('{'-' if v < 0 else ''}Infinity' as double)"
+        return f"cast({v!r} as double)"  # repr: shortest roundtrip
+
+    vals = ", ".join(
+        f"('{_q(t)}', '{_q(rn)}', '{_q(op)}', {_d(lo)}, {_d(hi)}, {_d(av)})"
+        for t, rn, op, lo, hi, av in rows)
+    return spark.sql(
+        f"SELECT `{tag_col}`, rule_name, operator, expected_lo, "
+        f"expected_hi, actual_value, {IS_VALID_CASE} AS is_valid "
+        f"FROM (VALUES {vals}) AS t(`{tag_col}`, rule_name, operator, "
+        f"expected_lo, expected_hi, actual_value)")
 
 
 def run_rules_multi(
