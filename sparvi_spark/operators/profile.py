@@ -184,7 +184,7 @@ def exact_percentiles(
     # selectExpr/expr calls — the Column-object form of this plan cost ~690
     # py4j round trips (~0.2 s, GIL-serialized) per build (see anomalies.py
     # module docstring for the measurement; the resolved plan is identical).
-    from sparvi_spark.functions import local_df
+    from sparvi_spark.functions import values_df
 
     stack = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
     melted = (
@@ -201,7 +201,9 @@ def exact_percentiles(
     # and produces NULL markers — but guarantees the final groupBy emits a
     # row per column. Cheaper than the alternative (a right-join onto a
     # literal frame): no broadcast job, no join stage.
-    sentinels = local_df(
+    # values_df (r13): as a union leg, a parallelize-backed sentinel adds
+    # an RDD scan stage to the plan; a VALUES literal is a LocalRelation
+    sentinels = values_df(
         df.sparkSession, [(c, None, 0) for c in cols],
         "column_name string, v double, cnt bigint")
     counts = counts.unionAll(sentinels)
@@ -368,7 +370,7 @@ def exact_percentiles_refine(
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
-    from sparvi_spark.functions import local_df
+    from sparvi_spark.functions import values_df
 
     spark = df.sparkSession
     eps = 1.0 / accuracy
@@ -525,7 +527,10 @@ def exact_percentiles_refine(
                 for c in cols]
     schema = ("column_name string, "
               + ", ".join(f"p{int(p * 100)} double" for p in ps))
-    return local_df(spark, out_rows, schema)
+    # values_df: the returned frame is the check's RESULT — an RDD-backed
+    # local frame costs a real job per downstream action (r13; see
+    # functions.values_df), a VALUES literal folds driver-side
+    return values_df(spark, out_rows, schema)
 
 
 def numeric_exprs(c: str, exact: bool = True) -> list[Column]:
