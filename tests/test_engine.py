@@ -669,6 +669,32 @@ def test_export_training_corpus_curation_stages(spark, engine, tmp_path):
     assert "trailing unique words" in pub[3]
 
 
+def test_dedup_corpus_incremental_kept_schema_and_short_docs(spark, engine):
+    """r13 internals guard: the kept checkpoint carries each survivor's
+    signature and trigger counts ride observe() metrics — the CONTRACT
+    must not move: (a) the returned kept frame has exactly the input
+    columns (no __sig leak to callers/sinks), (b) docs too short to
+    shingle (<n tokens) survive dedup and are returned in kept, but
+    append NO signature row (they had none before either), (c) the
+    observe-backed counts match the frames."""
+    docs = spark.createDataFrame(
+        [(1, "tiny"),                                   # < n tokens: no sig
+         (2, "a much longer document about harvesting wild mushrooms in "
+             "autumn forests after steady rain when the ground stays damp"),
+         (3, "another distinct text describing rail freight schedules "
+             "between inland terminals and the coastal container port")],
+        "doc_id int, text string")
+    s = engine.dedup_corpus_incremental(docs, "cshort", threshold=0.5)
+    assert s["kept"].columns == ["doc_id", "text"]
+    kept_ids = sorted(r["doc_id"] for r in s["kept"].collect())
+    assert kept_ids == [1, 2, 3]
+    assert s["n_in"] == 3 and s["n_kept"] == 3
+    assert s["n_in_batch_dups"] == 0 and s["n_vs_corpus_dups"] == 0
+    sigs = engine.state.read("corpus_signatures").where(
+        F.col("corpus_name") == "cshort")
+    assert sorted(r["doc_id"] for r in sigs.collect()) == ["2", "3"]
+
+
 def test_dedup_corpus_incremental_sink_failure_leaves_no_state(spark, engine):
     """Replay safety: when the sink raises, NO signatures were appended —
     a retry of the same batch recomputes cleanly and admits everything
