@@ -1131,11 +1131,19 @@ class Engine:
                                     num_hashes=num_hashes,
                                     hash_fn=hash_fn).persist()
             with scoped_caches():
+                # bounded=True: a microbatch is bounded by contract (the
+                # same assertion small_side="new" makes below), so the
+                # in-batch LSH takes explicit broadcast builds instead of
+                # AQE-staged shuffles (guide §3.1) — each removed
+                # exchange is one fewer materialized stage job per
+                # trigger
                 pairs = minhash_lsh_pairs(docs, id_col, text_col, n=n,
                                           num_hashes=num_hashes,
                                           bands=bands, threshold=threshold,
-                                          hash_fn=hash_fn, signed=signed)
-                batch_kept = dedup_near(docs, pairs, id_col).persist()
+                                          hash_fn=hash_fn, signed=signed,
+                                          bounded=True)
+                batch_kept = dedup_near(docs, pairs, id_col,
+                                        bounded=True).persist()
                 # in-batch survivors' signatures, FILTERED from the shared
                 # signed base (same rows minhash_signatures(batch_kept)
                 # would produce, no second gram+sig build)
@@ -1156,8 +1164,8 @@ class Engine:
                     state_sigs, num_hashes=num_hashes, bands=bands,
                     threshold=threshold, hash_fn=hash_fn,
                     small_side="new", ref_bands_col="band_hashes")
-                contaminated = cross.select(
-                    F.col("id").alias("__dup")).distinct()
+                contaminated = F.broadcast(cross.select(
+                    F.col("id").alias("__dup")).distinct())
                 # r13 trigger-fusion (guide §1 per-action floor; closes
                 # VERDICT r12 item 2 with intake_job_count.py evidence):
                 # (a) the checkpoint CARRIES each survivor's signature
@@ -1177,9 +1185,9 @@ class Engine:
                 kept_full = (batch_kept
                              .observe(obs_bk,
                                       F.count(F.lit(1)).alias("n"))
-                             .join(signed.select(
+                             .join(F.broadcast(signed.select(
                                  F.col("__id").alias(id_col),
-                                 F.col("sig").alias("__sig")),
+                                 F.col("sig").alias("__sig"))),
                                  id_col, "left")
                              .join(contaminated,
                                    F.col(id_col) == F.col("__dup"),

@@ -308,6 +308,7 @@ def dedup_near(
     prefer_col: str | None = None,
     clustering: str = "greedy",
     max_iters: int = 20,
+    bounded: bool = False,
 ) -> DataFrame:
     """Materialize a near-deduplicated corpus from a pair list.
 
@@ -355,6 +356,11 @@ def dedup_near(
         raise ValueError(f"unknown clustering {clustering!r}")
     if prefer_col is None:
         dups = pairs.select(F.col("id_b").alias("__dup")).distinct()
+        if bounded:
+            # caller asserts a bounded microbatch (see minhash_lsh_pairs
+            # ``bounded``): broadcast the dup-id build so the anti-join
+            # streams df with no exchange / AQE stage job
+            dups = F.broadcast(dups)
         return df.join(dups, df[id_col] == F.col("__dup"), "left_anti")
     score = df.select(F.col(id_col).alias("__pid"),
                       F.col(prefer_col).alias("__pref"))
@@ -580,6 +586,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     hash_fn: str | None = None,
     signed: DataFrame | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
@@ -596,6 +603,18 @@ def minhash_lsh_pairs(
     ``signed``: an already-PERSISTED ``minhash_signed`` frame (built with
     the same n/num_hashes/hash_fn) to reuse instead of building one —
     the caller owns its lifecycle.
+
+    ``bounded`` (r13): the CALLER asserts ``df`` is a bounded microbatch
+    (the incremental-intake contract — the same assertion
+    ``minhash_pairs_from_sigs(small_side="new")`` already makes when it
+    broadcasts the batch's band rows). The band self-join and the two
+    verification joins then take explicit broadcast builds (guide §3.1:
+    pick the strategy deliberately), removing their shuffle exchanges —
+    with AQE each such exchange is a materialized query-stage JOB per
+    microbatch even when the runtime later converts the join to
+    broadcast anyway. Identical pairs either way (same equi-conditions,
+    same filter). Default False: a full-corpus self-join must never
+    broadcast the corpus.
     """
     from sparvi_spark.config import resolve_backend
 
@@ -632,12 +651,18 @@ def minhash_lsh_pairs(
         f"b -> struct(b as band, {band_hash} as bh)))")
     a = banded.selectExpr("__id as id_a", "band", "bh")
     b = banded.selectExpr("__id as id_b", "band", "bh")
+    if bounded:
+        a = F.broadcast(a)
     cands = (
         a.join(b, ["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    if bounded:
+        # collision-bounded (batch pairs only) — broadcast through the
+        # two gram-attach joins so the cached base only streams
+        cands = F.broadcast(cands)
     # Exact-Jaccard verification driven by the candidate pairs only: attach
     # both gram SETS and overlap them per row with array_intersect. Cost is
     # O(candidates × shingles/doc) — near-linear — instead of the
@@ -649,8 +674,11 @@ def minhash_lsh_pairs(
     gb = base.select(F.col("__id").alias("id_b"), F.col("__grams").alias("__gb"),
                      F.col("__sz").alias("sz_b"))
     shared = "size(array_intersect(__ga, __gb))"
+    withga = cands.join(ga, "id_a")
+    if bounded:
+        withga = F.broadcast(withga)
     return (
-        cands.join(ga, "id_a").join(gb, "id_b")
+        withga.join(gb, "id_b")
         .selectExpr(
             "id_a", "id_b",
             f"round({shared} * cast(1 as double) "

@@ -577,6 +577,30 @@ def test_contamination_arrow_backend_parity(spark):
         "doc_id", "text", n=3, backend="expr").collect())
 
 
+def test_minhash_lsh_bounded_lane_identical_pairs(spark):
+    """``bounded=True`` (r13, the intake's microbatch contract) only
+    changes join BUILD strategy (explicit broadcasts instead of
+    AQE-staged shuffles) — the pair set, jaccard values, and the
+    dedup_near survivor set must be identical to the default lane."""
+    from sparvi_spark.operators.dedup import dedup_near, minhash_lsh_pairs
+    from sparvi_spark.testdata import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    kw = dict(n=3, num_hashes=64, bands=16, threshold=0.5,
+              hash_fn="xxhash64")
+    base = minhash_lsh_pairs(docs, "doc_id", "text", **kw)
+    bnd = minhash_lsh_pairs(docs, "doc_id", "text", bounded=True, **kw)
+    key = lambda df: sorted((r["id_a"], r["id_b"], r["jaccard"])
+                            for r in df.collect())
+    pairs = key(base)
+    assert pairs and key(bnd) == pairs
+    kept = sorted(r["doc_id"] for r in
+                  dedup_near(docs, base, "doc_id").collect())
+    assert sorted(r["doc_id"] for r in
+                  dedup_near(docs, bnd, "doc_id",
+                             bounded=True).collect()) == kept
+
+
 def test_minhash_arrow_lane_matches_expr_pairs(spark):
     """hash_fn='arrow' (vectorized numpy gram-hash + affine signature lane)
     must emit the SAME verified pairs with the SAME exact-Jaccard values
